@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's deterministic testdata tables (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. Mirrors the reference's
+  * parquet-scan source (S1/S2, `jobs/transform/nfl-elec-transform-v2.py:37-49`)
+  * but as a single multi-path-capable `spark.read.parquet` — Spark's
+  * `InMemoryFileIndex` replaces the reference's driver-side blob loop, so at
+  * 100 TB the listing is distributed and the scan parallelises per row-group.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot represent
+    * as TimestampType (µs). The session sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, so the raw column arrives
+    * as epoch-nanos LongType; expose it as `ts_ns` (exact, same ordering as
+    * DuckDB's ns timestamps) plus a µs-truncated proper `ts` timestamp.
+    * Integer `div` keeps full precision — never divide ns epochs as double. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
