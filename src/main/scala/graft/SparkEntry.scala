@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.Relational
+import graft.ops.{Dedup, Relational, Similarity, TextOps}
+import graft.multimodal.MultimodalOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +13,8 @@ import graft.ops.Relational
 object SparkEntry {
 
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.catalog
+    Relational.catalog ++ TextOps.catalog ++ Dedup.catalog ++
+      Similarity.catalog ++ MultimodalOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-schema join + window + as-of pattern in one plan. */

@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus a batch "decode / feature-extract" stage.
+  *
+  * The Spark-side plumbing is real — schema, partitioning, batch shape — and
+  * runs over `mapPartitions` (the Scala equivalent of a Pandas-UDF
+  * `mapInPandas` stage: one JVM call per partition, amortizing per-batch
+  * setup such as a decoder context). The actual media decode is STUBBED with
+  * a deterministic fake (this container has no image/audio codecs); swap
+  * `FakeDecoder.decode` for a real decoder binding in production.
+  */
+object Multimodal {
+
+  /** Typed metadata emitted per media blob. */
+  case class MediaFeature(
+      doc_id: Long,
+      n_bytes: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      mean_luma: Double)
+
+  /** Deterministic fake decoder. A real implementation would hand `bytes` to
+    * an image/audio library; everything downstream (schema, batching,
+    * partitioning) is production-shaped. */
+  object FakeDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeature = {
+      val n = bytes.length.toLong
+      // pretend-parse a header: first 4 bytes select the "format"
+      val fmt = if (n == 0) "empty" else ((bytes(0) & 0xff) % 3) match {
+        case 0 => "img"
+        case 1 => "audio"
+        case _ => "video"
+      }
+      // deterministic fake dimensions / luma derived from the payload
+      var acc = 0L
+      var i = 0
+      while (i < math.min(bytes.length, 64)) { acc += (bytes(i) & 0xff); i += 1 }
+      MediaFeature(
+        doc_id = docId,
+        n_bytes = n,
+        format = fmt,
+        width = (n % 640).toInt,
+        height = ((n * 7) % 480).toInt,
+        n_frames = ((n % 10) + 1).toInt,
+        mean_luma = if (n == 0) 0.0 else acc.toDouble / math.min(bytes.length, 64))
+    }
+  }
+
+  /** documents → opaque binary column (stands in for a real media payload;
+    * in production the binary comes from the source, e.g. parquet BYTE_ARRAY
+    * or a blob-store pointer already resolved upstream). */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Batch feature extraction over the binary column via mapPartitions —
+    * decoder context initialized once per partition, rows streamed through.
+    * Repartition first so huge blobs spread evenly (at 100 TB a skewed blob
+    * distribution would OOM single tasks otherwise). */
+  def extractFeatures(df: DataFrame, partitions: Int): DataFrame = {
+    val enc = Encoders.product[MediaFeature]
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .repartition(partitions, col("doc_id"))
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (open codec ctx once)
+        rows.map { r =>
+          FakeDecoder.decode(r.getLong(0), r.getAs[Array[Byte]](1))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Frame-sampling stage shape: one row per sampled frame index — the
+    * explode pattern a video pipeline uses between decode and per-frame
+    * embedding. */
+  def sampleFrames(features: DataFrame, everyN: Int): DataFrame =
+    features
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))))
+      .select("doc_id", "frame_idx", "format", "width", "height")
+}
+
+/** Oracle-able slice of the multimodal surface: binary metadata extraction
+  * with pure column expressions (the part DuckDB can reproduce). */
+object MultimodalOps {
+  def q30MultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("header_hex", substring(hex(col("payload")), 1, 8))
+      .withColumn("fake_w", (col("n_bytes") % 640).cast("int"))
+      .withColumn("fake_h", ((col("n_bytes") * 7) % 480).cast("int"))
+      .select("doc_id", "n_bytes", "header_hex", "fake_w", "fake_h")
+      .orderBy("doc_id")
+
+  val q30Sql: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       substring(hex(encode(text)), 1, 8) AS header_hex,
+      |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_w,
+      |       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS fake_h
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  import org.apache.spark.sql.DataFrame
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q30_multimodal_meta", q30MultimodalMeta _, Some(q30Sql)),
+  )
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embedding column (`Array[Float]`, dim 64).
+  *
+  * q28: brute-force cosine top-k — the correctness baseline. Dot products via
+  * `zip_with` + `aggregate` (left-to-right double fold, matching DuckDB's
+  * list_cosine_similarity accumulation), rounded to 6 digits for hash-stable
+  * ordering.
+  *
+  * q29: SRP-LSH (sign-random-projection) bucketed top-k — the scale path.
+  * Hyperplanes are derived from md5 so any engine reproduces them exactly.
+  * At 100 TB the bucket join replaces the n² cross join: candidates are only
+  * vectors sharing the query's bucket.
+  */
+object Similarity {
+
+  private def embWithNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(e, e, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")))
+
+  // brute-force cosine top-k (k=5) for the first 10 vectors as queries.
+  def q28AnnTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d)
+    val q = emb.select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+      .filter(col("query_id") < 10)
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("e").as("en"), col("nrm").as("nn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(
+        expr("aggregate(zip_with(eq, en, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+          / (col("nq") * col("nn")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  val q28Sql: String =
+    """SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(n.embedding AS DOUBLE[])), 6) AS cos_sim,
+      |         CAST(ROW_NUMBER() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                 CAST(n.embedding AS DOUBLE[])), 6) DESC,
+      |                    n.vec_id) AS BIGINT) AS rn
+      |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+      |  WHERE q.vec_id < 10)
+      |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  // --- SRP-LSH ---
+  private val NumPlanes = 6
+  private val Dim = 64
+
+  /** Deterministic ±1 hyperplanes: r(p, i) = +1 iff the first hex digit of
+    * md5("p_i") is even. Reproducible in SQL: md5 is md5 everywhere. */
+  private[ops] def planes: Array[Array[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (p, i) =>
+      val hex = mdig.digest(s"${p}_${i}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Character.digit(hex.charAt(0), 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** df with an `e: array<double>` column → + `bucket` (SRP sign bits). */
+  private def withBucket(df: DataFrame): DataFrame = {
+    val ps = planes
+    val bucket = (0 until NumPlanes).map { p =>
+      val proj = expr(
+        s"aggregate(zip_with(e, array(${ps(p).mkString(",")}), (x, y) -> x * y), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket.cast("int"))
+  }
+
+  // LSH-bucketed cosine top-k (k=3): search only the query's bucket.
+  def q29AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = withBucket(embWithNorm(s, d))
+    val q = emb.select(col("vec_id").as("query_id"), col("e").as("eq"),
+      col("nrm").as("nq"), col("bucket").as("qb")).filter(col("query_id") < 10)
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("e").as("en"),
+      col("nrm").as("nn"), col("bucket").as("nb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(n, col("qb") === col("nb") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(
+        expr("aggregate(zip_with(eq, en, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+          / (col("nq") * col("nn")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id", "cos_sim", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  val q29Sql: String =
+    """WITH planes AS (
+      |  SELECT p, list_transform(range(0, 64), i ->
+      |           CASE WHEN CAST('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+      |                          AS INTEGER) % 2 = 0
+      |                THEN 1.0 ELSE -1.0 END) AS r
+      |  FROM (SELECT unnest(range(0, 6)) AS p)),
+      |proj AS (
+      |  SELECT e.vec_id, p.p,
+      |         list_inner_product(CAST(e.embedding AS DOUBLE[]), p.r) AS pr
+      |  FROM embeddings e CROSS JOIN planes p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CASE WHEN pr > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
+      |  FROM proj GROUP BY vec_id)
+      |SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(n.embedding AS DOUBLE[])), 6) AS cos_sim,
+      |         CAST(ROW_NUMBER() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                 CAST(n.embedding AS DOUBLE[])), 6) DESC,
+      |                    n.vec_id) AS BIGINT) AS rn
+      |  FROM embeddings q
+      |  JOIN buckets qb ON q.vec_id = qb.vec_id
+      |  JOIN buckets nb ON qb.bucket = nb.bucket
+      |  JOIN embeddings n ON n.vec_id = nb.vec_id AND q.vec_id <> n.vec_id
+      |  WHERE q.vec_id < 10)
+      |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q28_ann_topk", q28AnnTopk _, Some(q28Sql)),
+    ("q29_ann_lsh", q29AnnLsh _, Some(q29Sql)),
+  )
+}

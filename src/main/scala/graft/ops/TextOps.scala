@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * quality scoring, language ID, document fingerprinting, token counting.
+  *
+  * All pure column expressions (codegen'd builtins — no UDFs), embarrassingly
+  * parallel per-row: at 100 TB these run map-side with zero shuffle.
+  * DuckDB note: regexp_replace needs the 'g' flag there (Spark replaces all
+  * matches by default).
+  */
+object TextOps {
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "in", "to", "is", "on")
+
+  private def countIn(words: Column, set: Seq[String]): Column =
+    size(filter(words, w => w.isin(set: _*))).cast("long")
+
+  // quality scoring: length, word/token counts, punctuation + stopword ratios
+  // (n_chars recomputed, not trusted from the source column).
+  def q20TextStats(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(s, d)
+      .withColumn("n_chars_calc", length(col("text")).cast("long"))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_tokens",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long"))
+      .withColumn("punct_n",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
+      .withColumn("stop_n", countIn(words, stopwords))
+      .withColumn("stop_ratio", col("stop_n").cast("double") / col("n_words"))
+      .withColumn("punct_ratio", col("punct_n").cast("double") / col("n_chars_calc"))
+      .withColumn("quality",
+        when(col("n_words") >= 20 && col("punct_ratio") < 0.05 && col("stop_ratio") >= 0.01, "keep")
+          .otherwise("drop"))
+      .select("doc_id", "n_chars_calc", "n_words", "n_tokens", "stop_n",
+        "stop_ratio", "punct_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  val q20Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |       w -> w IN ('the','a','and','of','in','to','is','on'))) AS BIGINT) AS stop_n,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |       w -> w IN ('the','a','and','of','in','to','is','on'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stop_ratio,
+      |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS punct_ratio,
+      |  CASE WHEN len(string_split(text, ' ')) >= 20
+      |        AND CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) < 0.05
+      |        AND CAST(len(list_filter(string_split(text, ' '),
+      |              w -> w IN ('the','a','and','of','in','to','is','on'))) AS DOUBLE)
+      |              / len(string_split(text, ' ')) >= 0.01
+      |       THEN 'keep' ELSE 'drop' END AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // language ID: stopword-hit n-gram heuristic with a fixed priority order on
+  // ties (en > de > fr > es > und). Pure map-side expression.
+  private val langSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "las", "y"))
+
+  def q21LangId(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val base = Tables.documents(s, d)
+      .withColumn("en_n", countIn(words, langSets(0)._2))
+      .withColumn("de_n", countIn(words, langSets(1)._2))
+      .withColumn("fr_n", countIn(words, langSets(2)._2))
+      .withColumn("es_n", countIn(words, langSets(3)._2))
+    base
+      .withColumn("lang_pred",
+        when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") &&
+          col("en_n") >= col("es_n") && col("en_n") > 0, "en")
+          .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n") && col("de_n") > 0, "de")
+          .when(col("fr_n") >= col("es_n") && col("fr_n") > 0, "fr")
+          .when(col("es_n") > 0, "es")
+          .otherwise("und"))
+      .select("doc_id", "lang", "en_n", "de_n", "fr_n", "es_n", "lang_pred")
+      .orderBy("doc_id")
+  }
+
+  val q21Sql: String = {
+    def n(set: Seq[String]) =
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${set.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"
+    val (en, de, fr, es) = (n(langSets(0)._2), n(langSets(1)._2), n(langSets(2)._2), n(langSets(3)._2))
+    s"""SELECT doc_id, lang, en_n, de_n, fr_n, es_n,
+       |  CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n AND en_n > 0 THEN 'en'
+       |       WHEN de_n >= fr_n AND de_n >= es_n AND de_n > 0 THEN 'de'
+       |       WHEN fr_n >= es_n AND fr_n > 0 THEN 'fr'
+       |       WHEN es_n > 0 THEN 'es'
+       |       ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, lang, $en AS en_n, $de AS de_n, $fr AS fr_n, $es AS es_n
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // document fingerprinting: md5 over whitespace-normalized text, plus a
+  // prefix fingerprint (cheap bucketing key for staged dedup).
+  def q22Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    Tables.documents(s, d)
+      .withColumn("fp_full", md5(norm))
+      .withColumn("fp_head", md5(substring(norm, 1, 64)))
+      .select("doc_id", "fp_full", "fp_head")
+      .orderBy("doc_id")
+  }
+
+  val q22Sql: String =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_full,
+      |  md5(substring(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 64)) AS fp_head
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q20_text_stats", q20TextStats _, Some(q20Sql)),
+    ("q21_lang_id", q21LangId _, Some(q21Sql)),
+    ("q22_fingerprint", q22Fingerprint _, Some(q22Sql)),
+  )
+}
