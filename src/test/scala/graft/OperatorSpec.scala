@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Relational, Similarity}
+import graft.multimodal.Multimodal
+
+/** Per-operator invariants on sf0.001 (the DuckDB oracle harness is the
+  * authoritative value-level check; these specs guard semantics that the
+  * oracle can't see, e.g. LSH ≡ exact equivalence). */
+class OperatorSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private def spark = TestSpark.spark
+
+  test("every catalog query runs and has a deterministic schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      assert(df.count() >= 0, name)
+    }
+  }
+
+  test("oracleSql covers every query") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  test("as-of join: one row per event, gap within window, prev precedes") {
+    val res = Relational.q15AsofJoin(spark, sf).collect()
+    assert(res.map(_.getLong(0)).distinct.length == res.length)
+    assert(res.forall { r => val g = r.getAs[Long]("gap_s"); g >= 0 && g <= 3600 })
+  }
+
+  test("minhash+LSH dedup equals exact n-gram jaccard dedup") {
+    val exact = Dedup.q24DedupNgram(spark, sf).collect().map(_.toSeq)
+    val lsh = Dedup.q25DedupMinhash(spark, sf).collect().map(_.toSeq)
+    assert(lsh.toSeq == exact.toSeq)
+  }
+
+  test("simhash pairs all within hamming 3 and symmetric-free (a<b)") {
+    val rows = Dedup.q26DedupSimhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("hamming") <= 3))
+    assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+  }
+
+  test("brute-force ANN: 5 neighbors per query, ranks 1..5, cos in [-1,1]") {
+    val rows = Similarity.q28AnnTopk(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rs.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0))
+    }
+  }
+
+  test("LSH ANN neighbors share the query's bucket ordering invariants") {
+    val rows = Similarity.q29AnnLsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("multimodal feature extraction is deterministic and frame sampling explodes") {
+    val docs = Tables.documents(spark, sf)
+    val feats = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs), 4)
+    assert(feats.count() == docs.count())
+    val once = feats.orderBy("doc_id").collect().map(_.toSeq)
+    val twice = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs), 2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(once.toSeq == twice.toSeq)
+    val frames = Multimodal.sampleFrames(feats, 2)
+    assert(frames.count() >= feats.count())
+    assert(frames.columns.contains("frame_idx"))
+  }
+}
