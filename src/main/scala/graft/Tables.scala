@@ -15,6 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Hash-spread a small single-file source across the session's shuffle
+    * parallelism before CPU-heavy downstream work. The partition count is
+    * EXPLICIT — a bare `repartition(col)` gets coalesced back to one
+    * partition by AQE when the data is small, which serializes the whole
+    * downstream chain into a single task. */
+  def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      org.apache.spark.sql.functions.col(key))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -22,9 +22,13 @@ import graft.Tables
   */
 object Dedup {
 
-  /** documents → (doc_id, shingles) where shingles = distinct word trigrams. */
+  /** documents → (doc_id, shingles) where shingles = distinct word trigrams.
+    * The source is a single small parquet file (one input split) — without an
+    * explicit repartition every downstream explode/join/agg would run in ONE
+    * task; at 100 TB the source would arrive pre-split, but the repartition
+    * is harmless there too (tiny shuffle, hash-spread by key). */
   private[ops] def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("shingles", array_distinct(
@@ -49,12 +53,21 @@ object Dedup {
     * double arithmetic on both engines. */
   private[ops] def exactJaccardPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val docs = shingled(s, d)
-    val ex = docs.select(col("doc_id"), col("nsh"), explode(col("shingles")).as("sh"))
-    ex.as("a").join(ex.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+    // join on the 64-bit shingle hash, not the string — ~6× smaller shuffle.
+    // Cross-doc collision would need two distinct shingles at the same
+    // xxhash64 (P ≈ |vocab|²/2⁶⁴ ≈ 1e−11 here) — ignored. The pair count
+    // aggregates on (a_id, b_id) alone (narrow partial-agg rows); shingle-set
+    // sizes re-attach afterwards from the tiny per-doc side via broadcast.
+    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
+    val sizes = docs.select(col("doc_id"), col("nsh"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na"))), "a_id")
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb"))), "b_id")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -95,9 +108,12 @@ object Dedup {
 
   def q25DedupMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = shingled(s, d).cache()
+    // hash each shingle string once; the 128 minhash domains then re-hash the
+    // fixed-width long, not the string
     val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     val minhashAggs = (0 until NumHashes).map(h =>
-      min(xxhash64(lit(h), col("sh"))).as(s"mh$h"))
+      min(xxhash64(lit(h), col("shh"))).as(s"mh$h"))
     val sigs = ex.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
     val bandCols = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
@@ -132,18 +148,24 @@ object Dedup {
   private val SimBands = 4
   private val BandWidth = SimBits / SimBands
 
-  /** (doc_id, sim) 48-bit simhash signatures. */
+  /** (doc_id, sim) 48-bit simhash signatures.
+    *
+    * A shingle's 48 feature bits are the first 12 hex digits of its md5,
+    * packed into ONE long (`conv(hex, 16, 10)` — reproducible in any
+    * engine). The per-doc signature is then a single hash aggregation with
+    * 48 codegen'd conditional sums — no per-bit row explosion, no second
+    * shuffle: the map-side combine reduces every partition to ≤ #docs rows. */
   private[ops] def simhashes(s: SparkSession, d: String): DataFrame = {
-    val ex = shingled(s, d)
+    val masked = shingled(s, d)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("b", explode(sequence(lit(0), lit(SimBits - 1))))
-      .withColumn("bit",
-        expr("(CAST(conv(substring(md5(sh), CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT) >> (b % 4)) & 1"))
-    ex.groupBy("doc_id", "b")
-      .agg(sum(lit(2) * col("bit") - 1).as("sgn"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sgn") > 0,
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("sim"))
+      .withColumn("mask", expr("CAST(conv(substring(md5(sh), 1, 12), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(expr(s"((mask >> $b) & 1) * 2 - 1")).as(s"s$b"))
+    val sim = (0 until SimBits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    masked.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("sim"))
   }
 
   def q26DedupSimhash(s: SparkSession, d: String): DataFrame = {
@@ -175,13 +197,15 @@ object Dedup {
       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |  WHERE len(ws) >= 3),
-      |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM w),
-      |bits AS (
-      |  SELECT doc_id, sh, bb.b,
-      |         ((CAST('0x' || substring(md5(sh), CAST(bb.b // 4 AS INTEGER) + 1, 1) AS INTEGER)
-      |           >> CAST(bb.b % 4 AS INTEGER)) & 1) AS bit
-      |  FROM ex CROSS JOIN (SELECT unnest(range(0, 48)) AS b) bb),
-      |sgn AS (SELECT doc_id, b, SUM(2 * bit - 1) AS s FROM bits GROUP BY doc_id, b),
+      |masks AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substring(md5(unnest(shingles)), 1, 12)) AS BIGINT) AS mask
+      |  FROM w),
+      |sgn AS (
+      |  SELECT doc_id, bb.b,
+      |         SUM(((mask >> CAST(bb.b AS INTEGER)) & 1) * 2 - 1) AS s
+      |  FROM masks CROSS JOIN (SELECT unnest(range(0, 48)) AS b) bb
+      |  GROUP BY doc_id, bb.b),
       |sims AS (
       |  SELECT doc_id,
       |         CAST(SUM(CASE WHEN s > 0
@@ -198,17 +222,18 @@ object Dedup {
   // doubles can never flip a pair. Dot products fold left-to-right in double
   // on both engines.
   def q27DedupEmbed(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(zip_with(e, e, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
     val a = emb.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("cos_sim", round(col("dot") / (col("na") * col("nb")), 6))
-      .filter(col("cos_sim") >= 0.57)
+    // the similarity threshold lives INSIDE the join condition: the nested-
+    // loop join evaluates the codegen'd dot product per candidate pair and
+    // only materializes matches — n² compare, but ~0 rows copied.
+    val cos = round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6)
+    a.join(b, col("a_id") < col("b_id") && cos >= 0.57)
+      .withColumn("cos_sim", cos)
       .select("a_id", "b_id", "cos_sim")
       .orderBy("a_id", "b_id")
   }

@@ -19,11 +19,12 @@ import graft.Tables
   */
 object Similarity {
 
-  private def embWithNorm(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+  private def embWithNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(zip_with(e, e, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+  }
 
   // brute-force cosine top-k (k=5) for the first 10 vectors as queries.
   def q28AnnTopk(s: SparkSession, d: String): DataFrame = {
@@ -34,8 +35,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     q.join(n, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(
-        expr("aggregate(zip_with(eq, en, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-          / (col("nq") * col("nn")), 6))
+        expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select("query_id", "neighbor_id", "cos_sim", "rn")
@@ -76,8 +76,7 @@ object Similarity {
     val ps = planes
     val bucket = (0 until NumPlanes).map { p =>
       val proj = expr(
-        s"aggregate(zip_with(e, array(${ps(p).mkString(",")}), (x, y) -> x * y), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+        s"graft_dot(e, CAST(array(${ps(p).mkString(",")}) AS ARRAY<DOUBLE>))")
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
     df.withColumn("bucket", bucket.cast("int"))
@@ -93,8 +92,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     q.join(n, col("qb") === col("nb") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(
-        expr("aggregate(zip_with(eq, en, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-          / (col("nq") * col("nn")), 6))
+        expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("query_id", "neighbor_id", "cos_sim", "rn")
