@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, Extras, Relational, Similarity, TextOps}
 import graft.multimodal.MultimodalOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +13,7 @@ import graft.multimodal.MultimodalOps
 object SparkEntry {
 
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.catalog ++ TextOps.catalog ++ Dedup.catalog ++
+    Relational.catalog ++ Extras.catalog ++ TextOps.catalog ++ Dedup.catalog ++
       Similarity.catalog ++ MultimodalOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

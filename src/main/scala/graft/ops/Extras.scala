@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Remaining SURVEY §2 surface: empty-relation seed (S3), local-collection
+  * source (S4), temp-view + SQL-string surface (S5), rlike (F11), explicit
+  * window frame control (§2.6 engine surface).
+  */
+object Extras {
+
+  // S3 + U1: empty-relation seed unioned with real data — the reference's
+  // accumulator pattern (v2:52-65). The empty seed must not change results.
+  def q18UnionSeed(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType)))
+    val seed = s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    val slice = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    seed.unionByName(slice).orderBy("o_orderkey")
+  }
+
+  val q18Sql: String =
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin
+
+  // S4 + J1: local collection → DataFrame, broadcast-joined to a table (the
+  // reference's elec_dates pattern, v2:166-184).
+  def q19LocalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      ("BUILDING", "core"), ("AUTOMOBILE", "core"),
+      ("MACHINERY", "industrial"), ("FURNITURE", "consumer"),
+      ("HOUSEHOLD", "consumer")).toDF("segment", "tier")
+    Tables.customer(s, d)
+      .join(broadcast(tiers), col("c_mktsegment") === col("segment"), "left")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("tier")
+  }
+
+  val q19Sql: String =
+    """SELECT tier, COUNT(*) AS n_customers,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |LEFT JOIN (VALUES ('BUILDING','core'), ('AUTOMOBILE','core'),
+      |                  ('MACHINERY','industrial'), ('FURNITURE','consumer'),
+      |                  ('HOUSEHOLD','consumer')) AS t(segment, tier)
+      |  ON c_mktsegment = segment
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
+  // S5 + F11: temp-view registration + SQL-string surface + rlike — the
+  // reference alternates DataFrame API and spark.sql over views throughout.
+  def q31SqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("graft_part")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT p.p_partkey, p.p_type, COUNT(*) AS n_lines
+        |FROM graft_part p
+        |JOIN graft_lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_type RLIKE '^(ECONOMY|PROMO)' AND l.l_quantity >= 25.0
+        |GROUP BY p.p_partkey, p.p_type
+        |ORDER BY p.p_partkey""".stripMargin)
+  }
+
+  val q31Sql: String =
+    """SELECT p.p_partkey, p.p_type, COUNT(*) AS n_lines
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |WHERE regexp_matches(p.p_type, '^(ECONOMY|PROMO)') AND l.l_quantity >= 25.0
+      |GROUP BY p.p_partkey, p.p_type
+      |ORDER BY p.p_partkey""".stripMargin
+
+  // explicit frame control: running + sliding aggregates over ROWS frames
+  // (the engine surface the reference never sets explicitly, §2.6).
+  def q32WindowFrame(s: SparkSession, d: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").cast("date"), col("o_orderkey"))
+    val running = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = byCust.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(running).cast("double"))
+      .withColumn("sliding_3_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(sliding).cast("double"))
+      .select("o_custkey", "o_orderkey", "running_spend", "sliding_3_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q32Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_3_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q18_union_seed", q18UnionSeed _, Some(q18Sql)),
+    ("q19_local_join", q19LocalJoin _, Some(q19Sql)),
+    ("q31_sql_surface", q31SqlSurface _, Some(q31Sql)),
+    ("q32_window_frame", q32WindowFrame _, Some(q32Sql)),
+  )
+}

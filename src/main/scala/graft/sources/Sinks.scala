@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink surface (SURVEY §2.1 S7–S9, S11): CSV sink, CSV→parquet
+  * converter, single-file parquet sink, partitioned parquet sink, and a
+  * catalog external table. At 100 TB the partitioned writer is the real
+  * path (partition pruning on read); `coalesce(1)` exists only for the
+  * reference's single-artifact parity and small results. */
+object Sinks {
+
+  /** S7: CSV with header (the reference's pandas `to_csv`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S8: CSV → parquet converter (the reference's pyarrow DAG step). */
+  def csvToParquet(spark: SparkSession, csvPath: String, parquetPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val reader = spark.read.option("header", "true")
+    val df = schema.map(reader.schema(_)).getOrElse(reader.option("inferSchema", "true"))
+      .csv(csvPath)
+    df.write.mode(SaveMode.Overwrite).parquet(parquetPath)
+  }
+
+  /** S9: single-file parquet sink (golden-artifact parity; small results
+    * only — a 100 TB result stays partitioned). */
+  def writeSingleParquet(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Partitioned parquet sink — the scale path: one directory per key value,
+    * enabling partition pruning for downstream readers. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** S11 equivalent: external table over parquet files in the session
+    * catalog (the reference's BigQuery external table). */
+  def registerExternalTable(spark: SparkSession, name: String, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+  }
+}

