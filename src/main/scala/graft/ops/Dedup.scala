@@ -107,21 +107,18 @@ object Dedup {
   private val RowsPerBand = 4
 
   def q25DedupMinhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MinHashAgg.register(s)
     val docs = shingled(s, d).cache()
-    // hash each shingle string once; the 128 minhash domains then re-hash the
-    // fixed-width long, not the string
+    // hash each shingle string once; the custom TypedImperativeAggregate
+    // derives all 128 minhash domains from the fixed-width long in one pass
     val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-    val minhashAggs = (0 until NumHashes).map(h =>
-      min(xxhash64(lit(h), col("shh"))).as(s"mh$h"))
-    val sigs = ex.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
-    val bandCols = (0 until NumBands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("sig"))
-    }
+    val sigs = ex.groupBy("doc_id")
+      .agg(expr(s"graft_minhash(shh, $NumHashes)").as("mhs"))
     val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band_id"), col("bs.sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${NumBands - 1}), b -> xxhash64(slice(mhs, b * $RowsPerBand + 1, $RowsPerBand)))"))
+        .as(Seq("band_id", "sig")))
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
