@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for 100 TB-scale shuffles.
+  *
+  * AQE's skew-join splitting handles most cases at runtime; these helpers
+  * cover the two shapes AQE cannot fix:
+  *  - a grouped aggregation where one key dominates (`saltedAgg`: two-stage
+  *    partial→final aggregation over an explicit salt, bounding any single
+  *    task's share of a hot key to 1/salts);
+  *  - a broadcast-infeasible join against a skewed key distribution
+  *    (`saltedJoin`: salt the big side, replicate the small side per salt).
+  */
+object Skew {
+
+  /** Two-stage salted aggregation: `sum(valueCol)` per `key`, with the hot
+    * keys first combined per (key, salt) then re-combined per key. The salt
+    * derives from a hash of the full row position via `rand`-free
+    * `xxhash64(monotonic id)` is NOT used — determinism matters for tests —
+    * instead the salt hashes `saltFrom` (any reasonably-distributed column). */
+  def saltedSumAgg(df: DataFrame, key: Column, value: Column,
+      saltFrom: Column, salts: Int): DataFrame =
+    df.select(key.as("k"), value.as("v"),
+        pmod(xxhash64(saltFrom), lit(salts)).as("salt"))
+      .groupBy(col("k"), col("salt"))
+      .agg(sum(col("v")).as("partial"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial")).as("total"))
+
+  /** Salted join for a skewed fact side against a non-broadcastable dim:
+    * fact rows get a random-but-deterministic salt in [0, salts); the dim is
+    * replicated `salts` times so every (key, salt) bucket finds its match.
+    * Join output is identical to the unsalted equi-join. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltFrom: Column, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", pmod(xxhash64(saltFrom), lit(salts)))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+}
