@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{DotProductD, MinHashAgg}
+
+/** Session-extension installer: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`) makes the engine's native
+  * expressions available in every session — including pure-SQL clients —
+  * without per-query registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
+      (exprs: Seq[Expression]) => DotProductD(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(h, k) - k-minhash signature aggregate"),
+      (exprs: Seq[Expression]) => MinHashAgg(exprs.head, exprs(1) match {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash k must be an int literal, got $other")
+      })))
+  }
+}

