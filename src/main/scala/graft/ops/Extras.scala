@@ -102,10 +102,35 @@ object Extras {
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_3_spend
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // nested data surface (the v1 ESPN shape, SURVEY §1: ArrayType/StructType
+  // + path projection + explode): parse the JSON props column, build a
+  // struct/array, explode it back — column pruning still reaches the scan.
+  def q33NestedJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("packed", struct(col("event_type").as("t"),
+        array(col("k"), col("k") * 2).as("ks")))
+      .select(col("event_id"), col("packed.t").as("t"),
+        posexplode(col("packed.ks")).as(Seq("pos", "kx")))
+      .orderBy("event_id", "pos")
+
+  val q33Sql: String =
+    """SELECT event_id, event_type AS t,
+      |       CAST(p.pos AS INTEGER) AS pos,
+      |       ks[CAST(p.pos AS INTEGER) + 1] AS kx
+      |FROM (
+      |  SELECT event_id, event_type,
+      |         [CAST(json_extract_string(props, '$.k') AS INTEGER),
+      |          CAST(json_extract_string(props, '$.k') AS INTEGER) * 2] AS ks
+      |  FROM events)
+      |CROSS JOIN (SELECT unnest(range(0, 2)) AS pos) p
+      |ORDER BY event_id, pos""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q18_union_seed", q18UnionSeed _, Some(q18Sql)),
     ("q19_local_join", q19LocalJoin _, Some(q19Sql)),
     ("q31_sql_surface", q31SqlSurface _, Some(q31Sql)),
     ("q32_window_frame", q32WindowFrame _, Some(q32Sql)),
+    ("q33_nested_json", q33NestedJson _, Some(q33Sql)),
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.RedskinsPipeline
+
+/** Exhaustive/randomized invariants for the pure pieces (plain loops — the
+  * domains are small enough to sweep fully or with a seeded RNG). */
+class PropertySpec extends AnyFunSuite {
+
+  test("election day is always the first Tuesday after the first Monday of November") {
+    (1848 to 2096).foreach { y =>
+      var monday = java.time.LocalDate.of(y, 11, 1)
+      while (monday.getDayOfWeek != java.time.DayOfWeek.MONDAY) monday = monday.plusDays(1)
+      val expected = monday.plusDays(1)
+      val got = RedskinsPipeline.electionDays(y, y).head.toLocalDate
+      assert(got == expected, s"year $y")
+      assert(got.getDayOfWeek == java.time.DayOfWeek.TUESDAY)
+      assert(got.getDayOfMonth >= 2 && got.getDayOfMonth <= 8)
+    }
+  }
+
+  test("simhash band decomposition covers hamming<=3 by pigeonhole") {
+    val rnd = new scala.util.Random(42)
+    (1 to 10000).foreach { _ =>
+      val v = rnd.nextLong() & ((1L << 48) - 1)
+      val flips = Seq.fill(rnd.nextInt(4))(rnd.nextInt(48))
+      val w = flips.foldLeft(v)((acc, b) => acc ^ (1L << b))
+      val bandsEqual = (0 until 4).exists { k =>
+        ((v >> (k * 12)) & 0xfff) == ((w >> (k * 12)) & 0xfff)
+      }
+      assert(bandsEqual, s"v=$v flips=$flips")
+    }
+  }
+
+  test("minhash buffer round-trips through serialization") {
+    val agg = graft.functions.MinHashAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), 8)
+    val b1 = agg.createAggregationBuffer()
+    assert(agg.serialize(b1).length == 64)
+    assert(agg.deserialize(agg.serialize(b1)).toSeq == b1.toSeq)
+    // merge is element-wise min
+    val a = Array(5L, 1L, 9L, 0L, 7L, 3L, 2L, 8L)
+    val b = Array(4L, 2L, 9L, 1L, 6L, 3L, 1L, 9L)
+    val m = agg.merge(a.clone(), b)
+    assert(m.toSeq == Seq(4L, 1L, 9L, 0L, 6L, 3L, 1L, 8L))
+  }
+}
