@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{DotProductD, MinHashAgg}
+import graft.functions.{DotProductD, MinHashAgg, SimHashAgg}
 
 /** Session-extension installer: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(i: Int, IntegerType) => i
         case other => throw new IllegalArgumentException(
           s"graft_minhash k must be an int literal, got $other")
+      })))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(mask, bits) - simhash signature aggregate"),
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head, exprs(1) match {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"graft_simhash bits must be an int literal, got $other")
       })))
   }
 }

@@ -153,16 +153,12 @@ object Dedup {
     * 48 codegen'd conditional sums — no per-bit row explosion, no second
     * shuffle: the map-side combine reduces every partition to ≤ #docs rows. */
   private[ops] def simhashes(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SimHashAgg.register(s)
     val masked = shingled(s, d)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("mask", expr("CAST(conv(substring(md5(sh), 1, 12), 16, 10) AS BIGINT)"))
-    val bitSums = (0 until SimBits).map(b =>
-      sum(expr(s"((mask >> $b) & 1) * 2 - 1")).as(s"s$b"))
-    val sim = (0 until SimBits).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     masked.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sim.as("sim"))
+      .agg(expr(s"graft_simhash(mask, $SimBits)").as("sim"))
   }
 
   def q26DedupSimhash(s: SparkSession, d: String): DataFrame = {
