@@ -87,6 +87,15 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids with bounded state —
+    * the watermark lets Spark evict ids older than the lateness horizon, so
+    * state stays O(events-per-window) instead of growing forever (the
+    * streaming counterpart of the batch `dropDuplicates`). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drain all currently-available files into an in-memory table and stop;
     * returns the query name to read back via `spark.table`. */
   def runAvailableNow(spark: SparkSession, dir: String, queryName: String): Unit = {

@@ -26,6 +26,21 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming dedup with watermark preserves distinct events") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.streaming.Trigger
+    val in = EventStream.readEvents(spark, sf)
+    // duplicate every event by unioning the stream with itself
+    val q = EventStream.dedupStream(in.union(in))
+      .select("event_id")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = spark.table("stream_dedup").count()
+    val distinct = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(n == distinct)
+  }
+
   test("sessionization groups events by gap and conserves totals") {
     val spark = TestSpark.spark
     import spark.implicits._
