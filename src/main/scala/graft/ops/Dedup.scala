@@ -48,26 +48,43 @@ object Dedup {
     """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY text ORDER BY fp""".stripMargin
 
-  /** Exact pairwise n-gram Jaccard via inverted-index join (shared-shingle
-    * blocking). jaccard = |∩| / (|A|+|B|−|∩|) computed in identical integer →
-    * double arithmetic on both engines. */
+  /** Exact pairwise n-gram Jaccard via prefix filtering (the All-Pairs /
+    * PPJoin family). Under a global total order of shingle hashes, any pair
+    * with J ≥ t must share a token inside both docs' (n − ⌈t·n⌉ + 1)-prefixes
+    * — so only prefixes enter the inverted-index join, and a plain-token
+    * match anywhere outside a prefix generates NO candidate. Combined with
+    * the size-ratio filter (min(na,nb) ≥ t·max(na,nb), also implied by
+    * J ≥ t), the candidate set shrinks from "every pair sharing any shingle"
+    * to near the true result size; candidates are then exact-verified with a
+    * full `array_intersect`, so the output equals brute force.
+    *
+    * Scale: prefix explode is map-side; the candidate join shuffles only
+    * prefix tokens (~(1−t)·|tokens|); verification re-joins the per-doc
+    * arrays on doc_id — all equi-joins, no n² stage anywhere.
+    * jaccard = |∩| / (|A|+|B|−|∩|) in identical long → double arithmetic on
+    * both engines. Hash collision caveat as elsewhere: two distinct shingles
+    * at the same xxhash64 (P ≈ |vocab|²/2⁶⁴) — ignored. */
   private[ops] def exactJaccardPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val docs = shingled(s, d)
-    // join on the 64-bit shingle hash, not the string — ~6× smaller shuffle.
-    // Cross-doc collision would need two distinct shingles at the same
-    // xxhash64 (P ≈ |vocab|²/2⁶⁴ ≈ 1e−11 here) — ignored. The pair count
-    // aggregates on (a_id, b_id) alone (narrow partial-agg rows); shingle-set
-    // sizes re-attach afterwards from the tiny per-doc side via broadcast.
-    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = docs.select(col("doc_id"), col("nsh"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na"))), "a_id")
-      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb"))), "b_id")
+      .select(col("doc_id"),
+        expr("array_sort(transform(shingles, x -> xxhash64(x)))").as("hs"),
+        col("nsh"))
+      .cache()
+    // prefix length n − ⌈t·n⌉ + 1; the 1e-9 nudge keeps FP ceil from landing
+    // ABOVE the true integer (0.6*5 = 3.0000000000000004 → ceil 4 would
+    // shorten the prefix and silently lose recall)
+    val prefix = docs.select(col("doc_id"), col("nsh"), explode(expr(
+      s"slice(hs, 1, cast(nsh - ceil(nsh * $threshold - 1e-9) + 1 as int))")).as("shh"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.nsh"), col("b.nsh")).cast("double") >=
+            greatest(col("a.nsh"), col("b.nsh")) * threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val da = docs.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("nsh").as("na"))
+    val db = docs.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("nsh").as("nb"))
+    candidates.join(da, "a_id").join(db, "b_id")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
