@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and prints
   * ONE JSON line. Each query is fully executed via the built-in `noop` sink
   * (a `count()` would let Catalyst prune projections and skip most of the
-  * work); a warm-up pass on the flagship query absorbs first-job costs
-  * (codegen, file-index) so per-query numbers reflect steady state.
+  * work); a full untimed warm-up pass absorbs first-job costs (codegen,
+  * file-index, JIT) so per-query numbers reflect steady state, and the
+  * plan-keyed cache is cleared between queries so no measurement reuses
+  * another's (or its own warm-up's) cached data.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,14 +32,24 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries that cache() internally must not hand their warm cache (or
+      // their memory) to the next query — each measurement stands alone
+      spark.catalog.clearCache()
+      sec
     }
 
-    // warm-up: JIT/codegen/file-listing
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // full untimed warm-up pass: JIT + codegen + file-index costs otherwise
+    // land on whichever timed query first touches each codepath, showing up
+    // as a wandering multi-second tax (JMH-style steady-state measurement)
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+
     val results = names.map(n => n -> execute(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

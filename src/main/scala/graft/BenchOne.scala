@@ -18,6 +18,9 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (i <- 1 to runs) {
+      // drop plan-keyed cache entries from the previous run: otherwise a
+      // query that caches internally gets measured against its own warm cache
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
