@@ -126,10 +126,11 @@ object Dedup {
   def q25DedupMinhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.MinHashAgg.register(s)
     val docs = shingled(s, d).cache()
-    // hash each shingle string once; the custom TypedImperativeAggregate
-    // derives all 128 minhash domains from the fixed-width long in one pass
-    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    // hash each shingle string once, inside the array (long explode — see
+    // simhashes note); the custom TypedImperativeAggregate derives all 128
+    // minhash domains from the fixed-width long in one pass
+    val ex = docs.select(col("doc_id"),
+      explode(expr("transform(shingles, x -> xxhash64(x))")).as("shh"))
     val sigs = ex.groupBy("doc_id")
       .agg(expr(s"graft_minhash(shh, $NumHashes)").as("mhs"))
     val buckets = sigs
@@ -171,9 +172,13 @@ object Dedup {
     * shuffle: the map-side combine reduces every partition to ≤ #docs rows. */
   private[ops] def simhashes(s: SparkSession, d: String): DataFrame = {
     graft.functions.SimHashAgg.register(s)
+    // map shingle → 48-bit mask INSIDE the array, then explode longs:
+    // exploding a freshly-computed array of strings makes GenerateExec copy
+    // each string per output row (~10× the whole stage's cost, measured);
+    // exploding fixed-width longs is near-free
     val masked = shingled(s, d)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("mask", expr("CAST(conv(substring(md5(sh), 1, 12), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), explode(expr(
+        "transform(shingles, x -> CAST(conv(substring(md5(x), 1, 12), 16, 10) AS BIGINT))")).as("mask"))
     masked.groupBy("doc_id")
       .agg(expr(s"graft_simhash(mask, $SimBits)").as("sim"))
   }
