@@ -27,13 +27,16 @@ object Dedup {
     * explicit repartition every downstream explode/join/agg would run in ONE
     * task; at 100 TB the source would arrive pre-split, but the repartition
     * is harmless there too (tiny shuffle, hash-spread by key). */
-  private[ops] def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, d), "doc_id")
+  private[graft] def shingleDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("shingles", array_distinct(
         expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("nsh"))
+
+  private[ops] def shingled(s: SparkSession, d: String): DataFrame =
+    shingleDocs(Tables.spread(s, Tables.documents(s, d), "doc_id"))
 
   // exact dedup: hash-groupBy on content. Output one row per distinct text
   // with the kept (minimum) id and the duplicate count.
@@ -64,8 +67,11 @@ object Dedup {
     * jaccard = |∩| / (|A|+|B|−|∩|) in identical long → double arithmetic on
     * both engines. Hash collision caveat as elsewhere: two distinct shingles
     * at the same xxhash64 (P ≈ |vocab|²/2⁶⁴) — ignored. */
-  private[ops] def exactJaccardPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val docs = shingled(s, d)
+  private[ops] def exactJaccardPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
+    jaccardPairs(shingled(s, d), threshold)
+
+  private[graft] def jaccardPairs(shingledDocs: DataFrame, threshold: Double): DataFrame = {
+    val docs = shingledDocs
       .select(col("doc_id"),
         expr("array_sort(transform(shingles, x -> xxhash64(x)))").as("hs"),
         col("nsh"))

@@ -36,6 +36,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.toSeq == exact.toSeq)
   }
 
+  test("prefix-filtered jaccard pairs equal brute force on random near-dup corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 60).map(i => s"w$i")
+    // near-dup corpus: base docs plus mutated copies (drop/replace words) so
+    // plenty of pairs straddle each threshold
+    val texts = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    (1 to 40).foreach { _ =>
+      val base = Seq.fill(5 + rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size)))
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        val mutated = base.flatMap { w =>
+          rnd.nextInt(10) match {
+            case 0 => Nil                                     // drop
+            case 1 => Seq(vocab(rnd.nextInt(vocab.size)))     // replace
+            case _ => Seq(w)
+          }
+        }
+        if (mutated.size >= 3) { texts += ((id, mutated.mkString(" "))); id += 1 }
+      }
+    }
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    Seq(0.3, 0.5, 0.6, 0.8).foreach { t =>
+      val got = Dedup.jaccardPairs(Dedup.shingleDocs(docs), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = (for {
+        (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= t
+      } yield (ia, ib, j)).toSet
+      assert(got == expected, s"threshold $t: got ${got.size}, expected ${expected.size}")
+    }
+  }
+
   test("simhash pairs all within hamming 3 and symmetric-free (a<b)") {
     val rows = Dedup.q26DedupSimhash(spark, sf).collect()
     assert(rows.nonEmpty)
