@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-level composition + sketch statistics.
+  *
+  * q34 chains the training-data operators the way a real cleaning pipeline
+  * does (reference has no such surface — this is the 100 TB extension):
+  * quality filter → language filter → exact dedup (keep min doc_id per
+  * text) → near-dup removal (drop the higher id of every Jaccard ≥ 0.6
+  * pair among survivors). Every stage is the SAME definition as its
+  * standalone catalog query (q20/q21/q23/q24 helpers), so the composition
+  * is oracle-checkable end-to-end.
+  *
+  * q35 exercises the sketch surface a 100 TB engine needs where exact
+  * distinct-counts/quantiles would shuffle everything: HLL++
+  * (`approx_count_distinct`) and KLL-style (`percentile_approx`) sketches
+  * next to their exact counterparts. Sketch internals differ across
+  * engines, so there is no DuckDB oracle (rows-only gate); the error bound
+  * vs the in-row exact values is asserted in `OperatorSpec`.
+  */
+object Corpus {
+
+  def q34CorpusClean(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.spread(s, Tables.documents(s, d), "doc_id")
+    val kept = TextOps.withLangPred(TextOps.withTextStats(base))
+      .filter(col("quality") === "keep" && col("lang_pred") === "en")
+      .select("doc_id", "text", "n_words")
+    // exact dedup: survivors are the min doc_id of each distinct text
+    val keepIds = kept.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val uniq = kept.join(keepIds, Seq("doc_id"), "left_semi")
+    // near-dup removal among survivors: prefix-filtered exact Jaccard pairs,
+    // drop the higher id of each pair (deterministic representative choice)
+    val nearDups = Dedup.jaccardPairs(Dedup.shingleDocs(uniq), 0.6)
+      .select(col("b_id").as("doc_id")).distinct()
+    uniq.join(nearDups, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_words")
+      .orderBy("doc_id")
+  }
+
+  val q34Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, text,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |           / length(text) AS punct_ratio,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |              w -> w IN ('the','a','and','of','in','to','is','on'))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS stop_ratio,
+      |         len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of'))) AS en_n,
+      |         len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und'))) AS de_n,
+      |         len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les','et'))) AS fr_n,
+      |         len(list_filter(string_split(text, ' '), w -> w IN ('el','los','las','y'))) AS es_n
+      |  FROM documents),
+      |kept AS (
+      |  SELECT doc_id, text, n_words FROM scored
+      |  WHERE n_words >= 20 AND punct_ratio < 0.05 AND stop_ratio >= 0.01
+      |    AND en_n >= de_n AND en_n >= fr_n AND en_n >= es_n AND en_n > 0),
+      |uniq AS (
+      |  SELECT doc_id, text, n_words FROM kept
+      |  WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM uniq)
+      |  WHERE len(w) >= 3),
+      |ex AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh, unnest(shingles) AS sh FROM sh),
+      |dups AS (
+      |  SELECT b.doc_id AS b_id
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+      |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6)
+      |SELECT doc_id, n_words FROM uniq
+      |WHERE doc_id NOT IN (SELECT b_id FROM dups)
+      |ORDER BY doc_id""".stripMargin
+
+  def q35SketchStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
+    ("q35_sketch_stats", q35SketchStats _, None),
+  )
+}

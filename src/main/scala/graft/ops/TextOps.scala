@@ -21,9 +21,11 @@ object TextOps {
 
   // quality scoring: length, word/token counts, punctuation + stopword ratios
   // (n_chars recomputed, not trusted from the source column).
-  def q20TextStats(s: SparkSession, d: String): DataFrame = {
+  /** Adds n_chars_calc, n_words, n_tokens, stop_n, stop_ratio, punct_ratio,
+    * quality to a (doc_id, text, …) frame. Pure map-side expressions. */
+  private[graft] def withTextStats(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    Tables.documents(s, d)
+    docs
       .withColumn("n_chars_calc", length(col("text")).cast("long"))
       .withColumn("n_words", size(words).cast("long"))
       .withColumn("n_tokens",
@@ -36,10 +38,13 @@ object TextOps {
       .withColumn("quality",
         when(col("n_words") >= 20 && col("punct_ratio") < 0.05 && col("stop_ratio") >= 0.01, "keep")
           .otherwise("drop"))
+  }
+
+  def q20TextStats(s: SparkSession, d: String): DataFrame =
+    withTextStats(Tables.documents(s, d))
       .select("doc_id", "n_chars_calc", "n_words", "n_tokens", "stop_n",
         "stop_ratio", "punct_ratio", "quality")
       .orderBy("doc_id")
-  }
 
   val q20Sql: String =
     """SELECT doc_id,
@@ -69,14 +74,15 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et"),
     "es" -> Seq("el", "los", "las", "y"))
 
-  def q21LangId(s: SparkSession, d: String): DataFrame = {
+  /** Adds en_n/de_n/fr_n/es_n hit counts and lang_pred to a (doc_id, text, …)
+    * frame. Pure map-side expressions. */
+  private[graft] def withLangPred(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    val base = Tables.documents(s, d)
+    docs
       .withColumn("en_n", countIn(words, langSets(0)._2))
       .withColumn("de_n", countIn(words, langSets(1)._2))
       .withColumn("fr_n", countIn(words, langSets(2)._2))
       .withColumn("es_n", countIn(words, langSets(3)._2))
-    base
       .withColumn("lang_pred",
         when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") &&
           col("en_n") >= col("es_n") && col("en_n") > 0, "en")
@@ -84,9 +90,12 @@ object TextOps {
           .when(col("fr_n") >= col("es_n") && col("fr_n") > 0, "fr")
           .when(col("es_n") > 0, "es")
           .otherwise("und"))
+  }
+
+  def q21LangId(s: SparkSession, d: String): DataFrame =
+    withLangPred(Tables.documents(s, d))
       .select("doc_id", "lang", "en_n", "de_n", "fr_n", "es_n", "lang_pred")
       .orderBy("doc_id")
-  }
 
   val q21Sql: String = {
     def n(set: Seq[String]) =

@@ -20,8 +20,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("oracleSql covers every query") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  test("oracleSql covers every query except declared sketch ops") {
+    val rowsOnly = Set("q35_sketch_stats") // sketch internals differ across engines
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("sketch stats: approx distinct and quantile within 5% of exact") {
+    val rows = graft.ops.Corpus.q35SketchStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ac = r.getAs[Long]("approx_custs").toDouble
+      val ec = r.getAs[Long]("exact_custs").toDouble
+      assert(math.abs(ac - ec) / ec <= 0.05, s"distinct sketch off: $ac vs $ec")
+      val pa = r.getAs[Double]("p50_approx")
+      val pe = r.getAs[Double]("p50_exact")
+      assert(math.abs(pa - pe) / math.abs(pe) <= 0.05, s"quantile sketch off: $pa vs $pe")
+    }
   }
 
   test("as-of join: one row per event, gap within window, prev precedes") {
