@@ -29,12 +29,23 @@ class OperatorSpec extends AnyFunSuite {
   test("sketch stats: approx distinct and quantile within 5% of exact") {
     val rows = graft.ops.Corpus.q35SketchStats(spark, sf).collect()
     assert(rows.nonEmpty)
+    // exact medians computed from the raw table (driver-side; the gate SF is
+    // small) — the query itself intentionally carries only the sketch
+    val exactMedians = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        val v = rs.map(_.getDouble(1)).sorted
+        val m = if (v.length % 2 == 1) v(v.length / 2)
+                else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+        k -> m
+      }
     rows.foreach { r =>
       val ac = r.getAs[Long]("approx_custs").toDouble
       val ec = r.getAs[Long]("exact_custs").toDouble
       assert(math.abs(ac - ec) / ec <= 0.05, s"distinct sketch off: $ac vs $ec")
       val pa = r.getAs[Double]("p50_approx")
-      val pe = r.getAs[Double]("p50_exact")
+      val pe = exactMedians(r.getAs[String]("o_orderpriority"))
       assert(math.abs(pa - pe) / math.abs(pe) <= 0.05, s"quantile sketch off: $pa vs $pe")
     }
   }
