@@ -96,6 +96,30 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * views within the preceding hour. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can evict view
+    * state once the purchase-side watermark passes `v_ts + 1h` — bounded
+    * state at unbounded ingest, the streaming shape of the batch as-of
+    * join (q15). */
+  def joinPurchasesToViews(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts"))).as("gap_s"),
+        col("value"))
+  }
+
   /** Drain all currently-available files into an in-memory table and stop;
     * returns the query name to read back via `spark.table`. */
   def runAvailableNow(spark: SparkSession, dir: String, queryName: String): Unit = {

@@ -41,6 +41,36 @@ class EventStreamSpec extends AnyFunSuite {
     assert(n == distinct)
   }
 
+  test("stream-stream interval join matches the batch join exactly") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.streaming.Trigger
+    val q = EventStream.joinPurchasesToViews(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("stream_enrich")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("stream_enrich")
+      .orderBy("purchase_id", "view_id").collect().map(_.toSeq)
+
+    val ev = Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    val batch = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts"))).as("gap_s"),
+        col("value"))
+      .orderBy("purchase_id", "view_id").collect().map(_.toSeq)
+
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionization groups events by gap and conserves totals") {
     val spark = TestSpark.spark
     import spark.implicits._
