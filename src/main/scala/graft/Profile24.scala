@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev guard: q24 (prefix-filtered Jaccard) on an adversarial corpus —
+  * `graft.Profile24 [sfDir]` (default /tmp/sfbig: 100k docs, heavy near-dup
+  * mutation). Watches for candidate-set blowup; with df-ordered prefixes the
+  * verified-pair count arrives in ~80 s vs. an unbounded hash-ordered run
+  * (62M candidates). Compare `collapsedJaccardPairs` for byte-identical-
+  * heavy corpora.
+  */
+object Profile24 {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/tmp/sfbig")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s  ($r)")
+    }
+    val shingled = graft.ops.Dedup.shingleDocs(
+      Tables.spread(spark, Tables.documents(spark, d), "doc_id"))
+    time("plain verified pairs")(
+      graft.ops.Dedup.jaccardPairs(shingled, 0.6).count())
+    time("collapsed verified pairs")(
+      graft.ops.Dedup.collapsedJaccardPairs(
+        Tables.spread(spark, Tables.documents(spark, d), "doc_id"), 0.6).count())
+    spark.stop()
+  }
+}

@@ -52,8 +52,9 @@ object Dedup {
       |FROM documents GROUP BY text ORDER BY fp""".stripMargin
 
   /** Exact pairwise n-gram Jaccard via prefix filtering (the All-Pairs /
-    * PPJoin family). Under a global total order of shingle hashes, any pair
-    * with J ≥ t must share a token inside both docs' (n − ⌈t·n⌉ + 1)-prefixes
+    * PPJoin family). Under a global total order of shingle tokens (ascending
+    * document frequency — see `jaccardPairs`), any pair with J ≥ t must
+    * share a token inside both docs' (n − ⌈t·n⌉ + 1)-prefixes
     * — so only prefixes enter the inverted-index join, and a plain-token
     * match anywhere outside a prefix generates NO candidate. Combined with
     * the size-ratio filter (min(na,nb) ≥ t·max(na,nb), also implied by
@@ -71,10 +72,38 @@ object Dedup {
     jaccardPairs(shingled(s, d), threshold)
 
   private[graft] def jaccardPairs(shingledDocs: DataFrame, threshold: Double): DataFrame = {
-    val docs = shingledDocs
-      .select(col("doc_id"),
-        expr("array_sort(transform(shingles, x -> xxhash64(x)))").as("hs"),
-        col("nsh"))
+    // Global token order = ascending (document frequency, hash): the prefix
+    // of every doc then holds its RAREST shingles. Any consistent total
+    // order is correct; this one is what makes All-Pairs survive real
+    // corpora — boilerplate shingles shared by thousands of docs sort into
+    // suffixes and never enter the index. Measured on a 100k-doc corpus with
+    // heavy duplication: hash-ordered prefixes → 62M candidate pairs;
+    // df-ordered → near the true pair count.
+    //
+    // Because only the order has to be consistent — exact df values are a
+    // performance heuristic, not a correctness input — it suffices to know
+    // the df of the HEAVY tokens (the ones that would flood the index) and
+    // leave every rare token at df=1 in hash order. So: one map-side-
+    // combined count, keep df ≥ cutoff capped at the top 1M (at 100 TB,
+    // run the count on a sample instead — the heavy set is exactly what a
+    // sample sees), broadcast as a hash map, and sort each doc's array in
+    // place. No join, no re-agg, no extra full-token shuffle.
+    val spark = shingledDocs.sparkSession
+    val hashed = shingledDocs.select(col("doc_id"),
+      expr("transform(shingles, x -> xxhash64(x))").as("hs0")).cache()
+    val heavy = hashed.select(explode(col("hs0")).as("shh"))
+      .groupBy("shh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 4)
+      .orderBy(desc("df"), col("shh")).limit(1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bheavy = spark.sparkContext.broadcast(heavy)
+    val dfOrder = udf { arr: Seq[Long] =>
+      val m = bheavy.value
+      arr.sortBy(x => (m.getOrElse(x, 1L), x))
+    }
+    val docs = hashed
+      .select(col("doc_id"), dfOrder(col("hs0")).as("hs"))
+      .withColumn("nsh", size(col("hs")).cast("long"))
       .cache()
     // prefix length n − ⌈t·n⌉ + 1; the 1e-9 nudge keeps FP ceil from landing
     // ABOVE the true integer (0.6*5 = 3.0000000000000004 → ceil 4 would
@@ -96,6 +125,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
+  }
+
+  /** Exact-duplicate collapse around the pair join. Real corpora (and every
+    * dedup workload by definition) carry clusters of byte-identical texts;
+    * identical shingle sets make prefix filtering powerless — cluster
+    * members share every prefix token, so a 20-member cluster alone emits
+    * C(20,2)·|prefix| join rows. Collapsing identical TEXTS to one
+    * representative before shingling (a plain groupBy on text — the same
+    * shuffle q23 does) keeps duplicates out of shingling, df-counting and
+    * the pair join entirely; afterwards expand: intra-cluster pairs have
+    * J = 1 exactly, and a cross-cluster member pair inherits its
+    * representatives' jaccard (identical texts ⇒ identical shingle sets ⇒
+    * identical intersections). Near-identical-but-not-equal texts still go
+    * through the full prefix-filter path — exactness is untouched.
+    *
+    * Not wired into q24: at bench scale the extra aggregation stage and
+    * expansion joins cost more than the testdata's 8 duplicate texts save
+    * (~+5 s at sf0.1), and mutated near-dup corpora get nothing from it.
+    * At 100 TB crawl scale, where 20–40% of documents are byte-identical,
+    * run THIS entry point: the pair join then only sees distinct texts. */
+  private[graft] def collapsedJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // same eligibility rule as shingleDocs: docs under 3 words have no
+    // trigram shingles and must not surface in the output, even as exact
+    // duplicates of each other
+    val grp = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("members"))
+      .cache()
+    val reps = grp.select(col("gid").as("doc_id"), col("text"))
+    val repPairs = jaccardPairs(shingleDocs(reps), threshold)
+    val mem = grp.select(col("gid"), explode(col("members")).as("m"))
+    val intra = mem.as("x").join(mem.as("y"),
+        col("x.gid") === col("y.gid") && col("x.m") < col("y.m"))
+      .select(col("x.m").as("a_id"), col("y.m").as("b_id"),
+        lit(1.0).as("jaccard"))
+    val inter = repPairs
+      .join(grp.select(col("gid").as("a_id"), col("members").as("ma")), "a_id")
+      .join(grp.select(col("gid").as("b_id"), col("members").as("mb")), "b_id")
+      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("a_id"),
+        greatest(col("a"), col("b")).as("b_id"), col("jaccard"))
+    intra.union(inter).orderBy("a_id", "b_id")
   }
 
   private val jaccardOracle: String =

@@ -73,6 +73,11 @@ class OperatorSpec extends AnyFunSuite {
     var id = 0L
     (1 to 40).foreach { _ =>
       val base = Seq.fill(5 + rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size)))
+      // exact-duplicate cluster: byte-identical copies exercise the
+      // collapse/expansion fast path (intra J=1 pairs, inherited inter pairs)
+      (0 to rnd.nextInt(3)).foreach { _ =>
+        texts += ((id, base.mkString(" "))); id += 1
+      }
       (0 to rnd.nextInt(4)).foreach { _ =>
         val mutated = base.flatMap { w =>
           rnd.nextInt(10) match {
@@ -88,8 +93,11 @@ class OperatorSpec extends AnyFunSuite {
       t.split(" ").sliding(3).map(_.mkString(" ")).toSet
     val docs = texts.toSeq.toDF("doc_id", "text")
     Seq(0.3, 0.5, 0.6, 0.8).foreach { t =>
-      val got = Dedup.jaccardPairs(Dedup.shingleDocs(docs), t)
+      val gotPlain = Dedup.jaccardPairs(Dedup.shingleDocs(docs), t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = Dedup.collapsedJaccardPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotPlain == got, s"threshold $t: plain and collapsed disagree")
       val expected = (for {
         (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
         sa = shingleSet(ta); sb = shingleSet(tb)
