@@ -31,7 +31,10 @@ object Corpus {
     // exact dedup: survivors are the min doc_id of each distinct text
     val keepIds = kept.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val uniq = kept.join(keepIds, Seq("doc_id"), "left_semi")
+    // cached: the quality→lang→dedup subtree feeds BOTH the jaccard pair
+    // join and the final anti-join — without the cache it runs twice (plus
+    // once more for jaccard's df-count action)
+    val uniq = kept.join(keepIds, Seq("doc_id"), "left_semi").cache()
     // near-dup removal among survivors: prefix-filtered exact Jaccard pairs,
     // drop the higher id of each pair (deterministic representative choice)
     val nearDups = Dedup.jaccardPairs(Dedup.shingleDocs(uniq), 0.6)

