@@ -104,8 +104,85 @@ object Corpus {
       .orderBy("o_orderpriority")
   }
 
+  /** Deterministic train/val/test split by content-independent hash bucket.
+    * The ONLY split that stays stable at 100 TB: no sampling state, no RNG
+    * seed coordination across executors, reproducible from the doc_id alone
+    * — rerunning on a grown corpus never moves an old doc between splits.
+    * Bucket = first 8 hex digits of md5(doc_id) mod 100 (engine-portable
+    * arithmetic; Spark and DuckDB agree digit-for-digit). */
+  def q36TrainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  val q36Sql: String =
+    """SELECT doc_id,
+      |       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+      |       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+      |            WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Gap-based sessionization: a user's events belong to one session until
+    * a silence longer than 30 min. Classic two-window formulation — lag for
+    * the gap flag, running sum for the session index — then one aggregation
+    * per (user, session). Scale: both windows and the final groupBy share
+    * the user_id partitioning (one shuffle), sessions never span partitions,
+    * and state per key is O(1) — the same shape Structured Streaming uses
+    * for session windows. */
+  def q37Sessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    Tables.events(s, d)
+      .withColumn("ts_s", expr("ts_ns div 1000000000"))
+      .withColumn("prev_ts_s", lag(col("ts_s"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts_s").isNull || col("ts_s") - col("prev_ts_s") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_s")).as("start_s"),
+        max(col("ts_s")).as("end_s"))
+      .withColumn("duration_s", col("end_s") - col("start_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q37Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s,
+      |         LAG(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts_s
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts, ts_s,
+      |         CASE WHEN prev_ts_s IS NULL OR ts_s - prev_ts_s > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, ts_s,
+      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       COUNT(*) AS n_events,
+      |       MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+      |       MAX(ts_s) - MIN(ts_s) AS duration_s
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
     ("q35_sketch_stats", q35SketchStats _, None),
+    ("q36_train_split", q36TrainSplit _, Some(q36Sql)),
+    ("q37_sessionize", q37Sessionize _, Some(q37Sql)),
   )
 }

@@ -50,6 +50,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("train split: buckets in [0,100), split matches bucket, deterministic") {
+    val rows = graft.ops.Corpus.q36TrainSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 100)
+      val expected = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(r.getAs[String]("split") == expected)
+    }
+    val again = graft.ops.Corpus.q36TrainSplit(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("sessionize: ids start at 1 and increment, events partition exactly") {
+    val sess = graft.ops.Corpus.q37Sessionize(spark, sf).collect()
+    assert(sess.nonEmpty)
+    sess.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+      val ids = rs.map(_.getAs[Long]("session_id")).sorted
+      assert(ids.toSeq == (1L to ids.length).toSeq)
+    }
+    sess.foreach { r =>
+      assert(r.getAs[Long]("n_events") >= 1)
+      assert(r.getAs[Long]("duration_s") ==
+        r.getAs[Long]("end_s") - r.getAs[Long]("start_s"))
+    }
+    // every event lands in exactly one session
+    assert(sess.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).count())
+  }
+
   test("as-of join: one row per event, gap within window, prev precedes") {
     val res = Relational.q15AsofJoin(spark, sf).collect()
     assert(res.map(_.getLong(0)).distinct.length == res.length)
