@@ -136,14 +136,15 @@ object Corpus {
     * the user_id partitioning (one shuffle), sessions never span partitions,
     * and state per key is O(1) — the same shape Structured Streaming uses
     * for session windows. */
-  def q37Sessionize(s: SparkSession, d: String): DataFrame = {
+  /** Core sessionization over any (user_id, event_id, ts_ns) frame. */
+  private[graft] def sessionize(events: DataFrame, gapS: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    Tables.events(s, d)
+    events
       .withColumn("ts_s", expr("ts_ns div 1000000000"))
       .withColumn("prev_ts_s", lag(col("ts_s"), 1).over(w))
       .withColumn("new_sess",
-        when(col("prev_ts_s").isNull || col("ts_s") - col("prev_ts_s") > 1800, 1L)
+        when(col("prev_ts_s").isNull || col("ts_s") - col("prev_ts_s") > gapS, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -154,6 +155,9 @@ object Corpus {
       .withColumn("duration_s", col("end_s") - col("start_s"))
       .orderBy("user_id", "session_id")
   }
+
+  def q37Sessionize(s: SparkSession, d: String): DataFrame =
+    sessionize(Tables.events(s, d), 1800L)
 
   val q37Sql: String =
     """WITH g AS (

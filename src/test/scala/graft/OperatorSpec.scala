@@ -80,6 +80,43 @@ class OperatorSpec extends AnyFunSuite {
       Tables.events(spark, sf).count())
   }
 
+  test("sessionize equals brute force on random event streams") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // bursts around the gap boundary: gaps drawn near 60s so sessions break
+    // and continue unpredictably; duplicate-second timestamps included
+    val events = (0 until 50).flatMap { u =>
+      var t = rnd.nextInt(1000).toLong
+      (0 until rnd.nextInt(40)).map { i =>
+        t += (rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(3)            // same/near second
+          case 1 => 30 + rnd.nextInt(40)      // straddles nothing
+          case _ => 50 + rnd.nextInt(30)      // straddles the 60s gap
+        }).toLong
+        (u.toLong * 10000 + i, t * 1000000000L, u.toLong)
+      }
+    }
+    val df = events.toDF("event_id", "ts_ns", "user_id")
+    val got = graft.ops.Corpus.sessionize(df, 60L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_s"), r.getAs[Long]("end_s")))
+      .toSeq.sorted
+    val expected = events.groupBy(_._3).toSeq.flatMap { case (u, evs) =>
+      val ts = evs.sortBy(e => (e._2, e._1)).map(_._2 / 1000000000L)
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      ts.foreach { t =>
+        if (sessions.nonEmpty && t - sessions.last.last <= 60L)
+          sessions(sessions.length - 1) = sessions.last :+ t
+        else sessions += Seq(t)
+      }
+      sessions.zipWithIndex.map { case (sess, i) =>
+        (u, (i + 1).toLong, sess.length.toLong, sess.min, sess.max)
+      }
+    }.sorted
+    assert(got == expected)
+  }
+
   test("as-of join: one row per event, gap within window, prev precedes") {
     val res = Relational.q15AsofJoin(spark, sf).collect()
     assert(res.map(_.getLong(0)).distinct.length == res.length)
