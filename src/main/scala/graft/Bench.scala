@@ -40,14 +40,18 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // full untimed warm-up pass: JIT + codegen + file-index costs otherwise
-    // land on whichever timed query first touches each codepath, showing up
-    // as a wandering multi-second tax (JMH-style steady-state measurement)
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+    // two untimed warm-up passes: JIT + codegen + file-index costs otherwise
+    // land on whichever timed query first touches each codepath, and the
+    // heaviest generated loops (array intersects, decimal aggs) only reach
+    // C2 steady state on their third execution (measured: 10.9 → 2.0 →
+    // 1.45 s). JMH-style multi-iteration warm-up.
+    (1 to 2).foreach { _ =>
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
     }
 
     val results = names.map(n => n -> execute(n))
