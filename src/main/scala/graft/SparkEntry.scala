@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Corpus, Dedup, Extras, Relational, Similarity, TextOps}
+import graft.ops.{AsOf, Corpus, Dedup, Extras, Relational, Similarity, Skew, TextOps}
 import graft.multimodal.MultimodalOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.catalog ++ Extras.catalog ++ TextOps.catalog ++ Dedup.catalog ++
-      Similarity.catalog ++ MultimodalOps.catalog ++ Corpus.catalog
+      Similarity.catalog ++ MultimodalOps.catalog ++ Corpus.catalog ++
+      Skew.catalog ++ AsOf.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-schema join + window + as-of pattern in one plan. */

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Scale-safe as-of (nearest-preceding-within-window) join.
   *
@@ -45,4 +46,29 @@ object AsOf {
       .filter(col("_rn") === 1)
       .drop("_rn", "_lb")
   }
+
+  /** Catalog query: the bucketed as-of join on the q15 workload (purchase →
+    * nearest preceding view/click by the same user within 1 h). Identical
+    * semantics and output to q15's windowed interval join — it shares q15's
+    * oracle — but the plan is an equi-join on (user_id, bucket): work scales
+    * with matches, not |purchases|·|views|. */
+  def q39AsofBucketed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_s", expr("ts_ns div 1000000000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s"))
+    val views = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("prev_event_id"), col("user_id"),
+        col("ts_s").as("prev_ts_s"))
+    joinNearest(purchases, views,
+      leftId = "event_id", leftTime = "ts_s", rightTime = "prev_ts_s",
+      maxGap = 3600L, keys = Seq("user_id"), tieBreak = "prev_event_id")
+      .select(col("event_id"), col("user_id"), col("prev_event_id"),
+        col("gap").as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q39_asof_bucketed", q39AsofBucketed _, Some(Relational.q15Sql)),
+  )
 }

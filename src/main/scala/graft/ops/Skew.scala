@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew-mitigation utilities for 100 TB-scale shuffles.
   *
@@ -40,4 +41,24 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Catalog query: salted sum over lineitem's 3-value `l_returnflag` — the
+    * canonical hot-key shape (≲ #keys tasks would otherwise carry the whole
+    * table). Values go through DECIMAL so the two-stage summation order
+    * cannot change low bits; the oracle is the plain one-stage GROUP BY. */
+  def q38SaltedAgg(s: SparkSession, d: String): DataFrame =
+    saltedSumAgg(Tables.lineitem(s, d),
+      col("l_returnflag"), col("l_quantity").cast("decimal(18,2)"),
+      col("l_orderkey"), salts = 16)
+      .select(col("k"), col("total").cast("double").as("total"))
+      .orderBy("k")
+
+  val q38Sql: String =
+    """SELECT l_returnflag AS k,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q38_salted_agg", q38SaltedAgg _, Some(q38Sql)),
+  )
 }
