@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{AsOf, Dedup, Relational}
+
+/** Physical-plan regressions: the scale design claims (pushdown, pruning,
+  * broadcast strategy, no nested loops in the bucketed as-of) asserted
+  * against `explain` output, so a refactor can't silently trade them away.
+  * String-matching explain output is blunt but version-stable enough for
+  * the properties checked here.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private def spark = TestSpark.spark
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q01: filter is pushed to the parquet scan and columns are pruned") {
+    val p = plan(Relational.q01ScanProject(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    // pruned read schema: exactly the 4 projected columns reach the scan
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"))
+  }
+
+  test("q08: dimension joins are broadcast, not shuffled") {
+    val p = plan(Relational.q08JoinEqui(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bucketed as-of join plans as an equi hash join, never a nested loop") {
+    val p = plan(AsOf.q39AsofBucketed(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("jaccard candidate join is an equi join on prefix tokens") {
+    val p = plan(Dedup.q24DedupNgram(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q05: aggregation is partial (map-side) then final") {
+    val p = plan(Relational.q05AggGroup(spark, sf))
+    // two HashAggregate nodes per agg: partial before the exchange, final after
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q17: global sort+limit plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q17SortLimit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
