@@ -58,7 +58,31 @@ object Skew {
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin
 
+  /** Multi-level aggregation in one pass: ROLLUP over (returnflag,
+    * linestatus) — subtotals and grand total come from the same shuffle
+    * instead of three jobs (SURVEY §2.5 notes the surface; Spark plans an
+    * Expand + single hash aggregation). NULL ordering is pinned explicitly:
+    * Spark sorts NULLS FIRST by default where DuckDB sorts them LAST. */
+  def q40Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q40Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q38_salted_agg", q38SaltedAgg _, Some(q38Sql)),
+    ("q40_rollup", q40Rollup _, Some(q40Sql)),
   )
 }
