@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for double-array dot products.
   *
@@ -56,6 +56,84 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All SRP-LSH bucket ids of a vector in one pass: bucket `t` packs the sign
+  * bits of `bits` hyperplane projections (planes `t*bits .. t*bits+bits-1`).
+  *
+  * One expression instead of `tables × bits` separate `graft_dot` columns:
+  * the plane matrix lives in a single codegen reference object and the whole
+  * `tables·bits·dim` multiply-add loop stays inside WholeStageCodegen — no
+  * 120-way expression tree, no per-plane array literals re-evaluated per row.
+  * `planes` is row-major `(tables*bits) × dim`, baked into the expression at
+  * registration (deterministic md5-derived values — see Similarity.srpPlanes).
+  */
+case class SrpBuckets(child: Expression, planes: Seq[Double], tables: Int, bits: Int)
+    extends UnaryExpression {
+
+  private def dim: Int = planes.length / (tables * bits)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_srp_buckets requires array<double> input, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_srp_buckets"
+
+  @transient private lazy val flatPlanes: Array[Double] = planes.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val d = dim
+    val n = math.min(d, x.numElements())
+    val pl = flatPlanes
+    val out = new Array[Int](tables)
+    var off = 0
+    var t = 0
+    while (t < tables) {
+      var bkt = 0
+      var j = 0
+      while (j < bits) {
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += pl(off + i) * x.getDouble(i); i += 1 }
+        if (s > 0) bkt |= (1 << j)
+        off += d
+        j += 1
+      }
+      out(t) = bkt
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pl = ctx.addReferenceObj("srpPlanes", flatPlanes, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |int graftD = $dim;
+         |int graftN = Math.min(graftD, $c.numElements());
+         |int[] graftB = new int[$tables];
+         |int graftOff = 0;
+         |for (int graftT = 0; graftT < $tables; graftT++) {
+         |  int graftK = 0;
+         |  for (int graftJ = 0; graftJ < $bits; graftJ++) {
+         |    double graftS = 0.0;
+         |    for (int graftI = 0; graftI < graftN; graftI++) {
+         |      graftS += $pl[graftOff + graftI] * $c.getDouble(graftI);
+         |    }
+         |    if (graftS > 0) graftK |= (1 << graftJ);
+         |    graftOff += graftD;
+         |  }
+         |  graftB[graftT] = graftK;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftB);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Session-level registration + Column builders (SQL-name route keeps us on
   * the public API across Spark 4's Column internals). */
 object VectorFunctions {
@@ -70,4 +148,13 @@ object VectorFunctions {
 
   /** dot(a, b) — requires register(spark) once per session. */
   def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
+
+  /** Register `graft_srp_buckets(e)` with a fixed plane matrix (row-major
+    * `(tables*bits) × dim`) baked into the builder closure. */
+  def registerSrp(spark: SparkSession, name: String, planes: Seq[Double],
+      tables: Int, bits: Int): Unit =
+    if (registered.add(spark.sessionState.toString + "#" + name)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => SrpBuckets(exprs(0), planes, tables, bits), "built-in")
+    }
 }

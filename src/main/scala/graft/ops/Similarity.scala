@@ -62,14 +62,16 @@ object Similarity {
 
   /** Deterministic ±1 hyperplanes: r(p, i) = +1 iff the first hex digit of
     * md5("p_i") is even. Reproducible in SQL: md5 is md5 everywhere. */
-  private[ops] def planes: Array[Array[Double]] = {
+  private[ops] def srpPlanes(numPlanes: Int, dim: Int = Dim): Array[Array[Double]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumPlanes, Dim) { (p, i) =>
+    Array.tabulate(numPlanes, dim) { (p, i) =>
       val hex = mdig.digest(s"${p}_${i}".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       if (Character.digit(hex.charAt(0), 16) % 2 == 0) 1.0 else -1.0
     }
   }
+
+  private[ops] def planes: Array[Array[Double]] = srpPlanes(NumPlanes)
 
   /** df with an `e: array<double>` column → + `bucket` (SRP sign bits). */
   private def withBucket(df: DataFrame): DataFrame = {

@@ -58,13 +58,36 @@ object Skew {
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin
 
+  /** Catalog query: salted join of lineitem (fact, skew-prone orderkeys)
+    * against orders projected to (key, priority) — a stand-in for the
+    * broadcast-infeasible skewed-dim shape. The salt round-trip must be
+    * invisible: the oracle is the PLAIN equi-join. */
+  def q41SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.spread(s, Tables.lineitem(s, d), "l_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_partkey"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedJoin(fact, dim, "l_orderkey", col("l_partkey"), salts = 8)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("o_orderpriority"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q41Sql: String =
+    """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+      |       l.l_quantity, o.o_orderpriority
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Multi-level aggregation in one pass: ROLLUP over (returnflag,
     * linestatus) — subtotals and grand total come from the same shuffle
     * instead of three jobs (SURVEY §2.5 notes the surface; Spark plans an
     * Expand + single hash aggregation). NULL ordering is pinned explicitly:
     * Spark sorts NULLS FIRST by default where DuckDB sorts them LAST. */
+  // spread: the single-row-group scan would otherwise run the 3× Expand and
+  // the partial aggregation in ONE task (see Tables.spread)
   def q40Rollup(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.spread(s, Tables.lineitem(s, d), "l_orderkey")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         count(lit(1)).as("n"),
@@ -84,5 +107,6 @@ object Skew {
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q38_salted_agg", q38SaltedAgg _, Some(q38Sql)),
     ("q40_rollup", q40Rollup _, Some(q40Sql)),
+    ("q41_salted_join", q41SaltedJoin _, Some(q41Sql)),
   )
 }

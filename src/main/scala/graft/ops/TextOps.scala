@@ -95,8 +95,9 @@ object TextOps {
           .otherwise("und"))
   }
 
+  // spread for the same reason as q20: one row-group in, regex/array work out
   def q21LangId(s: SparkSession, d: String): DataFrame =
-    withLangPred(Tables.documents(s, d))
+    withLangPred(Tables.spread(s, Tables.documents(s, d), "doc_id"))
       .select("doc_id", "lang", "en_n", "de_n", "fr_n", "es_n", "lang_pred")
       .orderBy("doc_id")
 

@@ -20,14 +20,12 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("oracleSql covers every query except declared sketch ops") {
-    val rowsOnly = Set("q35_sketch_stats") // sketch internals differ across engines
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  test("oracleSql covers every query") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 
   test("sketch stats: approx distinct and quantile within 5% of exact") {
-    val rows = graft.ops.Corpus.q35SketchStats(spark, sf).collect()
+    val rows = graft.ops.Corpus.sketchStatsRaw(spark, sf).collect()
     assert(rows.nonEmpty)
     // exact medians computed from the raw table (driver-side; the gate SF is
     // small) — the query itself intentionally carries only the sketch
@@ -121,6 +119,28 @@ class OperatorSpec extends AnyFunSuite {
     val res = Relational.q15AsofJoin(spark, sf).collect()
     assert(res.map(_.getLong(0)).distinct.length == res.length)
     assert(res.forall { r => val g = r.getAs[Long]("gap_s"); g >= 0 && g <= 3600 })
+  }
+
+  test("SRP-LSH-prefiltered embedding dedup equals brute force at every gate SF") {
+    graft.functions.VectorFunctions.register(spark)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val got = graft.ops.Dedup.q27DedupEmbed(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // brute force: the n² nested-loop compare the LSH prefilter replaced —
+      // kept here as the recall oracle (the DuckDB gate only sees sf0.01,
+      // which has zero qualifying pairs; sf0.1 is where recall is at stake)
+      val emb = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+      val a = emb.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
+      val cos = round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6)
+      val bf = a.join(b, col("a_id") < col("b_id") && cos >= 0.57)
+        .withColumn("cos_sim", cos).select("a_id", "b_id", "cos_sim")
+        .orderBy("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == bf, s"$d: LSH-prefiltered result diverges from brute force")
+    }
   }
 
   test("minhash+LSH dedup equals exact n-gram jaccard dedup") {
