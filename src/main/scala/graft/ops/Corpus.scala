@@ -23,7 +23,16 @@ import graft.Tables
   */
 object Corpus {
 
-  def q34CorpusClean(s: SparkSession, d: String): DataFrame = {
+  def q34CorpusClean(s: SparkSession, d: String): DataFrame =
+    corpusClean(s, d, collapseExact = false)
+
+  /** `collapseExact` is the corpus-shape switch (Dedup.collapsedJaccardPairs
+    * doc): a crawl-scale corpus with byte-identical duplicate clusters should
+    * run the pair stage over collapsed representatives; the bench corpus
+    * (already exact-deduped upstream of the pair join here) takes the plain
+    * path. Output is identical either way — asserted in OperatorSpec. */
+  private[graft] def corpusClean(s: SparkSession, d: String,
+      collapseExact: Boolean): DataFrame = {
     val base = Tables.spread(s, Tables.documents(s, d), "doc_id")
     val kept = TextOps.withLangPred(TextOps.withTextStats(base))
       .filter(col("quality") === "keep" && col("lang_pred") === "en")
@@ -37,8 +46,10 @@ object Corpus {
     val uniq = kept.join(keepIds, Seq("doc_id"), "left_semi").cache()
     // near-dup removal among survivors: prefix-filtered exact Jaccard pairs,
     // drop the higher id of each pair (deterministic representative choice)
-    val nearDups = Dedup.jaccardPairs(Dedup.shingleDocs(uniq), 0.6)
-      .select(col("b_id").as("doc_id")).distinct()
+    val pairs =
+      if (collapseExact) Dedup.collapsedJaccardPairs(uniq, 0.6)
+      else Dedup.jaccardPairs(Dedup.shingleDocs(uniq), 0.6)
+    val nearDups = pairs.select(col("b_id").as("doc_id")).distinct()
     uniq.join(nearDups, Seq("doc_id"), "left_anti")
       .select("doc_id", "n_words")
       .orderBy("doc_id")

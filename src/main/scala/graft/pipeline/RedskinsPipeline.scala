@@ -182,6 +182,14 @@ object RedskinsPipeline {
       .where(col("elec_date") >= lit(Date.valueOf("1976-01-01")))
   }
 
+  /** Typed edge: the same pipeline surfaced as `Dataset[NflElecResult]`
+    * (SURVEY §1 mapping decision). The plan is identical — `.as[T]` only
+    * attaches the encoder; columns keep flowing untyped through Catalyst. */
+  def runTyped(rawNfl: DataFrame, rawElec: DataFrame,
+      elecDates: DataFrame): org.apache.spark.sql.Dataset[NflElecResult] =
+    run(rawNfl, rawElec, elecDates)
+      .as(org.apache.spark.sql.Encoders.product[NflElecResult])
+
   /** Full pipeline: raw frames → 25-column golden-shaped result, ordered by
     * election date. */
   def run(rawNfl: DataFrame, rawElec: DataFrame, elecDates: DataFrame): DataFrame = {

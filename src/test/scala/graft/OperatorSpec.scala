@@ -143,6 +143,13 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus clean output is identical with the collapsed-pair path") {
+    val plain = graft.ops.Corpus.q34CorpusClean(spark, sf).collect().map(_.toSeq).toSeq
+    val collapsed = graft.ops.Corpus.corpusClean(spark, sf, collapseExact = true)
+      .collect().map(_.toSeq).toSeq
+    assert(plain == collapsed)
+  }
+
   test("minhash+LSH dedup equals exact n-gram jaccard dedup") {
     val exact = Dedup.q24DedupNgram(spark, sf).collect().map(_.toSeq)
     val lsh = Dedup.q25DedupMinhash(spark, sf).collect().map(_.toSeq)

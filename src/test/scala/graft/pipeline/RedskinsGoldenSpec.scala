@@ -36,6 +36,19 @@ class RedskinsGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("typed Dataset edge decodes the full golden result with typed fields") {
+    val spark = TestSpark.spark
+    val typed = RedskinsPipeline.runTyped(
+      RedskinsPipeline.loadNflCsv(spark, s"$fixtures/nfl"),
+      RedskinsPipeline.loadElectionsCsv(spark, s"$fixtures/elections/elections.csv"),
+      RedskinsPipeline.electionDaysDf(spark, 1976, 2020)).collect()
+    assert(typed.length == 12)
+    assert(typed.forall(r => r.team == "Washington" && r.home_team_rnk == 2))
+    val wrong = typed.filterNot(_.prediction_results)
+      .map(_.elec_date.toString.take(4)).toSet
+    assert(wrong == Set("2012", "2016"))
+  }
+
   test("rule accuracy is 10/12 with 2012 and 2016 wrong") {
     val spark = TestSpark.spark
     val result = RedskinsPipeline.run(
