@@ -126,11 +126,62 @@ object Extras {
       |CROSS JOIN (SELECT unnest(range(0, 2)) AS pos) p
       |ORDER BY event_id, pos""".stripMargin
 
+  // distribution-rank window functions (ntile / percent_rank / cume_dist):
+  // the quantile-bucketing surface analytics users reach for constantly.
+  // Ties are broken by c_custkey so every rank function is deterministic;
+  // percent_rank/cume_dist are exact small-integer ratios — bit-identical
+  // across engines.
+  def q44WindowStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy("c_custkey")
+  }
+
+  val q44Sql: String =
+    """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cum_dist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // pivot (long → wide): per-user event counts, one column per event type.
+  // The value list is EXPLICIT — Spark's values-less pivot runs a distinct
+  // scan on the driver first, which at 100 TB is a full extra job (and an
+  // unbounded column count); pinning the columns keeps pivot a single
+  // partial+final aggregation.
+  def q45Pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(wide)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("user_id")
+  }
+
+  val q45Sql: String =
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q18_union_seed", q18UnionSeed _, Some(q18Sql)),
     ("q19_local_join", q19LocalJoin _, Some(q19Sql)),
     ("q31_sql_surface", q31SqlSurface _, Some(q31Sql)),
     ("q32_window_frame", q32WindowFrame _, Some(q32Sql)),
     ("q33_nested_json", q33NestedJson _, Some(q33Sql)),
+    ("q44_window_stats", q44WindowStats _, Some(q44Sql)),
+    ("q45_pivot", q45Pivot _, Some(q45Sql)),
   )
 }

@@ -133,9 +133,46 @@ object TextOps {
       |  md5(substring(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 64)) AS fp_head
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // winnowing fingerprints (the rolling-hash document fingerprint, MOSS-style):
+  // hash every k-char gram, keep the minimum hash of each w-gram window,
+  // dedupe per doc. Guarantees any shared substring of length ≥ w+k−1
+  // produces a shared fingerprint — the content-overlap detector that md5
+  // whole-doc fingerprints (q22) cannot provide. Gram hash = first 8 md5 hex
+  // digits as a long (portable arithmetic; xxhash64 has no DuckDB twin).
+  // Pure map-side per doc — zero shuffle at 100 TB; the k·len md5 work is
+  // embarrassingly parallel (spread like the other doc queries).
+  private val WinnowK = 8  // gram length (chars)
+  private val WinnowW = 16 // window length (grams)
+
+  def q43WinnowFp(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .withColumn("grams", expr(
+        s"""transform(sequence(1, length(text) - ${WinnowK - 1}),
+           |  i -> CAST(conv(substring(md5(substring(text, i, $WinnowK)), 1, 8), 16, 10) AS BIGINT))""".stripMargin))
+      .withColumn("fp", explode(expr(
+        s"""array_distinct(transform(sequence(1, size(grams) - ${WinnowW - 1}),
+           |  j -> array_min(slice(grams, j, $WinnowW))))""".stripMargin)))
+      .select("doc_id", "fp")
+      .orderBy("doc_id", "fp")
+
+  val q43Sql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, length(text) - ${WinnowK - 2}),
+       |           i -> CAST(('0x' || substring(md5(text[i:i+${WinnowK - 1}]), 1, 8)) AS BIGINT)) AS grams
+       |  FROM documents WHERE length(text) >= ${WinnowK + WinnowW - 1}),
+       |f AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(grams) - ${WinnowW - 2}),
+       |           j -> list_min(grams[j:j+${WinnowW - 1}]))) AS fps
+       |  FROM g)
+       |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
     ("q22_fingerprint", q22Fingerprint _, Some(q22Sql)),
+    ("q43_winnow_fp", q43WinnowFp _, Some(q43Sql)),
   )
 }

@@ -38,4 +38,21 @@ object Sinks {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
   }
+
+  /** Bucketed managed table — the co-located-join scale path: two tables
+    * written with the same bucket spec on their join key can be joined with
+    * ZERO shuffle on either side (Spark trusts the on-disk hash layout).
+    * At 100 TB this is the difference between re-shuffling both fact tables
+    * on every join and a purely local merge per bucket — the batch analogue
+    * of a co-partitioned stream-stream join. Bucket count is the long-lived
+    * layout decision: size it to the CLUSTER's parallelism, not the job's. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet").bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -44,6 +44,35 @@ class SinksSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || pruned.inputFiles.forall(_.contains("o_year=1995")))
   }
 
+  test("bucketed tables join with zero shuffle on either side") {
+    val spark = TestSpark.spark
+    Sinks.writeBucketed(Tables.orders(spark, sf), "graft_bkt_orders",
+      "o_orderkey", buckets = 4, sortCols = Seq("o_orderkey"))
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "graft_bkt_lineitem", "l_orderkey", buckets = 4, sortCols = Seq("l_orderkey"))
+    val joined = spark.table("graft_bkt_lineitem")
+      .join(spark.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_quantity", "o_orderpriority")
+    // the whole point of bucketing: NO Exchange under the join — disable
+    // broadcast so the small test tables take the sort-merge path the layout
+    // is designed for
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      val expected = Tables.lineitem(spark, sf).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    }
+  }
+
   test("external table registration makes parquet queryable by name") {
     val spark = TestSpark.spark
     val dir = tmp()
