@@ -40,18 +40,17 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // two untimed warm-up passes: JIT + codegen + file-index costs otherwise
-    // land on whichever timed query first touches each codepath, and the
-    // heaviest generated loops (array intersects, decimal aggs) only reach
-    // C2 steady state on their third execution (measured: 10.9 → 2.0 →
-    // 1.45 s). JMH-style multi-iteration warm-up.
-    (1 to 2).foreach { _ =>
-      names.foreach { n =>
-        try SparkEntry.queries(n)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        spark.catalog.clearCache()
-      }
+    // one untimed warm-up pass: JIT + codegen + file-index costs otherwise
+    // land on whichever timed query first touches each codepath. Combined
+    // with the two timed passes below, every query executes 3× — the
+    // heaviest generated loops (array intersects, decimal aggs) reach C2
+    // steady state on their third execution (measured: 10.9 → 2.0 → 1.45 s),
+    // which the best-of-2 then records.
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
 
     // best-of-2 timed passes: a transient hiccup (GC, background compile,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{DotProductD, MinHashAgg, SimHashAgg}
+import graft.functions.{DotProductD, MinHashAgg, SimHashAgg, SrpBuckets}
 
 /** Session-extension installer: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -30,6 +30,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_minhash k must be an int literal, got $other")
       })))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_buckets"),
+      info("graft_srp_buckets",
+        "graft_srp_buckets(e, tables, bits) - per-table SRP-LSH bucket ids of an array<double>"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"graft_srp_buckets $what must be an int literal, got $other")
+        }
+        val tables = intLit(exprs(1), "tables")
+        val bits = intLit(exprs(2), "bits")
+        // planes are md5-derived from the (tables × bits) shape alone, so the
+        // pure-SQL surface needs no side-channel plane argument
+        SrpBuckets(exprs(0),
+          graft.ops.Similarity.srpPlanes(tables * bits).flatten.toSeq, tables, bits)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(mask, bits) - simhash signature aggregate"),

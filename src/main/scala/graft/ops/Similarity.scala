@@ -62,7 +62,7 @@ object Similarity {
 
   /** Deterministic ±1 hyperplanes: r(p, i) = +1 iff the first hex digit of
     * md5("p_i") is even. Reproducible in SQL: md5 is md5 everywhere. */
-  private[ops] def srpPlanes(numPlanes: Int, dim: Int = Dim): Array[Array[Double]] = {
+  private[graft] def srpPlanes(numPlanes: Int, dim: Int = Dim): Array[Array[Double]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(numPlanes, dim) { (p, i) =>
       val hex = mdig.digest(s"${p}_${i}".getBytes("UTF-8"))

@@ -257,6 +257,14 @@ class OperatorSpec extends AnyFunSuite {
       "SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>), CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>))")
       .head().getDouble(0)
     assert(one == 11.0)
+    // srp bucket ids: 2 tables × 3 bits over the md5-derived plane family —
+    // value range and count pinned, and stable run to run
+    graft.functions.VectorFunctions.registerSrp(spark, "graft_srp_buckets_t",
+      graft.ops.Similarity.srpPlanes(6).flatten.toSeq, 2, 3)
+    val bks = spark.sql(
+      "SELECT graft_srp_buckets_t(CAST(array(0.5, -1.5, 2.0) AS ARRAY<DOUBLE>))")
+      .head().getSeq[Int](0)
+    assert(bks.length == 2 && bks.forall(b => b >= 0 && b < 8), bks.toString)
   }
 
   test("multimodal feature extraction is deterministic and frame sampling explodes") {
