@@ -1,0 +1,20 @@
+#!/bin/bash
+# Dev harness: run graft.Bench directly against compiled classes.
+# Usage: tools/run_bench.sh [sfDir] [cpus]
+# Prints the one-line bench JSON on stdout (Spark logs go to stderr).
+set -e
+SF=${1:-/root/testdata/sf0.1}
+CPUS=${2:-32}
+ADD_OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
+done
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" exec java $ADD_OPENS \
+  -Xmx16g -Xms16g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Bench
