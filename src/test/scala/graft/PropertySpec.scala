@@ -32,6 +32,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rank-sort helper orders by (df, value) with df=1 for unknowns") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val vals = Array.fill(rnd.nextInt(30))(rnd.nextLong() % 1000)
+      val heavy = vals.distinct.filter(_ => rnd.nextBoolean())
+        .map(v => v -> (2L + rnd.nextInt(100))).toMap
+      val table = graft.functions.RankSort.buildTable(heavy.toArray)
+      val bc = TestSpark.spark.sparkContext.broadcast(table)
+      val got = graft.functions.RankSort
+        .sortByRank(new GenericArrayData(vals), bc).toLongArray().toSeq
+      val want = vals.sortBy(x => (heavy.getOrElse(x, 1L), x)).toSeq
+      assert(got == want, s"vals=${vals.toSeq} heavy=$heavy")
+    }
+    // empty array and empty table
+    val empty = TestSpark.spark.sparkContext.broadcast(
+      graft.functions.RankSort.buildTable(Array.empty))
+    assert(graft.functions.RankSort
+      .sortByRank(new GenericArrayData(Array.empty[Long]), empty)
+      .numElements() == 0)
+  }
+
+  test("srp buckets: interpreted eval matches plane-by-plane recomputation") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val tables = 3; val bits = 4; val dim = 64
+    val planes = graft.ops.Similarity.srpPlanes(tables * bits)
+    val expr = graft.functions.SrpBuckets(
+      Literal(new GenericArrayData(Array.empty[Double]),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      planes.flatten.toSeq, tables, bits)
+    val rnd = new scala.util.Random(5)
+    (1 to 50).foreach { _ =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val got = expr.nullSafeEval(new GenericArrayData(v))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+      val want = (0 until tables).map { t =>
+        (0 until bits).foldLeft(0) { (acc, j) =>
+          val dot = planes(t * bits + j).zip(v).map { case (a, b) => a * b }.sum
+          if (dot > 0) acc | (1 << j) else acc
+        }
+      }
+      assert(got == want)
+    }
+  }
+
   test("minhash buffer round-trips through serialization") {
     val agg = graft.functions.MinHashAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(1L), 8)
