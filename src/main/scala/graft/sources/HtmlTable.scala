@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTML-table source (SURVEY §2.1 S6 / §2.11 I1) — the reference scrapes
+  * schedule/election tables with BeautifulSoup on the driver
+  * (`jobs/ingest/nfl.py:16-42`, `jobs/ingest/elections.py:16-41`); here the
+  * extraction is a distributed Spark job: one row per `<tr>`, cells split
+  * per `<th>/<td>`, tags stripped — all builtin regex/array expressions
+  * (codegen'd, no UDF), so a million scraped pages parse as a normal
+  * column pipeline with the scan parallelised per file.
+  *
+  * Scope matches the reference's inputs: well-formed static tables (no
+  * nested tables inside cells, no streaming parse of broken markup) — the
+  * shape pro-football-reference and Wikipedia election tables actually have.
+  */
+object HtmlTable {
+
+  private val RowRx = "(?s)<tr[^>]*>(.*?)</tr>"
+  private val CellRx = "(?s)<t[hd][^>]*>(.*?)</t[hd]>"
+  private val TagRx = "<[^>]+>"
+
+  /** One DataFrame row per table row across every file in `glob`:
+    * (src_file, row_idx, cells array<string>). `row_idx` counts from 0
+    * per file in document order; cell text is tag-stripped and trimmed. */
+  def readTableRows(spark: SparkSession, glob: String): DataFrame =
+    spark.read.option("wholetext", "true").text(glob)
+      .select(input_file_name().as("src_file"),
+        posexplode(expr(s"regexp_extract_all(value, '$RowRx', 1)"))
+          .as(Seq("row_idx", "row_html")))
+      .withColumn("cells", expr(
+        s"transform(regexp_extract_all(row_html, '$CellRx', 1), c -> trim(regexp_replace(c, '$TagRx', '')))"))
+      .select("src_file", "row_idx", "cells")
+
+  /** Header/body split (I1): first row's cells become column names, the
+    * rest become string columns — the reference's
+    * `table.find_all('th')` header + per-row body extraction. Column names
+    * come from the FIRST file's header row; all files must share it. */
+  def readTable(spark: SparkSession, glob: String): DataFrame = {
+    val rows = readTableRows(spark, glob).cache()
+    val header = rows.filter(col("row_idx") === 0)
+      .select(col("cells")).limit(1)
+      .collect().head.getSeq[String](0)
+    val body = rows.filter(col("row_idx") > 0)
+    header.zipWithIndex.foldLeft(
+      body.select(col("src_file"), col("row_idx"), col("cells"))) {
+        case (df, (name, i)) =>
+          df.withColumn(if (name.nonEmpty) name else s"_c$i",
+            element_at(col("cells"), i + 1))
+      }
+      .drop("cells")
+  }
+}

@@ -73,6 +73,37 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("HTML-table source extracts header and body rows distributed") {
+    val spark = TestSpark.spark
+    val html = getClass.getResource("/fixtures/html").getPath
+    val df = HtmlTable.readTable(spark, s"$html/*.html")
+    assert(df.columns.toSeq == Seq("src_file", "row_idx", "row_num", "year", "date", "team", "final"))
+    val rows = df.orderBy("row_idx").collect()
+    assert(rows.length == 4)
+    // markup (links, bold) is stripped to text; the messy "(2-5)" suffix the
+    // pipeline's split handles is preserved verbatim
+    assert(rows(0).getAs[String]("team") == "St. Louis(2-5)")
+    assert(rows(2).getAs[String]("team") == "Dallas")
+    assert(rows.forall(_.getAs[String]("year") == "1976"))
+    assert(rows(1).getAs[String]("final") == "17")
+  }
+
+  test("HTML-table source feeds the NFL pipeline stage end-to-end") {
+    val spark = TestSpark.spark
+    val html = getClass.getResource("/fixtures/html").getPath
+    val raw = HtmlTable.readTable(spark, s"$html/*.html")
+      .select(col("row_num"),
+        col("year").cast("int").as("year"),
+        col("date"), col("team"), col("final"))
+    val staged = graft.pipeline.RedskinsPipeline.nflStage(raw)
+      .orderBy("game_date").collect()
+    // both fixture games have Washington as the 2nd (home) row: a 17-10 win
+    // over St. Louis, a 24-27 loss to Dallas
+    assert(staged.length == 2)
+    assert(staged.map(_.getAs[String]("redskins_result")).toSeq == Seq("WIN", "LOSE"))
+    assert(staged.forall(_.getAs[String]("team") == "Washington"))
+  }
+
   test("external table registration makes parquet queryable by name") {
     val spark = TestSpark.spark
     val dir = tmp()
