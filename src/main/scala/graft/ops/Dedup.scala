@@ -342,24 +342,26 @@ object Dedup {
   private[ops] val EmbTables = 12
   private[ops] val EmbBits = 10
 
-  /** (vec_id, e, nrm, bks) with `bks` = the EmbTables per-table bucket ids. */
-  private[ops] def embBuckets(s: SparkSession, d: String): DataFrame = {
+  /** SRP-LSH near-dup core over any (vec_id, embedding) frame — tables/bits
+    * are the scale dials (hold 2^bits ∝ n for constant bucket occupancy;
+    * `Profile27` validates the 100k-vector operating point). */
+  private[graft] def embedNearDups(raw: DataFrame, threshold: Double,
+      tables: Int, bits: Int): DataFrame = {
+    val s = raw.sparkSession
     graft.functions.VectorFunctions.register(s)
-    graft.functions.VectorFunctions.registerSrp(s, "graft_srp_buckets",
-      Similarity.srpPlanes(EmbTables * EmbBits).flatten.toSeq, EmbTables, EmbBits)
-    Tables.spread(s, Tables.embeddings(s, d), "vec_id")
+    val fn = s"graft_srp_buckets_${tables}_$bits"
+    graft.functions.VectorFunctions.registerSrp(s, fn,
+      Similarity.srpPlanes(tables * bits).flatten.toSeq, tables, bits)
+    val emb = raw
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-      .withColumn("bks", expr("graft_srp_buckets(e)"))
-  }
-
-  def q27DedupEmbed(s: SparkSession, d: String): DataFrame = {
-    val emb = embBuckets(s, d).cache()
+      .withColumn("bks", expr(s"$fn(e)"))
+      .cache()
     val buckets = emb.select(col("vec_id"),
       posexplode(col("bks")).as(Seq("tbl", "bkt")))
-    // probe side: own bucket + the EmbBits hamming-1 neighbors per table
+    // probe side: own bucket + the `bits` hamming-1 neighbors per table
     val probes = buckets.select(col("vec_id"), col("tbl"), explode(expr(
-      s"transform(sequence(0, $EmbBits), j -> CASE WHEN j = 0 THEN bkt ELSE int(bkt ^ shiftleft(1, j - 1)) END)"))
+      s"transform(sequence(0, $bits), j -> CASE WHEN j = 0 THEN bkt ELSE int(bkt ^ shiftleft(1, j - 1)) END)"))
       .as("bkt"))
     val candidates = probes.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -370,10 +372,14 @@ object Dedup {
     val vb = emb.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
     candidates.join(va, "a_id").join(vb, "b_id")
       .withColumn("cos_sim", round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6))
-      .filter(col("cos_sim") >= 0.57)
+      .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
       .orderBy("a_id", "b_id")
   }
+
+  def q27DedupEmbed(s: SparkSession, d: String): DataFrame =
+    embedNearDups(Tables.spread(s, Tables.embeddings(s, d), "vec_id"),
+      0.57, EmbTables, EmbBits)
 
   val q27Sql: String =
     """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
