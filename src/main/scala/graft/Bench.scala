@@ -25,18 +25,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def execute(name: String): Double = {
+    // None = the query threw: a failure must surface in the JSON, never be
+    // folded into the timings (a fast analysis error would otherwise record
+    // as a large best-of-2 "speedup")
+    def execute(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       // queries that cache() internally must not hand their warm cache (or
       // their memory) to the next query — each measurement stands alone
       spark.catalog.clearCache()
-      sec
+      if (ok) Some(sec) else None
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -60,11 +67,15 @@ object Bench {
     // for "what the query costs when nothing else interferes".
     val pass1 = names.map(n => n -> execute(n)).toMap
     val pass2 = names.map(n => n -> execute(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+    val results = names.flatMap { n =>
+      (pass1(n) ++ pass2(n)).minOption.map(n -> _)
+    }
+    val failed = names.filter(n => pass1(n).isEmpty && pass2(n).isEmpty)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,16 +41,21 @@ case class DotProductD(left: Expression, right: Expression)
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: fixed locals would collide between two graft_dot calls in
+    // one codegen scope (non-nullable children get no scoping braces)
+    val (vN, vS, vI) =
+      (ctx.freshName("dotN"), ctx.freshName("dotS"), ctx.freshName("dotI"))
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int graftN = Math.min($a.numElements(), $b.numElements());
-         |double graftS = 0.0;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  graftS += $a.getDouble(graftI) * $b.getDouble(graftI);
+         |int $vN = Math.min($a.numElements(), $b.numElements());
+         |double $vS = 0.0;
+         |for (int $vI = 0; $vI < $vN; $vI++) {
+         |  $vS += $a.getDouble($vI) * $b.getDouble($vI);
          |}
-         |${ev.value} = graftS;
+         |${ev.value} = $vS;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -108,25 +113,31 @@ case class SrpBuckets(child: Expression, planes: Seq[Double], tables: Int, bits:
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pl = ctx.addReferenceObj("srpPlanes", flatPlanes, "double[]")
+    // freshName throughout: with a non-nullable child nullSafeCodeGen emits
+    // no scoping braces, so fixed locals would collide (Janino error →
+    // silent interpreted fallback) if the expression appears twice in a stage
+    val (vN, vB, vOff, vT, vK, vJ, vS, vI) = (ctx.freshName("srpN"),
+      ctx.freshName("srpB"), ctx.freshName("srpOff"), ctx.freshName("srpT"),
+      ctx.freshName("srpK"), ctx.freshName("srpJ"), ctx.freshName("srpS"),
+      ctx.freshName("srpI"))
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |int graftD = $dim;
-         |int graftN = Math.min(graftD, $c.numElements());
-         |int[] graftB = new int[$tables];
-         |int graftOff = 0;
-         |for (int graftT = 0; graftT < $tables; graftT++) {
-         |  int graftK = 0;
-         |  for (int graftJ = 0; graftJ < $bits; graftJ++) {
-         |    double graftS = 0.0;
-         |    for (int graftI = 0; graftI < graftN; graftI++) {
-         |      graftS += $pl[graftOff + graftI] * $c.getDouble(graftI);
+         |int $vN = Math.min($dim, $c.numElements());
+         |int[] $vB = new int[$tables];
+         |int $vOff = 0;
+         |for (int $vT = 0; $vT < $tables; $vT++) {
+         |  int $vK = 0;
+         |  for (int $vJ = 0; $vJ < $bits; $vJ++) {
+         |    double $vS = 0.0;
+         |    for (int $vI = 0; $vI < $vN; $vI++) {
+         |      $vS += $pl[$vOff + $vI] * $c.getDouble($vI);
          |    }
-         |    if (graftS > 0) graftK |= (1 << graftJ);
-         |    graftOff += graftD;
+         |    if ($vS > 0) $vK |= (1 << $vJ);
+         |    $vOff += $dim;
          |  }
-         |  graftB[graftT] = graftK;
+         |  $vB[$vT] = $vK;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftB);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($vB);
        """.stripMargin)
   }
 

@@ -17,8 +17,9 @@ import graft.Tables
   *   - SimHash: 48 bits over trigram features, 4 bands × 12 bits; hamming ≤ 3
   *     ⇒ pigeonhole guarantees a band collision ⇒ EXACT recall, brute-force
   *     oracle;
-  *   - embedding cosine: thresholds sit in measured gaps of the data so
-  *     double-rounding can never flip a pair.
+  *   - embedding cosine: SRP-LSH multi-table bucket join + hamming-1
+  *     multi-probe prefilter, exact-verified (thresholds sit in measured
+  *     gaps of the data so double-rounding can never flip a pair).
   */
 object Dedup {
 
@@ -96,6 +97,17 @@ object Dedup {
     val hashed = shingledDocs.select(col("doc_id"),
       expr("transform(shingles, x -> xxhash64(x))").as("hs0")).cache()
     val sampleMod = 4
+    // Cutoff: estimated df ≥ 4 — at 1-in-4 sampling that keeps EVERY sampled
+    // token, mid-frequency ones included, and that is deliberate: prefix
+    // containment lives or dies on tokens with df 4–16 (measured on the
+    // 100k-doc near-dup corpus: est-df≥4 ordering ≈ the exact-count baseline
+    // at ~80 s; demanding 2 sample hits → est df ≥ 8 drops half of the df
+    // 4–8 band and blows the same run up to 262 s). The broadcast table is
+    // bounded by the 1M cap, and a df-1-in-sample token ordered as df-4 is
+    // harmless — order quality, not set membership, is what the prefix
+    // filter consumes. At 100 TB (1-in-1000 sampling) the same rule reads
+    // "est df ≥ 1000": a token must be heavy enough to matter at THAT corpus
+    // size before its order matters, which is the right asymptotic.
     val heavy = hashed
       .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
       .select(explode(col("hs0")).as("shh"))

@@ -35,19 +35,28 @@ object HtmlTable {
 
   /** Header/body split (I1): first row's cells become column names, the
     * rest become string columns — the reference's
-    * `table.find_all('th')` header + per-row body extraction. Column names
-    * come from the FIRST file's header row; all files must share it. */
+    * `table.find_all('th')` header + per-row body extraction. All files
+    * must share one header row (validated — a silent mismatch would bind
+    * columns to the wrong cell index); short body rows (caption/colspan
+    * rows) null-pad rather than fail, matching the scraper's tolerance.
+    * Two passes over the files (header probe + body scan) — cheaper than
+    * pinning a whole parsed page corpus in cache for one tiny collect. */
   def readTable(spark: SparkSession, glob: String): DataFrame = {
-    val rows = readTableRows(spark, glob).cache()
-    val header = rows.filter(col("row_idx") === 0)
-      .select(col("cells")).limit(1)
-      .collect().head.getSeq[String](0)
+    val rows = readTableRows(spark, glob)
+    val headers = rows.filter(col("row_idx") === 0)
+      .select(col("cells")).distinct().limit(10)
+      .collect().map(_.getSeq[String](0))
+    require(headers.nonEmpty, s"html source: no table rows under $glob")
+    require(headers.length == 1,
+      s"html source: files under $glob disagree on the header row: " +
+        headers.map(_.mkString("[", ",", "]")).mkString(" vs "))
     val body = rows.filter(col("row_idx") > 0)
-    header.zipWithIndex.foldLeft(
+    headers.head.zipWithIndex.foldLeft(
       body.select(col("src_file"), col("row_idx"), col("cells"))) {
         case (df, (name, i)) =>
+          // get() is 0-indexed and yields null past the end (ANSI-safe)
           df.withColumn(if (name.nonEmpty) name else s"_c$i",
-            element_at(col("cells"), i + 1))
+            get(col("cells"), lit(i)))
       }
       .drop("cells")
   }

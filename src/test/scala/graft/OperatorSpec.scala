@@ -150,6 +150,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(plain == collapsed)
   }
 
+  test("native expressions survive repeated use in one codegen scope") {
+    // non-nullable children make nullSafeCodeGen emit no scoping braces —
+    // fixed local names would collide (Janino error → interpreted fallback).
+    // fallback=false turns that silent regression into a test failure.
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.VectorFunctions.registerSrp(spark, "graft_srp_buckets_cg",
+      graft.ops.Similarity.srpPlanes(8).flatten.toSeq, 2, 4)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val row = spark.sql(
+        """SELECT graft_dot(a, a) AS d1, graft_dot(b, b) AS d2,
+          |       graft_srp_buckets_cg(a) AS s1, graft_srp_buckets_cg(b) AS s2
+          |FROM (SELECT CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>) AS a,
+          |             CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>) AS b)""".stripMargin)
+        .head()
+      assert(row.getDouble(0) == 5.0 && row.getDouble(1) == 25.0)
+      assert(row.getSeq[Int](2).length == 2 && row.getSeq[Int](3).length == 2)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("minhash+LSH dedup equals exact n-gram jaccard dedup") {
     val exact = Dedup.q24DedupNgram(spark, sf).collect().map(_.toSeq)
     val lsh = Dedup.q25DedupMinhash(spark, sf).collect().map(_.toSeq)
