@@ -220,10 +220,35 @@ object Corpus {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Stratified (per-class) downsampling — the class-rebalancing op every
+    * training-data pipeline runs (cap the dominant language, keep the rest).
+    * Deterministic like q36: membership = an md5 hash bucket of the doc_id,
+    * from a DIFFERENT digest window than the train-split's so sampling and
+    * splitting decisions are independent; no RNG, stable under corpus
+    * growth, and pure map-side — `sampleBy`'s seeded Bernoulli can't offer
+    * any of that across reruns/executors. */
+  def q46StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sbucket",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 9, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("rate", when(col("lang") === "en", 25L).otherwise(100L))
+      .filter(col("sbucket") < col("rate"))
+      .select("doc_id", "lang", "sbucket")
+      .orderBy("doc_id")
+
+  val q46Sql: String =
+    """SELECT doc_id, lang,
+      |       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) % 100 AS sbucket
+      |FROM documents
+      |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) % 100
+      |      < CASE WHEN lang = 'en' THEN 25 ELSE 100 END
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
     ("q35_sketch_stats", q35SketchStats _, Some(q35Sql)),
     ("q36_train_split", q36TrainSplit _, Some(q36Sql)),
     ("q37_sessionize", q37Sessionize _, Some(q37Sql)),
+    ("q46_stratified_sample", q46StratifiedSample _, Some(q46Sql)),
   )
 }

@@ -371,6 +371,28 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
 
+  /** Full outer join — completes the join-type surface (inner/left via q08,
+    * semi q10, anti q09): per-user event counts against the customer dim on
+    * an id domain that overhangs BOTH ways (user 0 has no customer row,
+    * custkeys past the user range have no events), so all three row classes
+    * appear. The coalesced key keeps the output deterministic. */
+  def q47FullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    ev.join(cust, col("user_id") === col("c_custkey"), "full_outer")
+      .select(coalesce(col("user_id"), col("c_custkey")).as("id"),
+        col("n_events"), col("c_acctbal"))
+      .orderBy("id")
+  }
+
+  val q47Sql: String =
+    """SELECT COALESCE(e.user_id, c.c_custkey) AS id, e.n_events, c.c_acctbal
+      |FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+      |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer) c
+      |  ON e.user_id = c.c_custkey
+      |ORDER BY id""".stripMargin
+
   /** name → (query fn, oracle SQL). */
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_scan_project", q01ScanProject _, Some(q01Sql)),
@@ -390,5 +412,6 @@ object Relational {
     ("q15_asof_join", q15AsofJoin _, Some(q15Sql)),
     ("q16_fill_down", q16FillDown _, Some(q16Sql)),
     ("q17_sort_limit", q17SortLimit _, Some(q17Sql)),
+    ("q47_full_outer", q47FullOuter _, Some(q47Sql)),
   )
 }
