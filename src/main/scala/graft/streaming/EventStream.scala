@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
   *   by the watermark, so it runs forever at 100 TB/day ingest.
   * - `sessionize`: per-user session assembly via `flatMapGroupsWithState`
   *   with a processing-time-free, event-time-driven gap timeout — the
-  *   canonical custom-state operator.
+  *   canonical custom-state operator. `sessionizeTws` is the same operator
+  *   on Spark 4's `transformWithState` (typed state handles; requires the
+  *   RocksDB state store provider) — spec-asserted identical output.
   * - `Trigger.AvailableNow` processes the existing files then stops: the
   *   same code serves backfill (batch) and tail -f (continuous) — the
   *   Spark-native replacement for the reference's Airflow yearly-catchup
@@ -85,6 +87,57 @@ object EventStream {
           cur.foreach(state.update)
           closed.iterator
       }
+  }
+
+  /** The same sessionizer on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes flatMapGroupsWithState (typed
+    * per-key `ValueState` handles, optional TTL, timers). Kept alongside the
+    * classic operator so both state surfaces are exercised; the spec asserts
+    * the two produce identical sessions. */
+  class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = if (session.exists()) Some(session.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(st) if e.ts_us - st.last_us <= gapUs =>
+            cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1,
+              total = st.total + e.value))
+          case Some(st) =>
+            closed += SessionOut(userId, st.start_us, st.last_us, st.n, st.total)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+        }
+      }
+      cur.foreach(session.update)
+      closed.iterator
+    }
+  }
+
+  /** `sessionize` re-expressed on the transformWithState API. */
+  def sessionizeTws(spark: SparkSession, events: DataFrame,
+      gapMinutes: Long = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming exact dedup: drop duplicate event_ids with bounded state —

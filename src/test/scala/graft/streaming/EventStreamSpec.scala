@@ -100,4 +100,36 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out.length < nEvents)
     assert(out.length > 0)
   }
+
+  test("transformWithState sessionizer matches the classic stateful operator") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.streaming.Trigger
+    def streamIn = spark.readStream.schema(EventStream.rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    def drain(name: String, ds: org.apache.spark.sql.Dataset[EventStream.SessionOut]): Seq[Seq[Any]] = {
+      val q = ds.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    }
+    val classic = drain("tws_classic", EventStream.sessionize(spark, streamIn))
+    // transformWithState needs the RocksDB provider (multi-column-family
+    // state); the HDFS-backed default cannot run it
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val tws = drain("tws_new", EventStream.sessionizeTws(spark, streamIn))
+      assert(tws.nonEmpty)
+      assert(tws == classic)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
