@@ -28,7 +28,13 @@ object Sinks {
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Partitioned parquet sink — the scale path: one directory per key value,
-    * enabling partition pruning for downstream readers. */
+    * enabling partition pruning for downstream readers.
+    *
+    * S10 (object-store sink) note: `path` is any Hadoop-FS URI — the same
+    * call writes `gs://…`/`s3a://…` when the connector jar + credentials are
+    * on the cluster classpath (the reference's GCS writes are exactly this
+    * path through the gcs-connector). This environment is zero-egress with
+    * no object-store connector installed, so only `file://` is exercised. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
