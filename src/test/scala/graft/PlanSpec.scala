@@ -77,6 +77,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q45 pivot plans as partial+final aggregation with a pruned scan") {
+    import graft.ops.Extras
+    val p = plan(Extras.q45Pivot(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("user_id") && readSchema.contains("event_type"))
+    assert(!readSchema.contains("props") && !readSchema.contains("value"), readSchema)
+  }
+
+  test("q47 full outer join is an equi join, never a nested loop") {
+    val p = plan(Relational.q47FullOuter(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
