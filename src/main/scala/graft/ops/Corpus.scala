@@ -147,10 +147,17 @@ object Corpus {
     * — rerunning on a grown corpus never moves an old doc between splits.
     * Bucket = first 8 hex digits of md5(doc_id) mod 100 (engine-portable
     * arithmetic; Spark and DuckDB agree digit-for-digit). */
+  /** md5-bucket-of-doc_id in [0, 100) from the 8 hex digits starting at
+    * `start` — the deterministic assignment primitive behind both the
+    * train/val/test split (window 1) and stratified sampling (window 9).
+    * Distinct digest windows keep the two decisions independent; the conv
+    * arithmetic agrees digit-for-digit between Spark and DuckDB. */
+  private def md5Bucket(start: Int) = expr(
+    s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), $start, 8), 16, 10) AS BIGINT) % 100")
+
   def q36TrainSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("bucket", md5Bucket(1))
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val")
@@ -229,8 +236,7 @@ object Corpus {
     * any of that across reruns/executors. */
   def q46StratifiedSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("sbucket",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 9, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("sbucket", md5Bucket(9))
       .withColumn("rate", when(col("lang") === "en", 25L).otherwise(100L))
       .filter(col("sbucket") < col("rate"))
       .select("doc_id", "lang", "sbucket")

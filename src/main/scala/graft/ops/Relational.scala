@@ -372,14 +372,17 @@ object Relational {
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
 
   /** Full outer join — completes the join-type surface (inner/left via q08,
-    * semi q10, anti q09): per-user event counts against the customer dim on
-    * an id domain that overhangs BOTH ways (user 0 has no customer row,
-    * custkeys past the user range have no events), so all three row classes
-    * appear. The coalesced key keeps the output deterministic. */
+    * semi q10, anti q09). The customer side is restricted to c_custkey ≥ 5
+    * so all THREE row classes genuinely appear in the testdata: event users
+    * 0–4 have no customer row (left-only), custkeys past the user-id range
+    * have no events (right-only), the rest match. The coalesced key keeps
+    * the output deterministic. */
   def q47FullOuter(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).groupBy("user_id")
       .agg(count(lit(1)).as("n_events"))
-    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val cust = Tables.customer(s, d)
+      .filter(col("c_custkey") >= 5)
+      .select(col("c_custkey"), col("c_acctbal"))
     ev.join(cust, col("user_id") === col("c_custkey"), "full_outer")
       .select(coalesce(col("user_id"), col("c_custkey")).as("id"),
         col("n_events"), col("c_acctbal"))
@@ -389,7 +392,7 @@ object Relational {
   val q47Sql: String =
     """SELECT COALESCE(e.user_id, c.c_custkey) AS id, e.n_events, c.c_acctbal
       |FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
-      |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer) c
+      |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey >= 5) c
       |  ON e.user_id = c.c_custkey
       |ORDER BY id""".stripMargin
 

@@ -55,35 +55,53 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** The one session fold both stateful operators run: sort the batch,
+    * extend/close/open against the carried state, return (new state, closed
+    * sessions). Shared by construction so the classic and transformWithState
+    * operators cannot diverge. */
+  private[streaming] def foldSessions(userId: Long, gapUs: Long,
+      carried: Option[SessionState], batch: Iterator[Event])
+      : (Option[SessionState], Seq[SessionOut]) = {
+    val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var cur = carried
+    sorted.foreach { e =>
+      cur match {
+        case Some(st) if e.ts_us - st.last_us <= gapUs =>
+          cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1,
+            total = st.total + e.value))
+        case Some(st) =>
+          closed += SessionOut(userId, st.start_us, st.last_us, st.n, st.total)
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+      }
+    }
+    (cur, closed.toSeq)
+  }
+
+  /** (event_id, ts_us, user_id, type, value) typed view keyed by user —
+    * the common preamble of both sessionizers. */
+  private def eventsByUser(spark: SparkSession, events: DataFrame) = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+  }
+
   /** Sessionization: events of one user belong to one session while gaps
     * stay under `gapMinutes`; emits a row per closed session. */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMinutes: Long = 30): Dataset[SessionOut] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    events
-      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
-        col("user_id"), col("event_type"), col("value"))
-      .as[Event]
-      .groupByKey(_.user_id)
+    eventsByUser(spark, events)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            cur match {
-              case Some(st) if e.ts_us - st.last_us <= gapUs =>
-                cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1,
-                  total = st.total + e.value))
-              case Some(st) =>
-                closed += SessionOut(userId, st.start_us, st.last_us, st.n, st.total)
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
-              case None =>
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
-            }
-          }
+          val (cur, closed) = foldSessions(userId, gapUs, state.getOption, batch)
           cur.foreach(state.update)
           closed.iterator
       }
@@ -106,21 +124,8 @@ object EventStream {
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
-      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var cur = if (session.exists()) Some(session.get()) else None
-      sorted.foreach { e =>
-        cur match {
-          case Some(st) if e.ts_us - st.last_us <= gapUs =>
-            cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1,
-              total = st.total + e.value))
-          case Some(st) =>
-            closed += SessionOut(userId, st.start_us, st.last_us, st.n, st.total)
-            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
-          case None =>
-            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
-        }
-      }
+      val carried = if (session.exists()) Some(session.get()) else None
+      val (cur, closed) = foldSessions(userId, gapUs, carried, rows)
       cur.foreach(session.update)
       closed.iterator
     }
@@ -131,11 +136,7 @@ object EventStream {
       gapMinutes: Long = 30): Dataset[SessionOut] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    events
-      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
-        col("user_id"), col("event_type"), col("value"))
-      .as[Event]
-      .groupByKey(_.user_id)
+    eventsByUser(spark, events)
       .transformWithState(new SessionProcessor(gapUs),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }

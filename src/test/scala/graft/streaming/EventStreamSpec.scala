@@ -104,10 +104,7 @@ class EventStreamSpec extends AnyFunSuite {
   test("transformWithState sessionizer matches the classic stateful operator") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.streaming.Trigger
-    def streamIn = spark.readStream.schema(EventStream.rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    def streamIn = EventStream.readEvents(spark, sf)
     def drain(name: String, ds: org.apache.spark.sql.Dataset[EventStream.SessionOut]): Seq[Seq[Any]] = {
       val q = ds.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
