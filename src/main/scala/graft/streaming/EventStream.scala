@@ -46,7 +46,12 @@ object EventStream {
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 
-  /** Tumbling-window counts per event type with a 10-minute watermark. */
+  /** Tumbling-window counts per event type with a 10-minute watermark.
+    * Note Spark's watermark contract is one-directional: state for windows
+    * behind the watermark is evicted (bounded state — the scale property),
+    * but very-late input is only *eligible* for dropping, not guaranteed
+    * dropped — a straggler can still surface as a tiny extra emission of an
+    * expired window. Downstream consumers should upsert by window key. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
