@@ -169,10 +169,90 @@ object TextOps {
        |  FROM g)
        |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin
 
+  // document chunking: fixed-size word windows with overlap (50-word chunks,
+  // 40-word stride → 10 words shared between neighbors) — the split every
+  // training pipeline runs before tokenization. One explode per doc, chunk
+  // text fingerprinted rather than materialized (the gate compares md5s, a
+  // downstream consumer would keep the text). Map-side; at 100 TB the chunk
+  // table partitions exactly like its source.
+  private val ChunkWords = 50
+  private val ChunkStride = 40
+
+  def q48Chunk(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(1, size(w), $ChunkStride)")).as("cs"))
+      .select(col("doc_id"), col("cs").cast("long").as("chunk_start"),
+        least(lit(ChunkWords), size(col("w")) - col("cs") + 1).cast("long")
+          .as("n_chunk_words"),
+        md5(concat_ws(" ", expr(s"slice(w, cs, $ChunkWords)"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_start")
+
+  val q48Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS cs FROM d)
+       |SELECT doc_id, cs AS chunk_start,
+       |       CAST(least($ChunkWords, len(w) - cs + 1) AS BIGINT) AS n_chunk_words,
+       |       md5(array_to_string(w[CAST(cs AS INTEGER):CAST(least(cs + ${ChunkWords - 1}, len(w)) AS INTEGER)], ' ')) AS chunk_fp
+       |FROM s ORDER BY doc_id, chunk_start""".stripMargin
+
+  // pattern redaction: numbers → a placeholder token (the PII-scrub shape —
+  // same regexp_replace machinery an email/phone scrubber runs; the synthetic
+  // corpus carries numbers, so the transform is actually exercised).
+  def q49Redact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_redacted",
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long"))
+      .withColumn("red_fp", md5(regexp_replace(col("text"), "[0-9]+", "<num>")))
+      .select("doc_id", "n_redacted", "red_fp")
+      .orderBy("doc_id")
+
+  val q49Sql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redacted,
+      |       md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS red_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // repetition detection (the Gopher/Dolma quality rule): fraction of
+  // duplicate word trigrams. A high ratio marks boilerplate/spam that
+  // per-document stats like q20 miss. Pure map-side expressions.
+  def q50Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("tris", expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+      .select(col("doc_id"),
+        size(col("tris")).cast("long").as("n_tri"),
+        size(array_distinct(col("tris"))).cast("long").as("n_tri_distinct"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri"))
+      .withColumn("repetitive", (col("dup_ratio") > 0.2).cast("long"))
+      .orderBy("doc_id")
+
+  val q50Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tris
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)
+      |SELECT doc_id,
+      |       CAST(len(tris) AS BIGINT) AS n_tri,
+      |       CAST(len(list_distinct(tris)) AS BIGINT) AS n_tri_distinct,
+      |       1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) AS dup_ratio,
+      |       CAST(CASE WHEN 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) > 0.2
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
     ("q22_fingerprint", q22Fingerprint _, Some(q22Sql)),
     ("q43_winnow_fp", q43WinnowFp _, Some(q43Sql)),
+    ("q48_chunk", q48Chunk _, Some(q48Sql)),
+    ("q49_redact", q49Redact _, Some(q49Sql)),
+    ("q50_repetition", q50Repetition _, Some(q50Sql)),
   )
 }
