@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked `run` inherits stdout directly instead of going through sbt's
+// logger: Bench's one-line JSON must reach the caller without an "[info] "
+// prefix (round 1's bench record shows the prefixed line failing to parse)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
