@@ -23,6 +23,12 @@ import graft.Tables
   */
 object Dedup {
 
+  /** Raw word-trigram list of a `w: array<string>` column (duplicates kept)
+    * — THE shingle definition, shared by the whole dedup family and the
+    * repetition metric (TextOps.q50) so they can never diverge. */
+  private[graft] val trigramExpr: String =
+    "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+
   /** documents → (doc_id, shingles) where shingles = distinct word trigrams.
     * The source is a single small parquet file (one input split) — without an
     * explicit repartition every downstream explode/join/agg would run in ONE
@@ -32,8 +38,7 @@ object Dedup {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .withColumn("shingles", array_distinct(
-        expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")))
+      .withColumn("shingles", array_distinct(expr(trigramExpr)))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("nsh"))
 
   private[ops] def shingled(s: SparkSession, d: String): DataFrame =

@@ -178,11 +178,18 @@ object TextOps {
   private val ChunkWords = 50
   private val ChunkStride = 40
 
+  // a start is emitted only while it contributes new words: the previous
+  // chunk already covers through cs + Overlap - 1, so the last valid start
+  // is n - Overlap (else a ≤10-word tail chunk would be a strict subset of
+  // its predecessor — 26% of docs at the testdata length distribution)
+  private val ChunkOverlap = ChunkWords - ChunkStride
+
   def q48Chunk(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"),
-        explode(expr(s"sequence(1, size(w), $ChunkStride)")).as("cs"))
+        explode(expr(
+          s"sequence(1, greatest(1, size(w) - $ChunkOverlap), $ChunkStride)")).as("cs"))
       .select(col("doc_id"), col("cs").cast("long").as("chunk_start"),
         least(lit(ChunkWords), size(col("w")) - col("cs") + 1).cast("long")
           .as("n_chunk_words"),
@@ -191,7 +198,8 @@ object TextOps {
 
   val q48Sql: String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |s AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS cs FROM d)
+       |s AS (SELECT doc_id, w,
+       |      unnest(range(1, greatest(1, len(w) - $ChunkOverlap) + 1, $ChunkStride)) AS cs FROM d)
        |SELECT doc_id, cs AS chunk_start,
        |       CAST(least($ChunkWords, len(w) - cs + 1) AS BIGINT) AS n_chunk_words,
        |       md5(array_to_string(w[CAST(cs AS INTEGER):CAST(least(cs + ${ChunkWords - 1}, len(w)) AS INTEGER)], ' ')) AS chunk_fp
@@ -221,8 +229,7 @@ object TextOps {
     Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .withColumn("tris", expr(
-        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+      .withColumn("tris", expr(Dedup.trigramExpr))
       .select(col("doc_id"),
         size(col("tris")).cast("long").as("n_tri"),
         size(array_distinct(col("tris"))).cast("long").as("n_tri_distinct"))

@@ -143,6 +143,15 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("every chunk past the first contributes words beyond the overlap") {
+    val rows = graft.ops.TextOps.q48Chunk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Long]("chunk_start") > 1).foreach { r =>
+      assert(r.getAs[Long]("n_chunk_words") > 10,
+        s"redundant tail chunk: $r")  // 10 = ChunkWords - ChunkStride overlap
+    }
+  }
+
   test("corpus clean output is identical with the collapsed-pair path") {
     val plain = graft.ops.Corpus.q34CorpusClean(spark, sf).collect().map(_.toSeq).toSeq
     val collapsed = graft.ops.Corpus.corpusClean(spark, sf, collapseExact = true)
