@@ -104,9 +104,81 @@ object Skew {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Per-group top-k WITHOUT sorting the group: the window formulation
+    * (q11's shape) sorts every partition in full and discards all but k
+    * rows — at huge group sizes that full sort is the bottleneck. The
+    * `graft_topk` TypedImperativeAggregate carries at most k pairs per
+    * (group × partition) through the map-side combine (memory O(k), shuffle
+    * O(groups·k), no group-body sort). Same answer as the window — the
+    * oracle IS the window formulation. */
+  def q51TopkAgg(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    Tables.spread(s, Tables.orders(s, d), "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("o_orderpriority"), (col("i") + 1).cast("long").as("rk"),
+        col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  val q51Sql: String =
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin
+
+  /** Statistics as DECIMAL moment sums: count/mean/variance/stddev/
+    * correlation all derive from Σx, Σx², Σy, Σy², Σxy — the map-side-
+    * combinable formulation (one partial+final hash agg, no second pass).
+    * Built-in `stddev`/`corr` accumulate in floating point, so their low
+    * bits depend on partition order and can never hash-match a second
+    * engine; exact decimal moments folded to double in one fixed expression
+    * are bit-identical everywhere. */
+  def q52Moments(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    Tables.spread(s, Tables.lineitem(s, d), "l_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"),
+        sum(y).cast("double").as("sy"),
+        sum((y * y).cast("decimal(28,4)")).cast("double").as("syy"),
+        sum((x * y).cast("decimal(28,4)")).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sx") / col("n"), 6).as("mean_qty"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 6)
+          .as("var_qty"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q52Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+      |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |       round(sx / n, 6) AS mean_qty,
+      |       round((sxx - sx * sx / n) / n, 6) AS var_qty,
+      |       round((sxy - sx * sy / n) /
+      |             sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q38_salted_agg", q38SaltedAgg _, Some(q38Sql)),
     ("q40_rollup", q40Rollup _, Some(q40Sql)),
     ("q41_salted_join", q41SaltedJoin _, Some(q41Sql)),
+    ("q51_topk_agg", q51TopkAgg _, Some(q51Sql)),
+    ("q52_moments", q52Moments _, Some(q52Sql)),
   )
 }

@@ -78,6 +78,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("topk aggregate equals sort-and-take under random splits and merges") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = graft.functions.TopKAgg(
+      BoundReference(0, DoubleType, nullable = false),
+      BoundReference(1, LongType, nullable = false), 3)
+    val rnd = new scala.util.Random(23)
+    (1 to 300).foreach { _ =>
+      // duplicate scores are common on purpose: tie-break must pick lower id
+      val rows = Seq.fill(rnd.nextInt(40))(
+        (rnd.nextInt(6).toDouble, rnd.nextLong() % 100))
+      // split into random partitions, update each, merge pairwise
+      val parts = rows.grouped(math.max(1, rnd.nextInt(5) + 1)).toSeq
+      val bufs = parts.map { p =>
+        val b = agg.createAggregationBuffer()
+        p.foreach { case (s, i) =>
+          agg.update(b, org.apache.spark.sql.catalyst.InternalRow(s, i))
+        }
+        // exercise the serde path the shuffle uses
+        agg.deserialize(agg.serialize(b))
+      }
+      val merged = bufs.foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val got = (0 until merged.n).map(j => (merged.scores(j), merged.ids(j)))
+      val want = rows.distinct.sortBy { case (s, i) => (-s, i) }.take(3)
+      // rows may repeat exactly; topk keeps duplicates as separate entries
+      val wantDup = rows.sortBy { case (s, i) => (-s, i) }.take(3)
+      assert(got == wantDup, s"rows=$rows got=$got want=$wantDup ($want)")
+    }
+  }
+
   test("minhash buffer round-trips through serialization") {
     val agg = graft.functions.MinHashAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(1L), 8)
