@@ -415,6 +415,88 @@ object Dedup {
 
   val q42Sql: String = jaccardOracle
 
+  /** Connected-component cluster assignment over a near-dup pair graph —
+    * the stage every production dedup runs AFTER pair generation (keep one
+    * representative per component, not per pair). Distributed min-label
+    * propagation: every node starts labeled with its own id; each round a
+    * node takes the minimum label in its closed neighborhood; fixpoint =
+    * components labeled by their minimum member. Each round is one
+    * equi-join + hash agg — rounds ≈ component diameter, and near-dup
+    * components are shallow (duplicates of a common source); for adversarial
+    * long-chain graphs swap in alternating large-star/small-star, which is
+    * the same join-loop with O(log n) rounds. The driver loop carries only
+    * the round counter and a changed-row count — never node data. */
+  private[graft] def clusterPairs(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id"), col("a_id")))
+    // closed neighborhood: self-loops make a node's own label participate
+    val edges = sym
+      .union(sym.select(col("src"), col("src")))
+      .distinct().cache()
+    // localCheckpoint each round, NOT cache: an iterative plan nests its
+    // whole history — by round ~20 analysis alone OOMs. Checkpointing
+    // truncates the lineage so every round plans against a materialized
+    // leaf (on a cluster use checkpoint() to survive executor loss).
+    var labels = edges.select(col("src").as("node"), col("src").as("label"))
+      .distinct().localCheckpoint(true)
+    // convergence via the label-sum: per-node labels only ever decrease, so
+    // the fixpoint is exactly "sum of labels stopped falling" — one tiny
+    // aggregate per round instead of a join against the previous labels
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    // plain neighbor-min propagation: near-dup components are cliques/stars
+    // (mutations of one source document), diameter ≤ ~3 → 3-4 rounds. A
+    // measured pointer-jumping variant (label := label(label), O(log d)
+    // rounds) cost MORE here — the extra join per round outweighs rounds
+    // saved at clique-shaped components; switch to it (or alternating
+    // large-star/small-star) only for long-chain graph shapes.
+    while (!converged && rounds < 50) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val curSum = labelSum(prop)
+      converged = curSum == prevSum
+      prevSum = curSum
+      labels = prop
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  def q53DedupClusters(s: SparkSession, d: String): DataFrame =
+    clusterPairs(exactJaccardPairs(s, d, 0.6).select("a_id", "b_id"))
+
+  val q53Sql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |ex AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh, unnest(shingles) AS sh FROM docs),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+      |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6),
+      |edges AS (
+      |  SELECT a_id AS a, b_id AS b FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs
+      |  UNION SELECT a_id, a_id FROM pairs
+      |  UNION SELECT b_id, b_id FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS doc_id, min(b) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_dedup_exact", q23DedupExact _, Some(q23Sql)),
     ("q24_dedup_ngram", q24DedupNgram _, Some(q24Sql)),
@@ -422,5 +504,6 @@ object Dedup {
     ("q26_dedup_simhash", q26DedupSimhash _, Some(q26Sql)),
     ("q27_dedup_embed", q27DedupEmbed _, Some(q27Sql)),
     ("q42_dedup_collapsed", q42DedupCollapsed _, Some(q42Sql)),
+    ("q53_dedup_clusters", q53DedupClusters _, Some(q53Sql)),
   )
 }

@@ -185,6 +185,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster assignment equals union-find on random graphs incl. chains") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val pairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      // random edges plus one long chain (worst-case diameter for the
+      // propagation loop)
+      (1 to n).foreach { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        if (a != b) pairs += ((math.min(a, b).toLong, math.max(a, b).toLong))
+      }
+      (100L until 120L).sliding(2).foreach { w => pairs += ((w(0), w(1))) }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.clusterPairs(pairs.toSeq.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("minhash+LSH dedup equals exact n-gram jaccard dedup") {
     val exact = Dedup.q24DedupNgram(spark, sf).collect().map(_.toSeq)
     val lsh = Dedup.q25DedupMinhash(spark, sf).collect().map(_.toSeq)
