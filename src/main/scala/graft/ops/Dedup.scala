@@ -437,8 +437,12 @@ object Dedup {
     // whole history — by round ~20 analysis alone OOMs. Checkpointing
     // truncates the lineage so every round plans against a materialized
     // leaf (on a cluster use checkpoint() to survive executor loss).
-    var labels = edges.select(col("src").as("node"), col("src").as("label"))
-      .distinct().localCheckpoint(true)
+    // initialization IS the first propagation round: with label(n) = n, the
+    // closed-neighborhood min is just min(dst) over the self-looped edges —
+    // one groupBy replaces the identity-label distinct plus a loop round
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("label"))
+      .localCheckpoint(true)
     // convergence via the label-sum: per-node labels only ever decrease, so
     // the fixpoint is exactly "sum of labels stopped falling" — one tiny
     // aggregate per round instead of a join against the previous labels
