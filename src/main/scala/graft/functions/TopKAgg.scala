@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -20,6 +21,12 @@ import org.apache.spark.sql.types._
   * k-vs-k at the reducer — memory O(k), shuffle O(groups × k), no sort of
   * the group body. The per-row update is a linear insert into a k-array
   * (k is small by definition of top-k; for large k switch to a heap).
+  *
+  * Ordering is the IEEE-754 total order (`java.lang.Double.compare`): NaN
+  * ranks above every number, matching Spark's and DuckDB's DESC sort — so
+  * the window-formulation oracle agrees even on NaN scores. Null scores or
+  * ids are EXCLUDED by contract (a window ranks nulls last in DESC; callers
+  * that want null rows in a short group's tail should coalesce first).
   */
 case class TopKAgg(
     score: Expression,
@@ -27,9 +34,12 @@ case class TopKAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKAgg.Buffer] {
+    extends TypedImperativeAggregate[TopKAgg.Buffer] with ImplicitCastInputTypes {
+
+  require(k >= 1, s"graft_topk k must be >= 1, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType, nullable = false),
@@ -39,30 +49,30 @@ case class TopKAgg(
   override def createAggregationBuffer(): TopKAgg.Buffer =
     new TopKAgg.Buffer(new Array[Double](k), new Array[Long](k), 0)
 
-  // true if (s1, i1) ranks strictly higher than (s2, i2)
-  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  // true if (s1, i1) ranks strictly higher than (s2, i2); Double.compare is
+  // the IEEE total order (NaN greatest), matching DESC sort in both engines
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   private def insert(buf: TopKAgg.Buffer, s: Double, i: Long): Unit = {
-    if (buf.n < k) {
-      // append then bubble up into position (array kept sorted best-first)
-      var p = buf.n
-      buf.n += 1
-      buf.scores(p) = s; buf.ids(p) = i
-      while (p > 0 && beats(buf.scores(p), buf.ids(p), buf.scores(p - 1), buf.ids(p - 1))) {
-        val ts = buf.scores(p); buf.scores(p) = buf.scores(p - 1); buf.scores(p - 1) = ts
-        val ti = buf.ids(p); buf.ids(p) = buf.ids(p - 1); buf.ids(p - 1) = ti
-        p -= 1
-      }
-    } else if (beats(s, i, buf.scores(k - 1), buf.ids(k - 1))) {
-      // replace the current worst, bubble up
-      buf.scores(k - 1) = s; buf.ids(k - 1) = i
-      var p = k - 1
-      while (p > 0 && beats(buf.scores(p), buf.ids(p), buf.scores(p - 1), buf.ids(p - 1))) {
-        val ts = buf.scores(p); buf.scores(p) = buf.scores(p - 1); buf.scores(p - 1) = ts
-        val ti = buf.ids(p); buf.ids(p) = buf.ids(p - 1); buf.ids(p - 1) = ti
-        p -= 1
-      }
+    var p =
+      if (buf.n < k) {
+        // append at the tail (array kept sorted best-first)
+        val pos = buf.n
+        buf.n += 1
+        buf.scores(pos) = s; buf.ids(pos) = i
+        pos
+      } else if (beats(s, i, buf.scores(k - 1), buf.ids(k - 1))) {
+        // replace the current worst
+        buf.scores(k - 1) = s; buf.ids(k - 1) = i
+        k - 1
+      } else return
+    while (p > 0 && beats(buf.scores(p), buf.ids(p), buf.scores(p - 1), buf.ids(p - 1))) {
+      val ts = buf.scores(p); buf.scores(p) = buf.scores(p - 1); buf.scores(p - 1) = ts
+      val ti = buf.ids(p); buf.ids(p) = buf.ids(p - 1); buf.ids(p - 1) = ti
+      p -= 1
     }
   }
 

@@ -198,20 +198,26 @@ object Dedup {
     intra.union(inter).orderBy("a_id", "b_id")
   }
 
-  private val jaccardOracle: String =
-    """WITH docs AS (
+  /** Shared shingle/inverted-index CTE body — interpolated into BOTH the
+    * pair oracle (q24/q25/q42) and the cluster oracle (q53) so a change to
+    * the shingle rule can never silently diverge them. */
+  private val jaccardCte: String =
+    """docs AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(w)-1),
       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |  WHERE len(w) >= 3),
-      |ex AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh, unnest(shingles) AS sh FROM docs)
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |       CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) AS jaccard
-      |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
-      |HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
-      |ORDER BY a_id, b_id""".stripMargin
+      |ex AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh, unnest(shingles) AS sh FROM docs)""".stripMargin
+
+  private val jaccardOracle: String =
+    s"""WITH $jaccardCte
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) AS jaccard
+       |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+       |HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
+       |ORDER BY a_id, b_id""".stripMargin
 
   def q24DedupNgram(s: SparkSession, d: String): DataFrame =
     exactJaccardPairs(s, d, 0.6)
@@ -420,56 +426,60 @@ object Dedup {
     * representative per component, not per pair). Distributed min-label
     * propagation: every node starts labeled with its own id; each round a
     * node takes the minimum label in its closed neighborhood; fixpoint =
-    * components labeled by their minimum member. Each round is one
-    * equi-join + hash agg — rounds ≈ component diameter, and near-dup
-    * components are shallow (duplicates of a common source); for adversarial
-    * long-chain graphs swap in alternating large-star/small-star, which is
-    * the same join-loop with O(log n) rounds. The driver loop carries only
-    * the round counter and a changed-row count — never node data. */
+    * components labeled by their minimum member.
+    *
+    * The iteration kernel runs on RDDs — the one place this engine drops
+    * below DataFrames, and deliberately: an iterative DataFrame loop either
+    * nests its whole plan history (analysis OOMs by round ~20) or
+    * localCheckpoints every round with no public way to free superseded
+    * block storage. With RDDs each round is persist + localCheckpoint
+    * (lineage truncated) and the previous round is unpersisted explicitly,
+    * so storage stays O(nodes) however many rounds run. Convergence = the
+    * exact BigInt label-sum stopped falling (labels only decrease; a Long
+    * sum could alias a real change by wrapping). Rounds ≈ component
+    * diameter — shallow for near-dup graphs (duplicates of one source);
+    * the cap FAILS loudly rather than return a half-propagated labeling.
+    * On a cluster, swap localCheckpoint for reliable checkpoint() to
+    * survive executor loss. */
   private[graft] def clusterPairs(pairs: DataFrame): DataFrame = {
-    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id"), col("a_id")))
+    val spark = pairs.sparkSession
+    val prdd = pairs.select(col("a_id"), col("b_id")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = prdd.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     // closed neighborhood: self-loops make a node's own label participate
-    val edges = sym
-      .union(sym.select(col("src"), col("src")))
-      .distinct().cache()
-    // localCheckpoint each round, NOT cache: an iterative plan nests its
-    // whole history — by round ~20 analysis alone OOMs. Checkpointing
-    // truncates the lineage so every round plans against a materialized
-    // leaf (on a cluster use checkpoint() to survive executor loss).
+    val edges = sym.union(sym.map { case (s, _) => (s, s) }).distinct()
+    val byDst = edges.map { case (s, d) => (d, s) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // initialization IS the first propagation round: with label(n) = n, the
-    // closed-neighborhood min is just min(dst) over the self-looped edges —
-    // one groupBy replaces the identity-label distinct plus a loop round
-    var labels = edges.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("label"))
-      .localCheckpoint(true)
-    // convergence via the label-sum: per-node labels only ever decrease, so
-    // the fixpoint is exactly "sum of labels stopped falling" — one tiny
-    // aggregate per round instead of a join against the previous labels
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    // closed-neighborhood min is just min(dst) per src over self-looped edges
+    var labels = edges.reduceByKey(math.min)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.localCheckpoint()
+    def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      r.mapPartitions { it =>
+        Iterator.single(it.foldLeft(BigInt(0))((acc, t) => acc + t._2))
+      }.collect().foldLeft(BigInt(0))(_ + _)
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
-    // plain neighbor-min propagation: near-dup components are cliques/stars
-    // (mutations of one source document), diameter ≤ ~3 → 3-4 rounds. A
-    // measured pointer-jumping variant (label := label(label), O(log d)
-    // rounds) cost MORE here — the extra join per round outweighs rounds
-    // saved at clique-shaped components; switch to it (or alternating
-    // large-star/small-star) only for long-chain graph shapes.
     while (!converged && rounds < 50) {
-      val prop = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label"))
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val prop = byDst.join(labels)
+        .map { case (_, (src, lbl)) => (src, lbl) }
+        .reduceByKey(math.min)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prop.localCheckpoint()
       val curSum = labelSum(prop)
       converged = curSum == prevSum
       prevSum = curSum
+      labels.unpersist(blocking = false)
       labels = prop
       rounds += 1
     }
-    edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    require(converged,
+      s"clusterPairs: no fixpoint after $rounds rounds — component diameter " +
+        "exceeds the cap; raise it or use large-star/small-star for this graph")
+    byDst.unpersist(blocking = false)
+    spark.createDataFrame(labels).toDF("doc_id", "cluster_id")
       .orderBy("doc_id")
   }
 
@@ -477,14 +487,8 @@ object Dedup {
     clusterPairs(exactJaccardPairs(s, d, 0.6).select("a_id", "b_id"))
 
   val q53Sql: String =
-    """WITH RECURSIVE docs AS (
-      |  SELECT doc_id,
-      |         list_distinct(list_transform(range(1, len(w)-1),
-      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |  WHERE len(w) >= 3),
-      |ex AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh, unnest(shingles) AS sh FROM docs),
-      |pairs AS (
+    s"""WITH RECURSIVE $jaccardCte,
+       |pairs AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh

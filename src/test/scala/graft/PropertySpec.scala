@@ -86,9 +86,12 @@ class PropertySpec extends AnyFunSuite {
       BoundReference(1, LongType, nullable = false), 3)
     val rnd = new scala.util.Random(23)
     (1 to 300).foreach { _ =>
-      // duplicate scores are common on purpose: tie-break must pick lower id
+      // duplicate scores are common on purpose (tie-break must pick lower
+      // id) and NaN appears occasionally: the IEEE total order ranks it
+      // above every number, like DESC sort in both engines
       val rows = Seq.fill(rnd.nextInt(40))(
-        (rnd.nextInt(6).toDouble, rnd.nextLong() % 100))
+        (if (rnd.nextInt(12) == 0) Double.NaN else rnd.nextInt(6).toDouble,
+          rnd.nextLong() % 100))
       // split into random partitions, update each, merge pairwise
       val parts = rows.grouped(math.max(1, rnd.nextInt(5) + 1)).toSeq
       val bufs = parts.map { p =>
@@ -101,10 +104,18 @@ class PropertySpec extends AnyFunSuite {
       }
       val merged = bufs.foldLeft(agg.createAggregationBuffer())(agg.merge)
       val got = (0 until merged.n).map(j => (merged.scores(j), merged.ids(j)))
-      val want = rows.distinct.sortBy { case (s, i) => (-s, i) }.take(3)
-      // rows may repeat exactly; topk keeps duplicates as separate entries
-      val wantDup = rows.sortBy { case (s, i) => (-s, i) }.take(3)
-      assert(got == wantDup, s"rows=$rows got=$got want=$wantDup ($want)")
+      // reference: explicit (Double.compare desc, id asc) sort — the same
+      // total order the aggregate and the window oracle use
+      val wantDup = rows.sortWith { (x, y) =>
+        val c = java.lang.Double.compare(x._1, y._1)
+        c > 0 || (c == 0 && x._2 < y._2)
+      }.take(3)
+      // compare via Double.compare-aware equality (NaN == NaN here)
+      val same = got.length == wantDup.length && got.zip(wantDup).forall {
+        case ((gs, gi), (ws, wi)) =>
+          java.lang.Double.compare(gs, ws) == 0 && gi == wi
+      }
+      assert(same, s"rows=$rows got=$got want=$wantDup")
     }
   }
 
