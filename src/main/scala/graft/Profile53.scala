@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev guard: the cluster-assignment kernel at ~1M pairs —
+  * `graft.Profile53 [components] [members]` (default 100k star-shaped
+  * components × 10 members ≈ 900k pairs, plus 5-link chains for diameter).
+  * Validates rounds/time/labels at 3500× the bench pair count: the loop's
+  * cost must scale with rounds (component diameter), not pair volume.
+  */
+object Profile53 {
+  def main(args: Array[String]): Unit = {
+    val comps = args.headOption.map(_.toInt).getOrElse(100000)
+    val members = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // star components (diameter 2) + a chain tail per 100th component
+    // (diameter 5): the realistic near-dup mix
+    val pairs = spark.range(0, comps).flatMap { c =>
+      val hub = c * 1000L
+      val star = (1 until members).map(i => (hub, hub + i))
+      val chain = if (c % 100 == 0)
+        (members until members + 5).map(i => (hub + i - 1, hub + i))
+      else Nil
+      star ++ chain
+    }.toDF("a_id", "b_id")
+    val t0 = System.nanoTime()
+    val labels = graft.ops.Dedup.clusterPairs(pairs)
+    val byCluster = labels.groupBy("cluster_id").count()
+    val nClusters = byCluster.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nPairs = pairs.count()
+    val wrong = labels.filter(
+      org.apache.spark.sql.functions.expr("cluster_id != (doc_id div 1000) * 1000")).count()
+    println(f"$nPairs pairs -> $nClusters clusters in $sec%.1f s; mislabeled=$wrong")
+    assert(nClusters == comps && wrong == 0, "cluster labels wrong")
+    spark.stop()
+  }
+}
