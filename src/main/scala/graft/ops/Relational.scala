@@ -277,6 +277,10 @@ object Relational {
 
   // U1/U2 + set ops — UNION (dedup), then EXCEPT/INTERSECT branches
   // (reference v2:62-65,138-141; intersect/except are the free Spark surface).
+  // NOT spread: measured no gain — the spread shuffle re-runs once per
+  // set-op leg (three consumers, no cache), exactly offsetting the
+  // parallelized partial aggregation; the set-op shuffles themselves
+  // already distribute the heavy work
   def q14SetOps(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val a = li.filter(col("l_quantity") > 40.0).select("l_orderkey", "l_linenumber")
