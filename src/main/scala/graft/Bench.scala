@@ -71,11 +71,17 @@ object Bench {
       (pass1(n) ++ pass2(n)).minOption.map(n -> _)
     }
     val failed = names.filter(n => pass1(n).isEmpty && pass2(n).isEmpty)
+    // a query that threw in exactly one pass still reports the surviving
+    // pass's timing, but must be distinguishable from a clean query — an
+    // intermittent failure (flaky OOM, nondeterministic plan error) would
+    // otherwise never surface in the JSON
+    val flaky = names.filter(n => pass1(n).isEmpty ^ pass2(n).isEmpty)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flk = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,13 +51,22 @@ object HtmlTable {
       s"html source: files under $glob disagree on the header row: " +
         headers.map(_.mkString("[", ",", "]")).mkString(" vs "))
     val body = rows.filter(col("row_idx") > 0)
-    headers.head.zipWithIndex.foldLeft(
-      body.select(col("src_file"), col("row_idx"), col("cells"))) {
-        case (df, (name, i)) =>
-          // get() is 0-indexed and yields null past the end (ANSI-safe)
-          df.withColumn(if (name.nonEmpty) name else s"_c$i",
-            get(col("cells"), lit(i)))
-      }
-      .drop("cells")
+    // every cell index gets its OWN output column: duplicate header labels
+    // (repeated 'Yds' in real stat tables) and labels shadowing the source
+    // columns ('src_file', 'row_idx') are suffixed _2, _3, … instead of
+    // silently rebinding to the last matching index. Resolution is
+    // case-insensitive, so the uniqueness check is too.
+    val taken = scala.collection.mutable.Set("src_file", "row_idx")
+    val names = headers.head.zipWithIndex.map { case (raw, i) =>
+      val base = if (raw.nonEmpty) raw else s"_c$i"
+      val name = if (!taken.contains(base.toLowerCase)) base
+        else Iterator.from(2).map(k => s"${base}_$k")
+          .find(n => !taken.contains(n.toLowerCase)).get
+      taken += name.toLowerCase
+      name
+    }
+    // get() is 0-indexed and yields null past the end (ANSI-safe)
+    body.select(col("src_file") +: col("row_idx") +:
+      names.zipWithIndex.map { case (n, i) => get(col("cells"), lit(i)).as(n) }: _*)
   }
 }
