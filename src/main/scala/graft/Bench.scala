@@ -9,8 +9,38 @@ import org.apache.spark.sql.SparkSession
   * file-index, JIT) so per-query numbers reflect steady state, and the
   * plan-keyed cache is cleared between queries so no measurement reuses
   * another's (or its own warm-up's) cached data.
+  *
+  * Measurement validity: the round-3 record showed a +17% total vs round 2
+  * with ZERO query code changed between the runs — single-machine contention
+  * (another JVM compiling, background I/O) inflates timings multiplicatively
+  * and uniformly, and best-of-2 could not filter a spike that hit both
+  * passes. Hence best-of-THREE interleaved passes (min per query): a
+  * transient load burst must span all three full passes — minutes apart —
+  * to survive into the headline number. NEVER run the bench while another
+  * Spark JVM is active on the machine; that once turned a 1.3 s query into
+  * 21.8 s.
+  *
+  * A query that fails in some-but-not-all passes is reported under "flaky"
+  * and its surviving timings are kept OUT of "value" (the headline total):
+  * a single-sample measurement has exactly the transient-spike exposure the
+  * min-of-N exists to remove, so folding it in would make totals
+  * incomparable across runs. "value" therefore sums clean queries only;
+  * consumers see flaky ones in "queries" (their min) and in "flaky".
   */
 object Bench {
+  private val Passes = 3
+
+  /** Minimal JSON string literal — query names and paths are interpolated
+    * into the output line, so quotes/backslashes/control chars must not be
+    * able to corrupt it. */
+  private def jstr(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => "\\u%04x".format(c.toInt)
+      case c             => c.toString
+    }.mkString("\"", "", "\"")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,7 +57,7 @@ object Bench {
 
     // None = the query threw: a failure must surface in the JSON, never be
     // folded into the timings (a fast analysis error would otherwise record
-    // as a large best-of-2 "speedup")
+    // as a large best-of-N "speedup")
     def execute(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       val ok =
@@ -49,10 +79,9 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // one untimed warm-up pass: JIT + codegen + file-index costs otherwise
     // land on whichever timed query first touches each codepath. Combined
-    // with the two timed passes below, every query executes 3× — the
-    // heaviest generated loops (array intersects, decimal aggs) reach C2
-    // steady state on their third execution (measured: 10.9 → 2.0 → 1.45 s),
-    // which the best-of-2 then records.
+    // with the timed passes below, every query executes 4× — the heaviest
+    // generated loops (array intersects, decimal aggs) reach C2 steady
+    // state by their third execution (measured: 10.9 → 2.0 → 1.45 s).
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -60,28 +89,25 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // best-of-2 timed passes: a transient hiccup (GC, background compile,
-    // machine load) can multiply a single measurement several-fold — the
-    // round-1 record showed 5.5 s for a query whose steady state is 0.9 s.
-    // The min of two full interleaved passes is the standard robust estimator
-    // for "what the query costs when nothing else interferes".
-    val pass1 = names.map(n => n -> execute(n)).toMap
-    val pass2 = names.map(n => n -> execute(n)).toMap
-    val results = names.flatMap { n =>
-      (pass1(n) ++ pass2(n)).minOption.map(n -> _)
-    }
-    val failed = names.filter(n => pass1(n).isEmpty && pass2(n).isEmpty)
-    // a query that threw in exactly one pass still reports the surviving
-    // pass's timing, but must be distinguishable from a clean query — an
-    // intermittent failure (flaky OOM, nondeterministic plan error) would
-    // otherwise never surface in the JSON
-    val flaky = names.filter(n => pass1(n).isEmpty ^ pass2(n).isEmpty)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // best-of-3 timed passes, interleaved (pass 1 runs every query, then
+    // pass 2, ...): min per query is the standard robust estimator for
+    // "what the query costs when nothing else interferes", and interleaving
+    // means a contention burst has to outlast the full suite three times
+    // over to bias the result
+    val passes = Vector.fill(Passes)(names.map(n => n -> execute(n)).toMap)
+    val samples: Map[String, Seq[Double]] =
+      names.map(n => n -> passes.flatMap(_(n))).toMap
+    val results = names.flatMap(n => samples(n).minOption.map(n -> _))
+    val failed = names.filter(n => samples(n).isEmpty)
+    val flaky = names.filter(n =>
+      samples(n).nonEmpty && samples(n).length < Passes)
+    val clean = results.filterNot { case (n, _) => flaky.contains(n) }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val flk = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}""")
+    val errs = failed.map(jstr).mkString("[", ",", "]")
+    val flk = flaky.map(jstr).mkString("[", ",", "]")
+    val total = clean.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

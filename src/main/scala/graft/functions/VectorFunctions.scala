@@ -160,12 +160,29 @@ object VectorFunctions {
   /** dot(a, b) — requires register(spark) once per session. */
   def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  /** Register `graft_srp_buckets(e)` with a fixed plane matrix (row-major
-    * `(tables*bits) × dim`) baked into the builder closure. */
+  // per-(session, name): the parameter fingerprint the name was bound with.
+  // A plain per-name guard would silently no-op a re-registration carrying
+  // DIFFERENT planes/tables/bits, handing callers a wrong-math function.
+  private val srpBindings =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Register `name(e)` as SRP bucketing with a fixed plane matrix (row-major
+    * `(tables*bits) × dim`) baked into the builder closure. Idempotent for
+    * identical parameters; THROWS on an attempt to rebind an existing name
+    * to different planes/tables/bits — silently keeping the old matrix (or
+    * silently swapping it under plans already built against the name) are
+    * both wrong, so the conflict must surface at the call site. */
   def registerSrp(spark: SparkSession, name: String, planes: Seq[Double],
-      tables: Int, bits: Int): Unit =
-    if (registered.add(spark.sessionState.toString + "#" + name)) {
+      tables: Int, bits: Int): Unit = {
+    val key = spark.sessionState.toString + "#" + name
+    val fingerprint: Integer = (planes, tables, bits).hashCode()
+    val prev = srpBindings.putIfAbsent(key, fingerprint)
+    if (prev == null) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, exprs => SrpBuckets(exprs(0), planes, tables, bits), "built-in")
-    }
+    } else require(prev == fingerprint,
+      s"registerSrp: '$name' is already registered in this session with " +
+        "different planes/tables/bits; re-registering would not rebind it. " +
+        "Use a distinct function name per parameterisation.")
+  }
 }

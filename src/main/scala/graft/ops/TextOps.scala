@@ -209,7 +209,7 @@ object TextOps {
   // same regexp_replace machinery an email/phone scrubber runs; the synthetic
   // corpus carries numbers, so the transform is actually exercised).
   def q49Redact(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
       .withColumn("n_redacted",
         size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long"))
       .withColumn("red_fp", md5(regexp_replace(col("text"), "[0-9]+", "<num>")))

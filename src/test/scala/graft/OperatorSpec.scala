@@ -126,6 +126,11 @@ class OperatorSpec extends AnyFunSuite {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
       val got = graft.ops.Dedup.q27DedupEmbed(spark, d).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // sf0.1 is the only SF with qualifying pairs — if testdata ever changes
+      // to zero, the recall comparison below degenerates to empty==empty and
+      // this test would pass while proving nothing. Fail loudly instead.
+      if (d.endsWith("sf0.1"))
+        assert(got.nonEmpty, s"$d: recall evidence vacuous — no qualifying pairs")
       // brute force: the n² nested-loop compare the LSH prefilter replaced —
       // kept here as the recall oracle (the DuckDB gate only sees sf0.01,
       // which has zero qualifying pairs; sf0.1 is where recall is at stake)
@@ -182,6 +187,23 @@ class OperatorSpec extends AnyFunSuite {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
         case None => spark.conf.unset("spark.sql.codegen.fallback")
       }
+    }
+  }
+
+  test("registerSrp: identical re-registration no-ops, conflicting one throws") {
+    val planesA = graft.ops.Similarity.srpPlanes(8).flatten.toSeq
+    graft.functions.VectorFunctions.registerSrp(spark, "graft_srp_rebind", planesA, 2, 4)
+    // idempotent for identical parameters
+    graft.functions.VectorFunctions.registerSrp(spark, "graft_srp_rebind", planesA, 2, 4)
+    // a different plane matrix (or tables/bits) under the same name would
+    // silently keep the OLD math bound — must fail loudly instead
+    val planesB = planesA.map(_ * 2.0 + 1.0)
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.VectorFunctions.registerSrp(spark, "graft_srp_rebind", planesB, 2, 4)
+    }
+    assert(e.getMessage.contains("graft_srp_rebind"))
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorFunctions.registerSrp(spark, "graft_srp_rebind", planesA, 4, 8)
     }
   }
 

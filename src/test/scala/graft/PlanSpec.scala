@@ -71,7 +71,8 @@ class PlanSpec extends AnyFunSuite {
       "q21" -> TextOps.q21LangId(spark, sf),
       "q23" -> Dedup.q23DedupExact(spark, sf),
       "q34" -> Corpus.q34CorpusClean(spark, sf),
-      "q40" -> Skew.q40Rollup(spark, sf))
+      "q40" -> Skew.q40Rollup(spark, sf),
+      "q49" -> TextOps.q49Redact(spark, sf))
     spreadQueries.foreach { case (name, df) =>
       assert(plan(df).contains("REPARTITION_BY_NUM"), s"$name lost its spread")
     }

@@ -88,6 +88,30 @@ class SinksSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("final") == "17")
   }
 
+  test("HTML-table source suffixes duplicate and reserved header labels") {
+    // real stat tables repeat labels ('Yds' for passing and rushing) and can
+    // shadow the source-metadata columns; every cell index must still get its
+    // own column instead of rebinding to the last matching index
+    val spark = TestSpark.spark
+    val dir = tmp()
+    val html =
+      """<table>
+        |<tr><th>src_file</th><th>Yds</th><th>yds</th><th></th></tr>
+        |<tr><td>game1</td><td>212</td><td>87</td><td>W</td></tr>
+        |</table>""".stripMargin
+    Files.write(java.nio.file.Paths.get(s"$dir/dup.html"), html.getBytes)
+    val df = HtmlTable.readTable(spark, s"$dir/*.html")
+    // 'src_file' collides with the metadata column; the second 'yds' collides
+    // case-insensitively with 'Yds'; the empty header becomes positional
+    assert(df.columns.toSeq ==
+      Seq("src_file", "row_idx", "src_file_2", "Yds", "yds_2", "_c3"))
+    val r = df.collect().head
+    assert(r.getAs[String]("src_file_2") == "game1")
+    assert(r.getAs[String]("Yds") == "212")
+    assert(r.getAs[String]("yds_2") == "87")
+    assert(r.getAs[String]("_c3") == "W")
+  }
+
   test("HTML-table source feeds the NFL pipeline stage end-to-end") {
     val spark = TestSpark.spark
     val html = getClass.getResource("/fixtures/html").getPath
