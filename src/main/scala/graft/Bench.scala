@@ -33,7 +33,7 @@ object Bench {
   /** Minimal JSON string literal — query names and paths are interpolated
     * into the output line, so quotes/backslashes/control chars must not be
     * able to corrupt it. */
-  private def jstr(s: String): String =
+  private[graft] def jstr(s: String): String =
     s.flatMap {
       case '"'           => "\\\""
       case '\\'          => "\\\\"

@@ -11,9 +11,11 @@ import graft.Tables
   * The Spark-side plumbing is real — schema, partitioning, batch shape — and
   * runs over `mapPartitions` (the Scala equivalent of a Pandas-UDF
   * `mapInPandas` stage: one JVM call per partition, amortizing per-batch
-  * setup such as a decoder context). The actual media decode is STUBBED with
-  * a deterministic fake (this container has no image/audio codecs); swap
-  * `FakeDecoder.decode` for a real decoder binding in production.
+  * setup such as a decoder context). Two decoder bindings ship: the default
+  * deterministic fake (the driver corpus is text standing in for media) and
+  * a REAL image codec, [[Multimodal.ImageIoDecoder]], backed by the JDK's
+  * `javax.imageio` — exercised end-to-end in MultimodalSpec on synthesized
+  * PNGs. Audio/video codecs aren't in the JDK; those stay behind the fake.
   */
 object Multimodal {
 
@@ -54,6 +56,36 @@ object Multimodal {
     }
   }
 
+  /** Real image decode via `javax.imageio` (JDK built-in — zero new
+    * dependencies). PNG/GIF/BMP/JPEG per the JDK's registered readers. The
+    * luma is the Rec. 601 weighted mean over all pixels — a real
+    * whole-raster computation, so the test can assert exact dimensions and
+    * near-exact luma against synthesized images. Not the default decoder:
+    * the driver corpus is text standing in for media, which no real codec
+    * accepts; pass `ImageIoDecoder.decode` to [[extractFeatures]] when the
+    * payload column holds actual image bytes. */
+  object ImageIoDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeature = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"doc $docId: no registered ImageIO reader accepts this payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeature(docId, bytes.length.toLong, "image", w, h, 1,
+        if (w * h == 0) 0.0 else sum / (w.toLong * h))
+    }
+  }
+
   /** documents → opaque binary column (stands in for a real media payload;
     * in production the binary comes from the source, e.g. parquet BYTE_ARRAY
     * or a blob-store pointer already resolved upstream). */
@@ -63,15 +95,20 @@ object Multimodal {
   /** Batch feature extraction over the binary column via mapPartitions —
     * decoder context initialized once per partition, rows streamed through.
     * Repartition first so huge blobs spread evenly (at 100 TB a skewed blob
-    * distribution would OOM single tasks otherwise). */
-  def extractFeatures(df: DataFrame, partitions: Int): DataFrame = {
+    * distribution would OOM single tasks otherwise). `decode` defaults to
+    * the deterministic stub; [[ImageIoDecoder.decode]] is the real-codec
+    * binding for genuine image payloads. */
+  def extractFeatures(
+      df: DataFrame,
+      partitions: Int,
+      decode: (Long, Array[Byte]) => MediaFeature = FakeDecoder.decode): DataFrame = {
     val enc = Encoders.product[MediaFeature]
     df.select(col("doc_id").cast("long"), col("payload"))
       .repartition(partitions, col("doc_id"))
       .mapPartitions { rows =>
         // per-partition decoder init would go here (open codec ctx once)
         rows.map { r =>
-          FakeDecoder.decode(r.getLong(0), r.getAs[Array[Byte]](1))
+          decode(r.getLong(0), r.getAs[Array[Byte]](1))
         }
       }(enc)
       .toDF()

@@ -437,8 +437,10 @@ object Dedup {
     * so storage stays O(nodes) however many rounds run. Convergence = the
     * exact BigInt label-sum stopped falling (labels only decrease; a Long
     * sum could alias a real change by wrapping). Rounds ≈ component
-    * diameter — shallow for near-dup graphs (duplicates of one source);
-    * the cap FAILS loudly rather than return a half-propagated labeling.
+    * diameter — shallow for near-dup graphs (duplicates of one source); a
+    * pathological high-diameter graph that exhausts the round cap falls
+    * back to [[starCluster]] (O(log² n) rounds regardless of diameter)
+    * instead of failing or returning a half-propagated labeling.
     * On a cluster, swap localCheckpoint for reliable checkpoint() to
     * survive executor loss. */
   private[graft] def clusterPairs(pairs: DataFrame): DataFrame = {
@@ -475,12 +477,88 @@ object Dedup {
       labels = prop
       rounds += 1
     }
-    require(converged,
-      s"clusterPairs: no fixpoint after $rounds rounds — component diameter " +
-        "exceeds the cap; raise it or use large-star/small-star for this graph")
+    if (!converged) {
+      // High-diameter fallback: the min-label kernel is O(diameter) rounds —
+      // right for near-dup graphs (stars around one source, diameter ~2) but
+      // a pathological chain would need `diameter` rounds. Rather than fail,
+      // switch to alternating large-star/small-star contraction, which is
+      // O(log² n) rounds REGARDLESS of diameter. Not the default because on
+      // the common shallow graphs its per-round cost (groupByKey + distinct,
+      // two shuffles per half-round) loses to the simple reduceByKey loop.
+      labels.unpersist(blocking = false)
+      labels = starCluster(prdd.filter { case (a, b) => a != b })
+    }
     byDst.unpersist(blocking = false)
     spark.createDataFrame(labels).toDF("doc_id", "cluster_id")
       .orderBy("doc_id")
+  }
+
+  /** Alternating large-star / small-star connected components (the classic
+    * MapReduce formulation: Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14). Each round: large-star hangs every
+    * neighbor larger than `u` off the minimum of `u`'s closed neighborhood;
+    * small-star re-points the smaller neighbors (and `u` itself) at that
+    * minimum. The edge set monotonically contracts toward a star forest —
+    * fixpoint in O(log² n) rounds independent of component diameter, which
+    * is exactly the regime where the min-label loop's O(diameter) blows
+    * past its cap. Lineage is truncated per round (persist +
+    * localCheckpoint, previous round unpersisted) like the main kernel.
+    * Fixpoint test is exact set equality via two-sided subtract — two extra
+    * shuffles per round, acceptable on the rare fallback path. */
+  private[graft] def starCluster(
+      pairs: org.apache.spark.rdd.RDD[(Long, Long)]): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Both steps are expressed as reduceByKey(min) + join, NOT groupByKey:
+    // a mega-component's hub node would otherwise materialize its whole
+    // neighbor list (possibly 10^8 entries at 100 TB) inside one task. The
+    // map-side-combining min and the streaming join keep every stage
+    // bounded-memory at any degree.
+    def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val sym = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val mins = sym.reduceByKey(math.min)
+        .map { case (u, m) => (u, math.min(u, m)) }
+      sym.join(mins)
+        .collect { case (u, (v, m)) if v > u => (v, m) }
+        .distinct()
+    }
+    def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val dir = e.map { case (a, b) => if (a >= b) (a, b) else (b, a) }
+      val mins = dir.reduceByKey(math.min)
+      dir.join(mins)
+        .flatMap { case (u, (v, m)) =>
+          if (v != m) Seq((v, m), (u, m)) else Seq((u, m))
+        }.distinct()
+    }
+    var edges = pairs.map { case (a, b) => if (a >= b) (a, b) else (b, a) }
+      .distinct().persist(lvl)
+    edges.localCheckpoint()
+    var stable = false
+    var rounds = 0
+    while (!stable) {
+      val next = smallStar(largeStar(edges)).persist(lvl)
+      next.localCheckpoint()
+      // a FULL action must land before the parent is unpersisted: a local
+      // checkpoint's blocks ARE its storage, and partial materialization
+      // (e.g. isEmpty's early exit) would leave holes that resurface as
+      // missing-block errors once the parent's blocks are dropped
+      next.count()
+      stable = next.subtract(edges).isEmpty() && edges.subtract(next).isEmpty()
+      edges.unpersist(blocking = false)
+      edges = next
+      rounds += 1
+      require(rounds <= 200,
+        "starCluster: no fixpoint after 200 rounds — impossible for any graph " +
+          "with < 2^14 nodes (O(log² n) bound); indicates a bug, not data")
+    }
+    // fixpoint = star forest: every edge is (member, root). Roots label
+    // themselves; reduceByKey dedups the root self-labels.
+    val labels = edges.flatMap { case (v, r) => Seq((v, r), (r, r)) }
+      .reduceByKey(math.min)
+      .persist(lvl)
+    labels.localCheckpoint()
+    labels.count()
+    edges.unpersist(blocking = false)
+    labels
   }
 
   def q53DedupClusters(s: SparkSession, d: String): DataFrame =

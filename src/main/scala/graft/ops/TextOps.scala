@@ -208,6 +208,11 @@ object TextOps {
   // pattern redaction: numbers → a placeholder token (the PII-scrub shape —
   // same regexp_replace machinery an email/phone scrubber runs; the synthetic
   // corpus carries numbers, so the transform is actually exercised).
+  // Two-regime note: the spread costs ~0.2 s at sf0.1 (repartition shuffle
+  // dominates a tiny scan — 0.24 → 0.43 s when it landed in r4), and that is
+  // the DELIBERATE price of not running the whole regex pass as one task on
+  // a single-row-group file; at scale the single task is the killer. Do not
+  // "fix" the small-SF bench by un-spreading — PlanSpec guards this.
   def q49Redact(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.documents(s, d), "doc_id")
       .withColumn("n_redacted",

@@ -24,6 +24,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 
+  test("flagship entry has rows and really composes join+window+as-of") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "driver smoke gate needs rows>0 at sf0.001")
+    // every row: as-of gap within the 1h bound, rank within the top-5 cut
+    rows.foreach { r =>
+      val gap = r.getLong(r.fieldIndex("gap_s"))
+      assert(gap >= 0 && gap <= 3600, r.toString)
+      assert(r.getInt(r.fieldIndex("nation_rnk")) <= 5, r.toString)
+    }
+    // the single plan contains the claimed shape: ≥2 joins (as-of + star
+    // dims), a window, and broadcast dimension sides
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(500))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(500))
+  }
+
   test("sketch stats: approx distinct and quantile within 5% of exact") {
     val rows = graft.ops.Corpus.sketchStatsRaw(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -365,5 +382,40 @@ class OperatorSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(feats, 2)
     assert(frames.count() >= feats.count())
     assert(frames.columns.contains("frame_idx"))
+  }
+
+  test("real image codec: ImageIO decodes synthesized PNGs through the batch path") {
+    val s = spark
+    import s.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // solid colors ⇒ the Rec.601 mean luma is known exactly per image
+    val imgs = Seq(
+      (1L, 7, 5, 0xffffff, 255.0),
+      (2L, 16, 9, 0x000000, 0.0),
+      (3L, 3, 3, 0xff0000, 0.299 * 255),
+      (4L, 4, 2, 0x00ff00, 0.587 * 255),
+      (5L, 2, 4, 0x0000ff, 0.114 * 255))
+    val df = imgs.map { case (id, w, h, c, _) => (id, png(w, h, c)) }
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, 2, Multimodal.ImageIoDecoder.decode)
+      .orderBy("doc_id").collect()
+    assert(feats.length == imgs.length)
+    imgs.zip(feats).foreach { case ((id, w, h, _, luma), r) =>
+      assert(r.getLong(0) == id && r.getString(2) == "image")
+      assert(r.getInt(3) == w && r.getInt(4) == h, s"doc $id dims")
+      assert(math.abs(r.getDouble(6) - luma) < 1e-9, s"doc $id luma ${r.getDouble(6)}")
+    }
+    // a payload no codec accepts fails loudly, never silently fakes features
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    intercept[Exception] {
+      Multimodal.extractFeatures(bad, 1, Multimodal.ImageIoDecoder.decode).collect()
+    }
   }
 }

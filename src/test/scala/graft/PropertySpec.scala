@@ -119,6 +119,79 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster fallback: a chain deeper than the round cap still converges") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // a 160-node chain has diameter 159 ≫ the 50-round min-label cap, so
+    // clusterPairs must route through the large-star/small-star fallback
+    // and still produce the exact labeling (everything → node 0)
+    val pairs = (0L until 160L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val got = graft.ops.Dedup.clusterPairs(pairs.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 160)
+    assert(got.map(_._1).toSeq == (0L until 160L).toSeq)
+    assert(got.forall(_._2 == 0L), got.filterNot(_._2 == 0L).take(5).mkString(","))
+  }
+
+  test("large-star/small-star equals union-find on random graphs") {
+    val sc = TestSpark.spark.sparkContext
+    val rnd = new scala.util.Random(17)
+    (1 to 4).foreach { trial =>
+      val n = 40 + rnd.nextInt(60)
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.ops.Dedup.starCluster(sc.parallelize(edges, 4))
+        .collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("bench jstr emits valid JSON string literals for hostile input") {
+    // strict decoder for exactly the escapes jstr may emit — any raw
+    // control char, unescaped quote, or unknown escape fails the test
+    def decode(lit: String): String = {
+      assert(lit.length >= 2 && lit.head == '"' && lit.last == '"', lit)
+      val body = lit.substring(1, lit.length - 1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < body.length) {
+        body(i) match {
+          case '\\' =>
+            body(i + 1) match {
+              case '"'   => sb += '"'; i += 2
+              case '\\'  => sb += '\\'; i += 2
+              case 'u'   =>
+                sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case other => fail(s"illegal escape \\$other in $lit")
+            }
+          case '"'          => fail(s"unescaped quote in $lit")
+          case c if c < ' ' => fail(s"raw control char ${c.toInt} in $lit")
+          case c            => sb += c; i += 1
+        }
+      }
+      sb.toString
+    }
+    val hostile = Seq("", "\"", "\\", "\\\"", "a\"b\\c", "line\nbreak\ttab\r",
+      " ", "q24_dedup_ngram", "/root/testdata/sf0.1")
+    val rnd = new scala.util.Random(99)
+    val fuzz = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(24))(rnd.nextInt(128).toChar).mkString)
+    (hostile ++ fuzz).foreach { s0 =>
+      assert(decode(Bench.jstr(s0)) == s0, s0.map(_.toInt.toHexString).mkString(" "))
+    }
+  }
+
   test("minhash buffer round-trips through serialization") {
     val agg = graft.functions.MinHashAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(1L), 8)
