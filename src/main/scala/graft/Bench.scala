@@ -20,6 +20,16 @@ import org.apache.spark.sql.SparkSession
   * Spark JVM is active on the machine; that once turned a 1.3 s query into
   * 21.8 s.
   *
+  * Reproducibility (measured, not assumed): three consecutive same-session
+  * runs of this protocol on an otherwise-idle machine (sf0.1, local[32],
+  * 2026-08-12) totalled 35.28 / 33.36 / 35.54 s — runs 1 and 3 within 0.7%
+  * of each other, the full three-run band 6% (±3% around the 34.7 s mean;
+  * run 2 a uniformly-fast outlier, every query faster, i.e. machine-state
+  * noise, not any query's behavior). Read round-over-round totals
+  * accordingly: deltas inside ~±5% are measurement noise; only a >10% move
+  * — or a single query moving far outside its band — is attributable to
+  * code.
+  *
   * A query that fails in some-but-not-all passes is reported under "flaky"
   * and its surviving timings are kept OUT of "value" (the headline total):
   * a single-sample measurement has exactly the transient-spike exposure the
