@@ -116,8 +116,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map(jstr).mkString("[", ",", "]")
     val flk = flaky.map(jstr).mkString("[", ",", "]")
+    // all per-pass samples (in pass order), not just the min: a regression
+    // in a later round is attributable from the JSON alone — min moved vs
+    // one inflated sample — without a same-machine rerun
+    val smp = names.filter(samples(_).nonEmpty)
+      .map(n => jstr(n) + ":" + samples(n).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     val total = clean.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$smp,"errors":$errs,"flaky":$flk,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

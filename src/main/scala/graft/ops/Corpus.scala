@@ -250,11 +250,62 @@ object Corpus {
       |      < CASE WHEN lang = 'en' THEN 25 ELSE 100 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination — the training-data hygiene op every LLM
+    * pipeline runs before training: flag training documents that share any
+    * word n-gram with a held-out evaluation set (the standard n-gram-overlap
+    * definition, e.g. GPT-3 appendix C / PaLM's 8-gram rule; n = 8 here
+    * because the synthetic docs are 20–100 words). The eval set is a
+    * deterministic doc_id slice standing in for a benchmark suite.
+    *
+    * Scale shape: an eval suite is tiny (millions of n-grams) next to a
+    * 100 TB corpus, so its distinct-gram set is BROADCAST and the
+    * containment check is a broadcast left-semi join — the train-side gram
+    * stream never shuffles; the only shuffle is the final per-doc count.
+    * Grams are md5-hashed so the broadcast carries 32-byte digests, not
+    * raw text. */
+  private val DecontN = 8
+
+  def q54Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= DecontN)
+    def grams(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      explode(expr(s"transform(sequence(1, size(w) - ${DecontN - 1}), " +
+        s"i -> md5(concat_ws(' ', slice(w, i, $DecontN))))")).as("g"))
+    val evalGrams = grams(docs.filter(col("doc_id") % 11 === 0))
+      .select("g").distinct()
+    grams(docs.filter(col("doc_id") % 11 =!= 0))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val q54Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $DecontN),
+       |evg AS (
+       |  SELECT DISTINCT md5(array_to_string(
+       |           w[CAST(i AS INTEGER):CAST(i + ${DecontN - 1} AS INTEGER)], ' ')) AS g
+       |  FROM (SELECT w, unnest(range(1, len(w) - ${DecontN - 1} + 1)) AS i
+       |        FROM d WHERE doc_id % 11 = 0)),
+       |trg AS (
+       |  SELECT doc_id, md5(array_to_string(
+       |           w[CAST(i AS INTEGER):CAST(i + ${DecontN - 1} AS INTEGER)], ' ')) AS g
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${DecontN - 1} + 1)) AS i
+       |        FROM d WHERE doc_id % 11 <> 0))
+       |SELECT doc_id, COUNT(DISTINCT g) AS n_contaminated
+       |FROM trg WHERE g IN (SELECT g FROM evg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
     ("q35_sketch_stats", q35SketchStats _, Some(q35Sql)),
     ("q36_train_split", q36TrainSplit _, Some(q36Sql)),
     ("q37_sessionize", q37Sessionize _, Some(q37Sql)),
     ("q46_stratified_sample", q46StratifiedSample _, Some(q46Sql)),
+    ("q54_decontaminate", q54Decontaminate _, Some(q54Sql)),
   )
 }

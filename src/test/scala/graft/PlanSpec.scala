@@ -78,6 +78,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q54 decontamination: eval grams broadcast, train grams never shuffle into the join") {
+    import graft.ops.Corpus
+    val p = plan(Corpus.q54Decontaminate(spark, sf))
+    // the containment check must be a broadcast LEFT SEMI — at 100 TB the
+    // train-side gram stream cannot afford a shuffle for it
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("REPARTITION_BY_NUM"), "q54 lost its spread")
+  }
+
   test("q45 pivot plans as partial+final aggregation with a pruned scan") {
     import graft.ops.Extras
     val p = plan(Extras.q45Pivot(spark, sf))
