@@ -300,6 +300,63 @@ object Corpus {
        |FROM trg WHERE g IN (SELECT g FROM evg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Temperature-weighted source mixing — the corpus-composition op LLM
+    * pipelines run to rebalance domains before training: target weight per
+    * source ∝ tokens_s^α (α = 0.5 here — upweights small sources, caps
+    * dominant ones), realized as deterministic per-doc sampling toward a
+    * 40% total budget. Same md5-bucket machinery as q36/q46 (third digest
+    * window, so mixing is independent of split and stratification).
+    *
+    * Engine-portability is deliberate: the only floating-point step is
+    * `floor(sqrt(tokens_s) * 1e6)` — sqrt and one multiply are IEEE
+    * correctly-rounded in both engines, so the derived integer weight is
+    * bit-identical — and the include/exclude boundary is then evaluated in
+    * pure integer arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle) so
+    * no doc can flip sides on a last-ulp difference.
+    *
+    * Scale shape: per-source stats are a tiny aggregate (thousands of
+    * sources at most) — broadcast back, so the sampling pass is map-side;
+    * the only shuffles are the partial+final stats agg. */
+  def q55SourceMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+    val per = docs.groupBy("source")
+      .agg(sum("n_words").as("tok_s"), count(lit(1)).as("docs_s"))
+      .withColumn("ws_int",
+        floor(sqrt(col("tok_s").cast("double")) * 1e6).cast("long"))
+      .select("source", "docs_s", "ws_int")
+    val tot = per.agg(sum(col("ws_int")).as("denom"),
+      sum(col("docs_s")).as("total_docs"))
+    // include doc ⇔ bucket/10000 < rate_s, with
+    // rate_s = (0.4·total_docs · ws_int/denom) / docs_s, cross-multiplied
+    // into integers: bucket·denom·docs_s < 10000·T·ws_int
+    docs.join(broadcast(per), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .filter(expr(
+        "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 17, 8), 16, 10) AS BIGINT) % 10000 AS DECIMAL(38,0))" +
+          " * denom * docs_s < CAST(10000 AS DECIMAL(38,0)) * ((total_docs * 400) div 1000) * ws_int"))
+      .select("doc_id", "source", "n_words")
+      .orderBy("doc_id")
+  }
+
+  val q55Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |pw AS (
+      |  SELECT source, COUNT(*) AS docs_s,
+      |         CAST(floor(sqrt(CAST(SUM(n_words) AS DOUBLE)) * 1000000) AS BIGINT) AS ws_int
+      |  FROM d GROUP BY source),
+      |tot AS (SELECT SUM(ws_int) AS denom, SUM(docs_s) AS total_docs FROM pw)
+      |SELECT d.doc_id, d.source, d.n_words
+      |FROM d JOIN pw USING (source) CROSS JOIN tot
+      |WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 17, 8)) AS BIGINT) % 10000 AS HUGEINT)
+      |        * denom * docs_s
+      |      < CAST(10000 AS HUGEINT) * ((total_docs * 400) // 1000) * ws_int
+      |ORDER BY d.doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
     ("q35_sketch_stats", q35SketchStats _, Some(q35Sql)),
@@ -307,5 +364,6 @@ object Corpus {
     ("q37_sessionize", q37Sessionize _, Some(q37Sql)),
     ("q46_stratified_sample", q46StratifiedSample _, Some(q46Sql)),
     ("q54_decontaminate", q54Decontaminate _, Some(q54Sql)),
+    ("q55_source_mix", q55SourceMix _, Some(q55Sql)),
   )
 }

@@ -88,6 +88,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("REPARTITION_BY_NUM"), "q54 lost its spread")
   }
 
+  test("q55 source mix: per-source stats broadcast back, sampling stays map-side") {
+    import graft.ops.Corpus
+    val p = plan(Corpus.q55SourceMix(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only allowed cartesian is against the 1-row totals aggregate —
+    // one node, which formatted explain prints twice (tree + details)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+  }
+
   test("q45 pivot plans as partial+final aggregation with a pruned scan") {
     import graft.ops.Extras
     val p = plan(Extras.q45Pivot(spark, sf))
