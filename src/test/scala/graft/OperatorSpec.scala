@@ -384,6 +384,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(frames.columns.contains("frame_idx"))
   }
 
+  test("source mixing flattens a skewed corpus toward sqrt-weights (alpha=0.5)") {
+    val s = spark
+    import s.implicits._
+    // controlled skew: 900 docs from "big", 100 from "small", equal doc
+    // length, so the expected outcome is exactly computable —
+    // ws ∝ sqrt(tokens): big 3/4, small 1/4 of the weight; T = 400 docs →
+    // expected rates: big 300/900 = 1/3, small 100/100 = 1 (uncapped)
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("q55mix").toString
+    (0 until 1000).map { i =>
+      (i.toLong, text, if (i < 900) "big" else "small")
+    }.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val mixed = graft.ops.Corpus.q55SourceMix(spark, dir)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "small" hits rate 1 exactly (every doc kept); "big" lands in a
+    // binomial band around 300 (p = 1/3, n = 900, sd ≈ 14 → ±5 sd)
+    assert(bySrc("small") == 100L, bySrc.toString)
+    assert(bySrc("big") > 230 && bySrc("big") < 370, bySrc.toString)
+    // the realized doc share flattened from 90/10 toward 75/25
+    val share = bySrc("big").toDouble / (bySrc("big") + bySrc("small"))
+    assert(share > 0.65 && share < 0.82, share.toString)
+  }
+
   test("real image codec: ImageIO decodes synthesized PNGs through the batch path") {
     val s = spark
     import s.implicits._
