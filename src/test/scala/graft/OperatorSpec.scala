@@ -409,6 +409,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(share > 0.65 && share < 0.82, share.toString)
   }
 
+  test("decontamination equals brute force on random corpora with planted overlap") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(43)
+    val vocab = (0 until 40).map(i => s"t$i")
+    (1 to 3).foreach { trial =>
+      // random docs; every 7th TRAIN doc gets an eval doc's 8-gram run
+      // planted mid-text so contamination is guaranteed present
+      val docs = (0L until 120L).map { id =>
+        val words = Seq.fill(10 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        (id, words.mkString(" "), s"src${id % 5}")
+      }
+      val evalTexts = docs.filter(_._1 % 11 == 0)
+      val planted = docs.map { case (id, text, src) =>
+        if (id % 11 != 0 && id % 7 == 0 && evalTexts.nonEmpty) {
+          val ev = evalTexts(rnd.nextInt(evalTexts.size))._2.split(" ")
+          if (ev.length >= 8) {
+            val run = ev.slice(0, 8).mkString(" ")
+            (id, s"$text $run", src)
+          } else (id, text, src)
+        } else (id, text, src)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"q54d$trial").toString
+      planted.toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // brute force: distinct 8-grams per doc, intersect with the eval union
+      def grams(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 8) Set.empty
+        else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+      }
+      val evalGrams = planted.filter(_._1 % 11 == 0).flatMap(d => grams(d._2)).toSet
+      val expected = planted.filter(_._1 % 11 != 0)
+        .map(d => d._1 -> grams(d._2).count(evalGrams.contains).toLong)
+        .filter(_._2 > 0).toMap
+      assert(expected.nonEmpty, s"trial $trial planted nothing")
+      val got = graft.ops.Corpus.q54Decontaminate(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("real image codec: ImageIO decodes synthesized PNGs through the batch path") {
     val s = spark
     import s.implicits._
