@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Reproducibility (measured, not assumed): three consecutive same-session
   * runs of this protocol on an otherwise-idle machine (sf0.1, local[32],
-  * 2026-08-12) totalled 35.28 / 33.36 / 35.54 s — runs 1 and 3 within 0.7%
+  * 2026-08-12, the then-53-query catalog — before q54/q55 added ~1.3 s)
+  * totalled 35.28 / 33.36 / 35.54 s — runs 1 and 3 within 0.7%
   * of each other, the full three-run band 6% (±3% around the 34.7 s mean;
   * run 2 a uniformly-fast outlier, every query faster, i.e. machine-state
   * noise, not any query's behavior). Read round-over-round totals
