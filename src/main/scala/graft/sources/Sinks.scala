@@ -38,6 +38,16 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
+  /** Schema-evolving read over parquet batches written at different times
+    * with different (compatible) schemas — the long-lived-dataset reality at
+    * 100 TB: columns get added over months of ingest and a full rewrite is
+    * off the table. `mergeSchema` unions all footer schemas (O(#files)
+    * footer reads, distributed); rows from batches predating a column read
+    * it as null. Spark's default (first-footer schema) is kept as the fast
+    * path everywhere else — pay the merge only on datasets known to evolve. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S11 equivalent: external table over parquet files in the session
     * catalog (the reference's BigQuery external table). */
   def registerExternalTable(spark: SparkSession, name: String, path: String): Unit = {

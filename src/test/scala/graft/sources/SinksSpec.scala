@@ -44,6 +44,28 @@ class SinksSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || pruned.inputFiles.forall(_.contains("o_year=1995")))
   }
 
+  test("schema-evolving parquet batches read as one dataset via mergeSchema") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = tmp()
+    // batch 1: the original schema; batch 2: a column added months later
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/ev/batch=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/ev/batch=2")
+    val merged = Sinks.readMerged(spark, s"$dir/ev")
+    assert(merged.columns.toSet == Set("id", "name", "score", "batch"))
+    val rows = merged.orderBy("id")
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // pre-evolution rows surface the new column as null, not an error
+    assert(rows.toSeq == Seq(1L -> None, 2L -> None, 3L -> Some(0.5), 4L -> Some(0.9)))
+    // the default (non-merging) read would drop one side's column silently —
+    // documenting why the explicit merge path exists
+    val unmergedCols = spark.read.parquet(s"$dir/ev").columns.toSet
+    assert(unmergedCols.subsetOf(Set("id", "name", "score", "batch")))
+  }
+
   test("bucketed tables join with zero shuffle on either side") {
     val spark = TestSpark.spark
     Sinks.writeBucketed(Tables.orders(spark, sf), "graft_bkt_orders",
