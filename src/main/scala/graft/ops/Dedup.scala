@@ -78,6 +78,21 @@ object Dedup {
     jaccardPairs(shingled(s, d), threshold)
 
   private[graft] def jaccardPairs(shingledDocs: DataFrame, threshold: Double): DataFrame = {
+    val (docs, prefix) = rankedDocsAndPrefix(shingledDocs, threshold)
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.nsh"), col("b.nsh")).cast("double") >=
+            greatest(col("a.nsh"), col("b.nsh")) * threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyPairs(docs, candidates, threshold)
+  }
+
+  /** Shared All-Pairs scaffolding: df-rank-sorted hash arrays (`docs`) and
+    * the exploded prefix index (`prefix`) both the symmetric and the
+    * incremental entry points join on. */
+  private def rankedDocsAndPrefix(shingledDocs: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
     // Global token order = ascending (document frequency, hash): the prefix
     // of every doc then holds its RAREST shingles. Any consistent total
     // order is correct; this one is what makes All-Pairs survive real
@@ -132,12 +147,13 @@ object Dedup {
     // shorten the prefix and silently lose recall)
     val prefix = docs.select(col("doc_id"), col("nsh"), explode(expr(
       s"slice(hs, 1, cast(nsh - ceil(nsh * $threshold - 1e-9) + 1 as int))")).as("shh"))
-    val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.nsh"), col("b.nsh")).cast("double") >=
-            greatest(col("a.nsh"), col("b.nsh")) * threshold)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    (docs, prefix)
+  }
+
+  /** Exact verification of candidate (a_id, b_id) pairs against the full
+    * hash arrays — shared tail of the symmetric and incremental paths. */
+  private def verifyPairs(docs: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
     val da = docs.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("nsh").as("na"))
     val db = docs.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("nsh").as("nb"))
     candidates.join(da, "a_id").join(db, "b_id")
@@ -147,6 +163,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
+  }
+
+  /** Incremental near-dup detection — dedup a FRESH batch against a corpus
+    * without re-comparing existing×existing: the only formulation that
+    * works on a growing 100 TB corpus, where full-corpus re-dedup per
+    * ingest batch is quadratic over time. The All-Pairs index is built over
+    * existing ∪ fresh (same df-ranked prefix machinery as [[jaccardPairs]]),
+    * but only FRESH docs' prefixes probe it — a qualifying pair shares a
+    * prefix token on BOTH sides, so probing one side finds every pair that
+    * touches the fresh batch and provably none that doesn't. Output: all
+    * J ≥ t pairs with ≥1 fresh member, canonicalized (a_id < b_id) — equal
+    * by construction to `jaccardPairs(all)` filtered to those pairs
+    * (differential-tested in OperatorSpec). In steady state the ranked hash
+    * arrays of the existing corpus are a persisted artifact; here they are
+    * recomputed because the testdata has no such side-state. */
+  private[graft] def incrementalJaccardPairs(shingledAll: DataFrame,
+      freshIds: DataFrame, threshold: Double): DataFrame = {
+    val (docs, prefix) = rankedDocsAndPrefix(shingledAll, threshold)
+    val freshPrefix = prefix.join(freshIds, Seq("doc_id"), "left_semi")
+    val candidates = prefix.as("a").join(freshPrefix.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") =!= col("b.doc_id") &&
+          least(col("a.nsh"), col("b.nsh")).cast("double") >=
+            greatest(col("a.nsh"), col("b.nsh")) * threshold)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+    verifyPairs(docs, candidates, threshold)
   }
 
   /** Exact-duplicate collapse around the pair join. Real corpora (and every

@@ -254,6 +254,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup equals full-corpus pairs restricted to the fresh batch") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(67)
+    val vocab = (0 until 50).map(i => s"v$i")
+    // near-dup corpus: bases + mutated/byte-identical copies, so plenty of
+    // pairs land existing×fresh, fresh×fresh, and existing×existing
+    val texts = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    (1 to 30).foreach { _ =>
+      val base = Seq.fill(12 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      (0 to 1 + rnd.nextInt(3)).foreach { _ =>
+        // light mutation (~7% of words) keeps trigram Jaccard straddling 0.6
+        val words = base.flatMap { w =>
+          if (rnd.nextInt(30) == 0) None
+          else if (rnd.nextInt(30) == 1) Some(vocab(rnd.nextInt(vocab.size)))
+          else Some(w)
+        }
+        texts += ((id, words.mkString(" "))); id += 1
+      }
+    }
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val shingledAll = Dedup.shingleDocs(docs)
+    val freshIds = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val fresh = freshIds.collect().map(_.getLong(0)).toSet
+    val full = Dedup.jaccardPairs(shingledAll, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.filter(p => fresh(p._1) || fresh(p._2)).toSeq
+    val got = Dedup.incrementalJaccardPairs(shingledAll, freshIds, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(expected.nonEmpty && expected.size < full.length,
+      s"corpus must exercise both kept and skipped pairs (${expected.size}/${full.length})")
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
+  }
+
   test("minhash+LSH dedup equals exact n-gram jaccard dedup") {
     val exact = Dedup.q24DedupNgram(spark, sf).collect().map(_.toSeq)
     val lsh = Dedup.q25DedupMinhash(spark, sf).collect().map(_.toSeq)
