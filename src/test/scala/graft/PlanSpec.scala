@@ -86,6 +86,9 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("REPARTITION_BY_NUM"), "q54 lost its spread")
+    // column pruning: only doc_id + text reach the documents scan
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs.contains("doc_id") && rs.contains("text") && !rs.contains("lang"), rs)
   }
 
   test("q55 source mix: per-source stats broadcast back, sampling stays map-side") {

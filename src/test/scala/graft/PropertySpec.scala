@@ -192,6 +192,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GenCorpus is frozen: changing it would invalidate the BASELINE anchors") {
+    // the BASELINE.md anchor table was measured on this exact corpus; any
+    // edit to the generator (vocab, lengths, mutation bands) must
+    // consciously re-measure, so the first 200 docs' digest is pinned
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0L until 200L).foreach { id =>
+      digest.update(GenCorpus.docText(id, 10000L).getBytes("UTF-8"))
+    }
+    val hex = digest.digest().map("%02x".format(_)).mkString
+    assert(hex == GenCorpusSnapshot, s"GenCorpus output changed: $hex — " +
+      "re-measure the BASELINE.md anchors and update this pin")
+  }
+  private val GenCorpusSnapshot = "88ef945ff7b586ff95c833e3acd16f42"
+
   test("minhash buffer round-trips through serialization") {
     val agg = graft.functions.MinHashAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(1L), 8)
