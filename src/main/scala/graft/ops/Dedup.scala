@@ -627,6 +627,132 @@ object Dedup {
       |SELECT a AS doc_id, min(b) AS cluster_id
       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** Cross-document repeated-substring spans — the distributed form of
+    * exact-substring dedup (the "remove any ≥N-token run that appears in
+    * more than one document" rule; the reference-free analogue of suffix-
+    * array ExactSubstr dedup, which is single-machine). Every SpanN-word
+    * gram is md5'd with its position; grams seen in ≥2 distinct docs are
+    * flagged and their positions merged into maximal spans per doc — the
+    * byte ranges a training pipeline would cut.
+    *
+    * Scale shape: gram explode is map-side; the multi-doc test is ONE
+    * partial+final agg on the gram hash (count distinct over 2 values
+    * short-circuits cheaply); flagged grams come back via a left-semi
+    * equi-join on the hash; span merging is a per-doc window. No stage
+    * compares documents pairwise — cost is linear in corpus grams, which
+    * is what makes this the 100 TB formulation where suffix arrays are not.
+    */
+  private[graft] val SpanN = 15 // words per gram — spans shorter than this are noise
+
+  def q57SubstrSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanN)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${SpanN - 1}),
+           |  i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, $SpanN))) AS g))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.pos").cast("long").as("pos"), col("p.g").as("g"))
+    val multiDoc = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val ord = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(multiDoc, Seq("g"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(ord) <= 1, 0).otherwise(1))
+      .withColumn("run", sum("brk").over(ord))
+      .groupBy("doc_id", "run")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + SpanN - 1).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val q57Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SpanN),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |         md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + ${SpanN - 1} AS INTEGER)], ' ')) AS g
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${SpanN - 1} + 1)) AS i FROM d)),
+       |dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 1
+       |              THEN 0 ELSE 1 END AS brk
+       |  FROM g WHERE g IN (SELECT g FROM dup)),
+       |r AS (
+       |  SELECT doc_id, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+       |  FROM h)
+       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${SpanN - 1} AS span_end,
+       |       COUNT(*) AS n_grams
+       |FROM r GROUP BY doc_id, run ORDER BY doc_id, span_start""".stripMargin
+
+  /** Edit-distance (Levenshtein) near-dup — the short-record dedup rule
+    * (titles, URLs, OCR lines) where token-set measures like Jaccard are too
+    * coarse: flags pairs within EditMaxDist character edits.
+    *
+    * Blocking keeps it off the n² cliff: each doc emits TWO blocking keys —
+    * its first and last EditBlockChars characters — and candidates are an
+    * equi-join on the key (a pair ≤ k edits apart with k < EditBlockChars
+    * must have an untouched head or an untouched tail unless edits hit both
+    * extremes — the classic prefix/suffix-blocking recall tradeoff, measured
+    * against brute force in OperatorSpec). Pairs found under both keys are
+    * collapsed by a groupBy BEFORE the O(len²) levenshtein verify, so each
+    * pair is verified once; a length-band filter runs ahead of the verify
+    * (|len diff| > k can never pass). Hot blocking keys (boilerplate
+    * openings) are exactly the skew `Skew.saltedJoin` + AQE absorb at scale.
+    */
+  private val EditBlockChars = 16
+  private[graft] val EditMaxDist = 8
+
+  def q59EditDedup(s: SparkSession, d: String): DataFrame =
+    editPairs(Tables.spread(s, Tables.documents(s, d), "doc_id"))
+
+  /** Blocked Levenshtein pair core over any (doc_id, text, …) frame. */
+  private[graft] def editPairs(src: DataFrame): DataFrame = {
+    val docs = src
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+        substring(col("text"), 1, EditBlockChars).as("hk"),
+        expr(s"substring(text, greatest(length(text) - ${EditBlockChars - 1}, 1), $EditBlockChars)").as("tk"))
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(array(concat(lit("h:"), col("hk")), concat(lit("t:"), col("tk")))).as("bk"))
+    val a = docs.select(col("bk"), col("doc_id").as("doc_a"), col("text").as("ta"), col("len").as("la"))
+    val b = docs.select(col("bk"), col("doc_id").as("doc_b"), col("text").as("tb"), col("len").as("lb"))
+    a.join(b, Seq("bk"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("la") - col("lb")) <= EditMaxDist)
+      .groupBy("doc_a", "doc_b")
+      .agg(min("ta").as("ta"), min("tb").as("tb"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= EditMaxDist)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q59Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |         substring(text, 1, $EditBlockChars) AS hk,
+       |         substring(text, greatest(length(text) - ${EditBlockChars - 1}, 1), $EditBlockChars) AS tk
+       |  FROM documents),
+       |k AS (SELECT doc_id, text, len, 'h:' || hk AS bk FROM d
+       |      UNION ALL
+       |      SELECT doc_id, text, len, 't:' || tk AS bk FROM d),
+       |c AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         MIN(a.text) AS ta, MIN(b.text) AS tb
+       |  FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  WHERE abs(a.len - b.len) <= $EditMaxDist
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+       |FROM c WHERE levenshtein(ta, tb) <= $EditMaxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_dedup_exact", q23DedupExact _, Some(q23Sql)),
     ("q24_dedup_ngram", q24DedupNgram _, Some(q24Sql)),
@@ -635,5 +761,7 @@ object Dedup {
     ("q27_dedup_embed", q27DedupEmbed _, Some(q27Sql)),
     ("q42_dedup_collapsed", q42DedupCollapsed _, Some(q42Sql)),
     ("q53_dedup_clusters", q53DedupClusters _, Some(q53Sql)),
+    ("q57_substr_spans", q57SubstrSpans _, Some(q57Sql)),
+    ("q59_edit_dedup", q59EditDedup _, Some(q59Sql)),
   )
 }

@@ -172,8 +172,46 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage/serving
+    * compression every large ANN index runs (4× smaller than float32, SIMD
+    * dot products downstream). Per-vector symmetric max-abs scaling:
+    * q_i = floor(x_i · 127 / max|x|). Pure map-side expressions — zero
+    * shuffle at any scale; the quantized vector is fingerprinted (md5 of the
+    * int list) for the gate, a consumer would keep the array.
+    *
+    * Engine-portability: x is float32 widened to double (exact), and the
+    * scale step is one IEEE multiply + divide + floor — all correctly
+    * rounded in both engines, so the int codes are bit-identical; no
+    * accumulation order is involved. All-zero vectors (no scale) are
+    * excluded by contract. `n_sat` counts saturated codes (±127) — the
+    * max-magnitude element always saturates, so n_sat ≥ 1 is an invariant
+    * (asserted in OperatorSpec). */
+  def q58Quantize(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.embeddings(s, d), "vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("max_abs", expr("array_max(transform(e, x -> abs(x)))"))
+      .filter(col("max_abs") > 0)
+      .withColumn("q", expr("transform(e, x -> CAST(floor(x * 127.0 / max_abs) AS INT))"))
+      .select(col("vec_id"),
+        round(col("max_abs"), 6).as("max_abs_r"),
+        md5(concat_ws(",", expr("transform(q, v -> CAST(v AS STRING))"))).as("q_fp"),
+        expr("size(filter(q, v -> v = 127 OR v = -127))").cast("long").as("n_sat"))
+      .orderBy("vec_id")
+
+  val q58Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS max_abs FROM e),
+      |q AS (SELECT vec_id, max_abs,
+      |             list_transform(e, x -> CAST(floor(x * 127.0 / max_abs) AS INTEGER)) AS q
+      |      FROM m WHERE max_abs > 0)
+      |SELECT vec_id, round(max_abs, 6) AS max_abs_r,
+      |       md5(array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',')) AS q_fp,
+      |       CAST(len(list_filter(q, v -> v = 127 OR v = -127)) AS BIGINT) AS n_sat
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q28_ann_topk", q28AnnTopk _, Some(q28Sql)),
     ("q29_ann_lsh", q29AnnLsh _, Some(q29Sql)),
+    ("q58_quantize", q58Quantize _, Some(q58Sql)),
   )
 }

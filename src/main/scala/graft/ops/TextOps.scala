@@ -258,6 +258,54 @@ object TextOps {
       |                 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // TF-IDF keyword extraction: the top-3 most characteristic terms per doc,
+  // ranked by (tf desc, df asc, term asc) — "frequent here, rare corpus-wide",
+  // the TF-IDF ordering realized in pure integer comparisons so both engines
+  // agree bit-for-bit (a float tf·ln(N/df) score would rank identically but
+  // hash-compare on last-ulp log differences).
+  //
+  // Scale shape: tf is computed MAP-SIDE inside the term array (per-doc term
+  // counting never shuffles; O(distinct·len) per doc, bounded by doc length),
+  // df is a partial+final count over the already-distinct (doc, term) pairs,
+  // and the tf↔df attach is a shuffle equi-join on term — deliberately NOT a
+  // broadcast: at 100 TB the vocabulary is ~10⁸ terms and must stay
+  // partitioned (contrast q24's heavy-hitter map, which broadcasts only a
+  // capped top slice). The final per-doc top-3 is a window over (doc, term)
+  // rows; for billion-term groups the q51 `graft_topk` aggregate is the
+  // drop-in replacement when the ranking key fits (score, id) — here the
+  // term-string tiebreak keeps the window formulation.
+  private val TfidfK = 3
+
+  def q56Tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(array_distinct(w), t -> struct(t AS term, size(filter(w, x -> x = t)) AS tf))")).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").cast("long").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TfidfK)
+      .select("doc_id", "rnk", "term", "tf", "df")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val q56Sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+       |SELECT doc_id, rnk, term, tf, df FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |              ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rnk
+       |  FROM tf JOIN df USING (term))
+       |WHERE rnk <= $TfidfK ORDER BY doc_id, rnk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
@@ -266,5 +314,6 @@ object TextOps {
     ("q48_chunk", q48Chunk _, Some(q48Sql)),
     ("q49_redact", q49Redact _, Some(q49Sql)),
     ("q50_repetition", q50Repetition _, Some(q50Sql)),
+    ("q56_tfidf", q56Tfidf _, Some(q56Sql)),
   )
 }

@@ -101,6 +101,30 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
   }
 
+  test("q56 tfidf: df attach is an equi join (vocab stays partitioned), no nested loop") {
+    import graft.ops.TextOps
+    val p = plan(TextOps.q56Tfidf(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // df is a partial+final count over (doc, term) pairs
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("REPARTITION_BY_NUM"), "q56 lost its spread")
+  }
+
+  test("q57 substring spans: flagged grams return via a left-semi equi join") {
+    val p = plan(Dedup.q57SubstrSpans(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q59 edit dedup: candidates come from an equi join on blocking keys") {
+    val p = plan(Dedup.q59EditDedup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("q45 pivot plans as partial+final aggregation with a pruned scan") {
     import graft.ops.Extras
     val p = plan(Extras.q45Pivot(spark, sf))
