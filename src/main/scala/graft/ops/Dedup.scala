@@ -713,8 +713,10 @@ object Dedup {
   def q59EditDedup(s: SparkSession, d: String): DataFrame =
     editPairs(Tables.spread(s, Tables.documents(s, d), "doc_id"))
 
-  /** Blocked Levenshtein pair core over any (doc_id, text, …) frame. */
-  private[graft] def editPairs(src: DataFrame): DataFrame = {
+  /** Collapsed candidate pairs (post length-band filter, pre-verify): the
+    * set the O(len²) levenshtein actually runs on — its size vs the verified
+    * count is the blocking-selectivity metric `Profile57` tracks. */
+  private[graft] def editCandidates(src: DataFrame): DataFrame = {
     val docs = src
       .select(col("doc_id"), col("text"), length(col("text")).as("len"),
         substring(col("text"), 1, EditBlockChars).as("hk"),
@@ -728,11 +730,15 @@ object Dedup {
         abs(col("la") - col("lb")) <= EditMaxDist)
       .groupBy("doc_a", "doc_b")
       .agg(min("ta").as("ta"), min("tb").as("tb"))
+  }
+
+  /** Blocked Levenshtein pair core over any (doc_id, text, …) frame. */
+  private[graft] def editPairs(src: DataFrame): DataFrame =
+    editCandidates(src)
       .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
       .filter(col("dist") <= EditMaxDist)
       .select("doc_a", "doc_b", "dist")
       .orderBy("doc_a", "doc_b")
-  }
 
   val q59Sql: String =
     s"""WITH d AS (
