@@ -142,10 +142,15 @@ object Similarity {
     * sizes, never n². Not oracle-gated (recall < 1 by design); invariants +
     * recall floor in `OperatorSpec`. */
   def ivfTopK(s: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4,
-      k: Int = 5, nQueries: Int = 10): DataFrame = {
+      k: Int = 5, nQueries: Int = 10, trainIters: Int = 0): DataFrame = {
     val emb = embWithNorm(s, d).cache()
-    val cents = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val cents = (if (trainIters > 0)
+        trainCentroids(emb.select("vec_id", "e"), nlist, trainIters)
+      else
+        emb.filter(col("vec_id") < nlist)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce")))
+      .withColumn("cn", sqrt(expr("graft_dot(ce, ce)")))
+      .select(col("cent_id"), col("ce"), col("cn"))
     // nearest centroid per vector (broadcast argmax over cosine)
     def assign(df: DataFrame, topN: Int, outCol: String): DataFrame = {
       val w = Window.partitionBy("vec_id")
@@ -171,6 +176,54 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rn")
       .orderBy("query_id", "rn")
   }
+
+  /** Lloyd's k-means training for the IVF coarse quantizer — the step that
+    * turns `ivfTopK`'s "first nlist vectors" seed into data-shaped cells.
+    * Squared-euclidean assignment via the expansion ‖x−c‖² = x·x − 2x·c + c·c
+    * (one codegen'd `graft_dot` per pair against BROADCAST centroids —
+    * map-side argmin, no shuffle), deterministic tie-break toward the lower
+    * centroid id via a lexicographic `min(struct(dist, cent_id))`; the
+    * update step recomputes each cell's element-wise mean by posexploding to
+    * (cell, dim_index) — a partial+final avg whose shuffle is nlist×dim
+    * rows, trivial at any corpus size. Empty cells keep their previous
+    * centroid (joined back) rather than being dropped, so nlist is stable.
+    *
+    * Iteration happens driver-side over a FIXED small count (Lloyd rounds,
+    * typically 3–10) — each round is one distributed pass; this is the
+    * standard shape (same as q53's label propagation), not a driver-side
+    * data loop. Mean accumulation order makes trained centroids
+    * ulp-nondeterministic across cluster layouts, which is why `ivfTopK`'s
+    * default seed stays non-iterative and this trainer is sbt-gated
+    * (inertia monotonicity + recall) rather than oracle-gated. */
+  private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("_d",
+        expr("graft_dot(e, e) - 2 * graft_dot(e, ce) + graft_dot(ce, ce)"))
+      .groupBy(col("vec_id"), col("e"))
+      .agg(min(struct(col("_d"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("e"), col("m._d").as("dist"), col("m.cent_id").as("cell"))
+
+  private[graft] def trainCentroids(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    var cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    (1 to iters).foreach { _ =>
+      val prev = cents
+      val means = assignCells(emb, prev)
+        .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
+        .groupBy("cell", "i").agg(avg("v").as("m"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("ce_new"))
+      cents = prev.join(means, prev("cent_id") === means("cell"), "left")
+        .select(prev("cent_id"), coalesce(col("ce_new"), prev("ce")).as("ce"))
+      cents.cache().count() // materialize per round; keeps lineage O(1)
+      prev.unpersist(false)
+    }
+    cents
+  }
+
+  /** Σ min-distance over the corpus — Lloyd's objective. */
+  private[graft] def inertia(emb: DataFrame, cents: DataFrame): Double =
+    assignCells(emb, cents).agg(sum("dist")).head().getDouble(0)
 
   /** Int8 scalar quantization of the embedding column — the storage/serving
     * compression every large ANN index runs (4× smaller than float32, SIMD

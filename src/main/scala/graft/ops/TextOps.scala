@@ -267,13 +267,15 @@ object TextOps {
   // Scale shape: tf is computed MAP-SIDE inside the term array (per-doc term
   // counting never shuffles; O(distinct·len) per doc, bounded by doc length),
   // df is a partial+final count over the already-distinct (doc, term) pairs,
-  // and the tf↔df attach is a shuffle equi-join on term — deliberately NOT a
-  // broadcast: at 100 TB the vocabulary is ~10⁸ terms and must stay
-  // partitioned (contrast q24's heavy-hitter map, which broadcasts only a
-  // capped top slice). The final per-doc top-3 is a window over (doc, term)
-  // rows; for billion-term groups the q51 `graft_topk` aggregate is the
-  // drop-in replacement when the ranking key fits (score, id) — here the
-  // term-string tiebreak keeps the window formulation.
+  // and the tf↔df attach is an equi-join on term whose strategy is left to
+  // Catalyst's size estimate: broadcast while the distinct-term table is
+  // small (as at test SF), shuffle join once the vocabulary (~10⁸ terms at
+  // 100 TB) outgrows it — never a nested loop (PlanSpec). The final per-doc
+  // top-3 is a rank-filtered window, which Spark 4 plans as WindowGroupLimit
+  // (per-partition top-k retention, no full group sort kept — also asserted);
+  // the q51 `graft_topk` aggregate is the drop-in replacement when the
+  // ranking key fits (score, id) — here the term-string tiebreak keeps the
+  // window formulation.
   private val TfidfK = 3
 
   def q56Tfidf(s: SparkSession, d: String): DataFrame = {

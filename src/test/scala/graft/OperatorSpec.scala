@@ -491,6 +491,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall too low: $recall")
   }
 
+  test("k-means training monotonically reduces inertia; trained IVF keeps the recall floor") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // trainCentroids(iters = 0) is exactly the untrained seed
+    val i0 = Similarity.inertia(emb, Similarity.trainCentroids(emb, 16, 0))
+    val i1 = Similarity.inertia(emb, Similarity.trainCentroids(emb, 16, 1))
+    val i3 = Similarity.inertia(emb, Similarity.trainCentroids(emb, 16, 3))
+    // Lloyd guarantees non-increase per round (tolerance for fp accumulation)
+    assert(i1 <= i0 * (1 + 1e-9), s"round 1 increased inertia: $i0 -> $i1")
+    assert(i3 <= i1 * (1 + 1e-9), s"rounds 2-3 increased inertia: $i1 -> $i3")
+    // on the labeled synthetic embeddings the drop is substantial, not ulp
+    assert(i3 < i0 * 0.9, s"training barely moved inertia: $i0 -> $i3")
+    // the search path with trained centroids still meets the recall floor
+    val ivf = Similarity.ivfTopK(s, sf, trainIters = 3).collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.q28AnnTopk(s, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val found = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & found).size.toDouble / brute.size
+    assert(recall >= 0.2, s"trained-IVF recall too low: $recall")
+  }
+
   test("session built with GraftExtensions resolves graft functions in SQL") {
     val spark = TestSpark.spark
     // wire the extension points (builder path); the injected builders are

@@ -109,6 +109,9 @@ class PlanSpec extends AnyFunSuite {
     // df is a partial+final count over (doc, term) pairs
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(p.contains("REPARTITION_BY_NUM"), "q56 lost its spread")
+    // the rank<=k filter must push into the window as a group-limit so no
+    // full per-doc term ranking is retained
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("q57 substring spans: flagged grams return via a left-semi equi join") {
