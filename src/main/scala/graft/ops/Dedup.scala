@@ -113,21 +113,59 @@ object Dedup {
     // expression. No join, no re-agg, no full-corpus token shuffle: the
     // sampled count is the only action, its input 1/4 (at 100 TB: 1/1000)
     // of the corpus.
-    val spark = shingledDocs.sparkSession
     val hashed = shingledDocs.select(col("doc_id"),
       expr("transform(shingles, x -> xxhash64(x))").as("hs0")).cache()
+    val btable = dfRankTable(hashed)
+    val docs = rankDocs(hashed, btable).cache()
+    val prefix = docs.select(col("doc_id"), col("nsh"),
+      explode(prefixSliceExpr(threshold)).as("shh"))
+    (docs, prefix)
+  }
+
+  /** (doc_id, hs0) → (doc_id, hs df-rank-sorted, nsh). Pure map-side given
+    * the broadcast rank table, so also valid on a STREAMING frame
+    * (DocStream builds fresh-batch prefixes with the static corpus's
+    * table — any consistent total order preserves prefix containment). */
+  private[graft] def rankDocs(hashed: DataFrame,
+      btable: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])]): DataFrame =
+    hashed
+      .select(col("doc_id"),
+        graft.functions.RankSort.sortByDfRank(col("hs0"), btable).as("hs"))
+      .withColumn("nsh", size(col("hs")).cast("long"))
+
+  // prefix length n − ⌈t·n⌉ + 1; the 1e-9 nudge keeps FP ceil from landing
+  // ABOVE the true integer (0.6*5 = 3.0000000000000004 → ceil 4 would
+  // shorten the prefix and silently lose recall)
+  private[graft] def prefixSliceExpr(threshold: Double): org.apache.spark.sql.Column =
+    expr(s"slice(hs, 1, cast(nsh - ceil(nsh * $threshold - 1e-9) + 1 as int))")
+
+  /** documents → (doc_id, hs0 = xxhash64'd distinct trigram shingles); the
+    * map-side head of the All-Pairs pipeline, streaming-safe. */
+  private[graft] def hashShingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("shingles", array_distinct(expr(trigramExpr)))
+      .select(col("doc_id"), expr("transform(shingles, x -> xxhash64(x))").as("hs0"))
+
+  /** The sampled-df broadcast rank table alone, for callers that rank a
+    * different frame than the one the order was estimated on.
+    *
+    * Cutoff: estimated df ≥ 4 — at 1-in-4 sampling that keeps EVERY sampled
+    * token, mid-frequency ones included, and that is deliberate: prefix
+    * containment lives or dies on tokens with df 4–16 (measured on the
+    * 100k-doc near-dup corpus: est-df≥4 ordering ≈ the exact-count baseline
+    * at ~80 s; demanding 2 sample hits → est df ≥ 8 drops half of the df
+    * 4–8 band and blows the same run up to 262 s). The broadcast table is
+    * bounded by the 1M cap, and a df-1-in-sample token ordered as df-4 is
+    * harmless — order quality, not set membership, is what the prefix
+    * filter consumes. At 100 TB (1-in-1000 sampling) the same rule reads
+    * "est df ≥ 1000": a token must be heavy enough to matter at THAT corpus
+    * size before its order matters, which is the right asymptotic. */
+  private[graft] def dfRankTable(hashed: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])] = {
+    val spark = hashed.sparkSession
     val sampleMod = 4
-    // Cutoff: estimated df ≥ 4 — at 1-in-4 sampling that keeps EVERY sampled
-    // token, mid-frequency ones included, and that is deliberate: prefix
-    // containment lives or dies on tokens with df 4–16 (measured on the
-    // 100k-doc near-dup corpus: est-df≥4 ordering ≈ the exact-count baseline
-    // at ~80 s; demanding 2 sample hits → est df ≥ 8 drops half of the df
-    // 4–8 band and blows the same run up to 262 s). The broadcast table is
-    // bounded by the 1M cap, and a df-1-in-sample token ordered as df-4 is
-    // harmless — order quality, not set membership, is what the prefix
-    // filter consumes. At 100 TB (1-in-1000 sampling) the same rule reads
-    // "est df ≥ 1000": a token must be heavy enough to matter at THAT corpus
-    // size before its order matters, which is the right asymptotic.
     val heavy = hashed
       .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
       .select(explode(col("hs0")).as("shh"))
@@ -135,19 +173,7 @@ object Dedup {
       .filter(col("df") >= 4)
       .orderBy(desc("df"), col("shh")).limit(1 << 20)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
-    val btable = spark.sparkContext.broadcast(
-      graft.functions.RankSort.buildTable(heavy))
-    val docs = hashed
-      .select(col("doc_id"),
-        graft.functions.RankSort.sortByDfRank(col("hs0"), btable).as("hs"))
-      .withColumn("nsh", size(col("hs")).cast("long"))
-      .cache()
-    // prefix length n − ⌈t·n⌉ + 1; the 1e-9 nudge keeps FP ceil from landing
-    // ABOVE the true integer (0.6*5 = 3.0000000000000004 → ceil 4 would
-    // shorten the prefix and silently lose recall)
-    val prefix = docs.select(col("doc_id"), col("nsh"), explode(expr(
-      s"slice(hs, 1, cast(nsh - ceil(nsh * $threshold - 1e-9) + 1 as int))")).as("shh"))
-    (docs, prefix)
+    spark.sparkContext.broadcast(graft.functions.RankSort.buildTable(heavy))
   }
 
   /** Exact verification of candidate (a_id, b_id) pairs against the full

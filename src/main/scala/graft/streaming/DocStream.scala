@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Dedup
+
+/** Streaming corpus ingestion with near-dup detection — the continuous form
+  * of `Dedup.incrementalJaccardPairs`: fresh documents arrive as a file
+  * stream and are checked against a STATIC existing corpus via stream-static
+  * joins, emitting (fresh_id, ex_id, jaccard) matches as they land.
+  *
+  * Design (and why it differs from the batch path):
+  *   - The static side is prepared ONCE: the sampled-df rank table
+  *     (broadcast) plus the exploded prefix index. Each index row carries
+  *     the full ranked hash array, so jaccard verification happens JOIN-
+  *     LOCALLY on the matched row — the batch path's verify-by-rejoin would
+  *     be a second stateful stage on a stream.
+  *   - The fresh side is pure map-side (shingle → hash → rank-sort with the
+  *     static table → prefix slice → explode), all streaming-legal
+  *     expressions. Prefix containment needs only a CONSISTENT total order
+  *     across both sides, so ranking fresh docs by the static corpus's
+  *     table preserves the All-Pairs guarantee; tokens unseen by the static
+  *     corpus rank as rare (hash order), exactly like df-1 tokens do in the
+  *     batch path.
+  *   - A pair sharing several prefix tokens surfaces once per token;
+  *     `dropDuplicates` collapses them. Without an event-time watermark that
+  *     dedup state is unbounded — fine for a bounded AvailableNow drain (the
+  *     test shape) and for bounded ingest windows; a production deployment
+  *     keys ingestion time and adds `withWatermark` so pair-state ages out.
+  *
+  * At scale: the stream never shuffles against the corpus — the index join
+  * is the same equi-join q24 runs, with the static side persisted; per
+  * micro-batch cost is proportional to the batch's prefix tokens, not to
+  * corpus size.
+  */
+object DocStream {
+
+  /** documents.parquet schema (TESTDATA.md). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File stream over a directory of documents.parquet batches. */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+
+  /** Static-side artifacts, built once per existing-corpus snapshot:
+    * the broadcast df-rank table and the prefix index carrying full ranked
+    * arrays (ex_id, ex_hs, ex_nsh, shh), cached. */
+  def nearDupIndex(staticDocs: DataFrame, threshold: Double)
+      : (Broadcast[(Array[Long], Array[Long])], DataFrame) = {
+    val hashed = Dedup.hashShingles(staticDocs)
+    val btable = Dedup.dfRankTable(hashed)
+    val index = Dedup.rankDocs(hashed, btable)
+      .select(col("doc_id").as("ex_id"), col("hs").as("ex_hs"),
+        col("nsh").as("ex_nsh"),
+        explode(Dedup.prefixSliceExpr(threshold)).as("shh"))
+      .cache()
+    (btable, index)
+  }
+
+  /** fresh document stream → (fresh_id, ex_id, jaccard) for every J ≥ t
+    * match against the static corpus. Exact — candidates from the prefix
+    * equi-join, verified in place against the carried arrays. */
+  def nearDupAgainst(freshDocs: DataFrame,
+      btable: Broadcast[(Array[Long], Array[Long])],
+      index: DataFrame, threshold: Double): DataFrame =
+    Dedup.rankDocs(Dedup.hashShingles(freshDocs), btable)
+      .select(col("doc_id"), col("hs"), col("nsh"),
+        explode(Dedup.prefixSliceExpr(threshold)).as("shh"))
+      .join(index, Seq("shh"))
+      .filter(least(col("nsh"), col("ex_nsh")).cast("double") >=
+        greatest(col("nsh"), col("ex_nsh")) * threshold)
+      .withColumn("inter", size(array_intersect(col("hs"), col("ex_hs"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nsh") + col("ex_nsh") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id").as("fresh_id"), col("ex_id"), col("jaccard"))
+      .dropDuplicates("fresh_id", "ex_id")
+}

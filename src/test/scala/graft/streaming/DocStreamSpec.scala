@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{Tables, TestSpark}
+
+/** Streaming ingest dedup ≡ brute force: draining a fresh-batch document
+  * stream against the static-corpus index must find exactly the J ≥ t
+  * fresh×existing pairs. */
+class DocStreamSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private val threshold = 0.6
+
+  test("streamed near-dup matches against a static corpus equal brute force") {
+    val spark = TestSpark.spark
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val static = all.filter(col("doc_id") % 5 =!= 0)
+    val fresh = all.filter(col("doc_id") % 5 === 0)
+
+    // stage the fresh batch as a file-stream source directory
+    val dir = java.nio.file.Files.createTempDirectory("docstream").toString
+    fresh
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val (btable, index) = DocStream.nearDupIndex(static, threshold)
+    val q = DocStream.nearDupAgainst(DocStream.readDocs(spark, dir), btable, index, threshold)
+      .writeStream.format("memory").queryName("stream_neardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_neardup").collect()
+      .map(r => (r.getAs[Long]("fresh_id"), r.getAs[Long]("ex_id"),
+        r.getAs[Double]("jaccard"))).toSet
+
+    // brute force driver-side: every fresh×static pair over distinct word
+    // trigrams (same shingle definition as the engine)
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sDocs = static.collect().map(r => (r.getLong(0), shingleSet(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    val fDocs = fresh.collect().map(r => (r.getLong(0), shingleSet(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (fid, fs) <- fDocs; (eid, es) <- sDocs
+      inter = (fs & es).size
+      j = inter.toDouble / (fs.size + es.size - inter)
+      if j >= threshold
+    } yield (fid, eid, j)).toSet
+    assert(expected.nonEmpty, "vacuous: no fresh-vs-static near-dup pairs at sf0.001")
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+  }
+}
