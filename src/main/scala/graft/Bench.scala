@@ -29,7 +29,9 @@ import org.apache.spark.sql.SparkSession
   * noise, not any query's behavior). Read round-over-round totals
   * accordingly: deltas inside ~±5% are measurement noise; only a >10% move
   * — or a single query moving far outside its band — is attributable to
-  * code.
+  * code. On the round-5 59-query catalog the same protocol measured
+  * 37.97 s, with the 53-query core at 33.73 s — inside the 34.7 s ± 3%
+  * band above — and the six additions (q54–q59) contributing 4.2 s.
   *
   * A query that fails in some-but-not-all passes is reported under "flaky"
   * and its surviving timings are kept OUT of "value" (the headline total):

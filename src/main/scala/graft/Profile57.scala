@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * Measured on the GenCorpus 100k-doc corpus (2026-08-12): q57 spans
   * 12.8 s (64,251 spans); q59 candidates 57,308 (≈1e-5 of the 5B possible
   * pairs — the blocking key needs no length-band component at this shape),
-  * verified pairs 12,046 in 5.6 s including the verify.
+  * verified pairs 12,046 in 5.6 s including the verify; q56 tfidf 8.8 s
+  * for 300k keyword rows (the vocabulary join at 100k docs).
   */
 object Profile57 {
   def main(args: Array[String]): Unit = {
@@ -36,6 +37,7 @@ object Profile57 {
       val r = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s  ($r)")
     }
+    time("q56 tfidf rows")(graft.ops.TextOps.q56Tfidf(spark, d).count())
     time("q57 spans")(graft.ops.Dedup.q57SubstrSpans(spark, d).count())
     val docs = Tables.spread(spark, Tables.documents(spark, d), "doc_id")
     time("q59 candidates (post length-band, pre-verify)")(
