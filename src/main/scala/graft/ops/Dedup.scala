@@ -670,7 +670,8 @@ object Dedup {
     */
   private[graft] val SpanN = 15 // words per gram — spans shorter than this are noise
 
-  def q57SubstrSpans(s: SparkSession, d: String): DataFrame = {
+  /** Unordered span frame shared by q57 (report) and q60 (apply). */
+  private[graft] def substrSpanFrame(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -693,8 +694,10 @@ object Dedup {
         (max("pos") + SpanN - 1).as("span_end"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "n_grams")
-      .orderBy("doc_id", "span_start")
   }
+
+  def q57SubstrSpans(s: SparkSession, d: String): DataFrame =
+    substrSpanFrame(s, d).orderBy("doc_id", "span_start")
 
   val q57Sql: String =
     s"""WITH d AS (
@@ -717,6 +720,74 @@ object Dedup {
        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${SpanN - 1} AS span_end,
        |       COUNT(*) AS n_grams
        |FROM r GROUP BY doc_id, run ORDER BY doc_id, span_start""".stripMargin
+
+  /** Apply the q57 spans — the "cut" half of exact-substring dedup: every
+    * word position covered by a cross-document repeated span is removed and
+    * the cleaned text fingerprinted (a consumer would keep the text; the
+    * gate compares md5s). Docs without spans pass through unchanged,
+    * including docs too short to carry a gram.
+    *
+    * Scale shape: spans are collected per doc (bounded: spans are disjoint,
+    * ≤ len/SpanN of them) and the cut itself is ONE array-lambda expression
+    * — map-side, no word-level explode of the corpus; the only added
+    * shuffle over q57 is the per-doc span collect. The oracle expresses the
+    * same cut relationally (position anti-join + ordered string_agg) —
+    * different shape, same semantics, which is exactly what the hash gate
+    * is for. */
+  def q60SubstrClean(s: SparkSession, d: String): DataFrame = {
+    val spans = substrSpanFrame(s, d)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("spans").isNull, col("w")).otherwise(
+        expr("filter(w, (x, i) -> NOT exists(spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))")))
+      .select(col("doc_id"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q60Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SpanN),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |         md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + ${SpanN - 1} AS INTEGER)], ' ')) AS g
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${SpanN - 1} + 1)) AS i FROM d)),
+       |dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 1
+       |              THEN 0 ELSE 1 END AS brk
+       |  FROM g WHERE g IN (SELECT g FROM dup)),
+       |r AS (
+       |  SELECT doc_id, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+       |  FROM h),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${SpanN - 1} AS span_end
+       |  FROM r GROUP BY doc_id, run),
+       |wp AS (
+       |  SELECT doc_id, i AS pos, w[CAST(i AS INTEGER)] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |       LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+       |kept AS (
+       |  SELECT wp.doc_id, wp.pos, wp.word
+       |  FROM wp LEFT JOIN spans sp
+       |    ON wp.doc_id = sp.doc_id AND wp.pos BETWEEN sp.span_start AND sp.span_end
+       |  WHERE sp.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(word, ' ' ORDER BY pos) AS clean
+       |  FROM kept GROUP BY doc_id)
+       |SELECT doc.doc_id,
+       |       CAST(len(string_split(doc.text, ' ')) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       |       md5(COALESCE(agg.clean, '')) AS clean_fp
+       |FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
 
   /** Edit-distance (Levenshtein) near-dup — the short-record dedup rule
     * (titles, URLs, OCR lines) where token-set measures like Jaccard are too
@@ -795,5 +866,6 @@ object Dedup {
     ("q53_dedup_clusters", q53DedupClusters _, Some(q53Sql)),
     ("q57_substr_spans", q57SubstrSpans _, Some(q57Sql)),
     ("q59_edit_dedup", q59EditDedup _, Some(q59Sql)),
+    ("q60_substr_clean", q60SubstrClean _, Some(q60Sql)),
   )
 }

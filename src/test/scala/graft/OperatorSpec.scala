@@ -429,6 +429,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("substr clean: removal count equals span mass, untouched docs keep their text hash") {
+    val spans = Dedup.q57SubstrSpans(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (doc, rs) =>
+        doc -> rs.map(r => r.getAs[Long]("span_end") - r.getAs[Long]("span_start") + 1).sum
+      }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val cleaned = Dedup.q60SubstrClean(spark, sf).collect()
+    assert(cleaned.length == docs.size, "q60 must emit one row per document")
+    cleaned.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val removed = r.getAs[Long]("n_removed")
+      assert(removed == spans.getOrElse(doc, 0L), s"doc $doc removed $removed")
+      if (!spans.contains(doc)) {
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(docs(doc).getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getAs[String]("clean_fp") == fp, s"doc $doc text changed without spans")
+      }
+    }
+    assert(spans.nonEmpty, "vacuous: no spans to apply at sf0.001")
+  }
+
   test("tfidf: ranks 1..3, rank-1 term carries the doc's max tf") {
     val s = spark
     val rows = graft.ops.TextOps.q56Tfidf(s, sf).collect()

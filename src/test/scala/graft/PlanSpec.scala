@@ -121,6 +121,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q60 substr clean: span apply is an equi left join + array lambda, no word explode") {
+    val p = plan(Dedup.q60SubstrClean(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the cut is the array lambda — only the span subtree's gram explodes
+    // (probe + df sides = 2 Generate nodes, each printed twice in formatted
+    // output) may appear; a word-level explode of the corpus would add more
+    assert("Generate".r.findAllIn(p).length <= 4, p)
+  }
+
   test("q59 edit dedup: candidates come from an equi join on blocking keys") {
     val p = plan(Dedup.q59EditDedup(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
