@@ -65,6 +65,19 @@ object DocStream {
     (btable, index)
   }
 
+  /** fresh document stream → the subset that is a byte-identical duplicate
+    * of an existing document (normalized md5 equality, the q23 rule) — the
+    * cheap first gate an ingest pipeline runs before near-dup checks. The
+    * fingerprint set of a 100 TB corpus is still just 16 bytes/doc, so the
+    * stream-static join stays an equi-join on the hash; dedup within the
+    * stream itself is `dropDuplicatesWithinWatermark` (EventStream). */
+  def exactDupAgainst(freshDocs: DataFrame, staticDocs: DataFrame): DataFrame = {
+    val fps = staticDocs.select(md5(col("text")).as("fp")).distinct()
+    freshDocs
+      .select(col("doc_id").as("fresh_id"), md5(col("text")).as("fp"))
+      .join(fps, Seq("fp"), "left_semi")
+  }
+
   /** fresh document stream → (fresh_id, ex_id, jaccard) for every J ≥ t
     * match against the static corpus. Exact — candidates from the prefix
     * equi-join, verified in place against the carried arrays. */

@@ -53,4 +53,31 @@ class DocStreamSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "vacuous: no fresh-vs-static near-dup pairs at sf0.001")
     assert(got == expected, s"got ${got.size}, expected ${expected.size}")
   }
+
+  test("streamed exact-dup gate flags exactly the docs whose text exists in the static corpus") {
+    val spark = TestSpark.spark
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val static = all.filter(col("doc_id") % 5 =!= 0)
+    val fresh = all.filter(col("doc_id") % 5 === 0)
+    // plant byte-identical copies of static texts in the batch so the gate
+    // has true positives (no natural fresh↔static exact dup exists at this SF)
+    val planted = static.orderBy("doc_id").limit(3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val batch = fresh.unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("docstream_exact").toString
+    batch
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = DocStream.exactDupAgainst(DocStream.readDocs(spark, dir), static)
+      .writeStream.format("memory").queryName("stream_exactdup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_exactdup").collect().map(_.getAs[Long]("fresh_id")).toSet
+    val staticTexts = static.collect().map(_.getString(1)).toSet
+    val expected = batch.collect()
+      .filter(r => staticTexts.contains(r.getString(1))).map(_.getLong(0)).toSet
+    assert(expected.size >= 3, "vacuous: planted duplicates missing")
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+  }
 }
