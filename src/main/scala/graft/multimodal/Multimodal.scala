@@ -13,9 +13,11 @@ import graft.Tables
   * `mapInPandas` stage: one JVM call per partition, amortizing per-batch
   * setup such as a decoder context). Two decoder bindings ship: the default
   * deterministic fake (the driver corpus is text standing in for media) and
-  * a REAL image codec, [[Multimodal.ImageIoDecoder]], backed by the JDK's
-  * `javax.imageio` — exercised end-to-end in MultimodalSpec on synthesized
-  * PNGs. Audio/video codecs aren't in the JDK; those stay behind the fake.
+  * two REAL codecs backed by the JDK alone: [[Multimodal.ImageIoDecoder]]
+  * (`javax.imageio`, exercised on synthesized PNGs) and
+  * [[Multimodal.WavDecoder]] (`javax.sound.sampled`, exercised on
+  * synthesized 16-bit PCM WAVs). Video codecs aren't in the JDK; video
+  * stays behind the fake.
   */
 object Multimodal {
 
@@ -83,6 +85,37 @@ object Multimodal {
       }
       MediaFeature(docId, bytes.length.toLong, "image", w, h, 1,
         if (w * h == 0) 0.0 else sum / (w.toLong * h))
+    }
+  }
+
+  /** Real audio decode via `javax.sound.sampled` (JDK built-in — zero new
+    * dependencies). WAV/AIFF/AU per the JDK's registered providers; 16-bit
+    * PCM exercised. Field mapping onto the shared MediaFeature schema:
+    * width = sample rate (Hz), height = channels, n_frames = PCM frames,
+    * mean_luma = mean absolute amplitude in [0, 1] — a real whole-signal
+    * computation (a pure sine decodes to amp·2/π, which the spec asserts). */
+  object WavDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeature = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"doc $docId: only 16-bit PCM is wired (${fmt.getSampleSizeInBits}-bit payload)")
+      val frames = math.min(ais.getFrameLength, Int.MaxValue.toLong).toInt
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var sum = 0.0
+      var i = 0
+      while (i + 1 < data.length) {
+        val s =
+          if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+          else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+        sum += math.abs(s / 32768.0)
+        i += 2
+      }
+      MediaFeature(docId, bytes.length.toLong, "audio",
+        fmt.getSampleRate.toInt, fmt.getChannels, frames,
+        if (n == 0) 0.0 else sum / n)
     }
   }
 

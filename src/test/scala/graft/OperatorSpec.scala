@@ -673,4 +673,44 @@ class OperatorSpec extends AnyFunSuite {
       Multimodal.extractFeatures(bad, 1, Multimodal.ImageIoDecoder.decode).collect()
     }
   }
+
+  test("real audio codec: javax.sound decodes synthesized WAVs through the batch path") {
+    val s = spark
+    import s.implicits._
+    // mono 16-bit little-endian PCM sine, wrapped as WAV by the JDK writer
+    def wav(freq: Double, nSamples: Int, rate: Float, amp: Double): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val pcm = new Array[Byte](nSamples * 2)
+      (0 until nSamples).foreach { i =>
+        val v = (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toInt.toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val clips = Seq((1L, 440.0, 8000, 8000f, 0.5), (2L, 1000.0, 4410, 44100f, 0.25))
+    val df = clips.map { case (id, f, n, r, a) => (id, wav(f, n, r, a)) }
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, 2, Multimodal.WavDecoder.decode)
+      .orderBy("doc_id").collect()
+    clips.zip(feats).foreach { case ((id, _, n, rate, amp), r) =>
+      assert(r.getLong(0) == id && r.getString(2) == "audio")
+      assert(r.getInt(3) == rate.toInt, s"doc $id sample rate ${r.getInt(3)}")
+      assert(r.getInt(4) == 1, s"doc $id channels")
+      assert(r.getInt(5) == n, s"doc $id frames ${r.getInt(5)}")
+      // mean |amp·sin| = amp·2/π over whole periods
+      assert(math.abs(r.getDouble(6) - amp * 2 / math.Pi) < 0.01,
+        s"doc $id mean amplitude ${r.getDouble(6)}")
+    }
+    // garbage fails loudly, same contract as the image codec
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    intercept[Exception] {
+      Multimodal.extractFeatures(bad, 1, Multimodal.WavDecoder.decode).collect()
+    }
+  }
 }
