@@ -634,9 +634,10 @@ object Dedup {
   def q53DedupClusters(s: SparkSession, d: String): DataFrame =
     clusterPairs(exactJaccardPairs(s, d, 0.6).select("a_id", "b_id"))
 
-  val q53Sql: String =
-    s"""WITH RECURSIVE $jaccardCte,
-       |pairs AS (
+  /** Recursive-closure cluster CTE shared by q53 (report) and q61 (apply):
+    * yields `cl(doc_id, cluster_id)`. */
+  private val clusterCte: String =
+    """pairs AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
@@ -649,9 +650,13 @@ object Dedup {
       |reach(a, b) AS (
       |  SELECT a, b FROM edges
       |  UNION
-      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-      |SELECT a AS doc_id, min(b) AS cluster_id
-      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  val q53Sql: String =
+    s"""WITH RECURSIVE $jaccardCte,
+       |$clusterCte
+       |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
 
   /** Cross-document repeated-substring spans — the distributed form of
     * exact-substring dedup (the "remove any ≥N-token run that appears in
@@ -856,6 +861,44 @@ object Dedup {
        |FROM c WHERE levenshtein(ta, tb) <= $EditMaxDist
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Canonical-document selection — the step that turns dedup clusters into
+    * an actual deduplicated corpus: per cluster keep the member with the
+    * most tokens (the standard "longest survivor" rule; quality scores slot
+    * in the same way), ties toward the smaller id. One aggregation over the
+    * clustered docs — the arg-max is a `max(struct(n_tokens, -doc_id))`, so
+    * no per-cluster sort and the shuffle carries one row per member. Token
+    * definition shared with q20's `n_tokens` so the two can never diverge. */
+  def q61Canonical(s: SparkSession, d: String): DataFrame = {
+    val clusters = q53DedupClusters(s, d)
+    val toks = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("n_tokens"))
+    clusters.join(toks, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.negid")).as("keep_id"),
+        col("m.n_tokens").as("keep_tokens"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  val q61Sql: String =
+    s"""WITH RECURSIVE $jaccardCte,
+       |$clusterCte,
+       |tok AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |sel AS (
+       |  SELECT cl.cluster_id, cl.doc_id, t.n_tokens,
+       |         ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+       |                            ORDER BY t.n_tokens DESC, cl.doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+       |  FROM cl JOIN tok t USING (doc_id))
+       |SELECT cluster_id, doc_id AS keep_id, n_tokens AS keep_tokens,
+       |       CAST(n_members AS BIGINT) AS n_members
+       |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_dedup_exact", q23DedupExact _, Some(q23Sql)),
     ("q24_dedup_ngram", q24DedupNgram _, Some(q24Sql)),
@@ -867,5 +910,6 @@ object Dedup {
     ("q57_substr_spans", q57SubstrSpans _, Some(q57Sql)),
     ("q59_edit_dedup", q59EditDedup _, Some(q59Sql)),
     ("q60_substr_clean", q60SubstrClean _, Some(q60Sql)),
+    ("q61_canonical", q61Canonical _, Some(q61Sql)),
   )
 }

@@ -429,6 +429,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("canonical selection: keeper is a member with max tokens, members conserved") {
+    val clusters = Dedup.q53DedupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    val byCluster = clusters.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).toSet }
+    val canon = Dedup.q61Canonical(spark, sf).collect()
+    assert(canon.nonEmpty, "vacuous: no clusters at sf0.001")
+    assert(canon.length == byCluster.size, "one keeper per cluster")
+    assert(canon.map(_.getAs[Long]("n_members")).sum == clusters.length,
+      "members must be conserved across keepers")
+    canon.foreach { r =>
+      val c = r.getAs[Long]("cluster_id")
+      assert(byCluster(c).contains(r.getAs[Long]("keep_id")),
+        s"cluster $c keeper not a member")
+      assert(r.getAs[Long]("n_members") == byCluster(c).size.toLong, s"cluster $c size")
+    }
+  }
+
   test("substr clean: removal count equals span mass, untouched docs keep their text hash") {
     val spans = Dedup.q57SubstrSpans(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
