@@ -357,6 +357,104 @@ object Corpus {
       |      < CAST(10000 AS HUGEINT) * ((total_docs * 400) // 1000) * ws_int
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Sequence packing — the last step before tokenized training data hits
+    * the trainer: documents are concatenated in order and chopped into
+    * fixed-budget context windows (GPT-style pretraining packs; budget = 512
+    * tokens here, token definition shared with q20). Output maps each doc to
+    * its global token offset and the range of packs it lands in — the
+    * straddle bookkeeping (`pack_first`/`pack_last`/`n_packs`) a loader
+    * needs to emit attention-mask resets at document boundaries.
+    *
+    * Scale shape: a SINGLE global concatenation order would be one
+    * totally-ordered cumulative sum — a one-partition window, the classic
+    * scale killer. Real distributed packers pack each output shard
+    * independently, so the running offset is per-shard: the window is
+    * partitioned by a deterministic shard key (`doc_id % 8`) and ordered by
+    * doc_id within it — 100 TB packs as thousands of independent shards,
+    * each one partition's worth of window state (PlanSpec asserts the
+    * partitioned windowspec). Everything else is map-side arithmetic. */
+  private val PackBudget = 512L
+  private val PackShards = 8
+
+  def q62PackSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // empty docs still occupy a pack slot of one token (greatest guard) so
+      // pack_last is always ≥ pack_first and n_packs ≥ 1
+      .withColumn("pack_first", expr(s"tok_start div $PackBudget"))
+      .withColumn("pack_last",
+        expr(s"(tok_start + greatest(n_tokens, 1) - 1) div $PackBudget"))
+      .withColumn("n_packs", col("pack_last") - col("pack_first") + 1)
+      .select("doc_id", "shard", "n_tokens", "tok_start",
+        "pack_first", "pack_last", "n_packs")
+      .orderBy("doc_id")
+  }
+
+  val q62Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens, tok_start,
+       |       tok_start // $PackBudget AS pack_first,
+       |       (tok_start + greatest(n_tokens, 1) - 1) // $PackBudget AS pack_last,
+       |       (tok_start + greatest(n_tokens, 1) - 1) // $PackBudget
+       |         - tok_start // $PackBudget + 1 AS n_packs
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Exact corpus quantile filter without a global sort — drop the bottom
+    * length decile (the crude-but-universal "too short to train on" cut).
+    * `percentile`-style exact quantiles buffer a value→count map per
+    * partition and a global sort is a one-partition killer; but doc length
+    * has a BOUNDED value domain, so the exact quantile falls out of a value
+    * histogram: groupBy(n_words) partial+final count (shuffle = |distinct
+    * lengths| rows), a cumulative sum over that tiny pre-aggregated series
+    * (the only global-order window in the plan — bounded rows, same rule as
+    * q12), and the threshold broadcast back so the filter pass is map-side.
+    * percentile_disc(0.10) semantics via integer cross-multiplication
+    * (cc·10 ≥ N — no float fraction, engines agree exactly). */
+  def q63QuantileCut(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val hist = docs.groupBy("n_words").agg(count(lit(1)).as("c"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val wcum = Window.orderBy("n_words")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("cc", sum(col("c")).over(wcum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cc") * 10 >= col("n"))
+      .agg(min(col("n_words")).as("p10"))
+    docs.crossJoin(broadcast(thr))
+      .filter(col("n_words") > col("p10"))
+      .select("doc_id", "n_words", "p10")
+      .orderBy("doc_id")
+  }
+
+  val q63Sql: String =
+    """WITH nw AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |h AS (SELECT n_words, COUNT(*) AS c FROM nw GROUP BY n_words),
+      |cum AS (
+      |  SELECT n_words, SUM(c) OVER (ORDER BY n_words
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM h),
+      |tot AS (SELECT COUNT(*) AS n FROM nw),
+      |thr AS (SELECT MIN(n_words) AS p10 FROM cum, tot WHERE cc * 10 >= n)
+      |SELECT doc_id, n_words, p10 FROM nw, thr WHERE n_words > p10
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
     ("q35_sketch_stats", q35SketchStats _, Some(q35Sql)),
@@ -365,5 +463,7 @@ object Corpus {
     ("q46_stratified_sample", q46StratifiedSample _, Some(q46Sql)),
     ("q54_decontaminate", q54Decontaminate _, Some(q54Sql)),
     ("q55_source_mix", q55SourceMix _, Some(q55Sql)),
+    ("q62_pack", q62PackSequences _, Some(q62Sql)),
+    ("q63_quantile_cut", q63QuantileCut _, Some(q63Sql)),
   )
 }

@@ -262,9 +262,45 @@ object Similarity {
       |       CAST(len(list_filter(q, v -> v = 127 OR v = -127)) AS BIGINT) AS n_sat
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Per-class embedding centroids in order-independent fixed-point — the
+    * distributed vector mean behind SemDeDup-style semantic dedup and k-means
+    * (the `trainCentroids` update step is this reduction with float `avg`).
+    * Float accumulation order differs across partition layouts, which is why
+    * the Lloyd trainer is sbt-gated; HERE the sum is exact: each component is
+    * fixed-pointed map-side (`floor(x·10⁶)` — one correctly-rounded IEEE
+    * multiply, then integers), so the centroid sums are bit-identical on any
+    * cluster layout AND cross-engine, making the vector mean oracle-gatable.
+    *
+    * Scale shape: posexplode is map-side (rows = n·dim but each is 24 bytes),
+    * the groupBy(label, i) is a partial+final sum — shuffle traffic is
+    * |labels|·dim rows PER PARTITION, independent of corpus size (PlanSpec
+    * asserts the two-phase agg). The mean is s_fixed/n downstream; the sums
+    * are emitted instead of dividing so no rounding-mode choice leaks into
+    * the gate. */
+  private val CentFixedScale = 1000000L
+
+  def q64Centroids(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.embeddings(s, d), "vec_id")
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(floor(col("v") * lit(CentFixedScale.toDouble)).cast("long")).as("s_fixed"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("i").cast("long").as("i"), col("s_fixed"), col("n"))
+      .orderBy("label", "i")
+
+  val q64Sql: String =
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |x AS (SELECT label, unnest(range(0, len(e))) AS i, e FROM e)
+       |SELECT label, CAST(i AS BIGINT) AS i,
+       |       CAST(SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS BIGINT) AS s_fixed,
+       |       COUNT(*) AS n
+       |FROM x GROUP BY label, i ORDER BY label, i""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q28_ann_topk", q28AnnTopk _, Some(q28Sql)),
     ("q29_ann_lsh", q29AnnLsh _, Some(q29Sql)),
     ("q58_quantize", q58Quantize _, Some(q58Sql)),
+    ("q64_centroids", q64Centroids _, Some(q64Sql)),
   )
 }

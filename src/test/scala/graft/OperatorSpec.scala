@@ -495,6 +495,68 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.map(_.getAs[String]("q_fp")).toSeq == b.map(_.getAs[String]("q_fp")).toSeq)
   }
 
+  test("pack: per-shard offsets are contiguous, pack ranges consistent") {
+    import graft.ops.Corpus
+    val rows = Corpus.q62PackSequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { rs =>
+      val ordered = rs.sortBy(_.getAs[Long]("doc_id"))
+      // the shard is one gapless token stream: doc k starts where k-1 ended
+      assert(ordered.head.getAs[Long]("tok_start") == 0L)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("tok_start") ==
+            a.getAs[Long]("tok_start") + a.getAs[Long]("n_tokens"), s"$a -> $b")
+        case _ =>
+      }
+    }
+    rows.foreach { r =>
+      val (first, last, n) = (r.getAs[Long]("pack_first"),
+        r.getAs[Long]("pack_last"), r.getAs[Long]("n_packs"))
+      assert(first <= last && n == last - first + 1 && n >= 1, r.toString)
+      assert(first == r.getAs[Long]("tok_start") / 512, r.toString)
+    }
+  }
+
+  test("quantile cut: threshold is the exact p10, survivors all above it") {
+    import graft.ops.Corpus
+    val all = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("nw"))
+      .collect().map(_.getLong(0)).sorted
+    // percentile_disc(0.10): smallest value whose cumulative rank covers 10%
+    val exactP10 = all((all.length + 9) / 10 - 1)
+    val rows = Corpus.q63QuantileCut(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p10") == exactP10, r.toString)
+      assert(r.getAs[Long]("n_words") > exactP10, r.toString)
+    }
+    assert(rows.length == all.count(_ > exactP10))
+  }
+
+  test("centroids: fixed-point sums match a driver-side fold, counts conserve") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(r => (r.getAs[Long]("label"), r.getSeq[Double](1)))
+    val rows = Similarity.q64Centroids(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def lbl(r: org.apache.spark.sql.Row): Long =
+      r.getAs[Number]("label").longValue
+    // every dimension row of every label accounts for that label's vectors
+    val nByLabel = emb.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == nByLabel(lbl(r)), r.toString)
+    }
+    // exact agreement with a sequential fold for one (label, dim) cell —
+    // order-independence is the point of the fixed-point formulation
+    val l0 = rows.filter(r => lbl(r) == emb.head._1 && r.getAs[Long]("i") == 0L)
+    val expect = emb.filter(_._1 == emb.head._1)
+      .map(v => math.floor(v._2.head * 1000000.0).toLong).sum
+    assert(l0.length == 1 && l0.head.getAs[Long]("s_fixed") == expect)
+  }
+
   test("brute-force ANN: 5 neighbors per query, ranks 1..5, cos in [-1,1]") {
     val rows = Similarity.q28AnnTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))

@@ -154,6 +154,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("q62 pack: the running token offset is a SHARD-partitioned window, never global") {
+    import graft.ops.Corpus
+    val p = plan(Corpus.q62PackSequences(spark, sf))
+    // a global concatenation order would plan as windowspecdefinition() with
+    // no partition keys = one-partition window — the scale killer q62 exists
+    // to avoid. The shard key must be in the window spec.
+    assert("windowspecdefinition\\(shard#".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("REPARTITION_BY_NUM"), "q62 lost its spread")
+  }
+
+  test("q63 quantile cut: histogram is partial+final, threshold broadcast back") {
+    import graft.ops.Corpus
+    val p = plan(Corpus.q63QuantileCut(spark, sf))
+    // the value histogram aggregates map-side before its exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only nested loops are against the two 1-row aggregates (totals +
+    // threshold), each printed twice in formatted output
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4, p)
+  }
+
+  test("q64 centroids: fixed-point sums aggregate partial+final, no window") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q64Centroids(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
