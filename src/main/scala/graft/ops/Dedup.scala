@@ -899,6 +899,60 @@ object Dedup {
        |       CAST(n_members AS BIGINT) AS n_members
        |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** Bloom-prefiltered incremental containment — the membership gate a
+    * 100 TB ingest runs per fresh batch: "which incoming docs already exist
+    * in the corpus?" without EVER shuffling the corpus or the batch.
+    *
+    * Fresh batch = doc_id % 10 == 0; corpus = the rest; key = q22's
+    * prefix fingerprint `fp_head` (the staged-dedup bucketing key —
+    * byte-identical texts AND shared-prefix rewrites both hit it).
+    *
+    * Three stages, all broadcast/map-side:
+    *  1. build: `graft_bloom_agg` over corpus fingerprints — partial
+    *     filters OR-merge, shuffle = one numBits/8-byte filter per
+    *     partition; steady state persists the filter and OR-merges batches.
+    *  2. probe: fresh rows filter through codegen'd `graft_bloom_contains`
+    *     against the broadcast filter — map-side, no join. Bloom FPs cost
+    *     verify work only, never correctness (no false negatives: every
+    *     true match survives by construction — differential in
+    *     OperatorSpec).
+    *  3. verify: the corpus SCAN probes the broadcast survivor-fp set
+    *     (left-semi), matched fps broadcast back to the survivors — exact
+    *     containment, zero corpus shuffle (PlanSpec).
+    * Oracle = plain exact containment; the bloom must be transparent. */
+  def q65BloomDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomAgg.register(s)
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), md5(substring(norm, 1, 64)).as("fp"))
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bloom = corpus.agg(expr("graft_bloom_agg(xxhash64(fp), 4096, 3)").as("bloom"))
+    val survivors = fresh.crossJoin(broadcast(bloom))
+      .filter(expr("graft_bloom_contains(bloom, xxhash64(fp))"))
+      .drop("bloom")
+    val matched = corpus
+      .join(broadcast(survivors.select("fp").distinct()), Seq("fp"), "left_semi")
+      .select("fp").distinct()
+    // attach from `fresh`, not `survivors`: no-false-negatives means any
+    // fresh doc with a matched fp also survived the probe, so the result is
+    // identical — and the bloom-build subtree is instantiated ONCE (via
+    // `matched`) instead of twice (PlanSpec pins the single nested loop)
+    fresh.join(broadcast(matched), Seq("fp"), "left_semi")
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         md5(substring(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 64)) AS fp
+      |  FROM documents),
+      |f AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 = 0),
+      |c AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 <> 0)
+      |SELECT doc_id, fp FROM f WHERE fp IN (SELECT fp FROM c)
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_dedup_exact", q23DedupExact _, Some(q23Sql)),
     ("q24_dedup_ngram", q24DedupNgram _, Some(q24Sql)),
@@ -911,5 +965,6 @@ object Dedup {
     ("q59_edit_dedup", q59EditDedup _, Some(q59Sql)),
     ("q60_substr_clean", q60SubstrClean _, Some(q60Sql)),
     ("q61_canonical", q61Canonical _, Some(q61Sql)),
+    ("q65_bloom_dedup", q65BloomDedup _, Some(q65Sql)),
   )
 }

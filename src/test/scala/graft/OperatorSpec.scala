@@ -557,6 +557,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(l0.length == 1 && l0.head.getAs[Long]("s_fixed") == expect)
   }
 
+  test("bloom dedup: equals exact containment (no false negatives), non-vacuous") {
+    val s = spark
+    import s.implicits._
+    // the catalog query must equal the bloom-free formulation exactly
+    val got = graft.ops.Dedup.q65BloomDedup(s, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp")))
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"), md5(substring(norm, 1, 64)).as("fp"))
+    val expect = docs.filter(col("doc_id") % 10 === 0)
+      .join(docs.filter(col("doc_id") % 10 =!= 0).select("fp").distinct(),
+        Seq("fp"), "left_semi")
+      .select("doc_id", "fp").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp")))
+    assert(got.nonEmpty, "containment evidence must be non-vacuous at sf0.001")
+    assert(got.sorted.toSeq == expect.sorted.toSeq)
+
+    // filter quality: zero false negatives by construction; false-positive
+    // rate over a disjoint probe set stays near the design point
+    // (n=2000, m=65536, k=3 → ~0.2%)
+    graft.functions.BloomAgg.register(s)
+    val bloom = (0L until 2000L).toDF("x")
+      .repartition(8) // exercise partial-filter OR-merge across partitions
+      .agg(expr("graft_bloom_agg(xxhash64(x), 65536, 3)").as("b"))
+    val probed = (0L until 2000L).toDF("x").crossJoin(broadcast(bloom))
+      .filter(expr("graft_bloom_contains(b, xxhash64(x))")).count()
+    assert(probed == 2000L, "a member must never be reported absent")
+    val fps = (10000L until 20000L).toDF("x").crossJoin(broadcast(bloom))
+      .filter(expr("graft_bloom_contains(b, xxhash64(x))")).count()
+    assert(fps < 100L, s"false-positive rate out of band: $fps / 10000")
+  }
+
   test("brute-force ANN: 5 neighbors per query, ranks 1..5, cos in [-1,1]") {
     val rows = Similarity.q28AnnTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))

@@ -183,6 +183,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q65 bloom dedup: map-side probe, verify joins broadcast, corpus never shuffles") {
+    val p = plan(Dedup.q65BloomDedup(spark, sf))
+    // the probe is the codegen'd expression in a Filter, not a join
+    assert(p.contains("graft_bloom_contains"), p)
+    // exact verify: both containment joins are broadcast left-semi
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only nested loop is against the 1-row bloom aggregate (×2 prints)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
