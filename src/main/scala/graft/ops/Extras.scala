@@ -126,6 +126,33 @@ object Extras {
       |CROSS JOIN (SELECT unnest(range(0, 2)) AS pos) p
       |ORDER BY event_id, pos""".stripMargin
 
+  /** VARIANT semi-structured surface (Spark 4 native): `parse_json` encodes
+    * the props column ONCE into the binary variant format; typed extraction
+    * (`variant_get`) then reads offsets — no per-access string re-parse,
+    * unlike q33's `get_json_object` which re-tokenizes the JSON text for
+    * every path. At 100 TB this is the difference between parsing the JSON
+    * column once per row and once per (row × extracted field); variant also
+    * shreds into parquet (Spark 4 writes typed subcolumns) so pushdown
+    * reaches inside the semi-structured blob. Missing paths surface as
+    * typed NULLs via `try_variant_get` — flagged here so the oracle pins
+    * the absent-path contract, not just the happy path. */
+  def q66Variant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.absent', 'bigint')").as("absent_k"))
+      .withColumn("has_absent", col("absent_k").isNull.cast("long"))
+      .select("event_id", "k", "has_absent")
+      .orderBy("event_id")
+
+  val q66Sql: String =
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |       CAST(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS has_absent
+      |FROM events ORDER BY event_id""".stripMargin
+
   // distribution-rank window functions (ntile / percent_rank / cume_dist):
   // the quantile-bucketing surface analytics users reach for constantly.
   // Ties are broken by c_custkey so every rank function is deterministic;
@@ -183,5 +210,6 @@ object Extras {
     ("q33_nested_json", q33NestedJson _, Some(q33Sql)),
     ("q44_window_stats", q44WindowStats _, Some(q44Sql)),
     ("q45_pivot", q45Pivot _, Some(q45Sql)),
+    ("q66_variant", q66Variant _, Some(q66Sql)),
   )
 }

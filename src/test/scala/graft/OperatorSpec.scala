@@ -589,6 +589,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(fps < 100L, s"false-positive rate out of band: $fps / 10000")
   }
 
+  test("variant extraction agrees with the string-parse path on every row") {
+    import graft.ops.Extras
+    val viaVariant = Extras.q66Variant(spark, sf).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("k")))
+    val viaString = Tables.events(spark, sf)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("k")))
+    assert(viaVariant.nonEmpty)
+    assert(viaVariant.sorted.toSeq == viaString.sorted.toSeq)
+  }
+
   test("brute-force ANN: 5 neighbors per query, ranks 1..5, cos in [-1,1]") {
     val rows = Similarity.q28AnnTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))

@@ -194,6 +194,16 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
   }
 
+  test("q66 variant: map-side extraction with a pruned scan") {
+    import graft.ops.Extras
+    val p = plan(Extras.q66Variant(spark, sf))
+    // only the id + the semi-structured blob reach the scan
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs.contains("event_id") && rs.contains("props"), rs)
+    assert(!rs.contains("user_id") && !rs.contains("value"), rs)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
