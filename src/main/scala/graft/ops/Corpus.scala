@@ -455,6 +455,48 @@ object Corpus {
       |SELECT doc_id, n_words, p10 FROM nw, thr WHERE n_words > p10
       |ORDER BY doc_id""".stripMargin
 
+  /** Grouped EXACT medians at scale — per-source p50 doc length. Exact
+    * per-group quantiles are normally the awkward case (exact `percentile`
+    * buffers a value→count map per group per partition; a sort-within-group
+    * is a full shuffle of the corpus), but the bounded value domain makes
+    * them free: the (source, n_words) histogram is a partial+final count,
+    * and the cumulative window is PARTITIONED BY SOURCE over pre-aggregated
+    * rows — no global order anywhere, shuffle = |sources × distinct lengths|
+    * rows. percentile_disc(0.5) boundary in integer arithmetic (cc·2 ≥ n_s)
+    * like q63. This is the per-domain "data card" statistic (median doc
+    * length per source) every corpus report carries. */
+  def q67GroupedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val hist = docs.groupBy("source", "n_words").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("source").orderBy("n_words")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy("source")
+    hist
+      .withColumn("cc", sum(col("c")).over(wcum))
+      .withColumn("n_s", sum(col("c")).over(wtot))
+      .filter(col("cc") * 2 >= col("n_s"))
+      .groupBy("source")
+      .agg(min(col("n_words")).as("p50"), min(col("n_s")).as("n_docs"))
+      .orderBy("source")
+  }
+
+  val q67Sql: String =
+    """WITH nw AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |h AS (SELECT source, n_words, COUNT(*) AS c FROM nw GROUP BY source, n_words),
+      |cum AS (
+      |  SELECT source, n_words,
+      |         SUM(c) OVER (PARTITION BY source ORDER BY n_words
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+      |         SUM(c) OVER (PARTITION BY source) AS n_s
+      |  FROM h)
+      |SELECT source, MIN(n_words) AS p50, CAST(MIN(n_s) AS BIGINT) AS n_docs
+      |FROM cum WHERE cc * 2 >= n_s
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
     ("q35_sketch_stats", q35SketchStats _, Some(q35Sql)),
@@ -465,5 +507,6 @@ object Corpus {
     ("q55_source_mix", q55SourceMix _, Some(q55Sql)),
     ("q62_pack", q62PackSequences _, Some(q62Sql)),
     ("q63_quantile_cut", q63QuantileCut _, Some(q63Sql)),
+    ("q67_grouped_median", q67GroupedMedian _, Some(q67Sql)),
   )
 }

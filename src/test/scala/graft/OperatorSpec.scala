@@ -601,6 +601,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaVariant.sorted.toSeq == viaString.sorted.toSeq)
   }
 
+  test("grouped median: every source's p50 equals the exact sorted-middle") {
+    import graft.ops.Corpus
+    val raw = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = Corpus.q67GroupedMedian(spark, sf).collect()
+    assert(rows.length == raw.size)
+    rows.foreach { r =>
+      val ws = raw(r.getAs[String]("source"))
+      val exact = ws((ws.length + 1) / 2 - 1) // percentile_disc(0.5)
+      assert(r.getAs[Long]("p50") == exact, r.toString)
+      assert(r.getAs[Long]("n_docs") == ws.length.toLong, r.toString)
+    }
+  }
+
   test("brute-force ANN: 5 neighbors per query, ranks 1..5, cos in [-1,1]") {
     val rows = Similarity.q28AnnTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))

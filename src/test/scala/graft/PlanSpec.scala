@@ -175,6 +175,15 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4, p)
   }
 
+  test("q67 grouped median: source-partitioned windows over the histogram, no global order") {
+    import graft.ops.Corpus
+    val p = plan(Corpus.q67GroupedMedian(spark, sf))
+    // both windows must carry the source partition key
+    assert("windowspecdefinition\\(source#".r.findFirstIn(p).isDefined, p)
+    assert(!"windowspecdefinition\\(n_words#".r.findFirstIn(p).isDefined, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("q64 centroids: fixed-point sums aggregate partial+final, no window") {
     import graft.ops.Similarity
     val p = plan(Similarity.q64Centroids(spark, sf))

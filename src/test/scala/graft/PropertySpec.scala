@@ -32,6 +32,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom: split-build + OR-merge equals sequential build, membership total") {
+    import graft.functions.BloomUtil
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val bits = 64 << rnd.nextInt(6) // 64..2048, power of two
+      val k = 1 + rnd.nextInt(5)
+      val xs = Array.fill(1 + rnd.nextInt(200))(rnd.nextLong())
+      def fresh() = { val w = new Array[Long](1 + bits / 64); w(0) = k.toLong; w }
+      val whole = fresh()
+      xs.foreach(BloomUtil.add(whole, _))
+      // split anywhere, build halves, OR-merge — must be bit-identical
+      // (this is exactly what partial aggregation does across partitions)
+      val cut = rnd.nextInt(xs.length + 1)
+      val (a, b) = (fresh(), fresh())
+      xs.take(cut).foreach(BloomUtil.add(a, _))
+      xs.drop(cut).foreach(BloomUtil.add(b, _))
+      (1 until a.length).foreach(i => a(i) |= b(i))
+      assert(a.toSeq == whole.toSeq, s"bits=$bits k=$k n=${xs.length} cut=$cut")
+      // no false negatives, ever
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(whole)
+      xs.foreach(x => assert(BloomUtil.contains(arr, x), s"member $x reported absent"))
+    }
+  }
+
   test("rank-sort helper orders by (df, value) with df=1 for unknowns") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val rnd = new scala.util.Random(11)
