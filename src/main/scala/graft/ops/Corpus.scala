@@ -497,6 +497,33 @@ object Corpus {
       |FROM cum WHERE cc * 2 >= n_s
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Pipeline observability: stage-level accounting piggybacked on the ONE
+    * real action via `Dataset.observe`. Each observation is an
+    * AggregatingAccumulator evaluated by the same tasks that produce the
+    * output — zero extra passes and exact, where per-stage `count()` actions
+    * would re-run a 100 TB pipeline once per metric. The observed frames are
+    * deliberately on a LINEAR chain (each observed subtree executes exactly
+    * once); observing a subtree that a later self-join/cache re-executes
+    * would double-count — that is the operator's documented contract.
+    * Returns the stage metrics after one noop write. */
+  def observedCleanMetrics(s: SparkSession, d: String): Map[String, Long] = {
+    import org.apache.spark.sql.Observation
+    val ingest = Observation("ingest")
+    val kept = Observation("kept")
+    val out = TextOps.withLangPred(TextOps.withTextStats(
+        Tables.spread(s, Tables.documents(s, d), "doc_id")
+          .observe(ingest, count(lit(1)).as("rows"),
+            sum(length(col("text")).cast("long")).as("chars"))))
+      .filter(col("quality") === "keep" && col("lang_pred") === "en")
+      .observe(kept, count(lit(1)).as("rows"), sum(col("n_words")).as("words"))
+    out.select("doc_id", "n_words").write.format("noop").mode("overwrite").save()
+    Map(
+      "ingest_rows" -> ingest.get("rows").asInstanceOf[Long],
+      "ingest_chars" -> ingest.get("chars").asInstanceOf[Long],
+      "kept_rows" -> kept.get("rows").asInstanceOf[Long],
+      "kept_words" -> kept.get("words").asInstanceOf[Long])
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
     ("q35_sketch_stats", q35SketchStats _, Some(q35Sql)),

@@ -617,6 +617,20 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("observed metrics equal independent counts, from one action") {
+    import graft.ops.{Corpus, TextOps}
+    val m = Corpus.observedCleanMetrics(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(m("ingest_rows") == docs.count())
+    assert(m("ingest_chars") ==
+      docs.agg(sum(length(col("text")).cast("long"))).head().getLong(0))
+    val kept = TextOps.withLangPred(TextOps.withTextStats(docs))
+      .filter(col("quality") === "keep" && col("lang_pred") === "en")
+    assert(m("kept_rows") == kept.count())
+    assert(m("kept_words") == kept.agg(sum(col("n_words"))).head().getLong(0))
+    assert(m("kept_rows") < m("ingest_rows"), "the filter must be non-vacuous")
+  }
+
   test("brute-force ANN: 5 neighbors per query, ranks 1..5, cos in [-1,1]") {
     val rows = Similarity.q28AnnTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
