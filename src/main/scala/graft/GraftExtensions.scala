@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{DotProductD, MinHashAgg, SimHashAgg, SrpBuckets}
+import graft.functions.{BloomAgg, BloomContains, DotProductD, MinHashAgg, SimHashAgg, SrpBuckets}
 
 /** Session-extension installer: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -47,6 +47,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SrpBuckets(exprs(0),
           graft.ops.Similarity.srpPlanes(tables * bits).flatten.toSeq, tables, bits)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(h, numBits, numHashes) - OR-merging Bloom membership sketch aggregate"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg $what must be an int literal, got $other")
+        }
+        BloomAgg(exprs.head, intLit(exprs(1), "numBits"), intLit(exprs(2), "numHashes"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "graft_bloom_contains(bloom, h) - probe a graft_bloom_agg filter"),
+      (exprs: Seq[Expression]) => BloomContains(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(mask, bits) - simhash signature aggregate"),

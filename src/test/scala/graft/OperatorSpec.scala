@@ -710,6 +710,14 @@ class OperatorSpec extends AnyFunSuite {
       "SELECT graft_srp_buckets_t(CAST(array(0.5, -1.5, 2.0) AS ARRAY<DOUBLE>))")
       .head().getSeq[Int](0)
     assert(bks.length == 2 && bks.forall(b => b >= 0 && b < 8), bks.toString)
+    // bloom build + probe round-trips through the pure-SQL surface
+    graft.functions.BloomAgg.register(spark)
+    val hit = spark.sql(
+      """SELECT graft_bloom_contains(b, xxhash64(5)) AS hit FROM
+        |  (SELECT graft_bloom_agg(xxhash64(x), 1024, 3) AS b
+        |   FROM (SELECT explode(sequence(1, 10)) AS x))""".stripMargin)
+      .head().getBoolean(0)
+    assert(hit, "a member must probe true through the SQL surface")
   }
 
   test("multimodal feature extraction is deterministic and frame sampling explodes") {
