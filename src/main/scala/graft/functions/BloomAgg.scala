@@ -40,9 +40,14 @@ object BloomUtil {
     }
   }
 
-  /** Probe — called from generated code too (static forwarder). */
+  /** Probe — called from generated code too (static forwarder).
+    * A malformed filter (no bit words, or a non-positive k that would
+    * vacuously claim membership) answers false rather than reading out of
+    * bounds / over-claiming: containment claims must come from real bits. */
   def contains(arr: ArrayData, x: Long): Boolean = {
+    if (arr.numElements() < 2) return false
     val k = arr.getLong(0).toInt
+    if (k <= 0) return false
     val mask = (arr.numElements() - 1).toLong * 64 - 1
     val h1 = mix(x)
     val h2 = mix(x * 0x9e3779b97f4a7c15L + 1) | 1L
