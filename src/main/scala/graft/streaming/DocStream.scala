@@ -78,6 +78,32 @@ object DocStream {
       .join(fps, Seq("fp"), "left_semi")
   }
 
+  /** Map-side Bloom gate in front of `exactDupAgainst`: the static corpus's
+    * fingerprint filter is built ONCE per snapshot (one aggregate job,
+    * numBits/8 bytes collected) and baked into the stream's filter as an
+    * array LITERAL — each micro-batch row probes with two splitmix64 mixes
+    * + k word loads, no stream-static join at all. Output is a SUPERSET of
+    * the exact gate's (Bloom false positives pass — the exact equi-join
+    * behind it stays authoritative; false negatives are impossible, spec'd
+    * in DocStreamSpec). Worth it when most fresh docs are new: those rows
+    * short-circuit map-side and never reach the join. At 100 TB the filter
+    * is MBs against a corpus whose exact fingerprint set is TBs. */
+  def bloomGate(freshDocs: DataFrame, staticDocs: DataFrame,
+      numBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    graft.functions.BloomAgg.register(staticDocs.sparkSession)
+    val words = staticDocs.select(md5(col("text")).as("fp"))
+      .agg(expr(s"graft_bloom_agg(xxhash64(fp), $numBits, $numHashes)").as("b"))
+      .head().getSeq[Long](0).toArray
+    val probe = GraftColumnBridge.column(graft.functions.BloomContains(
+      Literal.create(words, ArrayType(LongType, containsNull = false)),
+      GraftColumnBridge.expression(expr("xxhash64(fp)"))))
+    freshDocs
+      .select(col("doc_id").as("fresh_id"), md5(col("text")).as("fp"))
+      .filter(probe)
+  }
+
   /** fresh document stream → (fresh_id, ex_id, jaccard) for every J ≥ t
     * match against the static corpus. Exact — candidates from the prefix
     * equi-join, verified in place against the carried arrays. */

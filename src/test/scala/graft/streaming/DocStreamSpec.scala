@@ -80,4 +80,34 @@ class DocStreamSpec extends AnyFunSuite {
     assert(expected.size >= 3, "vacuous: planted duplicates missing")
     assert(got == expected, s"got ${got.size}, expected ${expected.size}")
   }
+
+  test("streamed bloom gate passes every true duplicate map-side, stays selective") {
+    val spark = TestSpark.spark
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val static = all.filter(col("doc_id") % 5 =!= 0)
+    val fresh = all.filter(col("doc_id") % 5 === 0)
+    val planted = static.orderBy("doc_id").limit(3)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val batch = fresh.unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("docstream_bloom").toString
+    batch
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = DocStream.bloomGate(DocStream.readDocs(spark, dir), static)
+      .writeStream.format("memory").queryName("stream_bloomgate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_bloomgate").collect().map(_.getAs[Long]("fresh_id")).toSet
+    val staticTexts = static.collect().map(_.getString(1)).toSet
+    val trueDups = batch.collect()
+      .filter(r => staticTexts.contains(r.getString(1))).map(_.getLong(0)).toSet
+    assert(trueDups.size >= 3, "vacuous: planted duplicates missing")
+    // no false negatives: the gate is a valid prefilter for the exact join
+    assert(trueDups.subsetOf(got), s"gate dropped true dups: ${trueDups -- got}")
+    // selective: at 2^20 bits / ~400 fingerprints the FP rate is ~0, so the
+    // gate should pass little beyond the true dups (generous 10% headroom)
+    assert(got.size <= trueDups.size + (batch.count() / 10).toInt,
+      s"gate passed ${got.size} of ${batch.count()} rows — not selective")
+  }
 }
