@@ -265,17 +265,23 @@ object Corpus {
     * raw text. */
   private val DecontN = 8
 
-  def q54Decontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
+  /** (doc_id, w) word arrays long enough to carry an n-gram — shared base
+    * of the decontamination pair q54 (count) / q68 (clean export). */
+  private def decontDocs(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= DecontN)
-    def grams(df: DataFrame): DataFrame = df.select(
-      col("doc_id"),
-      explode(expr(s"transform(sequence(1, size(w) - ${DecontN - 1}), " +
-        s"i -> md5(concat_ws(' ', slice(w, i, $DecontN))))")).as("g"))
-    val evalGrams = grams(docs.filter(col("doc_id") % 11 === 0))
+
+  private def decontGrams(df: DataFrame): DataFrame = df.select(
+    col("doc_id"),
+    explode(expr(s"transform(sequence(1, size(w) - ${DecontN - 1}), " +
+      s"i -> md5(concat_ws(' ', slice(w, i, $DecontN))))")).as("g"))
+
+  def q54Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = decontDocs(s, d)
+    val evalGrams = decontGrams(docs.filter(col("doc_id") % 11 === 0))
       .select("g").distinct()
-    grams(docs.filter(col("doc_id") % 11 =!= 0))
+    decontGrams(docs.filter(col("doc_id") % 11 =!= 0))
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_contaminated"))
@@ -299,6 +305,47 @@ object Corpus {
        |SELECT doc_id, COUNT(DISTINCT g) AS n_contaminated
        |FROM trg WHERE g IN (SELECT g FROM evg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The actionable half of q54 (the find/apply pairing, like q57→q60):
+    * emit the DECONTAMINATED training corpus — every train doc that shares
+    * NO n-gram with the eval slice. Same gram machinery and broadcast shape
+    * as q54; the drop itself is two more broadcast-sized joins (the
+    * contaminated id set ≤ the eval suite's reach, tiny next to the corpus),
+    * so the train side still never shuffles: flagged ids come from the
+    * broadcast semi-join on grams, and the final anti-join broadcasts those
+    * ids back over the train scan. */
+  def q68DecontClean(s: SparkSession, d: String): DataFrame = {
+    val docs = decontDocs(s, d)
+    val evalGrams = decontGrams(docs.filter(col("doc_id") % 11 === 0))
+      .select("g").distinct()
+    val train = docs.filter(col("doc_id") % 11 =!= 0)
+    val contaminated = decontGrams(train)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $DecontN),
+       |evg AS (
+       |  SELECT DISTINCT md5(array_to_string(
+       |           w[CAST(i AS INTEGER):CAST(i + ${DecontN - 1} AS INTEGER)], ' ')) AS g
+       |  FROM (SELECT w, unnest(range(1, len(w) - ${DecontN - 1} + 1)) AS i
+       |        FROM d WHERE doc_id % 11 = 0)),
+       |bad AS (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, md5(array_to_string(
+       |          w[CAST(i AS INTEGER):CAST(i + ${DecontN - 1} AS INTEGER)], ' ')) AS g
+       |        FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${DecontN - 1} + 1)) AS i
+       |              FROM d WHERE doc_id % 11 <> 0))
+       |  WHERE g IN (SELECT g FROM evg))
+       |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM d
+       |WHERE doc_id % 11 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
 
   /** Temperature-weighted source mixing — the corpus-composition op LLM
     * pipelines run to rebalance domains before training: target weight per
@@ -535,5 +582,6 @@ object Corpus {
     ("q62_pack", q62PackSequences _, Some(q62Sql)),
     ("q63_quantile_cut", q63QuantileCut _, Some(q63Sql)),
     ("q67_grouped_median", q67GroupedMedian _, Some(q67Sql)),
+    ("q68_decont_clean", q68DecontClean _, Some(q68Sql)),
   )
 }

@@ -631,6 +631,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(m("kept_rows") < m("ingest_rows"), "the filter must be non-vacuous")
   }
 
+  test("decont clean is exactly the train docs q54 did not flag") {
+    import graft.ops.Corpus
+    val flagged = Corpus.q54Decontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged.nonEmpty, "vacuous: q54 must flag something at sf0.001")
+    val clean = Corpus.q68DecontClean(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val train = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 11 =!= 0)
+      .filter(size(split(col("text"), " ")) >= 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(clean == train -- flagged,
+      s"clean ∪ flagged must partition the train slice: ${clean.size} + ${flagged.size} vs ${train.size}")
+  }
+
   test("brute-force ANN: 5 neighbors per query, ranks 1..5, cos in [-1,1]") {
     val rows = Similarity.q28AnnTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))

@@ -213,6 +213,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("q68 decont clean: flag and drop are both broadcast joins, train never shuffles") {
+    import graft.ops.Corpus
+    val p = plan(Corpus.q68DecontClean(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
