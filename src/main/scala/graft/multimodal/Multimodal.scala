@@ -147,6 +147,44 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resized-media row: the payload is a real re-encoded image. */
+  case class ResizedMedia(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+
+  /** Real image RESIZE stage (`javax.imageio` + AWT `Graphics2D` — JDK only,
+    * zero new dependencies): decode → bilinear scale to (targetW, targetH) →
+    * re-encode PNG. The normalization every vision-training pipeline runs
+    * between ingest and embedding. Batched per partition like
+    * [[extractFeatures]] (codec setup amortizes; the doc_id repartition
+    * spreads blob skew), and the output payload is a genuine image — the
+    * spec round-trips it back through [[ImageIoDecoder]] and asserts target
+    * dimensions and color-preserving luma. Fails loudly on undecodable
+    * payloads, same contract as the decoders. */
+  def resizeImages(df: DataFrame, partitions: Int,
+      targetW: Int, targetH: Int): DataFrame = {
+    val enc = Encoders.product[ResizedMedia]
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .repartition(partitions, col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null,
+            s"doc $id: no registered ImageIO reader accepts this payload")
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedMedia(id, bos.toByteArray, targetW, targetH)
+        }
+      }(enc).toDF()
+  }
+
   /** Frame-sampling stage shape: one row per sampled frame index — the
     * explode pattern a video pipeline uses between decode and per-frame
     * embedding. */

@@ -850,6 +850,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("real resize: scaled payloads re-decode at target dims with preserved luma") {
+    val s = spark
+    import s.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // solid colors: bilinear scaling cannot change the (constant) luma
+    val imgs = Seq(
+      (1L, 16, 12, 0xffffff, 255.0),
+      (2L, 7, 9, 0xff0000, 0.299 * 255),
+      (3L, 30, 2, 0x0000ff, 0.114 * 255))
+    val df = imgs.map { case (id, w, h, c, _) => (id, png(w, h, c)) }
+      .toDF("doc_id", "payload")
+    val resized = Multimodal.resizeImages(df, 2, 4, 3)
+    // the resized payload is a REAL image: run it back through the codec
+    val feats = Multimodal.extractFeatures(resized, 2, Multimodal.ImageIoDecoder.decode)
+      .orderBy("doc_id").collect()
+    assert(feats.length == imgs.length)
+    imgs.zip(feats).foreach { case ((id, _, _, _, luma), r) =>
+      assert(r.getLong(0) == id)
+      assert(r.getInt(3) == 4 && r.getInt(4) == 3, s"doc $id dims after resize")
+      assert(math.abs(r.getDouble(6) - luma) < 1e-9, s"doc $id luma ${r.getDouble(6)}")
+    }
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    intercept[Exception] { Multimodal.resizeImages(bad, 1, 4, 3).collect() }
+  }
+
   test("real audio codec: javax.sound decodes synthesized WAVs through the batch path") {
     val s = spark
     import s.implicits._
