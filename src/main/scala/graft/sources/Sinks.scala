@@ -48,6 +48,24 @@ object Sinks {
   def readMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Range-partitioned, sorted-within-file parquet layout — the
+    * data-skipping write. Rows are range-partitioned on the key and sorted
+    * inside each file, so every file's (and row group's) parquet min/max
+    * statistics cover a DISJOINT key range: a point or range predicate on
+    * the key prunes to the one file whose stats admit it, at planning time,
+    * with no partition directories (which at high key cardinality would
+    * explode into millions of tiny files — this layout keeps file count
+    * fixed and lets STATISTICS do the pruning; the single-key analogue of
+    * Z-ordering). `repartitionByRange` samples the key distribution, so the
+    * files are balanced even under skew. */
+  def writeRangeSorted(df: DataFrame, path: String, numFiles: Int,
+      cols: String*): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** S11 equivalent: external table over parquet files in the session
     * catalog (the reference's BigQuery external table). */
   def registerExternalTable(spark: SparkSession, name: String, path: String): Unit = {

@@ -95,6 +95,29 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("range-sorted layout: per-file key ranges are disjoint so stats can prune") {
+    val spark = TestSpark.spark
+    val dir = tmp()
+    Sinks.writeRangeSorted(Tables.events(spark, sf), s"$dir/rs", 4, "user_id")
+    val files = new java.io.File(s"$dir/rs").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    // the skipping precondition: file-level [min, max] ranges never overlap
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("user_id")), max(col("user_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping file ranges: $aMax vs $bMin")
+      case _ =>
+    }
+    // nothing lost: the layout is a pure reorganization
+    assert(spark.read.parquet(s"$dir/rs").count() ==
+      Tables.events(spark, sf).count())
+  }
+
   test("HTML-table source extracts header and body rows distributed") {
     val spark = TestSpark.spark
     val html = getClass.getResource("/fixtures/html").getPath
