@@ -121,12 +121,17 @@ object Bench {
     val flk = flaky.map(jstr).mkString("[", ",", "]")
     // all per-pass samples (in pass order), not just the min: a regression
     // in a later round is attributable from the JSON alone — min moved vs
-    // one inflated sample — without a same-machine rerun
+    // one inflated sample — without a same-machine rerun. Emitted as a
+    // SEPARATE, EARLIER stdout line: the driver tail-captures stdout and
+    // parses the final line, and in round 5 folding samples into that line
+    // grew it past the capture window (BENCH_r05 "parsed": null). The final
+    // line must stay compact — total + best-of-N per query only.
     val smp = names.filter(samples(_).nonEmpty)
       .map(n => jstr(n) + ":" + samples(n).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val total = clean.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$smp,"errors":$errs,"flaky":$flk,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"samples","samples":$smp,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

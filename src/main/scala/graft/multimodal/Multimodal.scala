@@ -101,6 +101,11 @@ object Multimodal {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16,
         s"doc $docId: only 16-bit PCM is wired (${fmt.getSampleSizeInBits}-bit payload)")
+      // encoding check, not just width: a 16-bit UNSIGNED payload would pass
+      // the width gate and be silently reinterpreted as signed samples —
+      // wrong mean amplitude instead of the loud failure the contract promises
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"doc $docId: only signed PCM is wired (${fmt.getEncoding} payload)")
       val frames = math.min(ais.getFrameLength, Int.MaxValue.toLong).toInt
       val data = ais.readAllBytes()
       val n = data.length / 2

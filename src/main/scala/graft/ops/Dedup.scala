@@ -867,12 +867,15 @@ object Dedup {
     * in the same way), ties toward the smaller id. One aggregation over the
     * clustered docs — the arg-max is a `max(struct(n_tokens, -doc_id))`, so
     * no per-cluster sort and the shuffle carries one row per member. Token
-    * definition shared with q20's `n_tokens` so the two can never diverge. */
-  def q61Canonical(s: SparkSession, d: String): DataFrame = {
-    val clusters = q53DedupClusters(s, d)
-    val toks = Tables.spread(s, Tables.documents(s, d), "doc_id")
-      .select(col("doc_id"),
-        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("n_tokens"))
+    * definition shared with q20's `n_tokens` so the two can never diverge.
+    *
+    * The catalog query recomputes q53's clusters so it stands alone (every
+    * catalog entry must); a real pipeline persists the cluster table once
+    * and feeds it to `canonicalFrom` — same selection, no pair regeneration
+    * (equivalence sbt-gated in OperatorSpec). */
+  def canonicalFrom(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("n_tokens"))
     clusters.join(toks, Seq("doc_id"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
@@ -881,6 +884,10 @@ object Dedup {
         col("m.n_tokens").as("keep_tokens"), col("n_members"))
       .orderBy("cluster_id")
   }
+
+  def q61Canonical(s: SparkSession, d: String): DataFrame =
+    canonicalFrom(q53DedupClusters(s, d),
+      Tables.spread(s, Tables.documents(s, d), "doc_id"))
 
   val q61Sql: String =
     s"""WITH RECURSIVE $jaccardCte,

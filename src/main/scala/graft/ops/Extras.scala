@@ -140,7 +140,11 @@ object Extras {
     Tables.events(s, d)
       .withColumn("v", expr("parse_json(props)"))
       .select(col("event_id"),
-        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        // try_variant_get (not strict variant_get) keeps parity with the
+        // null-tolerant oracle (json_extract_string + CAST): a row whose
+        // props lacks k, or holds a non-numeric k, must yield NULL in BOTH
+        // engines rather than throw on the Spark side only
+        expr("try_variant_get(v, '$.k', 'bigint')").as("k"),
         expr("try_variant_get(v, '$.absent', 'bigint')").as("absent_k"))
       .withColumn("has_absent", col("absent_k").isNull.cast("long"))
       .select("event_id", "k", "has_absent")

@@ -225,6 +225,159 @@ object Similarity {
   private[graft] def inertia(emb: DataFrame, cents: DataFrame): Double =
     assignCells(emb, cents).agg(sum("dist")).head().getDouble(0)
 
+  /** q69: TRAINED IVF top-k, oracle-gated end-to-end — the promotion of
+    * `ivfTopK`+`trainCentroids` from sbt-only to the correctness gate. The
+    * float Lloyd trainer can't be gated (mean accumulation order is
+    * layout-dependent), so the training round here is the q64 fixed-point
+    * trick applied to the UPDATE step: per (cell, dim) the members sum as
+    * `floor(v·10⁶)` integers (order-independent, partial+final agg) and the
+    * centroid component is `(Σ/n)/10⁶` — two correctly-rounded IEEE ops on
+    * identical inputs, so the trained centroids are bit-identical on any
+    * partition layout AND cross-engine. Everything downstream (argmin cell
+    * assignment via the ‖x−c‖² expansion, nprobe-cell probing, bucket-local
+    * cosine top-k) is the deterministic double arithmetic q28/q29 already
+    * gate.
+    *
+    * Gated output = the ANN quality contract itself: per query,
+    * `n_cand` (how many vectors the nprobe cells actually scanned — the
+    * selectivity that replaces the n² cross join) and `recall` of the IVF
+    * top-k against the exact brute-force top-k (an exact small-integer
+    * ratio). The oracle recomputes BOTH sides — training round included —
+    * in DuckDB, so a drift anywhere in the pipeline (seeding, update
+    * arithmetic, assignment ties, probe order, ranking) breaks the hash.
+    *
+    * At 100 TB: train/assign are broadcast-centroid map-side passes
+    * (shuffle = nlist×dim fixed-point rows, corpus-size-independent — the
+    * q64 shape, PlanSpec-asserted), the index join is an equi-join on cell,
+    * and the exact-top-k comparison side is a 10-query probe subset, not
+    * the corpus. */
+  private val IvfNList = 8
+  private val IvfNProbe = 2
+  private val IvfK = 5
+  private val IvfNQueries = 10
+
+  def q69IvfTrained(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).select("vec_id", "e", "nrm")
+    val seed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    // one fixed-point Lloyd round: assign to seeds, recompute exact means
+    val means = assignCells(emb.select("vec_id", "e"), seed)
+      .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
+      .groupBy("cell", "i")
+      .agg(sum(floor(col("v") * lit(CentFixedScale.toDouble)).cast("long")).as("fs"),
+        count(lit(1)).as("fn"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(i, fs, fn))), " +
+        s"t -> (CAST(t.fs AS DOUBLE) / t.fn) / $CentFixedScale.0D)").as("ce_new"))
+    val cents = seed.join(means, seed("cent_id") === means("cell"), "left")
+      .select(seed("cent_id"), coalesce(col("ce_new"), seed("ce")).as("ce"))
+    // final assignment → inverted index; queries probe the nprobe nearest cells
+    val index = assignCells(emb.select("vec_id", "e"), cents)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("en"),
+        sqrt(expr("graft_dot(e, e)")).as("nn"), col("cell"))
+    val wp = Window.partitionBy("vec_id").orderBy(col("_d"), col("cent_id"))
+    val probes = emb.filter(col("vec_id") < IvfNQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("_d",
+        expr("graft_dot(e, e) - 2 * graft_dot(e, ce) + graft_dot(ce, ce)"))
+      .withColumn("_rn", row_number().over(wp))
+      .filter(col("_rn") <= IvfNProbe)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq"), col("cent_id").as("cell"))
+    val wk = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val ivfK = probes.join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("query_id")).cast("long"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= IvfK)
+      .select("query_id", "neighbor_id", "n_cand")
+    // exact brute-force top-k on the same probe subset
+    val q = emb.filter(col("vec_id") < IvfNQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("e").as("en"), col("nrm").as("nn"))
+    val exactK = q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= IvfK)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    ivfK.join(exactK, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(max("n_cand").as("n_cand"),
+        (sum(coalesce(col("hit"), lit(0L))).cast("double") / IvfK).as("recall"))
+      .orderBy("query_id")
+  }
+
+  // lazy: interpolates CentFixedScale, declared further down the object
+  // body — a strict val here would capture its pre-init 0
+  lazy val q69Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |seed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $IvfNList),
+       |a0 AS (
+       |  SELECT x.vec_id, x.e, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+       |           list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce)
+       |             + list_inner_product(c.ce, c.ce), c.cent_id) AS rn
+       |  FROM e x CROSS JOIN seed c),
+       |asg0 AS (SELECT vec_id, e, cent_id AS cell FROM a0 WHERE rn = 1),
+       |mx AS (
+       |  SELECT cell, i,
+       |         SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT cell, unnest(range(0, len(e))) AS i, e FROM asg0)
+       |  GROUP BY cell, i),
+       |mean AS (
+       |  SELECT cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM mx GROUP BY cell),
+       |cents AS (
+       |  SELECT s.cent_id, COALESCE(m.ce_new, s.ce) AS ce
+       |  FROM seed s LEFT JOIN mean m ON s.cent_id = m.cell),
+       |a1 AS (
+       |  SELECT x.vec_id, x.e, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+       |           list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce)
+       |             + list_inner_product(c.ce, c.ce), c.cent_id) AS rn
+       |  FROM e x CROSS JOIN cents c),
+       |idx AS (SELECT vec_id AS neighbor_id, e AS en,
+       |               sqrt(list_inner_product(e, e)) AS nn, cent_id AS cell
+       |        FROM a1 WHERE rn = 1),
+       |qp AS (
+       |  SELECT x.vec_id AS query_id, x.e AS eq,
+       |         sqrt(list_inner_product(x.e, x.e)) AS nq, c.cent_id AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+       |           list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce)
+       |             + list_inner_product(c.ce, c.ce), c.cent_id) AS rn
+       |  FROM e x CROSS JOIN cents c WHERE x.vec_id < $IvfNQueries),
+       |cand AS (
+       |  SELECT q.query_id, i.neighbor_id,
+       |         round(list_inner_product(q.eq, i.en) / (q.nq * i.nn), 6) AS cos_sim
+       |  FROM (SELECT query_id, eq, nq, cell FROM qp WHERE rn <= $IvfNProbe) q
+       |  JOIN idx i USING (cell)
+       |  WHERE q.query_id <> i.neighbor_id),
+       |ivf_k AS (
+       |  SELECT query_id, neighbor_id, n_cand FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, neighbor_id) AS rn,
+       |           COUNT(*) OVER (PARTITION BY query_id) AS n_cand
+       |    FROM cand)
+       |  WHERE rn <= $IvfK),
+       |exact_k AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_inner_product(q.e, n.e) /
+       |                   (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(n.e, n.e))), 6) DESC,
+       |             n.vec_id) AS rn
+       |    FROM e q JOIN e n ON q.vec_id <> n.vec_id
+       |    WHERE q.vec_id < $IvfNQueries)
+       |  WHERE rn <= $IvfK)
+       |SELECT i.query_id, CAST(MAX(i.n_cand) AS BIGINT) AS n_cand,
+       |       CAST(SUM(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $IvfK AS recall
+       |FROM ivf_k i LEFT JOIN exact_k x
+       |  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+       |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin
+
   /** Int8 scalar quantization of the embedding column — the storage/serving
     * compression every large ANN index runs (4× smaller than float32, SIMD
     * dot products downstream). Per-vector symmetric max-abs scaling:
@@ -236,15 +389,21 @@ object Similarity {
     * scale step is one IEEE multiply + divide + floor — all correctly
     * rounded in both engines, so the int codes are bit-identical; no
     * accumulation order is involved. All-zero vectors (no scale) are
-    * excluded by contract. `n_sat` counts saturated codes (±127) — the
-    * max-magnitude element always saturates, so n_sat ≥ 1 is an invariant
+    * excluded by contract. The scaled quotient is clamped to [-127, 127]
+    * (in BOTH engines, identically): for the max-magnitude element the two
+    * rounded IEEE ops can land the quotient a ULP below ±127, and floor of
+    * a negative max's quotient is -128 exactly — without the clamp the
+    * "max element always saturates" invariant below would be adversarial-
+    * input flaky. `n_sat` counts saturated codes (±127) — with the clamp
+    * the max-magnitude element always saturates, so n_sat ≥ 1 holds
     * (asserted in OperatorSpec). */
   def q58Quantize(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("max_abs", expr("array_max(transform(e, x -> abs(x)))"))
       .filter(col("max_abs") > 0)
-      .withColumn("q", expr("transform(e, x -> CAST(floor(x * 127.0 / max_abs) AS INT))"))
+      .withColumn("q", expr(
+        "transform(e, x -> CAST(greatest(-127.0D, least(127.0D, floor(x * 127.0 / max_abs))) AS INT))"))
       .select(col("vec_id"),
         round(col("max_abs"), 6).as("max_abs_r"),
         md5(concat_ws(",", expr("transform(q, v -> CAST(v AS STRING))"))).as("q_fp"),
@@ -255,7 +414,7 @@ object Similarity {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS max_abs FROM e),
       |q AS (SELECT vec_id, max_abs,
-      |             list_transform(e, x -> CAST(floor(x * 127.0 / max_abs) AS INTEGER)) AS q
+      |             list_transform(e, x -> CAST(greatest(-127.0, least(127.0, floor(x * 127.0 / max_abs))) AS INTEGER)) AS q
       |      FROM m WHERE max_abs > 0)
       |SELECT vec_id, round(max_abs, 6) AS max_abs_r,
       |       md5(array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',')) AS q_fp,
@@ -302,5 +461,6 @@ object Similarity {
     ("q29_ann_lsh", q29AnnLsh _, Some(q29Sql)),
     ("q58_quantize", q58Quantize _, Some(q58Sql)),
     ("q64_centroids", q64Centroids _, Some(q64Sql)),
+    ("q69_ivf_trained", q69IvfTrained _, Some(q69Sql)),
   )
 }

@@ -66,7 +66,7 @@ object DocStream {
   }
 
   /** fresh document stream → the subset that is a byte-identical duplicate
-    * of an existing document (normalized md5 equality, the q23 rule) — the
+    * of an existing document (raw-text md5 equality, the q23 rule) — the
     * cheap first gate an ingest pipeline runs before near-dup checks. The
     * fingerprint set of a 100 TB corpus is still just 16 bytes/doc, so the
     * stream-static join stays an equi-join on the hash; dedup within the
