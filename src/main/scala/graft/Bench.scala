@@ -89,7 +89,7 @@ object Bench {
       if (ok) Some(sec) else None
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = allNames
     // one untimed warm-up pass: JIT + codegen + file-index costs otherwise
     // land on whichever timed query first touches each codepath. Combined
     // with the timed passes below, every query executes 4× — the heaviest
@@ -115,23 +115,43 @@ object Bench {
     val flaky = names.filter(n =>
       samples(n).nonEmpty && samples(n).length < Passes)
     val clean = results.filterNot { case (n, _) => flaky.contains(n) }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = failed.map(jstr).mkString("[", ",", "]")
-    val flk = flaky.map(jstr).mkString("[", ",", "]")
     // all per-pass samples (in pass order), not just the min: a regression
     // in a later round is attributable from the JSON alone — min moved vs
     // one inflated sample — without a same-machine rerun. Emitted as a
     // SEPARATE, EARLIER stdout line: the driver tail-captures stdout and
     // parses the final line, and in round 5 folding samples into that line
     // grew it past the capture window (BENCH_r05 "parsed": null). The final
-    // line must stay compact — total + best-of-N per query only.
+    // line must stay compact — see `finalLine`.
     val smp = names.filter(samples(_).nonEmpty)
       .map(n => jstr(n) + ":" + samples(n).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val total = clean.map(_._2).sum
     println(s"""{"metric":"samples","samples":$smp,"sf":${jstr(sfDir)}}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":${jstr(sfDir)}}""")
+    println(finalLine(total, results, failed, flaky, sfDir))
     spark.stop()
+  }
+
+  /** Catalog names in bench order — shared with the line-budget spec. */
+  private[graft] def allNames: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted
+
+  /** The FINAL stdout line — the driver's machine-readable perf contract.
+    * The driver tail-captures only the last 2000 chars of stdout and, when
+    * the bench runs under sbt, a ~80-char `[success] Total time: ...` footer
+    * lands AFTER this line inside that window. Rounds 5 and 6 both shipped a
+    * final line the window truncated (full-precision seconds: 69 queries ×
+    * 9-decimal doubles ≈ 2.2 KB → BENCH "parsed": null). So: per-query
+    * seconds are rounded to 3 DECIMALS HERE ONLY (~1 ms resolution — an
+    * order of magnitude below machine noise; full precision stays on the
+    * samples line above), keeping the line under the budget asserted by
+    * `BenchLineSpec` (≤ 1900 chars including the footer allowance). */
+  private[graft] def finalLine(total: Double, results: Seq[(String, Double)],
+      failed: Seq[String], flaky: Seq[String], sfDir: String): String = {
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f3(v) }
+      .mkString("{", ",", "}")
+    val errs = failed.map(jstr).mkString("[", ",", "]")
+    val flk = flaky.map(jstr).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":${jstr(sfDir)}}"""
   }
 }

@@ -151,16 +151,19 @@ object Similarity {
           .select(col("vec_id").as("cent_id"), col("e").as("ce")))
       .withColumn("cn", sqrt(expr("graft_dot(ce, ce)")))
       .select(col("cent_id"), col("ce"), col("cn"))
-    // nearest centroid per vector (broadcast argmax over cosine)
+    // nearest-topN centroids per vector: the centroid set collapses to ONE
+    // broadcast row and the cosine ranking is an array sort-and-slice —
+    // map-side for any topN; no per-vector window, so no Exchange ever
+    // carries an embedding (same shape as `assignCells`)
     def assign(df: DataFrame, topN: Int, outCol: String): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("_csim").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("_csim", expr("graft_dot(e, ce)") / (col("nrm") * col("cn")))
-        .withColumn("_crn", row_number().over(w))
-        .filter(col("_crn") <= topN)
-        .withColumnRenamed("cent_id", outCol)
-        .drop("ce", "cn", "_csim", "_crn")
+      val cs = cents.agg(collect_list(struct(col("cent_id"), col("ce"), col("cn"))).as("cs"))
+      val inCols = df.columns
+      df.crossJoin(broadcast(cs))
+        .withColumn("_c", explode(expr(
+          "slice(array_sort(transform(cs, c -> struct(" +
+            "-(graft_dot(e, c.ce) / (nrm * c.cn)) AS negsim, c.cent_id AS cent_id)))" +
+            s", 1, $topN)")))
+        .select(inCols.map(col) :+ col("_c.cent_id").as(outCol): _*)
     }
     val index = assign(emb, 1, "cell")
     val queries = assign(emb.filter(col("vec_id") < nQueries), nprobe, "cell")
@@ -195,13 +198,23 @@ object Similarity {
     * ulp-nondeterministic across cluster layouts, which is why `ivfTopK`'s
     * default seed stays non-iterative and this trainer is sbt-gated
     * (inertia monotonicity + recall) rather than oracle-gated. */
-  private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cents))
-      .withColumn("_d",
-        expr("graft_dot(e, e) - 2 * graft_dot(e, ce) + graft_dot(ce, ce)"))
-      .groupBy(col("vec_id"), col("e"))
-      .agg(min(struct(col("_d"), col("cent_id"))).as("m"))
+  private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    // the whole centroid set as ONE row (nlist × dim doubles — KBs), so the
+    // assignment is a broadcast of that row + a pure array expression: the
+    // argmin runs inside the vector's own task and NO Exchange ever carries
+    // an embedding. (The previous formulation grouped by (vec_id, e) after a
+    // per-centroid cross join — a full corpus-embedding shuffle per Lloyd
+    // round; PlanSpec "q69 cell assignment" now pins the map-side shape.)
+    // Tie-break: array_min over struct(_d, cent_id) is the same
+    // lexicographic (distance, id) minimum the old groupBy-min computed.
+    val cs = cents.agg(collect_list(struct(col("cent_id"), col("ce"))).as("cs"))
+    emb.crossJoin(broadcast(cs))
+      .withColumn("m", expr(
+        "array_min(transform(cs, c -> struct(" +
+          "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
+          "c.cent_id AS cent_id)))"))
       .select(col("vec_id"), col("e"), col("m._d").as("dist"), col("m.cent_id").as("cell"))
+  }
 
   private[graft] def trainCentroids(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
     var cents = emb.filter(col("vec_id") < nlist)
@@ -246,11 +259,13 @@ object Similarity {
     * in DuckDB, so a drift anywhere in the pipeline (seeding, update
     * arithmetic, assignment ties, probe order, ranking) breaks the hash.
     *
-    * At 100 TB: train/assign are broadcast-centroid map-side passes
-    * (shuffle = nlist×dim fixed-point rows, corpus-size-independent — the
-    * q64 shape, PlanSpec-asserted), the index join is an equi-join on cell,
-    * and the exact-top-k comparison side is a 10-query probe subset, not
-    * the corpus. */
+    * At 100 TB: train/assign are broadcast-centroid map-side passes — the
+    * cell argmin is a pure array expression over ONE broadcast centroid row,
+    * so no Exchange ever carries an embedding (PlanSpec "q69 cell
+    * assignment"), and the update step's shuffle is nlist×dim fixed-point
+    * rows, corpus-size-independent (the q64 shape). The index join is an
+    * equi-join on cell, and the exact-top-k comparison side is a 10-query
+    * probe subset, not the corpus. */
   private val IvfNList = 8
   private val IvfNProbe = 2
   private val IvfK = 5
@@ -306,6 +321,16 @@ object Similarity {
       .agg(max("n_cand").as("n_cand"),
         (sum(coalesce(col("hit"), lit(0L))).cast("double") / IvfK).as("recall"))
       .orderBy("query_id")
+  }
+
+  /** PlanSpec probe: `assignCells` exactly as q69 runs it (seed centroids,
+    * full embedding side). The guard asserts no hash-partition Exchange and
+    * no Window anywhere — nothing in the assignment may shuffle embeddings. */
+  private[graft] def q69AssignProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    val seed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    assignCells(emb, seed)
   }
 
   // lazy: interpolates CentFixedScale, declared further down the object

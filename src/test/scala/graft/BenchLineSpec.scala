@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's FINAL stdout line must survive the driver's 2000-char tail
+  * capture WITH sbt's `[success] Total time: ...` footer (~80 chars + a
+  * newline) landing after it inside the same window. Rounds 5 and 6 both
+  * shipped an over-budget line (full-precision per-query seconds → BENCH
+  * "parsed": null); this spec pins the budget so a third occurrence fails in
+  * `sbt test`, not in post-round judging. Worst-case widths: every query at
+  * 99.999 s (wider than any real sf0.1 number by an order of magnitude) and
+  * a couple of flaky names. Budget 1900 = 2000 − footer − margin.
+  */
+class BenchLineSpec extends AnyFunSuite {
+  test("final bench line fits the driver tail window at worst-case widths") {
+    val names = Bench.allNames
+    assert(names.size >= 69, s"catalog shrank? ${names.size}")
+    val results = names.map(_ -> 99.999)
+    val line = Bench.finalLine(6899.931, results,
+      failed = Nil, flaky = names.take(2), sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1900, s"final bench line is ${line.length} chars")
+    assert(!line.contains("\n") && line.startsWith("{") && line.endsWith("}"))
+    // 3-decimal rendering, locale-proof (dot decimal separator, no E-notation)
+    assert(line.contains("\"value\":6899.931"), line)
+    assert(line.contains(":99.999,"), line)
+  }
+}

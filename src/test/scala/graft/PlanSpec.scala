@@ -222,6 +222,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q69 cell assignment is map-side: no exchange ever carries an embedding") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q69AssignProbe(spark, sf))
+    // the only exchange allowed is the single-partition collect of the
+    // nlist-row centroid set; the corpus side reaches the argmin unshuffled
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    // one nested loop against the 1-row centroid aggregate (×2 prints)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
