@@ -218,6 +218,21 @@ object Dedup {
     verifyPairs(docs, candidates, threshold)
   }
 
+  /** q70: the incremental path as a catalog entry — the steady-state ingest
+    * story at 100 TB, where a growing corpus is deduped one fresh batch at a
+    * time and existing×existing pairs are NEVER re-compared. Fresh batch =
+    * doc_id % 5 == 0 (the DocStream convention); output = every J ≥ 0.6
+    * pair with at least one fresh member, which the oracle expresses as the
+    * full-corpus pair query restricted by the same predicate — so the gate
+    * checks the one-sided probe loses nothing and adds nothing. The probe
+    * side is a left-semi on fresh ids (PlanSpec); everything else is the
+    * q24 machinery unchanged. */
+  def q70DedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
+    val freshIds = docs.select("doc_id").filter(col("doc_id") % 5 === 0)
+    incrementalJaccardPairs(shingleDocs(docs), freshIds, 0.6)
+  }
+
   /** Exact-duplicate collapse around the pair join. Real corpora (and every
     * dedup workload by definition) carry clusters of byte-identical texts;
     * identical shingle sets make prefix filtering powerless — cluster
@@ -292,6 +307,18 @@ object Dedup {
     exactJaccardPairs(s, d, 0.6)
 
   val q24Sql: String = jaccardOracle
+
+  // q70 oracle: the SAME full-corpus pair query, restricted to pairs with a
+  // fresh member — the incremental path must equal exactly this set
+  val q70Sql: String =
+    s"""WITH $jaccardCte
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) AS jaccard
+       |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+       |GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+       |HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
+       |ORDER BY a_id, b_id""".stripMargin
 
   // MinHash + LSH: 128 minhashes (xxhash64 domains), 32 bands × 4 rows,
   // band-bucket join for candidates, exact Jaccard verification. The verified
@@ -973,5 +1000,6 @@ object Dedup {
     ("q60_substr_clean", q60SubstrClean _, Some(q60Sql)),
     ("q61_canonical", q61Canonical _, Some(q61Sql)),
     ("q65_bloom_dedup", q65BloomDedup _, Some(q65Sql)),
+    ("q70_dedup_incremental", q70DedupIncremental _, Some(q70Sql)),
   )
 }

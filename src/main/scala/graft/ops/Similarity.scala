@@ -414,21 +414,26 @@ object Similarity {
     * scale step is one IEEE multiply + divide + floor — all correctly
     * rounded in both engines, so the int codes are bit-identical; no
     * accumulation order is involved. All-zero vectors (no scale) are
-    * excluded by contract. The scaled quotient is clamped to [-127, 127]
-    * (in BOTH engines, identically): for the max-magnitude element the two
-    * rounded IEEE ops can land the quotient a ULP below ±127, and floor of
-    * a negative max's quotient is -128 exactly — without the clamp the
-    * "max element always saturates" invariant below would be adversarial-
-    * input flaky. `n_sat` counts saturated codes (±127) — with the clamp
-    * the max-magnitude element always saturates, so n_sat ≥ 1 holds
-    * (asserted in OperatorSpec). */
+    * excluded by contract. Max-magnitude elements (|x| = max|x|) emit ±127
+    * DIRECTLY rather than through the quotient: algebraically their
+    * quotient IS ±127, but the two rounded IEEE ops can land one ulp off in
+    * EITHER direction — a ulp low on a positive max floors to 126, a ulp
+    * low on a negative max floors to -128 — so a computed code would make
+    * "the max element saturates" adversarial-input-dependent. The remaining
+    * elements keep the [-127, 127] clamp (|x| < max|x| puts their quotient
+    * strictly inside ±127 mathematically; one rounding can still touch the
+    * boundary, where floor is ±127 and only the -128 corner needs the
+    * clamp). `n_sat` counts saturated codes (±127); with the special case
+    * n_sat ≥ 1 holds unconditionally (asserted in OperatorSpec), in BOTH
+    * engines identically. */
   def q58Quantize(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("max_abs", expr("array_max(transform(e, x -> abs(x)))"))
       .filter(col("max_abs") > 0)
       .withColumn("q", expr(
-        "transform(e, x -> CAST(greatest(-127.0D, least(127.0D, floor(x * 127.0 / max_abs))) AS INT))"))
+        "transform(e, x -> CAST(CASE WHEN abs(x) = max_abs THEN IF(x >= 0.0D, 127.0D, -127.0D) " +
+          "ELSE greatest(-127.0D, least(127.0D, floor(x * 127.0 / max_abs))) END AS INT))"))
       .select(col("vec_id"),
         round(col("max_abs"), 6).as("max_abs_r"),
         md5(concat_ws(",", expr("transform(q, v -> CAST(v AS STRING))"))).as("q_fp"),
@@ -439,7 +444,10 @@ object Similarity {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS max_abs FROM e),
       |q AS (SELECT vec_id, max_abs,
-      |             list_transform(e, x -> CAST(greatest(-127.0, least(127.0, floor(x * 127.0 / max_abs))) AS INTEGER)) AS q
+      |             list_transform(e, x -> CAST(CASE WHEN abs(x) = max_abs
+      |                                              THEN (CASE WHEN x >= 0 THEN 127.0 ELSE -127.0 END)
+      |                                              ELSE greatest(-127.0, least(127.0, floor(x * 127.0 / max_abs)))
+      |                                         END AS INTEGER)) AS q
       |      FROM m WHERE max_abs > 0)
       |SELECT vec_id, round(max_abs, 6) AS max_abs_r,
       |       md5(array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',')) AS q_fp,

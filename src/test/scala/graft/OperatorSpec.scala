@@ -446,6 +446,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalFrom on a persisted cluster table equals the catalog q61 output") {
+    // the pipeline shape the q61 scaladoc promises: q53's clusters persisted
+    // once, selection re-run from the artifact — no pair regeneration
+    val dir = java.nio.file.Files.createTempDirectory("clusters").toString
+    Dedup.q53DedupClusters(spark, sf).write.mode("overwrite").parquet(dir)
+    val got = Dedup.canonicalFrom(spark.read.parquet(dir),
+      Tables.spread(spark, Tables.documents(spark, sf), "doc_id"))
+      .collect().map(_.toSeq).toSeq
+    val expected = Dedup.q61Canonical(spark, sf).collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("substr clean: removal count equals span mass, untouched docs keep their text hash") {
     val spans = Dedup.q57SubstrSpans(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))

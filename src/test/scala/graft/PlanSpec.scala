@@ -222,6 +222,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q70 incremental dedup probes one-sided: fresh filter is a left-semi, joins stay equi") {
+    val p = plan(Dedup.q70DedupIncremental(spark, sf))
+    // only FRESH prefixes enter the candidate join (the left-semi); the
+    // candidate/verify joins are equi — nothing n², nothing corpus×corpus
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q69 cell assignment is map-side: no exchange ever carries an embedding") {
     import graft.ops.Similarity
     val p = plan(Similarity.q69AssignProbe(spark, sf))
