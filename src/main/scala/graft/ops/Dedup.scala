@@ -125,12 +125,14 @@ object Dedup {
   /** (doc_id, hs0) → (doc_id, hs df-rank-sorted, nsh). Pure map-side given
     * the broadcast rank table, so also valid on a STREAMING frame
     * (DocStream builds fresh-batch prefixes with the static corpus's
-    * table — any consistent total order preserves prefix containment). */
+    * table — any consistent total order preserves prefix containment).
+    * `carry` columns (e.g. the stream's event-time) pass through untouched. */
   private[graft] def rankDocs(hashed: DataFrame,
-      btable: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])]): DataFrame =
+      btable: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
+      carry: Seq[String] = Nil): DataFrame =
     hashed
-      .select(col("doc_id"),
-        graft.functions.RankSort.sortByDfRank(col("hs0"), btable).as("hs"))
+      .select((col("doc_id") +: carry.map(col)) :+
+        graft.functions.RankSort.sortByDfRank(col("hs0"), btable).as("hs"): _*)
       .withColumn("nsh", size(col("hs")).cast("long"))
 
   // prefix length n − ⌈t·n⌉ + 1; the 1e-9 nudge keeps FP ceil from landing
@@ -140,13 +142,15 @@ object Dedup {
     expr(s"slice(hs, 1, cast(nsh - ceil(nsh * $threshold - 1e-9) + 1 as int))")
 
   /** documents → (doc_id, hs0 = xxhash64'd distinct trigram shingles); the
-    * map-side head of the All-Pairs pipeline, streaming-safe. */
-  private[graft] def hashShingles(docs: DataFrame): DataFrame =
+    * map-side head of the All-Pairs pipeline, streaming-safe. `carry`
+    * columns pass through untouched. */
+  private[graft] def hashShingles(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select((col("doc_id") +: carry.map(col)) :+ split(col("text"), " ").as("w"): _*)
       .filter(size(col("w")) >= 3)
       .withColumn("shingles", array_distinct(expr(trigramExpr)))
-      .select(col("doc_id"), expr("transform(shingles, x -> xxhash64(x))").as("hs0"))
+      .select((col("doc_id") +: carry.map(col)) :+
+        expr("transform(shingles, x -> xxhash64(x))").as("hs0"): _*)
 
   /** The sampled-df broadcast rank table alone, for callers that rank a
     * different frame than the one the order was estimated on.

@@ -54,6 +54,61 @@ class DocStreamSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.size}, expected ${expected.size}")
   }
 
+  test("watermarked stream catches mutated near-dups, equals the batch incremental path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val static = all.filter(col("doc_id") % 5 =!= 0)
+    val fresh = all.filter(col("doc_id") % 5 === 0)
+    // MUTATED copies of static docs: one middle word replaced — NOT
+    // byte-identical (the exact gate is blind to them), trigram Jaccard
+    // ≥ (n-5)/(n+1) ≥ 0.71 at n ≥ 20 words, comfortably over t=0.6
+    val mutated = static.filter(size(split(col("text"), " ")) >= 20)
+      .orderBy("doc_id").limit(5).collect().map { r =>
+        val w = r.getString(1).split(" ")
+        w(w.length / 2) = "zzmutated"
+        (r.getLong(0) + 3000000L, w.mkString(" "))
+      }
+    assert(mutated.length == 5, "vacuous: not enough long static docs to mutate")
+    val batch = fresh.unionByName(mutated.toSeq.toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("docstream_wm").toString
+    batch
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("ingest_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val (btable, index) = DocStream.nearDupIndex(static, threshold)
+    val q = DocStream.nearDupAgainstWatermarked(
+        DocStream.readDocsTs(spark, dir), btable, index, threshold)
+      .writeStream.format("memory").queryName("stream_neardup_wm")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_neardup_wm").collect()
+      .map(r => (r.getAs[Long]("fresh_id"), r.getAs[Long]("ex_id"),
+        r.getAs[Double]("jaccard"))).toSet
+
+    // every planted mutation must be caught against its source document
+    mutated.foreach { case (mid, _) =>
+      assert(got.exists(p => p._1 == mid && p._2 == mid - 3000000L),
+        s"mutated copy $mid not caught against its source")
+    }
+    // differential vs the BATCH incremental path (the q70 machinery) over
+    // static ∪ batch, restricted to fresh-vs-static pairs — the only pairs
+    // the stream probes. Note the two paths rank by DIFFERENT df tables
+    // (static-only vs combined) — both consistent total orders, so both are
+    // exact and must agree; this is the strongest check of that claim.
+    def isFresh(id: Long): Boolean = id % 5 == 0 || id >= 3000000L
+    val expected = graft.ops.Dedup.incrementalJaccardPairs(
+        graft.ops.Dedup.shingleDocs(static.unionByName(batch)),
+        batch.select("doc_id"), threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => isFresh(a) ^ isFresh(b) }
+      .map { case (a, b, j) => if (isFresh(a)) (a, b, j) else (b, a, j) }.toSet
+    assert(expected.size >= 5, "vacuous: differential has no pairs")
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+  }
+
   test("streamed exact-dup gate flags exactly the docs whose text exists in the static corpus") {
     val spark = TestSpark.spark
     val all = Tables.documents(spark, sf).select("doc_id", "text")
