@@ -13,7 +13,14 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" exec java $ADD_OPENS \
+# Mid-pass spike triage (see BASELINE.md measurement notes): a single
+# inflated sample in a warm sequence is usually host-external load, not the
+# query. Set SPARK_GRAFT_GCLOG=1 to rule the JVM in/out — if the GC log has
+# no multi-second pause covering the spike window, the stall came from
+# outside the process (check `uptime` vs in-container CPU).
+GCLOG=""
+[ -n "$SPARK_GRAFT_GCLOG" ] && GCLOG="-Xlog:gc*:file=/tmp/bench_gc.log:time,uptime"
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" exec java $ADD_OPENS $GCLOG \
   -Xmx16g -Xms16g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
