@@ -564,7 +564,16 @@ object Dedup {
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 50) {
+    // Round cap 12, deliberately tight: rounds ≈ component diameter, and a
+    // real near-dup component (duplicates of one source, maybe chained
+    // through a few rewrites) converges in ≤ ~5; a graph still moving after
+    // 12 is pathological and the star fallback is exact, O(log² n) rounds
+    // regardless of diameter, and already FASTER at ~1M pairs (Profile53).
+    // The cap only picks which kernel finishes the job — never correctness.
+    // Measured (Profile53Power, chain diameter 5000 + 500k-degree hub):
+    // with the old cap of 50 the capped phase burned ~3× the cost of the
+    // entire star fallback before invoking it.
+    while (!converged && rounds < 12) {
       val prop = byDst.join(labels)
         .map { case (_, (src, lbl)) => (src, lbl) }
         .reduceByKey(math.min)
