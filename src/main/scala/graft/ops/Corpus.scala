@@ -471,18 +471,36 @@ object Corpus {
     * q12), and the threshold broadcast back so the filter pass is map-side.
     * percentile_disc(0.10) semantics via integer cross-multiplication
     * (cc·10 ≥ N — no float fraction, engines agree exactly). */
-  def q63QuantileCut(s: SparkSession, d: String): DataFrame = {
+  /** Shared exact-quantile-by-histogram kernel (q63 global, q67 grouped):
+    * per group, the percentile_disc(1/mult) boundary of `valueCol` and the
+    * group count. Value histogram = partial+final count (shuffle =
+    * |groups × distinct values| rows); cumulative sum + group total are
+    * windows over the PRE-AGGREGATED series (bounded rows — global order is
+    * legal here by the q12 rule, partitioned when grouped); the boundary is
+    * integer cross-multiplication cc·mult ≥ n (no float fraction, engines
+    * agree exactly). Unifying the two also dropped q63's separate
+    * corpus-count pass: the total falls out of the histogram itself. */
+  private def histQuantile(values: DataFrame, groupCols: Seq[String],
+      valueCol: String, mult: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val wcum = (if (groupCols.isEmpty) Window.orderBy(valueCol)
+      else Window.partitionBy(gcols: _*).orderBy(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(gcols: _*)
+    values.groupBy((gcols :+ col(valueCol)): _*).agg(count(lit(1)).as("c"))
+      .withColumn("cc", sum(col("c")).over(wcum))
+      .withColumn("n_g", sum(col("c")).over(wtot))
+      .filter(col("cc") * mult >= col("n_g"))
+      .groupBy(gcols: _*)
+      .agg(min(col(valueCol)).as("q_value"), min(col("n_g")).as("n"))
+  }
+
+  def q63QuantileCut(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
-    val hist = docs.groupBy("n_words").agg(count(lit(1)).as("c"))
-    val tot = docs.agg(count(lit(1)).as("n"))
-    val wcum = Window.orderBy("n_words")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = hist.withColumn("cc", sum(col("c")).over(wcum))
-      .crossJoin(broadcast(tot))
-      .filter(col("cc") * 10 >= col("n"))
-      .agg(min(col("n_words")).as("p10"))
+    val thr = histQuantile(docs, Nil, "n_words", 10L)
+      .select(col("q_value").as("p10"))
     docs.crossJoin(broadcast(thr))
       .filter(col("n_words") > col("p10"))
       .select("doc_id", "n_words", "p10")
@@ -512,22 +530,13 @@ object Corpus {
     * rows. percentile_disc(0.5) boundary in integer arithmetic (cc·2 ≥ n_s)
     * like q63. This is the per-domain "data card" statistic (median doc
     * length per source) every corpus report carries. */
-  def q67GroupedMedian(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_words"))
-    val hist = docs.groupBy("source", "n_words").agg(count(lit(1)).as("c"))
-    val wcum = Window.partitionBy("source").orderBy("n_words")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wtot = Window.partitionBy("source")
-    hist
-      .withColumn("cc", sum(col("c")).over(wcum))
-      .withColumn("n_s", sum(col("c")).over(wtot))
-      .filter(col("cc") * 2 >= col("n_s"))
-      .groupBy("source")
-      .agg(min(col("n_words")).as("p50"), min(col("n_s")).as("n_docs"))
+  def q67GroupedMedian(s: SparkSession, d: String): DataFrame =
+    histQuantile(
+      Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_words")),
+      Seq("source"), "n_words", 2L)
+      .select(col("source"), col("q_value").as("p50"), col("n").as("n_docs"))
       .orderBy("source")
-  }
 
   val q67Sql: String =
     """WITH nw AS (

@@ -170,9 +170,10 @@ class PlanSpec extends AnyFunSuite {
     // the value histogram aggregates map-side before its exchange
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
-    // the only nested loops are against the two 1-row aggregates (totals +
-    // threshold), each printed twice in formatted output
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4, p)
+    // the only nested loop is against the 1-row threshold aggregate (×2
+    // prints) — the histQuantile refactor folded the corpus-count pass into
+    // the histogram, so the second 1-row totals aggregate is gone
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
   }
 
   test("q67 grouped median: source-partitioned windows over the histogram, no global order") {
