@@ -271,12 +271,16 @@ object Similarity {
   private val IvfK = 5
   private val IvfNQueries = 10
 
-  def q69IvfTrained(s: SparkSession, d: String): DataFrame = {
-    val emb = embWithNorm(s, d).select("vec_id", "e", "nrm")
-    val seed = emb.filter(col("vec_id") < IvfNList)
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    // one fixed-point Lloyd round: assign to seeds, recompute exact means
-    val means = assignCells(emb.select("vec_id", "e"), seed)
+  /** One fixed-point Lloyd UPDATE (the q64 trick applied to the mean step):
+    * per (cell, dim) the members sum as `floor(v·10⁶)` integers — an
+    * order-independent partial+final agg, so the new centroids are
+    * bit-identical on any partition layout AND cross-engine — and the
+    * component is `(Σ/n)/10⁶`, two correctly-rounded IEEE ops on identical
+    * inputs. Cells with no members keep their previous centroid (left
+    * join + coalesce), so nlist is stable. Shared by q69 (one round) and
+    * q71 (the multi-round trainer). */
+  private[graft] def fixedPointUpdate(asg: DataFrame, cents: DataFrame): DataFrame = {
+    val means = asg
       .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
       .groupBy("cell", "i")
       .agg(sum(floor(col("v") * lit(CentFixedScale.toDouble)).cast("long")).as("fs"),
@@ -284,8 +288,16 @@ object Similarity {
       .groupBy("cell")
       .agg(expr("transform(array_sort(collect_list(struct(i, fs, fn))), " +
         s"t -> (CAST(t.fs AS DOUBLE) / t.fn) / $CentFixedScale.0D)").as("ce_new"))
-    val cents = seed.join(means, seed("cent_id") === means("cell"), "left")
-      .select(seed("cent_id"), coalesce(col("ce_new"), seed("ce")).as("ce"))
+    cents.join(means, cents("cent_id") === means("cell"), "left")
+      .select(cents("cent_id"), coalesce(col("ce_new"), cents("ce")).as("ce"))
+  }
+
+  def q69IvfTrained(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).select("vec_id", "e", "nrm")
+    val seed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    // one fixed-point Lloyd round: assign to seeds, recompute exact means
+    val cents = fixedPointUpdate(assignCells(emb.select("vec_id", "e"), seed), seed)
     // final assignment → inverted index; queries probe the nprobe nearest cells
     val index = assignCells(emb.select("vec_id", "e"), cents)
       .select(col("vec_id").as("neighbor_id"), col("e").as("en"),
@@ -323,6 +335,45 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** q71: the MULTI-ROUND fixed-point Lloyd trainer, oracle-gated — closes
+    * the last sbt-only headline gap (the float trainer can never be gated:
+    * mean accumulation order is layout-dependent; the fixed-point update
+    * makes every round bit-identical on any layout AND cross-engine, so the
+    * whole training trajectory becomes hashable). Output: per (round, cell)
+    * membership count and EXACT fixed-point inertia Σ floor(dist·10⁶) —
+    * dist from the ‖x−c‖² expansion (identical IEEE op sequence in both
+    * engines), the integer sum order-independent. Round r's stats are
+    * measured against the centroids BEFORE round r's update (standard Lloyd
+    * accounting), so the round-over-round inertia descent — the trainer's
+    * convergence — is itself inside the hash gate; OperatorSpec asserts the
+    * decrease explicitly.
+    *
+    * At 100 TB: each round is one map-side broadcast-centroid pass over the
+    * corpus (the q69 assignment shape — no Exchange carries an embedding)
+    * plus a nlist×dim fixed-point shuffle (q64 shape); rounds are a fixed
+    * small constant. */
+  private val LloydRounds = 3
+
+  def q71LloydTrained(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    val seed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    var cents = seed
+    var stats: DataFrame = null
+    for (r <- 1 to LloydRounds) {
+      val asg = assignCells(emb, cents)
+      val st = asg.groupBy("cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(floor(col("dist") * lit(CentFixedScale.toDouble)).cast("long"))
+            .as("inertia_fixed"))
+        .select(lit(r).cast("long").as("round"), col("cell"),
+          col("n_members"), col("inertia_fixed"))
+      stats = if (stats == null) st else stats.unionByName(st)
+      if (r < LloydRounds) cents = fixedPointUpdate(asg, cents)
+    }
+    stats.orderBy("round", "cell")
+  }
+
   /** PlanSpec probe: `assignCells` exactly as q69 runs it (seed centroids,
     * full embedding side). The guard asserts no hash-partition Exchange and
     * no Window anywhere — nothing in the assignment may shuffle embeddings. */
@@ -331,6 +382,51 @@ object Similarity {
     val seed = emb.filter(col("vec_id") < IvfNList)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
     assignCells(emb, seed)
+  }
+
+  /** q71 oracle, generated per round so the SQL can never drift from
+    * `LloydRounds`: round r assigns against c(r−1) (seed for r=1), emits
+    * (round, cell, n_members, fixed-point inertia), and rounds < last also
+    * unroll the fixed-point mean update — the literal SQL form of
+    * `fixedPointUpdate`. */
+  lazy val q71Sql: String = {
+    val dist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
+    val ctes = (1 to LloydRounds).map { r =>
+      val prev = if (r == 1) "seed" else s"c${r - 1}"
+      val assign =
+        s"""a$r AS (
+           |  SELECT vec_id, e, cell, dist FROM (
+           |    SELECT x.vec_id, x.e, c.cent_id AS cell, $dist AS dist,
+           |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+           |                              ORDER BY $dist, c.cent_id) AS rn
+           |    FROM e x CROSS JOIN $prev c)
+           |  WHERE rn = 1)""".stripMargin
+      val update = if (r == LloydRounds) "" else
+        s""",
+           |m$r AS (
+           |  SELECT cell, i,
+           |         SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+           |         COUNT(*) AS fn
+           |  FROM (SELECT cell, unnest(range(0, len(e))) AS i, e FROM a$r)
+           |  GROUP BY cell, i),
+           |c$r AS (
+           |  SELECT s.cent_id, COALESCE(m.ce_new, s.ce) AS ce
+           |  FROM $prev s LEFT JOIN (
+           |    SELECT cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+           |    FROM m$r GROUP BY cell) m ON s.cent_id = m.cell)""".stripMargin
+      assign + update
+    }.mkString(",\n")
+    val stats = (1 to LloydRounds).map { r =>
+      s"""  SELECT CAST($r AS BIGINT) AS round, cell, COUNT(*) AS n_members,
+         |         CAST(SUM(CAST(floor(dist * $CentFixedScale) AS BIGINT)) AS BIGINT) AS inertia_fixed
+         |  FROM a$r GROUP BY cell""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |seed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $IvfNList),
+       |$ctes
+       |SELECT round, cell, n_members, inertia_fixed FROM (
+       |$stats)
+       |ORDER BY round, cell""".stripMargin
   }
 
   // lazy: interpolates CentFixedScale, declared further down the object
@@ -495,5 +591,6 @@ object Similarity {
     ("q58_quantize", q58Quantize _, Some(q58Sql)),
     ("q64_centroids", q64Centroids _, Some(q64Sql)),
     ("q69_ivf_trained", q69IvfTrained _, Some(q69Sql)),
+    ("q71_lloyd_trained", q71LloydTrained _, Some(q71Sql)),
   )
 }

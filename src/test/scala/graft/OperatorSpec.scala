@@ -499,6 +499,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q71: lloyd trainer inertia strictly decreases; every vector assigned each round") {
+    val rows = Similarity.q71LloydTrained(spark, sf).collect()
+    val byRound = rows.groupBy(_.getAs[Long]("round"))
+    assert(byRound.keySet == Set(1L, 2L, 3L))
+    val inertia = byRound.view.mapValues(_.map(_.getAs[Long]("inertia_fixed")).sum).toMap
+    assert(inertia(1L) > inertia(2L) && inertia(2L) > inertia(3L),
+      s"inertia not descending: $inertia")
+    val assigned = byRound.view.mapValues(_.map(_.getAs[Long]("n_members")).sum).toMap
+    assert(assigned.values.toSet.size == 1, s"rounds assign different totals: $assigned")
+    assert(assigned(1L) > 0)
+  }
+
   test("quantize: max-magnitude code saturates, fingerprints deterministic") {
     val a = Similarity.q58Quantize(spark, sf).collect()
     val b = Similarity.q58Quantize(spark, sf).collect()

@@ -243,6 +243,17 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
   }
 
+  test("q71 lloyd trainer: no window, no sort-merge — broadcast passes + tiny aggs only") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q71LloydTrained(spark, sf))
+    // per round: a map-side broadcast-centroid assignment (the q69 guard
+    // covers its shape) + partial+final fixed-point aggs; nothing may
+    // introduce a per-vector window or shuffle the corpus for a join
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
