@@ -222,6 +222,52 @@ object Dedup {
     verifyPairs(docs, candidates, threshold)
   }
 
+  /** The persisted-corpus artifacts the steady-state ingest keeps between
+    * batches: the df-ranked hash arrays (one row per corpus doc — write to
+    * parquet once per snapshot) and the broadcast rank table they were
+    * ranked with (two primitive arrays — persist beside the table). Build
+    * once; every subsequent batch goes through [[incrementalFrom]] without
+    * touching corpus text again. */
+  def corpusArtifact(corpusDocs: DataFrame)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])]) = {
+    val hashed = hashShingles(corpusDocs)
+    val btable = dfRankTable(hashed)
+    (rankDocs(hashed, btable), btable)
+  }
+
+  /** Artifact-mode incremental dedup — the steady-state 100 TB entry point
+    * (the q70 catalog query recomputes the corpus side only because every
+    * catalog entry must stand alone; a real pipeline runs THIS). The corpus
+    * arrives pre-ranked from [[corpusArtifact]]; the fresh batch is ranked
+    * with the SAME persisted table — tokens the corpus never saw rank as
+    * rare in hash order, and since BOTH sides use one consistent total
+    * order, All-Pairs prefix containment holds (the DocStream argument).
+    * Fresh prefixes probe corpus ∪ fresh (so fresh×fresh pairs surface
+    * too); output = every J ≥ t pair with ≥1 fresh member, equal BY SET to
+    * `incrementalJaccardPairs` over the combined corpus even though the two
+    * rank by different df tables — exactness needs only consistency, and
+    * the OperatorSpec differential pins exactly that through a parquet
+    * round-trip of the artifact. */
+  def incrementalFrom(corpusRanked: DataFrame,
+      btable: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
+      freshDocs: DataFrame, threshold: Double): DataFrame = {
+    val freshRanked = rankDocs(hashShingles(freshDocs), btable)
+    val docs = corpusRanked.select("doc_id", "hs", "nsh")
+      .unionByName(freshRanked.select("doc_id", "hs", "nsh"))
+    val prefix = docs.select(col("doc_id"), col("nsh"),
+      explode(prefixSliceExpr(threshold)).as("shh"))
+    val freshPrefix = freshRanked.select(col("doc_id"), col("nsh"),
+      explode(prefixSliceExpr(threshold)).as("shh"))
+    val candidates = prefix.as("a").join(freshPrefix.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") =!= col("b.doc_id") &&
+          least(col("a.nsh"), col("b.nsh")).cast("double") >=
+            greatest(col("a.nsh"), col("b.nsh")) * threshold)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+    verifyPairs(docs, candidates, threshold)
+  }
+
   /** q70: the incremental path as a catalog entry — the steady-state ingest
     * story at 100 TB, where a growing corpus is deduped one fresh batch at a
     * time and existing×existing pairs are NEVER re-compared. Fresh batch =

@@ -289,6 +289,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
   }
 
+  test("incrementalFrom on persisted corpus artifacts equals the batch incremental path") {
+    // steady-state shape: corpus ranked ONCE, artifact through a parquet
+    // round-trip, fresh batch raw. The two paths rank by DIFFERENT df
+    // tables (corpus-only vs combined) — both consistent total orders, so
+    // both are exact and the verified pair sets must be identical,
+    // fresh×fresh included.
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val fresh = all.filter(col("doc_id") % 5 === 0)
+    val (ranked, btable) = Dedup.corpusArtifact(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("corpus_art").toString
+    ranked.write.mode("overwrite").parquet(dir)
+    val got = Dedup.incrementalFrom(spark.read.parquet(dir), btable, fresh, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = Dedup.incrementalJaccardPairs(
+        Dedup.shingleDocs(all), fresh.select("doc_id"), 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(expected.nonEmpty, "vacuous: no fresh-member pairs at sf0.001")
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
+  }
+
   test("minhash+LSH dedup equals exact n-gram jaccard dedup") {
     val exact = Dedup.q24DedupNgram(spark, sf).collect().map(_.toSeq)
     val lsh = Dedup.q25DedupMinhash(spark, sf).collect().map(_.toSeq)
