@@ -374,6 +374,150 @@ object Similarity {
     stats.orderBy("round", "cell")
   }
 
+  /** q72: product quantization (PQ) — the standard ANN index compression
+    * (IVF-PQ): dim 64 splits into M=8 subspaces × 8 dims, each subspace
+    * gets its own 8-centroid codebook, and a vector encodes as 8 small
+    * codes — 8 bytes against 256 bytes of float32, 32× compression, with
+    * asymmetric-distance search downstream. Codebooks are seeded from the
+    * first 8 vectors' sub-slices and trained with ONE fixed-point Lloyd
+    * round per subspace (the q69/q71 update — order-independent integer
+    * means, so the codebooks are bit-identical on any layout AND
+    * cross-engine, which is what makes PQ oracle-gatable at all).
+    *
+    * Gated output per vector: the code word fingerprint (md5 of the codes
+    * in subspace order) and the EXACT fixed-point reconstruction error
+    * Σ_m floor(‖x_m − c_{m,code_m}‖²·10⁶) — an integer sum, so no
+    * accumulation-order leak (a float Σ over subspaces would be unordered
+    * in SQL). OperatorSpec asserts training helps: total trained error <
+    * total seed-codebook error.
+    *
+    * Scale shape: training explodes to (vector, subspace) rows map-side —
+    * shuffle is the fixed-point (m, cell, i) aggregation = M·k·subdim rows,
+    * corpus-size-independent; ENCODING is pure map-side — all M codebooks
+    * collapse to one broadcast row and the per-subspace argmins are nested
+    * array expressions (PlanSpec: no Exchange, no Window on the encode
+    * path). */
+  private val PqM = 8        // subspaces
+  private val PqSub = 8      // dims per subspace (M × sub = 64)
+  private val PqK = 8        // centroids per codebook
+
+  /** (m, cent_id, ce) codebook rows → one-row broadcast; encode every
+    * vector map-side: per subspace the argmin struct (fixed-point dist,
+    * code), then fingerprint + integer error sum. */
+  private def pqEncode(emb: DataFrame, codebooks: DataFrame): DataFrame = {
+    val cs = codebooks.agg(
+      collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
+    emb.crossJoin(broadcast(cs))
+      .withColumn("enc", expr(
+        s"""transform(
+           |  transform(sequence(0, ${PqM - 1}),
+           |            m -> struct(m AS m, slice(e, m * $PqSub + 1, $PqSub) AS se)),
+           |  t -> array_min(transform(filter(cs, c -> c.m = t.m),
+           |         c -> struct(graft_dot(t.se, t.se) - 2 * graft_dot(t.se, c.ce)
+           |                       + graft_dot(c.ce, c.ce) AS _d,
+           |                     c.cent_id AS cent_id))))""".stripMargin))
+      // argmin ties break on the RAW (dist, cent_id) order — identical to
+      // the oracle's ROW_NUMBER; the error is fixed-pointed only AFTER the
+      // winner is chosen, so quantization can never flip a code
+      .select(col("vec_id"),
+        md5(concat_ws(",", expr("transform(enc, s -> CAST(s.cent_id AS STRING))")))
+          .as("code_fp"),
+        expr(s"aggregate(enc, 0L, (acc, s) -> acc + CAST(floor(s._d * $CentFixedScale.0D) AS BIGINT))")
+          .as("err_fixed"))
+  }
+
+  /** Subspace rows (vec_id, m, se) and the seed codebooks; shared by the
+    * catalog query and the OperatorSpec training-helps differential. */
+  private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    val subs = emb.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(e, m * $PqSub + 1, $PqSub))"))
+      .as(Seq("m", "se")))
+    val seeds = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cent_id"), col("se").as("ce"))
+    (emb, subs, seeds)
+  }
+
+  /** One fixed-point Lloyd round over every subspace at once: assign each
+    * (vector, subspace) row to its codebook argmin (same one-row broadcast
+    * shape as `pqEncode`), then integer means per (m, cell, i). */
+  private[graft] def pqTrain(subs: DataFrame, seeds: DataFrame): DataFrame = {
+    val cs = seeds.agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
+    val asg = subs.crossJoin(broadcast(cs))
+      .withColumn("cell", expr(
+        "array_min(transform(filter(cs, c -> c.m = m), c -> struct(" +
+          "graft_dot(se, se) - 2 * graft_dot(se, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
+          "c.cent_id AS cent_id))).cent_id"))
+    val means = asg
+      .select(col("m"), col("cell"), posexplode(col("se")).as(Seq("i", "v")))
+      .groupBy("m", "cell", "i")
+      .agg(sum(floor(col("v") * lit(CentFixedScale.toDouble)).cast("long")).as("fs"),
+        count(lit(1)).as("fn"))
+      .groupBy("m", "cell")
+      .agg(expr("transform(array_sort(collect_list(struct(i, fs, fn))), " +
+        s"t -> (CAST(t.fs AS DOUBLE) / t.fn) / $CentFixedScale.0D)").as("ce_new"))
+    seeds.join(means,
+        seeds("m") === means("m") && seeds("cent_id") === means("cell"), "left")
+      .select(seeds("m"), seeds("cent_id"),
+        coalesce(col("ce_new"), seeds("ce")).as("ce"))
+  }
+
+  def q72PqEncode(s: SparkSession, d: String): DataFrame = {
+    val (emb, subs, seeds) = pqParts(s, d)
+    pqEncode(emb, pqTrain(subs, seeds)).orderBy("vec_id")
+  }
+
+  /** OperatorSpec hook: encode with the UNtrained seed codebooks. */
+  private[graft] def pqEncodeSeeded(s: SparkSession, d: String): DataFrame = {
+    val (emb, _, seeds) = pqParts(s, d)
+    pqEncode(emb, seeds).orderBy("vec_id")
+  }
+
+  /** PlanSpec probe: the q72 ENCODE path with fixed codebooks — must be
+    * pure map-side (no hash-partition Exchange, no Window). */
+  private[graft] def q72EncodeProbe(s: SparkSession, d: String): DataFrame = {
+    val (emb, _, seeds) = pqParts(s, d)
+    pqEncode(emb, seeds)
+  }
+
+  lazy val q72Sql: String = {
+    val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, CAST(m AS INTEGER) AS m,
+       |         list_slice(e, CAST(m * $PqSub + 1 AS INTEGER), CAST(m * $PqSub + $PqSub AS INTEGER)) AS se
+       |  FROM e, (SELECT unnest(range(0, $PqM)) AS m)),
+       |seeds AS (SELECT m, vec_id AS cent_id, se AS ce FROM sub WHERE vec_id < $PqK),
+       |a0 AS (
+       |  SELECT x.vec_id, x.m, x.se, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+       |                            ORDER BY $dist, c.cent_id) AS rn
+       |  FROM sub x JOIN seeds c USING (m)),
+       |mx AS (
+       |  SELECT m, cent_id AS cell, i,
+       |         SUM(CAST(floor(se[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT m, cent_id, unnest(range(0, len(se))) AS i, se FROM a0 WHERE rn = 1)
+       |  GROUP BY m, cent_id, i),
+       |mean AS (
+       |  SELECT m, cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM mx GROUP BY m, cell),
+       |cents AS (
+       |  SELECT s.m, s.cent_id, COALESCE(mn.ce_new, s.ce) AS ce
+       |  FROM seeds s LEFT JOIN mean mn ON s.m = mn.m AND s.cent_id = mn.cell),
+       |a1 AS (
+       |  SELECT x.vec_id, x.m, c.cent_id,
+       |         CAST(floor(($dist) * $CentFixedScale) AS BIGINT) AS df,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+       |                            ORDER BY $dist, c.cent_id) AS rn
+       |  FROM sub x JOIN cents c USING (m))
+       |SELECT vec_id,
+       |       md5(string_agg(CAST(cent_id AS VARCHAR), ',' ORDER BY m)) AS code_fp,
+       |       CAST(SUM(df) AS BIGINT) AS err_fixed
+       |FROM a1 WHERE rn = 1
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   /** PlanSpec probe: `assignCells` exactly as q69 runs it (seed centroids,
     * full embedding side). The guard asserts no hash-partition Exchange and
     * no Window anywhere — nothing in the assignment may shuffle embeddings. */
@@ -592,5 +736,6 @@ object Similarity {
     ("q64_centroids", q64Centroids _, Some(q64Sql)),
     ("q69_ivf_trained", q69IvfTrained _, Some(q69Sql)),
     ("q71_lloyd_trained", q71LloydTrained _, Some(q71Sql)),
+    ("q72_pq_encode", q72PqEncode _, Some(q72Sql)),
   )
 }

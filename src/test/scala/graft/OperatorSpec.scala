@@ -532,6 +532,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(assigned(1L) > 0)
   }
 
+  test("q72: PQ training lowers total reconstruction error vs seed codebooks") {
+    val trained = Similarity.q72PqEncode(spark, sf).collect()
+    val seeded = Similarity.pqEncodeSeeded(spark, sf).collect()
+    assert(trained.nonEmpty && trained.length == seeded.length)
+    val tErr = trained.map(_.getAs[Long]("err_fixed")).sum
+    val sErr = seeded.map(_.getAs[Long]("err_fixed")).sum
+    assert(tErr < sErr, s"training did not help: $tErr vs $sErr")
+    trained.foreach(r => assert(r.getAs[Long]("err_fixed") >= 0L))
+  }
+
   test("quantize: max-magnitude code saturates, fingerprints deterministic") {
     val a = Similarity.q58Quantize(spark, sf).collect()
     val b = Similarity.q58Quantize(spark, sf).collect()

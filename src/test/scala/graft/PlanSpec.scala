@@ -254,6 +254,14 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q72 PQ encode is pure map-side: one broadcast codebook row, no shuffle") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q72EncodeProbe(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
