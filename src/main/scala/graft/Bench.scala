@@ -127,7 +127,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = clean.map(_._2).sum
     println(s"""{"metric":"samples","samples":$smp,"sf":${jstr(sfDir)}}""")
-    println(finalLine(total, results, failed, flaky, sfDir))
+    val line = finalLine(total, results, failed, flaky, sfDir)
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: final line ${line.length} chars — " +
+        "may overflow the driver's 2000-char tail capture (see BenchLineSpec)")
+    println(line)
     spark.stop()
   }
 

@@ -456,8 +456,11 @@ object Similarity {
       .groupBy("m", "cell")
       .agg(expr("transform(array_sort(collect_list(struct(i, fs, fn))), " +
         s"t -> (CAST(t.fs AS DOUBLE) / t.fn) / $CentFixedScale.0D)").as("ce_new"))
-    seeds.join(means,
-        seeds("m") === means("m") && seeds("cent_id") === means("cell"), "left")
+    // means descends from seeds' own lineage, so joining on means("m")
+    // would hit the self-join attribute ambiguity — rename first
+    val meansR = means.withColumnRenamed("m", "mm")
+    seeds.join(meansR,
+        seeds("m") === meansR("mm") && seeds("cent_id") === meansR("cell"), "left")
       .select(seeds("m"), seeds("cent_id"),
         coalesce(col("ce_new"), seeds("ce")).as("ce"))
   }
@@ -471,6 +474,115 @@ object Similarity {
   private[graft] def pqEncodeSeeded(s: SparkSession, d: String): DataFrame = {
     val (emb, _, seeds) = pqParts(s, d)
     pqEncode(emb, seeds).orderBy("vec_id")
+  }
+
+  /** q73: asymmetric-distance (ADC) top-k over the q72 PQ codes — the
+    * search mode every production PQ index runs: the corpus is never
+    * decoded; per query a LUT of ‖q_m − c_{m,k}‖² terms (M·k entries —
+    * 64 doubles here) is built once, and a candidate's distance is M
+    * integer LUT lookups summed. The LUT terms are fixed-pointed
+    * (floor(term·10⁶)) BEFORE summing, so the ranking quantity is an
+    * integer sum — order-independent, hence hashable cross-engine (a float
+    * Σ over subspaces would be unordered in SQL); ties break on
+    * neighbor_id, deterministic in both engines.
+    *
+    * Scale shape: codebooks + the k query LUTs ride ONE broadcast row each;
+    * the per-candidate work is pure map-side array lookups, and the only
+    * shuffle is the per-query top-k window over (query_id, neighbor_id,
+    * adc_fixed) triples — 24 bytes per candidate, never an embedding. At
+    * 100 TB the candidate set comes from q69's IVF cells first (IVF-PQ);
+    * here the flat scan IS the point — it gates ADC arithmetic end-to-end
+    * against DuckDB. */
+  private val AdcQueries = 10
+  private val AdcK = 5
+
+  def q73AdcTopk(s: SparkSession, d: String): DataFrame = {
+    val (emb, subs, seeds) = pqParts(s, d)
+    val cs = pqTrain(subs, seeds)
+      .agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
+    // corpus → codes in subspace order (same argmin as pqEncode)
+    val codes = emb.crossJoin(broadcast(cs))
+      .withColumn("codes", expr(
+        s"""transform(
+           |  transform(sequence(0, ${PqM - 1}),
+           |            m -> struct(m AS m, slice(e, m * $PqSub + 1, $PqSub) AS se)),
+           |  t -> array_min(transform(filter(cs, c -> c.m = t.m),
+           |         c -> struct(graft_dot(t.se, t.se) - 2 * graft_dot(t.se, c.ce)
+           |                       + graft_dot(c.ce, c.ce) AS _d,
+           |                     c.cent_id AS cent_id))).cent_id)""".stripMargin))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    // per-query LUT: lut[m·k + cent] = floor(‖q_m − c_{m,cent}‖²·10⁶)
+    val luts = emb.filter(col("vec_id") < AdcQueries)
+      .crossJoin(broadcast(cs))
+      .withColumn("lut", expr(
+        s"""flatten(transform(
+           |  transform(sequence(0, ${PqM - 1}),
+           |            m -> struct(m AS m, slice(e, m * $PqSub + 1, $PqSub) AS se)),
+           |  t -> transform(
+           |    transform(sequence(0, ${PqK - 1}),
+           |              k -> struct(t.se AS se,
+           |                          element_at(filter(cs, c -> c.m = t.m AND c.cent_id = k), 1).ce AS ce)),
+           |    p -> CAST(floor((graft_dot(p.se, p.se) - 2 * graft_dot(p.se, p.ce)
+           |                       + graft_dot(p.ce, p.ce)) * $CentFixedScale.0D) AS BIGINT))))""".stripMargin))
+      .select(col("vec_id").as("query_id"), col("lut"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_fixed"), col("neighbor_id"))
+    codes.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_fixed", expr(
+        s"aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) -> " +
+          s"acc + element_at(lut, m * $PqK + CAST(element_at(codes, m + 1) AS INT) + 1))"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= AdcK)
+      .select("query_id", "neighbor_id", "adc_fixed", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  lazy val q73Sql: String = {
+    val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, CAST(m AS INTEGER) AS m,
+       |         list_slice(e, CAST(m * $PqSub + 1 AS INTEGER), CAST(m * $PqSub + $PqSub AS INTEGER)) AS se
+       |  FROM e, (SELECT unnest(range(0, $PqM)) AS m)),
+       |seeds AS (SELECT m, vec_id AS cent_id, se AS ce FROM sub WHERE vec_id < $PqK),
+       |a0 AS (
+       |  SELECT x.vec_id, x.m, x.se, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+       |                            ORDER BY $dist, c.cent_id) AS rn
+       |  FROM sub x JOIN seeds c USING (m)),
+       |mx AS (
+       |  SELECT m, cent_id AS cell, i,
+       |         SUM(CAST(floor(se[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT m, cent_id, unnest(range(0, len(se))) AS i, se FROM a0 WHERE rn = 1)
+       |  GROUP BY m, cent_id, i),
+       |mean AS (
+       |  SELECT m, cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM mx GROUP BY m, cell),
+       |cents AS (
+       |  SELECT s.m, s.cent_id, COALESCE(mn.ce_new, s.ce) AS ce
+       |  FROM seeds s LEFT JOIN mean mn ON s.m = mn.m AND s.cent_id = mn.cell),
+       |a1 AS (
+       |  SELECT x.vec_id, x.m, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+       |                            ORDER BY $dist, c.cent_id) AS rn
+       |  FROM sub x JOIN cents c USING (m)),
+       |cd AS (SELECT vec_id AS neighbor_id, m, cent_id AS code FROM a1 WHERE rn = 1),
+       |lut AS (
+       |  SELECT x.vec_id AS query_id, c.m, c.cent_id,
+       |         CAST(floor(($dist) * $CentFixedScale) AS BIGINT) AS term
+       |  FROM sub x JOIN cents c USING (m) WHERE x.vec_id < $AdcQueries),
+       |adc AS (
+       |  SELECT l.query_id, cd.neighbor_id, CAST(SUM(l.term) AS BIGINT) AS adc_fixed
+       |  FROM cd JOIN lut l ON cd.m = l.m AND cd.code = l.cent_id
+       |  WHERE l.query_id <> cd.neighbor_id
+       |  GROUP BY l.query_id, cd.neighbor_id)
+       |SELECT query_id, neighbor_id, adc_fixed, rn FROM (
+       |  SELECT query_id, neighbor_id, adc_fixed,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |  FROM adc)
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
   }
 
   /** PlanSpec probe: the q72 ENCODE path with fixed codebooks — must be
@@ -737,5 +849,6 @@ object Similarity {
     ("q69_ivf_trained", q69IvfTrained _, Some(q69Sql)),
     ("q71_lloyd_trained", q71LloydTrained _, Some(q71Sql)),
     ("q72_pq_encode", q72PqEncode _, Some(q72Sql)),
+    ("q73_adc_topk", q73AdcTopk _, Some(q73Sql)),
   )
 }

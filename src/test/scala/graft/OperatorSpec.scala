@@ -542,6 +542,36 @@ class OperatorSpec extends AnyFunSuite {
     trained.foreach(r => assert(r.getAs[Long]("err_fixed") >= 0L))
   }
 
+  test("q73: ADC ranking well-formed, recall vs exact euclidean top-k above floor") {
+    val rows = Similarity.q73AdcTopk(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length),
+        s"query $q ranks")
+      // adc distance non-decreasing in rank
+      val ds = sorted.map(_.getAs[Long]("adc_fixed")).toSeq
+      assert(ds == ds.sorted, s"query $q adc order")
+    }
+    // quality: ADC top-k against EXACT euclidean top-k (what ADC
+    // approximates), computed driver-side at sf0.001 scale
+    val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recalls = byQ.map { case (q, rs) =>
+      val exact = emb.keys.filter(_ != q).toSeq
+        .sortBy(n => (d2(emb(q), emb(n)), n)).take(rs.length).toSet
+      rs.count(r => exact.contains(r.getAs[Long]("neighbor_id"))).toDouble / rs.length
+    }
+    val mean = recalls.sum / recalls.size
+    // 8×8 PQ on unstructured gaussians is the hardest case for ADC; the
+    // floor is far below measured so only a real regression trips it
+    assert(mean >= 0.2, s"mean ADC recall $mean")
+  }
+
   test("quantize: max-magnitude code saturates, fingerprints deterministic") {
     val a = Similarity.q58Quantize(spark, sf).collect()
     val b = Similarity.q58Quantize(spark, sf).collect()

@@ -262,6 +262,20 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
   }
 
+  test("q73 ADC scan: codebooks+LUTs broadcast, only the top-k window shuffles (triples, not embeddings)") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q73AdcTopk(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    // every join is a tiny-side broadcast nested loop (codebook row under
+    // codes AND luts, then the 10-row LUT set against the codes scan) —
+    // bounded loosely; the real claim is the exchange assertion below
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 12, p)
+    // the ONLY hash exchange is the per-query top-k window on query_id —
+    // candidate triples, never an embedding-carrying row
+    val ex = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
+    assert(ex.forall(_.contains("query_id")), ex.toString)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
