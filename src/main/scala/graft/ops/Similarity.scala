@@ -496,45 +496,192 @@ object Similarity {
   private val AdcQueries = 10
   private val AdcK = 5
 
+  /** Shared ADC expression strings (identical arithmetic in q73/q74): the
+    * per-vector PQ code array, the per-query integer LUT, and the M-lookup
+    * integer distance sum. All assume columns `e` and the one-row `cs`
+    * codebook broadcast (and `lut`/`codes` for the sum). */
+  private def pqCodesExpr: String =
+    s"""transform(
+       |  transform(sequence(0, ${PqM - 1}),
+       |            m -> struct(m AS m, slice(e, m * $PqSub + 1, $PqSub) AS se)),
+       |  t -> array_min(transform(filter(cs, c -> c.m = t.m),
+       |         c -> struct(graft_dot(t.se, t.se) - 2 * graft_dot(t.se, c.ce)
+       |                       + graft_dot(c.ce, c.ce) AS _d,
+       |                     c.cent_id AS cent_id))).cent_id)""".stripMargin
+
+  private def pqLutExpr: String =
+    s"""flatten(transform(
+       |  transform(sequence(0, ${PqM - 1}),
+       |            m -> struct(m AS m, slice(e, m * $PqSub + 1, $PqSub) AS se)),
+       |  t -> transform(
+       |    transform(sequence(0, ${PqK - 1}),
+       |              k -> struct(t.se AS se,
+       |                          element_at(filter(cs, c -> c.m = t.m AND c.cent_id = k), 1).ce AS ce)),
+       |    p -> CAST(floor((graft_dot(p.se, p.se) - 2 * graft_dot(p.se, p.ce)
+       |                       + graft_dot(p.ce, p.ce)) * $CentFixedScale.0D) AS BIGINT))))""".stripMargin
+
+  private def adcSumExpr: String =
+    s"aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) -> " +
+      s"acc + element_at(lut, m * $PqK + CAST(element_at(codes, m + 1) AS INT) + 1))"
+
   def q73AdcTopk(s: SparkSession, d: String): DataFrame = {
     val (emb, subs, seeds) = pqParts(s, d)
     val cs = pqTrain(subs, seeds)
       .agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
     // corpus → codes in subspace order (same argmin as pqEncode)
     val codes = emb.crossJoin(broadcast(cs))
-      .withColumn("codes", expr(
-        s"""transform(
-           |  transform(sequence(0, ${PqM - 1}),
-           |            m -> struct(m AS m, slice(e, m * $PqSub + 1, $PqSub) AS se)),
-           |  t -> array_min(transform(filter(cs, c -> c.m = t.m),
-           |         c -> struct(graft_dot(t.se, t.se) - 2 * graft_dot(t.se, c.ce)
-           |                       + graft_dot(c.ce, c.ce) AS _d,
-           |                     c.cent_id AS cent_id))).cent_id)""".stripMargin))
+      .withColumn("codes", expr(pqCodesExpr))
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     // per-query LUT: lut[m·k + cent] = floor(‖q_m − c_{m,cent}‖²·10⁶)
     val luts = emb.filter(col("vec_id") < AdcQueries)
       .crossJoin(broadcast(cs))
-      .withColumn("lut", expr(
-        s"""flatten(transform(
-           |  transform(sequence(0, ${PqM - 1}),
-           |            m -> struct(m AS m, slice(e, m * $PqSub + 1, $PqSub) AS se)),
-           |  t -> transform(
-           |    transform(sequence(0, ${PqK - 1}),
-           |              k -> struct(t.se AS se,
-           |                          element_at(filter(cs, c -> c.m = t.m AND c.cent_id = k), 1).ce AS ce)),
-           |    p -> CAST(floor((graft_dot(p.se, p.se) - 2 * graft_dot(p.se, p.ce)
-           |                       + graft_dot(p.ce, p.ce)) * $CentFixedScale.0D) AS BIGINT))))""".stripMargin))
+      .withColumn("lut", expr(pqLutExpr))
       .select(col("vec_id").as("query_id"), col("lut"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_fixed"), col("neighbor_id"))
     codes.crossJoin(broadcast(luts))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_fixed", expr(
-        s"aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) -> " +
-          s"acc + element_at(lut, m * $PqK + CAST(element_at(codes, m + 1) AS INT) + 1))"))
+      .withColumn("adc_fixed", expr(adcSumExpr))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= AdcK)
       .select("query_id", "neighbor_id", "adc_fixed", "rn")
       .orderBy("query_id", "rn")
+  }
+
+  /** q74: IVF-PQ — the production ANN architecture end-to-end (FAISS's
+    * IVFx,PQy shape): q69's fixed-point-trained coarse quantizer prunes
+    * candidates to the query's nprobe cells, and q73's integer ADC ranks
+    * the survivors on their PQ codes — the corpus is touched once to build
+    * the index (cell + 8 codes per vector, one map-side pass under two
+    * one-row broadcasts) and never decoded at query time.
+    *
+    * Per query the gate carries the selectivity contract (`n_cand` — how
+    * many vectors the nprobe cells actually scanned) alongside the ranked
+    * ADC distances, so cell assignment, probe order, LUT arithmetic and
+    * ranking are all inside the hash.
+    *
+    * At 100 TB: the candidate join is an EQUI join on cell with the
+    * (query, cell, LUT) side broadcast — the shuffle carries 9-byte-scale
+    * code rows partitioned by cell, never an embedding; everything before
+    * it is one map-side indexing pass (PlanSpec: the only hash exchange is
+    * the final per-query top-k on query_id). */
+  def q74IvfPqTopk(s: SparkSession, d: String): DataFrame = {
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    // coarse quantizer (q69 shape): seed on first nlist vectors + one
+    // fixed-point Lloyd round
+    val coarseSeed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val cc = fixedPointUpdate(assignCells(emb, coarseSeed), coarseSeed)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    val cs = pqTrain(subs, seedsPq)
+      .agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
+    val coarseMin = "array_min(transform(cc, c -> struct(" +
+      "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
+      "c.cent_id AS cent_id)))"
+    // the index: ONE map-side pass → (neighbor_id, cell, codes)
+    val index = emb.crossJoin(broadcast(cc)).crossJoin(broadcast(cs))
+      .withColumn("cell", expr(s"$coarseMin.cent_id"))
+      .withColumn("codes", expr(pqCodesExpr))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    // queries: nprobe nearest cells (map-side sort-and-slice) + the LUT
+    val probes = emb.filter(col("vec_id") < AdcQueries)
+      .crossJoin(broadcast(cc)).crossJoin(broadcast(cs))
+      .withColumn("lut", expr(pqLutExpr))
+      .withColumn("pcell", explode(expr(
+        "transform(slice(array_sort(transform(cc, c -> struct(" +
+          "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
+          s"c.cent_id AS cent_id))), 1, $IvfNProbe), s -> s.cent_id)")))
+      .select(col("vec_id").as("query_id"), col("lut"), col("pcell").as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_fixed"), col("neighbor_id"))
+    index.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_fixed", expr(adcSumExpr))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("query_id")).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= AdcK)
+      .select("query_id", "neighbor_id", "adc_fixed", "n_cand", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  lazy val q74Sql: String = {
+    val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
+    val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, CAST(m AS INTEGER) AS m,
+       |         list_slice(e, CAST(m * $PqSub + 1 AS INTEGER), CAST(m * $PqSub + $PqSub AS INTEGER)) AS se
+       |  FROM e, (SELECT unnest(range(0, $PqM)) AS m)),
+       |seeds AS (SELECT m, vec_id AS cent_id, se AS ce FROM sub WHERE vec_id < $PqK),
+       |pa0 AS (
+       |  SELECT x.vec_id, x.m, x.se, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+       |                            ORDER BY $dist, c.cent_id) AS rn
+       |  FROM sub x JOIN seeds c USING (m)),
+       |pmx AS (
+       |  SELECT m, cent_id AS cell, i,
+       |         SUM(CAST(floor(se[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT m, cent_id, unnest(range(0, len(se))) AS i, se FROM pa0 WHERE rn = 1)
+       |  GROUP BY m, cent_id, i),
+       |pmean AS (
+       |  SELECT m, cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM pmx GROUP BY m, cell),
+       |pcents AS (
+       |  SELECT s.m, s.cent_id, COALESCE(mn.ce_new, s.ce) AS ce
+       |  FROM seeds s LEFT JOIN pmean mn ON s.m = mn.m AND s.cent_id = mn.cell),
+       |cd AS (
+       |  SELECT vec_id AS neighbor_id, m, cent_id AS code FROM (
+       |    SELECT x.vec_id, x.m, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+       |                              ORDER BY $dist, c.cent_id) AS rn
+       |    FROM sub x JOIN pcents c USING (m))
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT x.vec_id AS query_id, c.m, c.cent_id,
+       |         CAST(floor(($dist) * $CentFixedScale) AS BIGINT) AS term
+       |  FROM sub x JOIN pcents c USING (m) WHERE x.vec_id < $AdcQueries),
+       |kseed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $IvfNList),
+       |ka0 AS (
+       |  SELECT x.vec_id, x.e, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |  FROM e x CROSS JOIN kseed c),
+       |kmx AS (
+       |  SELECT cell, i,
+       |         SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT cent_id AS cell, unnest(range(0, len(e))) AS i, e FROM ka0 WHERE rn = 1)
+       |  GROUP BY cell, i),
+       |kmean AS (
+       |  SELECT cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM kmx GROUP BY cell),
+       |kcents AS (
+       |  SELECT s.cent_id, COALESCE(m.ce_new, s.ce) AS ce
+       |  FROM kseed s LEFT JOIN kmean m ON s.cent_id = m.cell),
+       |kassign AS (
+       |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+       |    SELECT x.vec_id, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN kcents c)
+       |  WHERE rn = 1),
+       |kq AS (
+       |  SELECT query_id, cent_id AS cell FROM (
+       |    SELECT x.vec_id AS query_id, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN kcents c WHERE x.vec_id < $AdcQueries)
+       |  WHERE rn <= $IvfNProbe),
+       |adc AS (
+       |  SELECT q.query_id, kx.neighbor_id, CAST(SUM(l.term) AS BIGINT) AS adc_fixed
+       |  FROM kassign kx
+       |  JOIN kq q ON q.cell = kx.cell AND q.query_id <> kx.neighbor_id
+       |  JOIN cd ON cd.neighbor_id = kx.neighbor_id
+       |  JOIN lut l ON l.query_id = q.query_id AND l.m = cd.m AND l.cent_id = cd.code
+       |  GROUP BY q.query_id, kx.neighbor_id)
+       |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
+       |  SELECT query_id, neighbor_id, adc_fixed,
+       |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |  FROM adc)
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
   }
 
   lazy val q73Sql: String = {
@@ -850,5 +997,6 @@ object Similarity {
     ("q71_lloyd_trained", q71LloydTrained _, Some(q71Sql)),
     ("q72_pq_encode", q72PqEncode _, Some(q72Sql)),
     ("q73_adc_topk", q73AdcTopk _, Some(q73Sql)),
+    ("q74_ivfpq_topk", q74IvfPqTopk _, Some(q74Sql)),
   )
 }

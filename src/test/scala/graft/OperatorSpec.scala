@@ -572,6 +572,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(mean >= 0.2, s"mean ADC recall $mean")
   }
 
+  test("q74: IVF pruning real; ADC distances agree exactly with the flat q73 scan") {
+    val ivfpq = Similarity.q74IvfPqTopk(spark, sf).collect()
+    val flat = Similarity.q73AdcTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("adc_fixed")).toMap
+    assert(ivfpq.nonEmpty)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    ivfpq.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      // pruning: the nprobe cells scanned strictly fewer than the corpus
+      val nCand = rs.map(_.getAs[Long]("n_cand")).distinct
+      assert(nCand.length == 1 && nCand.head < nVecs - 1, s"query $q n_cand $nCand vs $nVecs")
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to rs.length), s"query $q ranks")
+    }
+    // same codebooks + same LUT arithmetic ⇒ any pair surfacing in both
+    // rankings must carry the IDENTICAL integer distance
+    ivfpq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      flat.get(key).foreach(d =>
+        assert(d == r.getAs[Long]("adc_fixed"), s"$key adc mismatch"))
+    }
+  }
+
   test("quantize: max-magnitude code saturates, fingerprints deterministic") {
     val a = Similarity.q58Quantize(spark, sf).collect()
     val b = Similarity.q58Quantize(spark, sf).collect()

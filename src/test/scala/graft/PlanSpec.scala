@@ -276,6 +276,17 @@ class PlanSpec extends AnyFunSuite {
     assert(ex.forall(_.contains("query_id")), ex.toString)
   }
 
+  test("q74 IVF-PQ: candidate join is a broadcast equi join on cell, top-k is the only hash exchange") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q74IvfPqTopk(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    // the cell gate must be an equi hash join with the (query, cell, LUT)
+    // side broadcast — the corpus-code side streams through map-side
+    assert(p.contains("BroadcastHashJoin"), p)
+    val ex = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
+    assert(ex.forall(_.contains("query_id")), ex.toString)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
