@@ -288,7 +288,10 @@ object Similarity {
       .groupBy("cell")
       .agg(expr("transform(array_sort(collect_list(struct(i, fs, fn))), " +
         s"t -> (CAST(t.fs AS DOUBLE) / t.fn) / $CentFixedScale.0D)").as("ce_new"))
-    cents.join(means, cents("cent_id") === means("cell"), "left")
+    // means is ≤ nlist rows by construction; the hint matters because the
+    // lineage behind it can be arbitrarily deep (residual frames etc.) and
+    // Catalyst's size estimate would otherwise fall back to a sort-merge
+    cents.join(broadcast(means), cents("cent_id") === means("cell"), "left")
       .select(cents("cent_id"), coalesce(col("ce_new"), cents("ce")).as("ce"))
   }
 
@@ -457,9 +460,11 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, fs, fn))), " +
         s"t -> (CAST(t.fs AS DOUBLE) / t.fn) / $CentFixedScale.0D)").as("ce_new"))
     // means descends from seeds' own lineage, so joining on means("m")
-    // would hit the self-join attribute ambiguity — rename first
+    // would hit the self-join attribute ambiguity — rename first. The
+    // broadcast hint pins the ≤ M·k-row side (Catalyst's estimate can blow
+    // up under a deep upstream lineage, e.g. q75's residual frame)
     val meansR = means.withColumnRenamed("m", "mm")
-    seeds.join(meansR,
+    seeds.join(broadcast(meansR),
         seeds("m") === meansR("mm") && seeds("cent_id") === meansR("cell"), "left")
       .select(seeds("m"), seeds("cent_id"),
         coalesce(col("ce_new"), seeds("ce")).as("ce"))
@@ -600,6 +605,162 @@ object Similarity {
       .filter(col("rn") <= AdcK)
       .select("query_id", "neighbor_id", "adc_fixed", "n_cand", "rn")
       .orderBy("query_id", "rn")
+  }
+
+  /** q75: RESIDUAL IVF-PQ — the refinement that makes production IVF-PQ
+    * accurate (FAISS's default): instead of PQ-coding the raw vector, each
+    * vector codes its residual x − c(cell) against its coarse centroid.
+    * Residuals have far smaller norms than raw vectors, so the same
+    * codebook budget quantizes them much more tightly. The price is on the
+    * query side: the LUT is no longer per query but per (query, probed
+    * cell) — the query's residual against EACH probed cell's centroid gets
+    * its own table. nprobe is small, so that is nprobe tiny LUTs per
+    * query, still map-side.
+    *
+    * All arithmetic stays in the gate: residual subtraction is exact IEEE
+    * per element, codebooks train with the fixed-point round, LUT terms
+    * are integers, and the candidate set is provably q74's (same coarse
+    * quantizer — OperatorSpec asserts per-query n_cand parity with q74).
+    * At 100 TB the shapes are q74's: one map-side indexing pass, broadcast
+    * equi join on cell, the only hash exchange is the query_id top-k. */
+  def q75IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    val coarseSeed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val cc = fixedPointUpdate(assignCells(emb, coarseSeed), coarseSeed)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    // coarse argmin carrying the winning centroid itself (struct min only
+    // reaches the ce field on a full (dist, cent_id) tie — impossible)
+    val coarseMin = "array_min(transform(cc, c -> struct(" +
+      "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
+      "c.cent_id AS cent_id, c.ce AS cce)))"
+    // residual frame: (vec_id, cell, e := x − c(cell)) — one map-side pass
+    val resid = emb.crossJoin(broadcast(cc))
+      .withColumn("_k", expr(coarseMin))
+      .select(col("vec_id"), col("_k.cent_id").as("cell"),
+        expr("zip_with(e, _k.cce, (x, y) -> x - y)").as("e"))
+    // PQ codebooks trained on residual sub-slices (pqTrain reused verbatim)
+    val rsubs = resid.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(e, m * $PqSub + 1, $PqSub))"))
+      .as(Seq("m", "se")))
+    val seeds = rsubs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cent_id"), col("se").as("ce"))
+    val cs = pqTrain(rsubs, seeds)
+      .agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
+    // index: residual codes per vector (pqCodesExpr sees the residual `e`)
+    val index = resid.crossJoin(broadcast(cs))
+      .withColumn("codes", expr(pqCodesExpr))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    // probes: per (query, probed cell) the query's RESIDUAL against that
+    // cell's centroid, then the standard LUT over the residual
+    val probes = emb.filter(col("vec_id") < AdcQueries)
+      .crossJoin(broadcast(cc)).crossJoin(broadcast(cs))
+      .withColumn("_p", explode(expr(
+        "slice(array_sort(transform(cc, c -> struct(" +
+          "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
+          s"c.cent_id AS cent_id, c.ce AS cce))), 1, $IvfNProbe)")))
+      .withColumn("e", expr("zip_with(e, _p.cce, (x, y) -> x - y)"))
+      .withColumn("lut", expr(pqLutExpr))
+      .select(col("vec_id").as("query_id"), col("_p.cent_id").as("cell"), col("lut"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_fixed"), col("neighbor_id"))
+    index.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_fixed", expr(adcSumExpr))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("query_id")).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= AdcK)
+      .select("query_id", "neighbor_id", "adc_fixed", "n_cand", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  lazy val q75Sql: String = {
+    val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
+    val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |kseed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $IvfNList),
+       |ka0 AS (
+       |  SELECT x.vec_id, x.e, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |  FROM e x CROSS JOIN kseed c),
+       |kmx AS (
+       |  SELECT cell, i,
+       |         SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT cent_id AS cell, unnest(range(0, len(e))) AS i, e FROM ka0 WHERE rn = 1)
+       |  GROUP BY cell, i),
+       |kmean AS (
+       |  SELECT cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM kmx GROUP BY cell),
+       |kcents AS (
+       |  SELECT s.cent_id, COALESCE(m.ce_new, s.ce) AS ce
+       |  FROM kseed s LEFT JOIN kmean m ON s.cent_id = m.cell),
+       |kassign AS (
+       |  SELECT vec_id, cell, ce, re FROM (
+       |    SELECT x.vec_id, c.cent_id AS cell, c.ce,
+       |           list_transform(range(0, len(x.e)),
+       |             i -> x.e[CAST(i + 1 AS INTEGER)] - c.ce[CAST(i + 1 AS INTEGER)]) AS re,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN kcents c)
+       |  WHERE rn = 1),
+       |rsub AS (
+       |  SELECT vec_id, CAST(m AS INTEGER) AS m, cell,
+       |         list_slice(re, CAST(m * $PqSub + 1 AS INTEGER), CAST(m * $PqSub + $PqSub AS INTEGER)) AS se
+       |  FROM kassign, (SELECT unnest(range(0, $PqM)) AS m)),
+       |seeds AS (SELECT m, vec_id AS cent_id, se AS ce FROM rsub WHERE vec_id < $PqK),
+       |pa0 AS (
+       |  SELECT x.vec_id, x.m, x.se, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+       |                            ORDER BY $dist, c.cent_id) AS rn
+       |  FROM rsub x JOIN seeds c USING (m)),
+       |pmx AS (
+       |  SELECT m, cent_id AS cell, i,
+       |         SUM(CAST(floor(se[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT m, cent_id, unnest(range(0, len(se))) AS i, se FROM pa0 WHERE rn = 1)
+       |  GROUP BY m, cent_id, i),
+       |pmean AS (
+       |  SELECT m, cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM pmx GROUP BY m, cell),
+       |pcents AS (
+       |  SELECT s.m, s.cent_id, COALESCE(mn.ce_new, s.ce) AS ce
+       |  FROM seeds s LEFT JOIN pmean mn ON s.m = mn.m AND s.cent_id = mn.cell),
+       |cd AS (
+       |  SELECT vec_id AS neighbor_id, m, cent_id AS code FROM (
+       |    SELECT x.vec_id, x.m, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+       |                              ORDER BY $dist, c.cent_id) AS rn
+       |    FROM rsub x JOIN pcents c USING (m))
+       |  WHERE rn = 1),
+       |kq AS (
+       |  SELECT query_id, cell, qre FROM (
+       |    SELECT x.vec_id AS query_id, c.cent_id AS cell,
+       |           list_transform(range(0, len(x.e)),
+       |             i -> x.e[CAST(i + 1 AS INTEGER)] - c.ce[CAST(i + 1 AS INTEGER)]) AS qre,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN kcents c WHERE x.vec_id < $AdcQueries)
+       |  WHERE rn <= $IvfNProbe),
+       |qsub AS (
+       |  SELECT query_id, cell, CAST(m AS INTEGER) AS m,
+       |         list_slice(qre, CAST(m * $PqSub + 1 AS INTEGER), CAST(m * $PqSub + $PqSub AS INTEGER)) AS se
+       |  FROM kq, (SELECT unnest(range(0, $PqM)) AS m)),
+       |lut AS (
+       |  SELECT x.query_id, x.cell, c.m, c.cent_id,
+       |         CAST(floor(($dist) * $CentFixedScale) AS BIGINT) AS term
+       |  FROM (SELECT query_id, cell, m, se FROM qsub) x JOIN pcents c USING (m)),
+       |adc AS (
+       |  SELECT l.query_id, kx.vec_id AS neighbor_id, CAST(SUM(l.term) AS BIGINT) AS adc_fixed
+       |  FROM (SELECT vec_id, cell FROM kassign) kx
+       |  JOIN cd ON cd.neighbor_id = kx.vec_id
+       |  JOIN lut l ON l.cell = kx.cell AND l.m = cd.m AND l.cent_id = cd.code
+       |  WHERE l.query_id <> kx.vec_id
+       |  GROUP BY l.query_id, kx.vec_id)
+       |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
+       |  SELECT query_id, neighbor_id, adc_fixed,
+       |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |  FROM adc)
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
   }
 
   lazy val q74Sql: String = {
@@ -998,5 +1159,6 @@ object Similarity {
     ("q72_pq_encode", q72PqEncode _, Some(q72Sql)),
     ("q73_adc_topk", q73AdcTopk _, Some(q73Sql)),
     ("q74_ivfpq_topk", q74IvfPqTopk _, Some(q74Sql)),
+    ("q75_ivfpq_residual", q75IvfPqResidual _, Some(q75Sql)),
   )
 }

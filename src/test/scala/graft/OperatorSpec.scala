@@ -594,6 +594,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q75: residual IVF-PQ scans exactly q74's candidate sets, ranks well-formed") {
+    val res = Similarity.q75IvfPqResidual(spark, sf).collect()
+    val raw = Similarity.q74IvfPqTopk(spark, sf).collect()
+    assert(res.nonEmpty)
+    // identical coarse quantizer ⇒ identical per-query candidate counts —
+    // the residual refinement changes HOW candidates are ranked, never
+    // WHICH candidates are scanned
+    def cands(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("query_id")).view
+        .mapValues(_.head.getAs[Long]("n_cand")).toMap
+    assert(cands(res) == cands(raw), s"${cands(res)} vs ${cands(raw)}")
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to rs.length), s"query $q")
+      val ds = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("adc_fixed")).toSeq
+      assert(ds == ds.sorted, s"query $q adc order")
+    }
+  }
+
   test("quantize: max-magnitude code saturates, fingerprints deterministic") {
     val a = Similarity.q58Quantize(spark, sf).collect()
     val b = Similarity.q58Quantize(spark, sf).collect()

@@ -287,6 +287,15 @@ class PlanSpec extends AnyFunSuite {
     assert(ex.forall(_.contains("query_id")), ex.toString)
   }
 
+  test("q75 residual IVF-PQ keeps q74's shapes: broadcast cell gate, sole query_id exchange") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q75IvfPqResidual(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val ex = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
+    assert(ex.forall(_.contains("query_id")), ex.toString)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
