@@ -145,17 +145,20 @@ object Bench {
     * lands AFTER this line inside that window. Rounds 5 and 6 both shipped a
     * final line the window truncated (full-precision seconds: 69 queries ×
     * 9-decimal doubles ≈ 2.2 KB → BENCH "parsed": null). So: per-query
-    * seconds are rounded to 3 DECIMALS HERE ONLY (~1 ms resolution — an
-    * order of magnitude below machine noise; full precision stays on the
-    * samples line above), keeping the line under the budget asserted by
-    * `BenchLineSpec` (≤ 1900 chars including the footer allowance). */
+    * seconds are rounded to 2 DECIMALS HERE ONLY (10 ms resolution — well
+    * below the documented ±5–10% machine-noise band on every catalog entry;
+    * full precision stays on the samples line above, and the headline total
+    * keeps 3 decimals as a single value), keeping the line under the budget
+    * asserted by `BenchLineSpec` (≤ 1900 chars including the footer
+    * allowance) with headroom for catalog growth: at 75 queries the real
+    * line is ~1.78 KB. */
   private[graft] def finalLine(total: Double, results: Seq[(String, Double)],
       failed: Seq[String], flaky: Seq[String], sfDir: String): String = {
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f3(v) }
+    def f(v: Double, p: Int): String = s"%.${p}f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f(v, 2) }
       .mkString("{", ",", "}")
     val errs = failed.map(jstr).mkString("[", ",", "]")
     val flk = flaky.map(jstr).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":${jstr(sfDir)}}"""
+    s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":${jstr(sfDir)}}"""
   }
 }

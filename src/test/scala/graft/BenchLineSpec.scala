@@ -15,16 +15,17 @@ class BenchLineSpec extends AnyFunSuite {
   test("final bench line fits the driver tail window at worst-case widths") {
     val names = Bench.allNames
     assert(names.size >= 69, s"catalog shrank? ${names.size}")
-    // 9.999 s per query is an order of magnitude above the slowest real
-    // sf0.1 entry (~3.3 s) — a query past 10 s would itself be a failed
+    // 9.99 s per query is an order of magnitude above the slowest real
+    // sf0.1 entry (~3.0 s) — a query past 10 s would itself be a failed
     // round, so the budget doesn't reserve width for it
-    val results = names.map(_ -> 9.999)
-    val line = Bench.finalLine(729.927, results,
+    val results = names.map(_ -> 9.99)
+    val line = Bench.finalLine(749.25, results,
       failed = Nil, flaky = names.take(2), sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1900, s"final bench line is ${line.length} chars")
     assert(!line.contains("\n") && line.startsWith("{") && line.endsWith("}"))
-    // 3-decimal rendering, locale-proof (dot decimal separator, no E-notation)
-    assert(line.contains("\"value\":729.927"), line)
-    assert(line.contains(":9.999,"), line)
+    // 2-decimal per-query / 3-decimal total rendering, locale-proof (dot
+    // decimal separator, no E-notation)
+    assert(line.contains("\"value\":749.250"), line)
+    assert(line.contains(":9.99,"), line)
   }
 }
