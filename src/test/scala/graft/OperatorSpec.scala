@@ -532,6 +532,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(assigned(1L) > 0)
   }
 
+  test("q72: codes and errors match an independent driver-side reimplementation") {
+    // NOT the DuckDB oracle (which shares the formula): a from-scratch
+    // plain-Scala PQ — same op ORDER (left-to-right dots, the ‖x−c‖²
+    // expansion, fixed-point means as floor-sum/n/scale), zero shared code.
+    // Bit-equality here proves the Catalyst expression pipeline computes
+    // exactly the arithmetic the scaladoc claims.
+    val rows = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val (em, es, ek, scale) = (8, 8, 8, 1000000L)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    def slices(e: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(em)(m => e.slice(m * es, m * es + es))
+    val seeds = Array.tabulate(em, ek)((m, k) => slices(rows(k)._2)(m))
+    val asg0 = rows.map { case (_, e) =>
+      slices(e).zipWithIndex.map { case (se, m) =>
+        (0 until ek).minBy(k => (d2(se, seeds(m)(k)), k)) } }
+    val cents = Array.tabulate(em, ek) { (m, k) =>
+      val members = rows.indices.filter(i => asg0(i)(m) == k)
+      if (members.isEmpty) seeds(m)(k)
+      else Array.tabulate(es) { i =>
+        val fs = members.map(j => math.floor(slices(rows(j)._2)(m)(i) * scale).toLong).sum
+        (fs.toDouble / members.size) / scale
+      }
+    }
+    val expected = rows.map { case (id, e) =>
+      val enc = slices(e).zipWithIndex.map { case (se, m) =>
+        val k = (0 until ek).minBy(k => (d2(se, cents(m)(k)), k))
+        (k, d2(se, cents(m)(k)))
+      }
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(enc.map(_._1).mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (id, fp, enc.map(t => math.floor(t._2 * scale).toLong).sum)
+    }.toSeq
+    val got = Similarity.q72PqEncode(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("code_fp"),
+        r.getAs[Long]("err_fixed"))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("q72: PQ training lowers total reconstruction error vs seed codebooks") {
     val trained = Similarity.q72PqEncode(spark, sf).collect()
     val seeded = Similarity.pqEncodeSeeded(spark, sf).collect()
