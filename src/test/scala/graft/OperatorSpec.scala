@@ -576,6 +576,26 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("code_fp"),
         r.getAs[Long]("err_fixed"))).toSeq
     assert(got.nonEmpty && got == expected)
+
+    // same independence argument for the ADC READ path (q73): LUT terms,
+    // integer summation, and (adc, neighbor_id) ranking recomputed from
+    // the driver-side codebooks above, zero shared code with the engine
+    val codesById = expected.map { case (id, _, _) => id }.zip(rows.map { case (_, e) =>
+      slices(e).zipWithIndex.map { case (se, m) =>
+        (0 until ek).minBy(k => (d2(se, cents(m)(k)), k)) } }).toMap
+    val adcExpected = rows.take(10).flatMap { case (qid, qe) =>
+      val lut = slices(qe).zipWithIndex.map { case (se, m) =>
+        Array.tabulate(ek)(k => math.floor(d2(se, cents(m)(k)) * scale).toLong) }
+      rows.collect { case (nid, _) if nid != qid =>
+        val code = codesById(nid)
+        (nid, (0 until em).map(m => lut(m)(code(m))).sum)
+      }.sortBy { case (nid, d) => (d, nid) }.take(5).zipWithIndex
+        .map { case ((nid, d), i) => (qid, nid, d, (i + 1).toLong) }
+    }.toSeq
+    val adcGot = Similarity.q73AdcTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_fixed"), r.getAs[Long]("rn"))).toSeq
+    assert(adcGot.nonEmpty && adcGot == adcExpected)
   }
 
   test("q72: PQ training lowers total reconstruction error vs seed codebooks") {
