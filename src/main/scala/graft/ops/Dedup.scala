@@ -206,8 +206,9 @@ object Dedup {
     * J ≥ t pairs with ≥1 fresh member, canonicalized (a_id < b_id) — equal
     * by construction to `jaccardPairs(all)` filtered to those pairs
     * (differential-tested in OperatorSpec). In steady state the ranked hash
-    * arrays of the existing corpus are a persisted artifact; here they are
-    * recomputed because the testdata has no such side-state. */
+    * arrays of the existing corpus are a persisted artifact — that entry
+    * point is [[corpusArtifact]] + [[incrementalFrom]]; here they are
+    * recomputed so the catalog query stands alone. */
   private[graft] def incrementalJaccardPairs(shingledAll: DataFrame,
       freshIds: DataFrame, threshold: Double): DataFrame = {
     val (docs, prefix) = rankedDocsAndPrefix(shingledAll, threshold)

@@ -27,8 +27,9 @@ import graft.ops.Dedup
   *   - A pair sharing several prefix tokens surfaces once per token;
   *     `dropDuplicates` collapses them. Without an event-time watermark that
   *     dedup state is unbounded — fine for a bounded AvailableNow drain (the
-  *     test shape) and for bounded ingest windows; a production deployment
-  *     keys ingestion time and adds `withWatermark` so pair-state ages out.
+  *     test shape) and for bounded ingest windows; the production shape is
+  *     [[nearDupAgainstWatermarked]], which keys ingestion time and ages
+  *     pair-state out under a watermark.
   *
   * At scale: the stream never shuffles against the corpus — the index join
   * is the same equi-join q24 runs, with the static side persisted; per
