@@ -15,7 +15,7 @@ object SparkEntry {
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.catalog ++ Extras.catalog ++ TextOps.catalog ++ Dedup.catalog ++
       Similarity.catalog ++ MultimodalOps.catalog ++ Corpus.catalog ++
-      Skew.catalog ++ AsOf.catalog
+      Skew.catalog ++ AsOf.catalog ++ graft.sources.Sinks.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -89,4 +89,33 @@ object Sinks {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** q76: the sink family under the ORACLE gate — a real write + read-back
+    * round trip through the range-sorted data-skipping layout. The gated
+    * property is LOSSLESSNESS: the oracle computes the same fingerprints
+    * from the source table directly, so any row loss, corruption, type
+    * drift, or duplication anywhere in the write/read path breaks the
+    * hash. Each invocation writes a fresh temp directory (paths never
+    * reach the output, so the result is location-independent); at scale
+    * the same writer targets any Hadoop-FS URI (S10) and the range-sorted
+    * layout buys stats-based file pruning on the read side (`SinksSpec`
+    * holds the disjoint-min/max guarantee). */
+  def q76SinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = graft.Tables.spread(s, graft.Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_rt").toString
+    writeRangeSorted(docs, out, 4, "doc_id")
+    s.read.parquet(out)
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q76Sql: String =
+    """SELECT doc_id, md5(text) AS fp, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q76_sink_roundtrip", q76SinkRoundtrip _, Some(q76Sql)),
+  )
 }
