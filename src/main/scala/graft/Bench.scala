@@ -127,6 +127,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = clean.map(_._2).sum
     println(s"""{"metric":"samples","samples":$smp,"sf":${jstr(sfDir)}}""")
+    // BenchLineSpec's 1900-char budget assumes every per-query time renders
+    // in 4 chars (< 10 s); assert that assumption at bench time too so a
+    // slow query surfaces here, not as a truncated line in post-round judging
+    results.filter(_._2 >= 10.0).foreach { case (n, v) =>
+      System.err.println(f"[bench] WARNING: $n rendered at $v%.2f s (>= 10 s) — " +
+        "wider than the line budget certified by BenchLineSpec")
+    }
     val line = finalLine(total, results, failed, flaky, sfDir)
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: final line ${line.length} chars — " +

@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * Profile53 measures the realistic near-dup mix (shallow stars). This
   * probe is the adversarial tail a crawl-scale corpus eventually serves:
   *   - one CHAIN component whose diameter (default 5000) blows far past the
-  *     min-label kernel's 50-round cap — `clusterPairs` must detect the
+  *     min-label kernel's 12-round cap — `clusterPairs` must detect the
   *     non-convergence and fall back to large-star/small-star instead of
   *     returning a half-propagated labeling;
   *   - one MEGA-STAR hub of default 500k members — the power-law head. The

@@ -19,6 +19,15 @@ import graft.Tables
   */
 object Similarity {
 
+  /** NONZERO-NORM CONTRACT: every cosine-ranking consumer of `nrm` assumes
+    * nrm > 0 (a zero-norm vector makes cos_sim NaN, and NaN placement then
+    * depends on the ranking formulation — e.g. `array_sort` over a NEGATED
+    * sim ranks NaN last where `row_number ... DESC` ranks it first).
+    * The synthetic embeddings are unit-scale (never zero), and `ivfTopK`
+    * — the one path that mixes both formulations — enforces the contract
+    * with an explicit `nrm > 0` filter so the divergence is unobservable.
+    * Euclidean consumers (PQ/ADC) are NaN-free by construction and accept
+    * zero vectors, so the filter is NOT applied globally here. */
   private def embWithNorm(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.spread(s, Tables.embeddings(s, d), "vec_id")
@@ -143,7 +152,10 @@ object Similarity {
     * recall floor in `OperatorSpec`. */
   def ivfTopK(s: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4,
       k: Int = 5, nQueries: Int = 10, trainIters: Int = 0): DataFrame = {
-    val emb = embWithNorm(s, d).cache()
+    // nrm > 0 enforces the nonzero-norm contract (see embWithNorm): the
+    // negated-sim array_sort below would rank a NaN differently than a
+    // row_number-over-DESC formulation, so zero vectors must never enter
+    val emb = embWithNorm(s, d).filter(col("nrm") > 0).cache()
     val cents = (if (trainIters > 0)
         trainCentroids(emb.select("vec_id", "e"), nlist, trainIters)
       else
@@ -315,12 +327,18 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("nrm").as("nq"), col("cent_id").as("cell"))
     val wk = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val ivfK = probes.join(index, Seq("cell"))
+    val cand = probes.join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
-      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("query_id")).cast("long"))
+    // n_cand as a partial+final count joined back AFTER the rank filter —
+    // a count(*) OVER (PARTITION BY query_id) here would funnel every
+    // candidate row per query through one task AND block the
+    // WindowGroupLimit pruning the rank<=k filter otherwise gets
+    val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+    val ivfK = cand
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= IvfK)
+      .join(broadcast(nCand), Seq("query_id"))
       .select("query_id", "neighbor_id", "n_cand")
     // exact brute-force top-k on the same probe subset
     val q = emb.filter(col("vec_id") < IvfNQueries)
@@ -429,15 +447,23 @@ object Similarity {
           .as("err_fixed"))
   }
 
-  /** Subspace rows (vec_id, m, se) and the seed codebooks; shared by the
-    * catalog query and the OperatorSpec training-helps differential. */
-  private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val emb = embWithNorm(s, d).select("vec_id", "e")
+  /** Subspace rows (vec_id, m, se) and seed codebooks for any `(vec_id, e)`
+    * frame — shared by the raw (q72/q74), residual (q75), and rotated (q77)
+    * PQ pipelines. */
+  private[graft] def subSplit(emb: DataFrame): (DataFrame, DataFrame) = {
     val subs = emb.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqM - 1}), m -> slice(e, m * $PqSub + 1, $PqSub))"))
       .as(Seq("m", "se")))
     val seeds = subs.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("cent_id"), col("se").as("ce"))
+    (subs, seeds)
+  }
+
+  /** Subspace rows (vec_id, m, se) and the seed codebooks; shared by the
+    * catalog query and the OperatorSpec training-helps differential. */
+  private[graft] def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    val (subs, seeds) = subSplit(emb)
     (emb, subs, seeds)
   }
 
@@ -569,43 +595,94 @@ object Similarity {
     * code rows partitioned by cell, never an embedding; everything before
     * it is one map-side indexing pass (PlanSpec: the only hash exchange is
     * the final per-query top-k on query_id). */
-  def q74IvfPqTopk(s: SparkSession, d: String): DataFrame = {
-    val (emb, subs, seedsPq) = pqParts(s, d)
-    // coarse quantizer (q69 shape): seed on first nlist vectors + one
-    // fixed-point Lloyd round
-    val coarseSeed = emb.filter(col("vec_id") < IvfNList)
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    val cc = fixedPointUpdate(assignCells(emb, coarseSeed), coarseSeed)
-      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
-    val cs = pqTrain(subs, seedsPq)
-      .agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
-    val coarseMin = "array_min(transform(cc, c -> struct(" +
+  /** Coarse argmin / nprobe-cell expressions over the one-row `cc`
+    * broadcast and an `e` embedding column — shared by the index build,
+    * append, and serve paths so they can never drift. */
+  private def coarseArgminExpr: String =
+    "array_min(transform(cc, c -> struct(" +
       "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
       "c.cent_id AS cent_id)))"
-    // the index: ONE map-side pass → (neighbor_id, cell, codes)
-    val index = emb.crossJoin(broadcast(cc)).crossJoin(broadcast(cs))
-      .withColumn("cell", expr(s"$coarseMin.cent_id"))
+
+  private def probeCellsExpr(nprobe: Int): String =
+    "transform(slice(array_sort(transform(cc, c -> struct(" +
+      "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
+      s"c.cent_id AS cent_id))), 1, $nprobe), s -> s.cent_id)"
+
+  /** The PERSISTED ANN index artifacts — the q70/`corpusArtifact` story for
+    * the serving path (closing "the index is rebuilt inside every run"):
+    * three plain parquet-writable frames — coarse centroids `(cent_id, ce)`
+    * (nlist rows), PQ codebooks `(m, cent_id, ce)` (M·k rows), and the
+    * cell+code table `(vec_id, cell, codes)` (one 9-byte-scale row per
+    * corpus vector — the only corpus-sized artifact, 32× smaller than the
+    * embeddings it replaces). Train once, write once; every query batch
+    * goes through [[ivfPqSearchFrom]] and every ingest batch through
+    * [[ivfPqAppend]] without ever touching corpus embeddings again.
+    * Doubles survive a parquet round trip bit-exactly, so serving from the
+    * persisted artifacts is bit-identical to serving from the freshly
+    * trained index (OperatorSpec pins this through a real round trip). */
+  def ivfPqIndex(emb: DataFrame, subs: DataFrame, seedsPq: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val coarseSeed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val cents = fixedPointUpdate(assignCells(emb, coarseSeed), coarseSeed)
+    val books = pqTrain(subs, seedsPq)
+    (cents, books, ivfPqAppend(cents, books, emb))
+  }
+
+  /** Map-side assign+encode of a vector batch under ALREADY-TRAINED
+    * centroids + codebooks — both the index build's encode pass and the
+    * incremental ingest path (fresh vectors → cell+code rows to append to
+    * the persisted table; nothing existing is touched or re-encoded). Two
+    * one-row broadcasts, pure array expressions, no shuffle (PlanSpec). */
+  def ivfPqAppend(cents: DataFrame, books: DataFrame, emb: DataFrame): DataFrame = {
+    val cc = cents.agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    val cs = books.agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
+    emb.crossJoin(broadcast(cc)).crossJoin(broadcast(cs))
+      .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
       .withColumn("codes", expr(pqCodesExpr))
+      .select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  /** Serve IVF-PQ top-k from persisted artifacts — no retraining, corpus
+    * embeddings never read. `queries` is any `(vec_id, e)` batch; a query
+    * sharing an id with a corpus vector excludes itself (the catalog
+    * convention). Same shapes as q74: LUT build is map-side under the two
+    * broadcasts, the candidate gate is a broadcast equi join on cell, and
+    * the only hash exchanges are on query_id (top-k + the n_cand agg). */
+  def ivfPqSearchFrom(cents: DataFrame, books: DataFrame, codeTable: DataFrame,
+      queries: DataFrame, nprobe: Int = IvfNProbe, k: Int = AdcK): DataFrame = {
+    val cc = cents.agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    val cs = books.agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
+    val index = codeTable
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
-    // queries: nprobe nearest cells (map-side sort-and-slice) + the LUT
-    val probes = emb.filter(col("vec_id") < AdcQueries)
+    val probes = queries
       .crossJoin(broadcast(cc)).crossJoin(broadcast(cs))
       .withColumn("lut", expr(pqLutExpr))
-      .withColumn("pcell", explode(expr(
-        "transform(slice(array_sort(transform(cc, c -> struct(" +
-          "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
-          s"c.cent_id AS cent_id))), 1, $IvfNProbe), s -> s.cent_id)")))
+      .withColumn("pcell", explode(expr(probeCellsExpr(nprobe))))
       .select(col("vec_id").as("query_id"), col("lut"), col("pcell").as("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_fixed"), col("neighbor_id"))
-    index.join(broadcast(probes), Seq("cell"))
+    val cand = index.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_fixed", expr(adcSumExpr))
-      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("query_id")).cast("long"))
+    val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+    cand
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= AdcK)
+      .filter(col("rn") <= k)
+      .join(broadcast(nCand), Seq("query_id"))
       .select("query_id", "neighbor_id", "adc_fixed", "n_cand", "rn")
       .orderBy("query_id", "rn")
   }
+
+  def q74IvfPqTopk(s: SparkSession, d: String): DataFrame = {
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    // build (train + one-pass encode), then serve — the catalog entry IS
+    // the artifact pipeline, so the OperatorSpec parquet-round-trip
+    // differential pins serving ≡ this query exactly
+    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
+    ivfPqSearchFrom(cents, books, codeTable,
+      emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
+  }
+
 
   /** q75: RESIDUAL IVF-PQ — the refinement that makes production IVF-PQ
     * accurate (FAISS's default): instead of PQ-coding the raw vector, each
@@ -663,12 +740,18 @@ object Similarity {
       .withColumn("lut", expr(pqLutExpr))
       .select(col("vec_id").as("query_id"), col("_p.cent_id").as("cell"), col("lut"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_fixed"), col("neighbor_id"))
-    index.join(broadcast(probes), Seq("cell"))
+    val cand = index.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_fixed", expr(adcSumExpr))
-      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("query_id")).cast("long"))
+    // n_cand as a partial+final count broadcast-joined back AFTER the rank
+    // filter (same shape as ivfPqSearchFrom): a count(*) OVER (PARTITION BY
+    // query_id) would funnel every candidate row per query through one task
+    // and block the WindowGroupLimit pruning the rank<=k filter gets
+    val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+    cand
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= AdcK)
+      .join(broadcast(nCand), Seq("query_id"))
       .select("query_id", "neighbor_id", "adc_fixed", "n_cand", "rn")
       .orderBy("query_id", "rn")
   }
@@ -898,6 +981,16 @@ object Similarity {
   private[graft] def q72EncodeProbe(s: SparkSession, d: String): DataFrame = {
     val (emb, _, seeds) = pqParts(s, d)
     pqEncode(emb, seeds)
+  }
+
+  /** PlanSpec probe: the incremental ingest path ([[ivfPqAppend]]) under
+    * untrained seed artifacts, so no training shuffle clouds the lineage —
+    * what remains must be the pure map-side assign+encode shape. */
+  private[graft] def q74AppendProbe(s: SparkSession, d: String): DataFrame = {
+    val (emb, _, seeds) = pqParts(s, d)
+    val cents = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    ivfPqAppend(cents, seeds, emb)
   }
 
   lazy val q72Sql: String = {

@@ -95,16 +95,33 @@ object Sinks {
     * property is LOSSLESSNESS: the oracle computes the same fingerprints
     * from the source table directly, so any row loss, corruption, type
     * drift, or duplication anywhere in the write/read path breaks the
-    * hash. Each invocation writes a fresh temp directory (paths never
-    * reach the output, so the result is location-independent); at scale
-    * the same writer targets any Hadoop-FS URI (S10) and the range-sorted
-    * layout buys stats-based file pruning on the read side (`SinksSpec`
-    * holds the disjoint-min/max guarantee). */
+    * hash. NOTE this entry is EAGER at construction (unlike every other
+    * lazy catalog entry): building the DataFrame performs the write, and
+    * the returned frame reads it back. All invocations in a JVM share ONE
+    * session-scoped temp directory (overwritten each time — bench's 4×
+    * repeats reuse it, no /tmp growth) that a shutdown hook deletes; paths
+    * never reach the output, so the result is location-independent. At
+    * scale the same writer targets any Hadoop-FS URI (S10) and the
+    * range-sorted layout buys stats-based file pruning on the read side
+    * (`SinksSpec` holds the disjoint-min/max guarantee). */
+  private lazy val sinkRoundtripDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sink_rt")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        val all = Files.walk(p).iterator().asScala.toSeq
+        all.sortBy(-_.getNameCount).foreach((f: Path) => Files.deleteIfExists(f))
+      }
+    }
+    p.toString
+  }
+
   def q76SinkRoundtrip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, md5}
     val docs = graft.Tables.spread(s, graft.Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-    val out = java.nio.file.Files.createTempDirectory("graft_sink_rt").toString
+    val out = sinkRoundtripDir
     writeRangeSorted(docs, out, 4, "doc_id")
     s.read.parquet(out)
       .select(col("doc_id"), md5(col("text")).as("fp"), col("source"), col("n_chars"))

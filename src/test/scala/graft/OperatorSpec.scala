@@ -660,6 +660,51 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q74 artifacts: parquet round-trip serves bit-identically; append equals rebuild") {
+    val (emb, subs, seedsPq) = Similarity.pqParts(spark, sf)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    try {
+      cents.write.mode("overwrite").parquet(s"$dir/cents")
+      books.write.mode("overwrite").parquet(s"$dir/books")
+      codeTable.write.mode("overwrite").parquet(s"$dir/codes")
+      val pc = spark.read.parquet(s"$dir/cents")
+      val pb = spark.read.parquet(s"$dir/books")
+      val pt = spark.read.parquet(s"$dir/codes")
+      // serving from the PERSISTED artifacts (no retraining, corpus
+      // embeddings unread) must be bit-identical to the self-contained
+      // catalog query — doubles survive parquet exactly, and the whole
+      // downstream ranking is integer
+      val queries = emb.filter(col("vec_id") < 10).select("vec_id", "e")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rn"))
+      val served = Similarity.ivfPqSearchFrom(pc, pb, pt, queries).collect()
+        .map(r => key(r) -> (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_fixed"),
+          r.getAs[Long]("n_cand"))).toMap
+      val direct = Similarity.q74IvfPqTopk(spark, sf).collect()
+        .map(r => key(r) -> (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_fixed"),
+          r.getAs[Long]("n_cand"))).toMap
+      assert(served == direct, "persisted-artifact serving diverged from the catalog query")
+      // incremental ingest: encoding a fresh batch under the persisted
+      // centroids+codebooks must equal the full build's rows for the same
+      // ids — append is the build's own encode pass, never a retrain
+      def codeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("cell"), r.getAs[Seq[Long]]("codes").mkString(","))).toMap
+      val fresh = emb.filter(col("vec_id") % 5 === 0).select("vec_id", "e")
+      val appended = codeRows(Similarity.ivfPqAppend(pc, pb, fresh))
+      val rebuilt = codeRows(codeTable.filter(col("vec_id") % 5 === 0))
+      assert(appended == rebuilt, "append diverged from the full rebuild")
+      assert(appended.nonEmpty)
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(dir)
+      Files.walk(root).iterator().asScala.toSeq
+        .sortBy((p: Path) => -p.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("q75: residual IVF-PQ scans exactly q74's candidate sets, ranks well-formed") {
     val res = Similarity.q75IvfPqResidual(spark, sf).collect()
     val raw = Similarity.q74IvfPqTopk(spark, sf).collect()

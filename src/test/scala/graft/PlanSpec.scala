@@ -285,6 +285,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     val ex = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
     assert(ex.forall(_.contains("query_id")), ex.toString)
+    // with n_cand as a partial+final agg (not a full-partition window) the
+    // rank<=k filter pushes into the window as a group-limit, so map tasks
+    // emit ≤k candidate rows per query instead of everything
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q74 append (incremental ingest) is pure map-side: two broadcast rows, no shuffle") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q74AppendProbe(spark, sf))
+    // fresh vectors assign+encode inside their own tasks: the only joins
+    // are against the two one-row artifact broadcasts — nothing may
+    // shuffle the batch or window over it
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q75 residual IVF-PQ keeps q74's shapes: broadcast cell gate, sole query_id exchange") {
@@ -294,6 +309,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     val ex = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
     assert(ex.forall(_.contains("query_id")), ex.toString)
+    // same group-limit claim as q74: n_cand must not regress the window
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("q05: aggregation is partial (map-side) then final") {
