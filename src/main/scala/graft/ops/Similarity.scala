@@ -717,11 +717,7 @@ object Similarity {
       .select(col("vec_id"), col("_k.cent_id").as("cell"),
         expr("zip_with(e, _k.cce, (x, y) -> x - y)").as("e"))
     // PQ codebooks trained on residual sub-slices (pqTrain reused verbatim)
-    val rsubs = resid.select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${PqM - 1}), m -> slice(e, m * $PqSub + 1, $PqSub))"))
-      .as(Seq("m", "se")))
-    val seeds = rsubs.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").as("cent_id"), col("se").as("ce"))
+    val (rsubs, seeds) = subSplit(resid)
     val cs = pqTrain(rsubs, seeds)
       .agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
     // index: residual codes per vector (pqCodesExpr sees the residual `e`)
@@ -754,6 +750,94 @@ object Similarity {
       .join(broadcast(nCand), Seq("query_id"))
       .select("query_id", "neighbor_id", "adc_fixed", "n_cand", "rn")
       .orderBy("query_id", "rn")
+  }
+
+  /** q77: OPQ — PQ after a learned ORTHOGONAL transform (optimized product
+    * quantization), instantiated with a deterministic fixed-point
+    * HOUSEHOLDER rotation so it is oracle-gatable. Full OPQ alternates an
+    * SVD-derived rotation with codebook training, but SVD is iterative and
+    * accumulation-order-dependent — unhashable cross-engine. The gatable
+    * core is the rotation PRIMITIVE: R = I − 2·vvᵀ/vᵀv with
+    * v = µ − ‖µ‖·e₀, where µ is the FIXED-POINT corpus mean (the q64
+    * integer-sum trick — bit-identical on any partition layout AND
+    * cross-engine). R maps the corpus-mean direction onto coordinate axis
+    * 0, so the DC component lands wholly in subspace 0 instead of smearing
+    * across all M subspaces — the simplest instance of OPQ's
+    * variance-rebalancing goal. R is exactly orthogonal (‖Rx‖ = ‖x‖;
+    * OperatorSpec pins norm preservation to fp tolerance and compares
+    * recall against q74), and every downstream step is
+    * [[ivfPqIndex]]/[[ivfPqSearchFrom]] VERBATIM — the oracle SQL is q74's
+    * with the `e` CTE swapped for the rotation, so any drift in the
+    * rotation arithmetic breaks the hash.
+    *
+    * At 100 TB: µ is one partial+final dim-keyed agg (64 rows out); (v,
+    * vv) ride ONE broadcast row; the rotation itself is a map-side array
+    * expression — e − (2·v·e/vv)·v with the scalar hoisted per vector — so
+    * it fuses into the same scan as assign+encode, and in artifact mode
+    * the rotated corpus is exactly what [[ivfPqAppend]] sees (persist (v,
+    * vv) beside the codebooks; fresh batches rotate map-side on ingest). */
+  private[graft] def opqRotate(emb: DataFrame): DataFrame = {
+    val mu = emb
+      .select(posexplode(col("e")).as(Seq("i", "v")))
+      .groupBy("i")
+      .agg(sum(floor(col("v") * lit(CentFixedScale.toDouble)).cast("long")).as("fs"),
+        count(lit(1)).as("fn"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, fs, fn))), " +
+        s"t -> (CAST(t.fs AS DOUBLE) / t.fn) / $CentFixedScale.0D)").as("mu"))
+    val hh = mu.select(expr(
+        "transform(sequence(0, size(mu) - 1), i -> element_at(mu, i + 1) - " +
+          "CASE WHEN i = 0 THEN sqrt(graft_dot(mu, mu)) ELSE 0.0D END)").as("v"))
+      .withColumn("vv", expr("graft_dot(v, v)"))
+    // the Householder coefficient is hoisted per vector (NULL ⟺ degenerate
+    // v = 0, i.e. identity); op order matches the oracle exactly:
+    // (2.0 · v·e) / vv, then elementwise e_i − c·v_i
+    emb.crossJoin(broadcast(hh))
+      .withColumn("_hc", expr("CASE WHEN vv = 0.0D THEN CAST(NULL AS DOUBLE) " +
+        "ELSE 2.0D * graft_dot(v, e) / vv END"))
+      .withColumn("e", expr("CASE WHEN _hc IS NULL THEN e ELSE " +
+        "transform(sequence(0, size(e) - 1), i -> " +
+        "element_at(e, i + 1) - _hc * element_at(v, i + 1)) END"))
+      .select("vec_id", "e")
+  }
+
+  def q77OpqIvfPq(s: SparkSession, d: String): DataFrame = {
+    val rot = opqRotate(embWithNorm(s, d).select("vec_id", "e"))
+    val (subs, seeds) = subSplit(rot)
+    val (cents, books, codeTable) = ivfPqIndex(rot, subs, seeds)
+    ivfPqSearchFrom(cents, books, codeTable,
+      rot.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
+  }
+
+  /** q74's oracle with the `e` CTE swapped for the fixed-point Householder
+    * rotation — everything downstream is shared verbatim. */
+  lazy val q77Sql: String = {
+    val rawE = "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),"
+    require(q74Sql.startsWith(rawE), "q74Sql prefix changed; update q77Sql")
+    val rot =
+      s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |muagg AS (
+         |  SELECT i,
+         |         SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+         |         COUNT(*) AS fn
+         |  FROM (SELECT unnest(range(0, len(e))) AS i, e FROM raw)
+         |  GROUP BY i),
+         |mu AS (SELECT list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS mu
+         |       FROM muagg),
+         |hh AS (
+         |  SELECT v, list_inner_product(v, v) AS vv FROM (
+         |    SELECT list_transform(range(0, len(mu)), i ->
+         |             mu[CAST(i + 1 AS INTEGER)] -
+         |               CASE WHEN i = 0 THEN sqrt(list_inner_product(mu, mu)) ELSE 0.0 END) AS v
+         |    FROM mu)),
+         |e AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vv = 0.0 THEN x.e
+         |              ELSE list_transform(range(0, len(x.e)), i ->
+         |                     x.e[CAST(i + 1 AS INTEGER)] -
+         |                       (2.0 * list_inner_product(v, x.e) / vv) * v[CAST(i + 1 AS INTEGER)])
+         |         END AS e
+         |  FROM raw x CROSS JOIN hh),""".stripMargin
+    rot + q74Sql.stripPrefix(rawE)
   }
 
   lazy val q75Sql: String = {
@@ -1253,5 +1337,6 @@ object Similarity {
     ("q73_adc_topk", q73AdcTopk _, Some(q73Sql)),
     ("q74_ivfpq_topk", q74IvfPqTopk _, Some(q74Sql)),
     ("q75_ivfpq_residual", q75IvfPqResidual _, Some(q75Sql)),
+    ("q77_opq_ivfpq", q77OpqIvfPq _, Some(q77Sql)),
   )
 }

@@ -705,6 +705,50 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q77 OPQ: rotation exactly orthogonal (norms/dots preserved), recall vs q74 comparable") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+    val rot = Similarity.opqRotate(emb)
+    // Householder is orthogonal: every vector's norm survives to fp
+    // tolerance (exact math; only rounding differs)
+    val norms = emb.selectExpr("vec_id", "graft_dot(e, e) AS n")
+      .join(rot.selectExpr("vec_id", "graft_dot(e, e) AS nr"), "vec_id").collect()
+    assert(norms.nonEmpty)
+    norms.foreach { r =>
+      val (n, nr) = (r.getAs[Double]("n"), r.getAs[Double]("nr"))
+      assert(math.abs(n - nr) <= 1e-9 * math.max(1.0, n), s"norm drift: $n vs $nr")
+    }
+    // the rotation must actually DO something (mean is nonzero on this data)
+    val moved = emb.join(rot.withColumnRenamed("e", "er"), "vec_id")
+      .selectExpr("aggregate(zip_with(e, er, (x, y) -> abs(x - y)), 0.0D, (a, t) -> a + t) AS d")
+      .agg(max("d")).head().getDouble(0)
+    assert(moved > 1e-6, s"rotation is a no-op (max move $moved)")
+    // recall@5 against exact euclidean ground truth, side by side with q74:
+    // the rotated index must stay in the same quality regime (OPQ changes
+    // the subspace decomposition, not the geometry)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val exact = (0L until 10L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(vecs(q), vecs(n)), n)).take(5).toSet
+    }.toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+      byQ.map { case (q, rs) =>
+        rs.count(r => exact(q).contains(r.getAs[Long]("neighbor_id"))) / 5.0
+      }.sum / byQ.size
+    }
+    val r74 = recall(Similarity.q74IvfPqTopk(spark, sf).collect())
+    val r77 = recall(Similarity.q77OpqIvfPq(spark, sf).collect())
+    assert(r77 >= 0.2, s"q77 recall collapsed: $r77 (q74 $r74)")
+    assert(r77 >= r74 - 0.3, s"q77 recall $r77 far below q74 $r74")
+    info(f"recall@5 vs exact L2: q74 $r74%.2f, q77(OPQ) $r77%.2f")
+  }
+
   test("q75: residual IVF-PQ scans exactly q74's candidate sets, ranks well-formed") {
     val res = Similarity.q75IvfPqResidual(spark, sf).collect()
     val raw = Similarity.q74IvfPqTopk(spark, sf).collect()

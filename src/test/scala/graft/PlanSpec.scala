@@ -19,6 +19,19 @@ class PlanSpec extends AnyFunSuite {
     out.toString
   }
 
+  /** First partition key of every ENGINE-introduced hash shuffle
+    * (ENSURE_REQUIREMENTS) in a formatted plan. REPARTITION_BY_NUM
+    * exchanges are excluded deliberately — that distribution is
+    * `Tables.spread`'s intentional test-input spread (at scale the scan
+    * arrives already partitioned). NOTE formatted explain prints exchange
+    * arguments on their own `Arguments:` line, so a substring match on
+    * "Exchange hashpartitioning" NEVER fires — rounds ≤7 shipped exactly
+    * that vacuous pattern; every exchange-shape guard goes through this
+    * helper now. */
+  private def shuffleKeys(p: String): Seq[String] =
+    "Arguments: hashpartitioning\\((\\w+)#[^\\n]*ENSURE_REQUIREMENTS".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+
   test("q01: filter is pushed to the parquet scan and columns are pruned") {
     val p = plan(Relational.q01ScanProject(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
@@ -211,7 +224,7 @@ class PlanSpec extends AnyFunSuite {
     val rs = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(rs.contains("event_id") && rs.contains("props"), rs)
     assert(!rs.contains("user_id") && !rs.contains("value"), rs)
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(shuffleKeys(p).isEmpty, shuffleKeys(p).toString)
   }
 
   test("q68 decont clean: flag and drop are both broadcast joins, train never shuffles") {
@@ -237,7 +250,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Similarity.q69AssignProbe(spark, sf))
     // the only exchange allowed is the single-partition collect of the
     // nlist-row centroid set; the corpus side reaches the argmin unshuffled
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(shuffleKeys(p).isEmpty, shuffleKeys(p).toString)
     assert(!p.contains("Window"), p)
     // one nested loop against the 1-row centroid aggregate (×2 prints)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
@@ -252,12 +265,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    // every shuffle is a fixed-point stats agg keyed by cell — nlist-scale
+    // rows; nothing ever hash-partitions a vector id
+    val ks = shuffleKeys(p)
+    assert(ks.nonEmpty && ks.forall(_ == "cell"), ks.toString)
   }
 
   test("q72 PQ encode is pure map-side: one broadcast codebook row, no shuffle") {
     import graft.ops.Similarity
     val p = plan(Similarity.q72EncodeProbe(spark, sf))
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(shuffleKeys(p).isEmpty, shuffleKeys(p).toString)
     assert(!p.contains("Window"), p)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
   }
@@ -270,10 +287,12 @@ class PlanSpec extends AnyFunSuite {
     // codes AND luts, then the 10-row LUT set against the codes scan) —
     // bounded loosely; the real claim is the exchange assertion below
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 12, p)
-    // the ONLY hash exchange is the per-query top-k window on query_id —
-    // candidate triples, never an embedding-carrying row
-    val ex = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
-    assert(ex.forall(_.contains("query_id")), ex.toString)
+    // hash exchanges: the per-query top-k on query_id (candidate triples,
+    // never an embedding-carrying row) + the (m, cell)-keyed fixed-point
+    // codebook training aggs (M·k-scale rows)
+    val ks = shuffleKeys(p)
+    assert(ks.contains("query_id"), ks.toString)
+    assert(ks.toSet.subsetOf(Set("m", "query_id")), ks.toString)
   }
 
   test("q74 IVF-PQ: candidate join is a broadcast equi join on cell, top-k is the only hash exchange") {
@@ -283,8 +302,11 @@ class PlanSpec extends AnyFunSuite {
     // the cell gate must be an equi hash join with the (query, cell, LUT)
     // side broadcast — the corpus-code side streams through map-side
     assert(p.contains("BroadcastHashJoin"), p)
-    val ex = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
-    assert(ex.forall(_.contains("query_id")), ex.toString)
+    // candidate-path exchanges are query_id only (top-k + the n_cand agg);
+    // the rest are the (cell)/(m, cell)-keyed training aggs — tiny rows
+    val ks = shuffleKeys(p)
+    assert(ks.count(_ == "query_id") == 2, ks.toString)
+    assert(ks.toSet.subsetOf(Set("cell", "m", "query_id")), ks.toString)
     // with n_cand as a partial+final agg (not a full-partition window) the
     // rank<=k filter pushes into the window as a group-limit, so map tasks
     // emit ≤k candidate rows per query instead of everything
@@ -297,7 +319,7 @@ class PlanSpec extends AnyFunSuite {
     // fresh vectors assign+encode inside their own tasks: the only joins
     // are against the two one-row artifact broadcasts — nothing may
     // shuffle the batch or window over it
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(shuffleKeys(p).isEmpty, shuffleKeys(p).toString)
     assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -307,10 +329,26 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Similarity.q75IvfPqResidual(spark, sf))
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
-    val ex = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
-    assert(ex.forall(_.contains("query_id")), ex.toString)
+    val ks = shuffleKeys(p)
+    assert(ks.count(_ == "query_id") == 2, ks.toString)
+    assert(ks.toSet.subsetOf(Set("cell", "m", "query_id")), ks.toString)
     // same group-limit claim as q74: n_cand must not regress the window
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q77 OPQ keeps q74's shapes; the only extra exchange is the 64-row mean agg") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q77OpqIvfPq(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    // q74's exchange keys plus the rotation's dim-keyed fixed-point mean
+    // (i — 64 rows out, corpus-size-independent); nothing may shuffle an
+    // embedding-carrying row
+    val ks = shuffleKeys(p)
+    assert(ks.count(_ == "query_id") == 2, ks.toString)
+    assert(ks.contains("i"), ks.toString)
+    assert(ks.toSet.subsetOf(Set("cell", "m", "query_id", "i")), ks.toString)
   }
 
   test("q05: aggregation is partial (map-side) then final") {

@@ -165,4 +165,45 @@ class DocStreamSpec extends AnyFunSuite {
     assert(got.size <= trueDups.size + (batch.count() / 10).toInt,
       s"gate passed ${got.size} of ${batch.count()} rows — not selective")
   }
+
+  test("streamed ANN ingest: drained index rows equal the batch ivfPqAppend exactly") {
+    val spark = TestSpark.spark
+    import graft.ops.Similarity
+    graft.functions.VectorFunctions.register(spark)
+    val all = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+    val static = all.filter(col("vec_id") % 5 =!= 0)
+    val fresh = all.filter(col("vec_id") % 5 === 0)
+
+    // train on the static corpus only, then PERSIST the artifacts — the
+    // production shape: the stream reads the parquet artifacts, never a
+    // training lineage (which would retrain per micro-batch)
+    val (subs, seeds) = Similarity.subSplit(static)
+    val (cents, books, _) = Similarity.ivfPqIndex(static, subs, seeds)
+    val art = java.nio.file.Files.createTempDirectory("vecstream_art").toString
+    cents.write.mode("overwrite").parquet(s"$art/cents")
+    books.write.mode("overwrite").parquet(s"$art/books")
+    val pc = spark.read.parquet(s"$art/cents")
+    val pb = spark.read.parquet(s"$art/books")
+
+    // stage the fresh batch as a file-stream source directory (raw schema)
+    val dir = java.nio.file.Files.createTempDirectory("vecstream").toString
+    Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0)
+      .select("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val q = VecStream.indexAppend(VecStream.readVecs(spark, dir), pc, pb)
+      .writeStream.format("memory").queryName("stream_annappend")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def rows(a: Array[org.apache.spark.sql.Row]) = a.map(r =>
+      r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell"), r.getAs[Seq[Long]]("codes").mkString(","))).toMap
+    val streamed = rows(spark.table("stream_annappend").collect())
+    val batch = rows(Similarity.ivfPqAppend(pc, pb, fresh).collect())
+    assert(batch.nonEmpty, "vacuous: empty fresh batch")
+    assert(streamed == batch,
+      s"streamed index diverged: ${streamed.size} vs ${batch.size} rows")
+  }
 }
