@@ -164,8 +164,14 @@ object Bench {
     def f(v: Double, p: Int): String = s"%.${p}f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => jstr(k) + ":" + f(v, 2) }
       .mkString("{", ",", "}")
-    val errs = failed.map(jstr).mkString("[", ",", "]")
-    val flk = flaky.map(jstr).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":${jstr(sfDir)}}"""
+    // errors/flaky are informational extras on top of the driver contract —
+    // emitted only when non-empty, so the healthy-run line spends its char
+    // budget entirely on the per-query map (the catalog hit the old
+    // always-on rendering's budget at 79 queries)
+    val errs = if (failed.isEmpty) ""
+      else s""","errors":${failed.map(jstr).mkString("[", ",", "]")}"""
+    val flk = if (flaky.isEmpty) ""
+      else s""","flaky":${flaky.map(jstr).mkString("[", ",", "]")}"""
+    s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$qs$errs$flk,"sf":${jstr(sfDir)}}"""
   }
 }

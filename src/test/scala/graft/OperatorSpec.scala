@@ -767,6 +767,79 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q78: SQ8 scores track true cosine tightly; candidate sets are exactly q74's") {
+    graft.functions.VectorFunctions.register(spark)
+    val sq8 = Similarity.q78Sq8Ivf(spark, sf).collect()
+    assert(sq8.nonEmpty)
+    // identical coarse quantizer + nprobe ⇒ q74's candidate sets verbatim —
+    // SQ8 changes the ranking fidelity, never the cells scanned
+    def cands(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("query_id")).view
+        .mapValues(_.head.getAs[Long]("n_cand")).toMap
+    val raw = Similarity.q74IvfPqTopk(spark, sf).collect()
+    assert(cands(sq8) == cands(raw), s"${cands(sq8)} vs ${cands(raw)}")
+    // int8 max-abs quantization on 64 dims keeps the approximate cosine
+    // within a few percent of the true value — the whole point of SQ8 over
+    // PQ; compare every reported score against the exact cosine of the
+    // same pair, computed driver-side from the raw embeddings
+    val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Double]]("e").toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var maxErr = 0.0
+    sq8.foreach { r =>
+      val t = cos(emb(r.getAs[Long]("query_id")), emb(r.getAs[Long]("neighbor_id")))
+      maxErr = math.max(maxErr, math.abs(r.getAs[Double]("sim8") - t))
+    }
+    assert(maxErr <= 0.05, s"max |sim8 - cos| = $maxErr")
+    sq8.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to rs.length), s"query $q")
+      val ss = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("sim8")).toSeq
+      assert(ss == ss.sorted.reverse, s"query $q sim8 order")
+    }
+  }
+
+  test("q79: recall metrics equal an independent driver-side recomputation") {
+    val evalRows = Similarity.q79AnnRecall(spark, sf).collect()
+    assert(evalRows.nonEmpty)
+    // independent ground truth: exact cosine top-5 per query recomputed in
+    // plain Scala from the raw embeddings (no Spark expressions shared with
+    // the operator), then the overlap metrics refolded from q74's output
+    val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Double]]("e").toArray).toMap
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val queries = emb.keys.filter(_ < 10).toSeq.sorted
+    val exact = queries.map { q =>
+      q -> emb.keys.filter(_ != q).toSeq
+        .map(n => (n, cosR(emb(q), emb(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1).toSet
+    }.toMap
+    val approx = Similarity.q74IvfPqTopk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id")).view
+      .mapValues(_.sortBy(_.getAs[Long]("rn"))
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rn"))).toSeq).toMap
+    evalRows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val hits = approx(q).filter { case (n, _) => exact(q).contains(n) }
+      assert(r.getAs[Long]("n_hits") == hits.length, s"query $q n_hits")
+      assert(r.getAs[Double]("recall") == hits.length / 5.0, s"query $q recall")
+      val fhr = if (hits.isEmpty) 0L else hits.map(_._2).min
+      assert(r.getAs[Long]("first_hit_rank") == fhr, s"query $q first_hit_rank")
+    }
+  }
+
   test("quantize: max-magnitude code saturates, fingerprints deterministic") {
     val a = Similarity.q58Quantize(spark, sf).collect()
     val b = Similarity.q58Quantize(spark, sf).collect()

@@ -351,6 +351,30 @@ class PlanSpec extends AnyFunSuite {
     assert(ks.toSet.subsetOf(Set("cell", "m", "query_id", "i")), ks.toString)
   }
 
+  test("q78 SQ8-IVF keeps q74's shapes: broadcast cell gate, query_id-only candidate exchanges") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q78Sq8Ivf(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    // the cell gate is an equi hash join with the (query, codes) side
+    // broadcast; the int8 code table streams through map-side
+    assert(p.contains("BroadcastHashJoin"), p)
+    val ks = shuffleKeys(p)
+    assert(ks.count(_ == "query_id") == 2, ks.toString)
+    // coarse-train aggs are (cell[, i])-keyed — tiny fixed-size rows; no
+    // exchange may ever carry an embedding-bearing candidate row
+    assert(ks.toSet.subsetOf(Set("cell", "query_id")), ks.toString)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q79 recall eval: approximate side keeps q74's keys, exact side never all-pairs shuffles") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q79AnnRecall(spark, sf))
+    // the brute-force ground truth broadcasts the fixed query panel over
+    // the corpus — a shuffled all-pairs join would be the 100-TB killer
+    val ks = shuffleKeys(p)
+    assert(ks.toSet.subsetOf(Set("cell", "m", "query_id")), ks.toString)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
