@@ -155,15 +155,25 @@ object Bench {
     * seconds are rounded to 2 DECIMALS HERE ONLY (10 ms resolution — well
     * below the documented ±5–10% machine-noise band on every catalog entry;
     * full precision stays on the samples line above, and the headline total
-    * keeps 3 decimals as a single value), keeping the line under the budget
-    * asserted by `BenchLineSpec` (≤ 1900 chars including the footer
-    * allowance) with headroom for catalog growth: at 75 queries the real
-    * line is ~1.78 KB. */
+    * keeps 3 decimals as a single value), and — since round 8, when the
+    * 80-query catalog outgrew full-name keys (~24 chars/query ⇒ real lines
+    * would pass 2000 chars by ~84 queries) — per-query keys are the stable
+    * `qNN` NUMERIC PREFIX (the driver contract's own example key shape;
+    * ~11 chars/query ⇒ headroom past 140 queries). Full names remain on the
+    * samples line; a prefix that ever collided would fall back to the full
+    * name rather than silently dropping an entry from the JSON object.
+    * Budget asserted by `BenchLineSpec` (≤ 1900 chars including the footer
+    * allowance). */
   private[graft] def finalLine(total: Double, results: Seq[(String, Double)],
       failed: Seq[String], flaky: Seq[String], sfDir: String): String = {
     def f(v: Double, p: Int): String = s"%.${p}f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f(v, 2) }
-      .mkString("{", ",", "}")
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val prefixCount = results.map(r => shortKey(r._1))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val qs = results.map { case (k, v) =>
+      val sk = shortKey(k)
+      jstr(if (prefixCount(sk) > 1) k else sk) + ":" + f(v, 2)
+    }.mkString("{", ",", "}")
     // errors/flaky are informational extras on top of the driver contract —
     // emitted only when non-empty, so the healthy-run line spends its char
     // budget entirely on the per-query map (the catalog hit the old

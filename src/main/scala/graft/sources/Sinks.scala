@@ -84,6 +84,14 @@ object Sinks {
       buckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // the in-memory catalog forgets tables across JVMs but the managed
+    // warehouse location persists — clear it or saveAsTable fails with
+    // LOCATION_ALREADY_EXISTS on the next process (caught by the oracle
+    // gate, invisible to same-JVM tests)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet").bucketBy(buckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
@@ -132,7 +140,112 @@ object Sinks {
     """SELECT doc_id, md5(text) AS fp, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q80: the bucketed co-located join under the ORACLE gate — [[writeBucketed]]
+    * promoted from sbt-only to the correctness gate (the q76 story for the
+    * bucketed layout). Both fact tables are written bucketed on the join key
+    * (8 buckets, sorted within), then joined and aggregated with ZERO
+    * exchange on the key: the sort-merge join trusts the on-disk hash
+    * layout, and the per-order aggregation that follows reuses the same
+    * partitioning (HashPartitioning(l_orderkey) satisfies the
+    * (l_orderkey, o_orderpriority) clustering). The only shuffle in the
+    * whole query is the final 5-row rollup on o_orderpriority —
+    * PlanSpec asserts exactly that. Like q76 this entry is EAGER at
+    * construction (the writes happen when the DataFrame is built) and
+    * repeat invocations overwrite the same two catalog tables.
+    *
+    * At 100 TB this is the layout decision that removes the per-join
+    * re-shuffle of both fact tables: pay the bucketed write once at ingest,
+    * then every orderkey-keyed join/agg across months of downstream jobs is
+    * a purely local merge per bucket. The gated property is that the layout
+    * is TRANSPARENT — the oracle computes the same rollup from the raw
+    * parquet with a plain join, so any row loss, duplication, or bucket
+    * misrouting in the write/read path breaks the hash. */
+  def q80BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    writeBucketed(graft.Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+      "graft_q80_lineitem", "l_orderkey", buckets = 8, sortCols = Seq("l_orderkey"))
+    writeBucketed(graft.Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "graft_q80_orders", "o_orderkey", buckets = 8, sortCols = Seq("o_orderkey"))
+    s.table("graft_q80_lineitem").hint("merge")
+      .join(s.table("graft_q80_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("order_qty"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_lines")).as("total_lines"),
+        sum(col("order_qty").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q80Sql: String =
+    """SELECT o_orderpriority,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+      |       CAST(SUM(CAST(order_qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM (
+      |  SELECT l.l_orderkey, o.o_orderpriority,
+      |         COUNT(*) AS n_lines,
+      |         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS order_qty
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY l.l_orderkey, o.o_orderpriority)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q81: the partitioned layout under the ORACLE gate ([[writePartitioned]]
+    * promoted from sbt-only, completing the layout trilogy: q76 range-sorted
+    * stats skipping, q80 bucketed co-location, q81 directory partition
+    * pruning). The documents table is written partitioned by `source`
+    * (one directory per value — the standard ingest layout for a corpus
+    * with a handful of provenance labels), then read back with a 2-of-20
+    * source predicate: the filter resolves at PLANNING time against the
+    * directory listing, so 18 of 20 partitions are never opened — PlanSpec
+    * asserts every input file of the gated frame lives under the two
+    * selected directories and the scan carries PartitionFilters. Eager at
+    * construction like q76/q80 (one session-scoped dir, overwritten per
+    * invocation, shutdown-hook deleted).
+    *
+    * The gated property is again TRANSPARENCY: per-doc text fingerprints
+    * of the pruned read-back vs the oracle's plain filter over the raw
+    * parquet — a partition misroute (row under the wrong directory),
+    * row loss, or a too-eager prune all break the hash. At 100 TB
+    * partition pruning is the first 10–1000× lever on every
+    * provenance-/date-scoped query, ahead of row-group stats and column
+    * pruning. Partition values land in the directory name, not the file
+    * (Spark restores them on read; the oracle reads the raw table, so the
+    * gate also proves value round-tripping through the path encoding). */
+  private lazy val partitionedDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_part_prune")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        val all = Files.walk(p).iterator().asScala.toSeq
+        all.sortBy(-_.getNameCount).foreach((f: Path) => Files.deleteIfExists(f))
+      }
+    }
+    p.toString
+  }
+
+  def q81PartitionPrune(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = graft.Tables.spread(s, graft.Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val out = partitionedDir
+    writePartitioned(docs, out, "source")
+    s.read.parquet(out)
+      .filter(col("source").isin("src3", "src7"))
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q81Sql: String =
+    """SELECT doc_id, md5(text) AS fp, source, n_chars
+      |FROM documents WHERE source IN ('src3', 'src7') ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q76_sink_roundtrip", q76SinkRoundtrip _, Some(q76Sql)),
+    ("q80_bucketed_join", q80BucketedJoin _, Some(q80Sql)),
+    ("q81_partition_prune", q81PartitionPrune _, Some(q81Sql)),
   )
 }

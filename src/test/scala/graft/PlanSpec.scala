@@ -366,6 +366,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q80 bucketed join: zero exchange on the join key — only the 5-row rollup shuffles") {
+    import graft.sources.Sinks
+    val p = plan(Sinks.q80BucketedJoin(spark, sf))
+    // the on-disk hash layout stands in for both sides' shuffles: a
+    // sort-merge join with no exchange under it, and the per-order agg
+    // reuses the same partitioning (HashPartitioning(l_orderkey) satisfies
+    // the (l_orderkey, o_orderpriority) clustering)
+    assert(p.contains("SortMergeJoin"), p)
+    val ks = shuffleKeys(p)
+    assert(!ks.contains("l_orderkey") && !ks.contains("o_orderkey"), ks.toString)
+    assert(ks.toSet.subsetOf(Set("o_orderpriority")), ks.toString)
+  }
+
+  test("q81 partition prune: only the 2 selected source directories are read, zero shuffle") {
+    import graft.sources.Sinks
+    val df = Sinks.q81PartitionPrune(spark, sf)
+    val p = plan(df)
+    // the predicate resolves at planning time against the directory listing
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("src3"), p)
+    assert(shuffleKeys(p).isEmpty, shuffleKeys(p).toString)
+    // NOTE inputFiles ignores partition pruning (it lists the relation's
+    // whole FileIndex) — the proof that 18 of 20 directories were never
+    // opened is the executed scan's numFiles metric
+    df.collect()
+    // AQE wraps completed stages in QueryStageExec leaves — recurse through
+    // them to reach the scan node and its post-execution metrics
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl.flatMap {
+      case f: FileSourceScanExec => Seq(f)
+      case q: QueryStageExec => scans(q.plan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case _ => Nil
+    }
+    val ss = scans(df.queryExecution.executedPlan)
+    assert(ss.nonEmpty, df.queryExecution.executedPlan.toString)
+    val read = ss.head.metrics("numFiles").value
+    val allFiles = df.inputFiles.length
+    assert(read > 0 && read <= allFiles / 10 + 1, s"read $read of $allFiles files")
+  }
+
   test("q79 recall eval: approximate side keeps q74's keys, exact side never all-pairs shuffles") {
     import graft.ops.Similarity
     val p = plan(Similarity.q79AnnRecall(spark, sf))

@@ -66,6 +66,42 @@ class SinksSpec extends AnyFunSuite {
     assert(unmergedCols.subsetOf(Set("id", "name", "score", "batch")))
   }
 
+  test("q81: partitioned layout is one directory per source and the pruned read is complete") {
+    val spark = TestSpark.spark
+    val back = Sinks.q81PartitionPrune(spark, sf)
+    val rows = back.collect()
+    // 2 of 20 sources × 25 docs each at sf0.001 — complete and nothing else
+    assert(rows.length == 50, rows.length.toString)
+    assert(rows.map(_.getAs[String]("source")).toSet == Set("src3", "src7"))
+    // the write really fanned out into one directory per source value (the
+    // layout the planner prunes against; inputFiles lists the whole
+    // relation pre-pruning — the pruning proof itself is in PlanSpec)
+    val dirs = back.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct
+    assert(dirs.length == 20 && dirs.forall(_.matches(".*source=src\\d+$")),
+      dirs.mkString("\n"))
+  }
+
+  test("q80: bucketed-layout rollup equals the same rollup from the raw tables") {
+    val spark = TestSpark.spark
+    val viaBuckets = Sinks.q80BucketedJoin(spark, sf).collect().map(_.toSeq).toSeq
+    assert(viaBuckets.nonEmpty)
+    // layout transparency in-engine (the DuckDB oracle re-proves it
+    // cross-engine): the identical plain join/rollup over the raw parquet
+    val raw = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("order_qty"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_lines")).as("total_lines"),
+        sum(col("order_qty").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toSeq).toSeq
+    assert(viaBuckets == raw)
+  }
+
   test("bucketed tables join with zero shuffle on either side") {
     val spark = TestSpark.spark
     Sinks.writeBucketed(Tables.orders(spark, sf), "graft_bkt_orders",

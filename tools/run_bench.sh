@@ -13,14 +13,15 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
-# Runtime headroom (r8): 77 catalog queries × best-of-3 interleaved passes
-# ≈ 6-7 min wall inside sbt at sf0.1. The final-line budget (BenchLineSpec,
-# ≤1900 chars incl. the sbt footer) holds to ~85 queries at 4-char per-query
-# widths; Bench warns at runtime if any query renders ≥ 10 s (wider than the
-# certified budget). If the catalog outgrows either bound, first drop
-# Passes to 2 for queries that have been < 0.5 s and stable for 3 rounds
-# (Bench.scala `Passes`) before touching the line format — the samples line
-# already carries full precision for regressions.
+# Runtime headroom (r8): 80 catalog queries × best-of-3 interleaved passes
+# ≈ 6-7 min wall inside sbt at sf0.1. The final line keys queries by their
+# stable qNN numeric prefix since r8 (full names + full precision on the
+# earlier samples line): full-name keys would have overflowed the driver's
+# 2000-char tail capture by ~84 queries; short keys hold the ≤1900 budget
+# (BenchLineSpec) past 140 queries. Bench warns at runtime if any query
+# renders ≥ 10 s (wider than the certified width). If total RUNTIME becomes
+# the bound, drop Passes to 2 for queries that have been < 0.5 s and stable
+# for 3 rounds (Bench.scala `Passes`).
 #
 # Mid-pass spike triage (see BASELINE.md measurement notes): a single
 # inflated sample in a warm sequence is usually host-external load, not the
