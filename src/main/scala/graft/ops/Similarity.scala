@@ -1031,6 +1031,113 @@ object Similarity {
        |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
        |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin
 
+  /** q82: batch kNN-GRAPH construction — every corpus vector gets its top-k
+    * neighbors (the all-vectors ANN workload behind kNN-graph dedup/
+    * clustering and graph-index builds, FAISS `IVFFlat` knn shape): the
+    * q69 coarse quantizer assigns each vector to its cell and probes each
+    * QUERY's nprobe nearest cells, candidates rank on exact rounded cosine.
+    *
+    * This is deliberately the ONE ANN catalog entry whose candidate join is
+    * NOT broadcast: with queries = corpus, both join sides are corpus-sized,
+    * so the correct 100-TB shape is a CO-PARTITIONED equi join on cell —
+    * each side shuffles once, partitioned by cell, and every cell's
+    * candidate block joins locally (pinned with shuffle_merge hints so the
+    * planner can't broadcast the small test tables; PlanSpec asserts both
+    * cell exchanges and that nothing else shuffles). Rows carry dim-64
+    * embeddings (512 B) through that one shuffle — at this dimensionality
+    * cheaper than per-query LUTs (8 KB each); at high dim you'd rank on PQ
+    * codes instead (q73/q74 machinery). `n_cand` joins back co-partitioned
+    * on query_id, NOT broadcast — with n_queries = n_corpus a broadcast
+    * would be corpus-sized (the one place the q74 shape doesn't transfer).
+    *
+    * Candidate volume is Σ_cell |cell|·|probes(cell)| ≈ n²·nprobe/nlist —
+    * inherently quadratic-over-nlist (that IS the kNN-graph cost); nlist
+    * is the scale lever, and per-cell skew is bounded by the Lloyd-trained
+    * balance (plus AQE skew splitting at the extreme). Hashability: same
+    * fixed-point coarse train as q74/q78, exact IEEE cosine rounded 6dp,
+    * neighbor_id ties — deterministic cross-engine. */
+  def q82KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+    val coarseSeed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val cc = fixedPointUpdate(assignCells(emb.select("vec_id", "e"), coarseSeed), coarseSeed)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    val assigned = emb.crossJoin(broadcast(cc))
+    val index = assigned
+      .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("e").as("en"), col("nrm").as("nn"))
+    val probes = assigned
+      .withColumn("pcell", explode(expr(probeCellsExpr(IvfNProbe))))
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq"), col("pcell").as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val cand = index.hint("shuffle_merge")
+      .join(probes.hint("shuffle_merge"), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
+      .select("query_id", "neighbor_id", "cos_sim")
+    val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+    cand
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= AdcK)
+      .join(nCand.hint("shuffle_hash"), Seq("query_id"))
+      .select("query_id", "neighbor_id", "cos_sim", "n_cand", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  lazy val q82Sql: String = {
+    val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
+    s"""WITH e AS (
+       |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |  WHERE sqrt(list_inner_product(e, e)) > 0),
+       |kseed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $IvfNList),
+       |ka0 AS (
+       |  SELECT x.vec_id, x.e, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |  FROM e x CROSS JOIN kseed c),
+       |kmx AS (
+       |  SELECT cell, i,
+       |         SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT cent_id AS cell, unnest(range(0, len(e))) AS i, e FROM ka0 WHERE rn = 1)
+       |  GROUP BY cell, i),
+       |kmean AS (
+       |  SELECT cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM kmx GROUP BY cell),
+       |kcents AS (
+       |  SELECT s.cent_id, COALESCE(m.ce_new, s.ce) AS ce
+       |  FROM kseed s LEFT JOIN kmean m ON s.cent_id = m.cell),
+       |kassign AS (
+       |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+       |    SELECT x.vec_id, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN kcents c)
+       |  WHERE rn = 1),
+       |kq AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT x.vec_id AS query_id, c.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN kcents c)
+       |  WHERE rn <= $IvfNProbe),
+       |cand AS (
+       |  SELECT q.query_id, i.neighbor_id,
+       |         round(list_inner_product(eq.e, en.e) / (eq.nrm * en.nrm), 6) AS cos_sim
+       |  FROM kq q
+       |  JOIN kassign i USING (cell)
+       |  JOIN e eq ON eq.vec_id = q.query_id
+       |  JOIN e en ON en.vec_id = i.neighbor_id
+       |  WHERE q.query_id <> i.neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, n_cand, rn FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM cand)
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
+  }
+
   lazy val q75Sql: String = {
     val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
     val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
@@ -1531,5 +1638,6 @@ object Similarity {
     ("q77_opq_ivfpq", q77OpqIvfPq _, Some(q77Sql)),
     ("q78_sq8_ivf", q78Sq8Ivf _, Some(q78Sql)),
     ("q79_ann_recall", q79AnnRecall _, Some(q79Sql)),
+    ("q82_knn_graph", q82KnnGraph _, Some(q82Sql)),
   )
 }

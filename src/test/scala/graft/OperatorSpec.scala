@@ -840,6 +840,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q82: kNN graph covers every vector; n_cand agrees with q74 on the shared queries") {
+    graft.functions.VectorFunctions.register(spark)
+    val g = Similarity.q82KnnGraph(spark, sf).collect()
+    assert(g.nonEmpty)
+    val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+    val nVecs = emb.count()
+    // every corpus vector is a query node in the graph (nonzero-norm corpus,
+    // nprobe>=1 cells each holding at least the vector's own cell-mates)
+    val byQ = g.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == nVecs, s"${byQ.size} graph nodes vs $nVecs vectors")
+    byQ.foreach { case (q, rs) =>
+      val rns = rs.map(_.getAs[Long]("rn")).sorted.toSeq
+      assert(rns == (1L to rs.length), s"query $q ranks")
+      val sims = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims == sims.sorted.reverse, s"query $q order")
+      assert(rs.head.getAs[Long]("n_cand") >= rs.length, s"query $q n_cand")
+    }
+    // identical coarse quantizer + nprobe ⇒ for the 10 q74 query ids the
+    // scanned candidate sets are the same size (q82 ranks them on exact
+    // cosine, q74 on ADC codes — fidelity differs, cells scanned don't)
+    val q74n = Similarity.q74IvfPqTopk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id")).view
+      .mapValues(_.head.getAs[Long]("n_cand")).toMap
+    q74n.foreach { case (q, n) =>
+      assert(byQ(q).head.getAs[Long]("n_cand") == n, s"query $q n_cand vs q74")
+    }
+  }
+
   test("quantize: max-magnitude code saturates, fingerprints deterministic") {
     val a = Similarity.q58Quantize(spark, sf).collect()
     val b = Similarity.q58Quantize(spark, sf).collect()

@@ -408,6 +408,22 @@ class PlanSpec extends AnyFunSuite {
     assert(read > 0 && read <= allFiles / 10 + 1, s"read $read of $allFiles files")
   }
 
+  test("q82 kNN graph: co-partitioned cell join — both corpus sides shuffle by cell, nothing broadcasts a corpus side") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q82KnnGraph(spark, sf))
+    // queries = corpus, so the candidate join must be a shuffled merge join
+    // on cell (one shuffle per side), not a broadcast — and n_cand joins
+    // back co-partitioned on query_id for the same reason
+    assert(p.contains("SortMergeJoin"), p)
+    // exact key SET (not count: the formatted text duplicates the unreused
+    // subtree under cand's two consumers, and the coarse-train aggs are
+    // cell-keyed too — runtime dedups identical exchanges): every shuffle
+    // is on cell or query_id, never an embedding-bearing all-pairs key
+    val ks = shuffleKeys(p)
+    assert(ks.toSet == Set("cell", "query_id"), ks.toString)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q79 recall eval: approximate side keeps q74's keys, exact side never all-pairs shuffles") {
     import graft.ops.Similarity
     val p = plan(Similarity.q79AnnRecall(spark, sf))
