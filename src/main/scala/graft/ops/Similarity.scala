@@ -1138,6 +1138,96 @@ object Similarity {
        |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
   }
 
+  /** q83: SEMANTIC dedup (SemDeDup shape — cluster-then-threshold): the
+    * corpus is coarse-clustered with the q69 fixed-point quantizer, and
+    * near-duplicate detection runs WITHIN each cell only — a vector is
+    * dropped when an earlier (smaller-id) same-cell vector sits above the
+    * cosine threshold. This is the embedding-space analogue of q24's
+    * blocked Jaccard: clustering replaces the all-pairs O(n²) cosine scan
+    * with Σ|cell|² within-cell comparisons, and nlist is the scale lever
+    * (recall vs the global pair set is the documented SemDeDup trade —
+    * cross-cell near-dups are invisible by design; q27's SRP-LSH is the
+    * high-recall alternative on the same data).
+    *
+    * Scale shape mirrors q82 (the other corpus×corpus entry): the pair
+    * join is a CO-PARTITIONED shuffle-merge equi join on cell (each side
+    * shuffles once; a broadcast would be corpus-sized), and the
+    * drop-resolution is a partial+final groupBy on the dropped id (min/
+    * max/count all map-side combinable), so no full-partition window ever
+    * sees the candidate set. Hashability: same fixed-point coarse train as
+    * q74/q78/q82, exact IEEE cosine rounded 6dp, integer witness ids.
+    * Threshold 0.45, deliberately BELOW q27's 0.57: the sf0.01 gate corpus
+    * tops out at pairwise cosine 0.513 (no planted near-dups at that
+    * scale), so 0.57 would make the oracle vacuously empty — 0.45 sits
+    * under the observed top pairs and keeps actual drop rows inside the
+    * hash gate (OperatorSpec asserts non-emptiness at sf0.001). */
+  private val SemDedupTau = 0.45
+
+  def q83SemDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+    val coarseSeed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val cc = fixedPointUpdate(assignCells(emb.select("vec_id", "e"), coarseSeed), coarseSeed)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    val assigned = emb.crossJoin(broadcast(cc))
+      .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
+      .select("vec_id", "e", "nrm", "cell")
+    val keep = assigned.select(col("vec_id").as("keep_id"), col("cell"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val cand = assigned.select(col("vec_id").as("drop_id"), col("cell"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    keep.hint("shuffle_merge").join(cand.hint("shuffle_merge"), Seq("cell"))
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("cos_sim", round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= SemDedupTau)
+      .groupBy(col("drop_id"), col("cell"))
+      .agg(min("keep_id").as("witness_id"), max("cos_sim").as("max_sim"),
+        count(lit(1)).cast("long").as("n_witnesses"))
+      .select("drop_id", "cell", "witness_id", "max_sim", "n_witnesses")
+      .orderBy("drop_id")
+  }
+
+  lazy val q83Sql: String = {
+    val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
+    s"""WITH e AS (
+       |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |  WHERE sqrt(list_inner_product(e, e)) > 0),
+       |kseed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $IvfNList),
+       |ka0 AS (
+       |  SELECT x.vec_id, x.e, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |  FROM e x CROSS JOIN kseed c),
+       |kmx AS (
+       |  SELECT cell, i,
+       |         SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT cent_id AS cell, unnest(range(0, len(e))) AS i, e FROM ka0 WHERE rn = 1)
+       |  GROUP BY cell, i),
+       |kmean AS (
+       |  SELECT cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM kmx GROUP BY cell),
+       |kcents AS (
+       |  SELECT s.cent_id, COALESCE(m.ce_new, s.ce) AS ce
+       |  FROM kseed s LEFT JOIN kmean m ON s.cent_id = m.cell),
+       |kassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT x.vec_id, c.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN kcents c)
+       |  WHERE rn = 1)
+       |SELECT b.vec_id AS drop_id, kb.cell AS cell,
+       |       MIN(a.vec_id) AS witness_id,
+       |       MAX(round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6)) AS max_sim,
+       |       COUNT(*) AS n_witnesses
+       |FROM kassign ka JOIN kassign kb ON ka.cell = kb.cell AND ka.vec_id < kb.vec_id
+       |JOIN e a ON a.vec_id = ka.vec_id
+       |JOIN e b ON b.vec_id = kb.vec_id
+       |WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= $SemDedupTau
+       |GROUP BY b.vec_id, kb.cell
+       |ORDER BY drop_id""".stripMargin
+  }
+
   lazy val q75Sql: String = {
     val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
     val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
@@ -1639,5 +1729,6 @@ object Similarity {
     ("q78_sq8_ivf", q78Sq8Ivf _, Some(q78Sql)),
     ("q79_ann_recall", q79AnnRecall _, Some(q79Sql)),
     ("q82_knn_graph", q82KnnGraph _, Some(q82Sql)),
+    ("q83_semdedup", q83SemDedup _, Some(q83Sql)),
   )
 }

@@ -868,6 +868,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q83: semdedup drops are witnessed — independent cosine recompute confirms every (witness, drop) pair") {
+    graft.functions.VectorFunctions.register(spark)
+    val drops = Similarity.q83SemDedup(spark, sf).collect()
+    assert(drops.nonEmpty, "semdedup gate must not be vacuous at sf0.001")
+    val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Double]]("e")).toMap
+    def cos(a: scala.collection.Seq[Double], b: scala.collection.Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    drops.foreach { r =>
+      val (d, w) = (r.getAs[Long]("drop_id"), r.getAs[Long]("witness_id"))
+      // witness precedes the drop (SemDeDup keeps the first-seen member)
+      assert(w < d, s"witness $w !< drop $d")
+      assert(r.getAs[Long]("n_witnesses") >= 1L)
+      // plain-Scala cosine of the recorded pair clears the threshold, and
+      // max_sim is at least it (the min-id witness need not be the argmax)
+      val c = cos(emb(w), emb(d))
+      assert(c >= 0.45, s"pair ($w, $d) cosine $c under threshold")
+      assert(r.getAs[Double]("max_sim") >= c - 1e-9, s"max_sim < witness cosine for $d")
+    }
+    // dropping is idempotent in effect: kept = corpus minus drops is
+    // strictly smaller than the corpus and every drop is a corpus member
+    val dropIds = drops.map(_.getAs[Long]("drop_id")).toSet
+    assert(dropIds.subsetOf(emb.keySet) && dropIds.size < emb.size)
+  }
+
   test("quantize: max-magnitude code saturates, fingerprints deterministic") {
     val a = Similarity.q58Quantize(spark, sf).collect()
     val b = Similarity.q58Quantize(spark, sf).collect()

@@ -424,6 +424,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q83 semdedup: co-partitioned cell pair join; drop-resolution is a partial+final agg, not a window") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q83SemDedup(spark, sf))
+    // corpus × corpus within-cell pairs: shuffled merge join on cell (one
+    // shuffle per side, local join per cell) — a broadcast would be
+    // corpus-sized, an inequality-only join would be a nested loop (the
+    // BroadcastNestedLoopJoin Cross nodes that DO appear are the intended
+    // one-row centroid-set broadcasts, same as every IVF entry)
+    assert(p.contains("SortMergeJoin"), p)
+    // EVERY engine shuffle is cell-keyed (pair join + coarse-train aggs):
+    // the final drop-resolution groupBy(drop_id, cell) reuses the join's
+    // cell partitioning (cell ⊆ group keys ⇒ no new exchange), and min/
+    // max/count combine map-side — no full-partition window, no drop_id
+    // shuffle, nothing ever re-shuffles the candidate set
+    val ks = shuffleKeys(p)
+    assert(ks.toSet == Set("cell"), ks.toString)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q79 recall eval: approximate side keeps q74's keys, exact side never all-pairs shuffles") {
     import graft.ops.Similarity
     val p = plan(Similarity.q79AnnRecall(spark, sf))
