@@ -68,7 +68,76 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** q85: INTERVAL-OVERLAP join (range join) — which session pairs from
+    * different users were active at the same time. The missing operator
+    * class beside the as-of join: Spark has no native range join, and the
+    * naive formulation (`a.start <= b.end AND b.start <= a.end`) has no
+    * equi key, so Catalyst plans a BroadcastNestedLoopJoin — O(|A|·|B|)
+    * compares, the 100-TB killer. Same cure as `joinNearest`: BUCKETED
+    * EXPANSION. Each interval registers every `bucketS`-wide time bucket it
+    * touches (`sequence(start div W, end div W)` — replication is
+    * 1 + len/W, bounded because session length is gap-bounded), candidates
+    * meet in an EQUI join on the bucket, and the true-overlap predicate
+    * filters join-locally. Multi-bucket double-counting is eliminated
+    * WITHOUT a distinct: a pair is attributed only to the bucket holding
+    * the overlap's START (`greatest(a0,b0) div W == bkt` — a pure filter,
+    * no extra shuffle). Work scales with Σ_bucket n_b², not |A|·|B|; W
+    * trades interval replication against per-bucket density, and AQE
+    * splits residual hot buckets.
+    *
+    * All arithmetic is integer epoch seconds (start/end/overlap_s) —
+    * hash-exact cross-engine; the oracle states the SAME semantics as the
+    * naive inequality join (DuckDB plans it as its native IEJoin), so the
+    * gate proves the bucketed rewrite ≡ the textbook formulation. */
+  private val OverlapBucketS = 900L
+
+  def q85OverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val sess = Corpus.sessions(Tables.events(s, d), 1800L)
+    val a = sess.select(col("user_id").as("user_a"), col("session_id").as("session_a"),
+      col("start_s").as("a0"), col("end_s").as("a1"))
+      .withColumn("bkt", explode(expr(s"sequence(a0 div $OverlapBucketS, a1 div $OverlapBucketS)")))
+    val b = sess.select(col("user_id").as("user_b"), col("session_id").as("session_b"),
+      col("start_s").as("b0"), col("end_s").as("b1"))
+      .withColumn("bkt", explode(expr(s"sequence(b0 div $OverlapBucketS, b1 div $OverlapBucketS)")))
+    a.join(b, Seq("bkt"))
+      .filter(col("user_a") < col("user_b"))
+      .filter(col("a0") <= col("b1") && col("b0") <= col("a1"))
+      .filter(expr(s"greatest(a0, b0) div $OverlapBucketS") === col("bkt"))
+      .select(col("user_a"), col("session_a"), col("user_b"), col("session_b"),
+        (least(col("a1"), col("b1")) - greatest(col("a0"), col("b0"))).as("overlap_s"))
+      .orderBy("user_a", "session_a", "user_b", "session_b")
+  }
+
+  val q85Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s,
+      |         LAG(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts_s
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts, ts_s,
+      |         CASE WHEN prev_ts_s IS NULL OR ts_s - prev_ts_s > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |x AS (
+      |  SELECT user_id, ts_s,
+      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |         MIN(ts_s) AS start_s, MAX(ts_s) AS end_s
+      |  FROM x GROUP BY user_id, session_id)
+      |SELECT a.user_id AS user_a, a.session_id AS session_a,
+      |       b.user_id AS user_b, b.session_id AS session_b,
+      |       least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s) AS overlap_s
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+      |ORDER BY user_a, session_a, user_b, session_b""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q39_asof_bucketed", q39AsofBucketed _, Some(Relational.q15Sql)),
+    ("q85_overlap_join", q85OverlapJoin _, Some(q85Sql)),
   )
 }

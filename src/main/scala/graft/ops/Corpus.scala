@@ -181,7 +181,10 @@ object Corpus {
     * and state per key is O(1) — the same shape Structured Streaming uses
     * for session windows. */
   /** Core sessionization over any (user_id, event_id, ts_ns) frame. */
-  private[graft] def sessionize(events: DataFrame, gapS: Long): DataFrame = {
+  /** Gap-based sessions WITHOUT the presentation sort — the reusable form
+    * (q85's overlap join consumes it mid-plan, where a sort would only
+    * insert a dead range exchange). */
+  private[graft] def sessions(events: DataFrame, gapS: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     events
@@ -196,9 +199,12 @@ object Corpus {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_s")).as("start_s"),
         max(col("ts_s")).as("end_s"))
+  }
+
+  private[graft] def sessionize(events: DataFrame, gapS: Long): DataFrame =
+    sessions(events, gapS)
       .withColumn("duration_s", col("end_s") - col("start_s"))
       .orderBy("user_id", "session_id")
-  }
 
   def q37Sessionize(s: SparkSession, d: String): DataFrame =
     sessionize(Tables.events(s, d), 1800L)

@@ -443,6 +443,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q85 overlap join: bucketed expansion makes the range join EQUI — never a nested loop") {
+    import graft.ops.AsOf
+    val p = plan(AsOf.q85OverlapJoin(spark, sf))
+    // the naive interval-overlap predicate has no equi key and Catalyst
+    // would plan BroadcastNestedLoopJoin — the bucket column is the cure
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+    // the only engine shuffles are the sessionization windows on user_id
+    // (the bucket join itself broadcasts at this sf; at scale it shuffles
+    // on bkt — either satisfies the equi-join requirement)
+    val ks = shuffleKeys(p)
+    assert(ks.toSet.subsetOf(Set("user_id", "bkt")), ks.toString)
+  }
+
   test("q79 recall eval: approximate side keeps q74's keys, exact side never all-pairs shuffles") {
     import graft.ops.Similarity
     val p = plan(Similarity.q79AnnRecall(spark, sf))
