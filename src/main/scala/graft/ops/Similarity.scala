@@ -1056,7 +1056,11 @@ object Similarity {
     * balance (plus AQE skew splitting at the extreme). Hashability: same
     * fixed-point coarse train as q74/q78, exact IEEE cosine rounded 6dp,
     * neighbor_id ties — deterministic cross-engine. */
-  def q82KnnGraph(s: SparkSession, d: String): DataFrame = {
+  /** The kNN-graph candidate kernel shared by q82 (graph construction) and
+    * q84 (label propagation): coarse cells over the nonzero-norm corpus,
+    * co-partitioned cell join, exact rounded cosine per candidate pair.
+    * Columns: (query_id, neighbor_id, cos_sim). */
+  private[graft] def knnCand(s: SparkSession, d: String): DataFrame = {
     val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
     val coarseSeed = emb.filter(col("vec_id") < IvfNList)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
@@ -1071,12 +1075,16 @@ object Similarity {
       .withColumn("pcell", explode(expr(probeCellsExpr(IvfNProbe))))
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("nrm").as("nq"), col("pcell").as("cell"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val cand = index.hint("shuffle_merge")
+    index.hint("shuffle_merge")
       .join(probes.hint("shuffle_merge"), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
       .select("query_id", "neighbor_id", "cos_sim")
+  }
+
+  def q82KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val cand = knnCand(s, d)
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
     cand
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -1086,7 +1094,10 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
-  lazy val q82Sql: String = {
+  /** The CTE chain producing the kNN candidate set (`e` … `cand`) —
+    * the SQL mirror of `knnCand`, shared by q82 and q84 so the two
+    * oracles can never drift. */
+  private lazy val knnCandCtes: String = {
     val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
     s"""WITH e AS (
        |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
@@ -1128,7 +1139,11 @@ object Similarity {
        |  JOIN kassign i USING (cell)
        |  JOIN e eq ON eq.vec_id = q.query_id
        |  JOIN e en ON en.vec_id = i.neighbor_id
-       |  WHERE q.query_id <> i.neighbor_id)
+       |  WHERE q.query_id <> i.neighbor_id)""".stripMargin
+  }
+
+  lazy val q82Sql: String =
+    s"""$knnCandCtes
        |SELECT query_id, neighbor_id, cos_sim, n_cand, rn FROM (
        |  SELECT query_id, neighbor_id, cos_sim,
        |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
@@ -1136,6 +1151,94 @@ object Similarity {
        |                                 ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn
        |  FROM cand)
        |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
+
+  /** q84: LABEL PROPAGATION over the kNN graph — semi-supervised weak
+    * labeling (auto-labeling the unlabeled majority of a corpus from a
+    * small seed set, the standard bootstrap for classifier training data).
+    * Seeds = vectors with `vec_id % 4 == 0` keep their true label; each
+    * synchronous round, every still-unlabeled node adopts the MAJORITY
+    * label among its k nearest neighbors that were labeled in any earlier
+    * round (ties → count desc, then smaller label — fully deterministic);
+    * once labeled, a node never changes (seed clamping). Rounds are a
+    * FIXED small count (driver-side loop over distributed passes — q53/
+    * q71's shape, not a data-dependent driver loop).
+    *
+    * Scale shape: the graph is n·k edge rows (built once by the shared
+    * `knnCand` kernel + per-query top-k); each round is (a) an equi join
+    * edges ⋈ labels on neighbor_id, (b) a partial+final count per
+    * (query_id, lbl), (c) a majority argmax via `max(struct(cnt, -lbl))`
+    * — another partial+final agg, (d) a left-anti equi join to exclude
+    * already-labeled nodes. Every shuffle carries ≤ n·k tiny integer rows;
+    * nothing is ever collected. Unlabeled survivors surface as lbl −1 so
+    * the gate covers them too. */
+  private val LpRounds = 2
+  private val LpSeedMod = 4
+
+  def q84LabelProp(s: SparkSession, d: String): DataFrame = {
+    val nodes = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val edges = knnCand(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= AdcK)
+      .select("query_id", "neighbor_id")
+    // seed labels live on the raw table (embWithNorm prunes them away);
+    // the semi-join keeps the seed set inside the nonzero-norm node set
+    var labels = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
+      .filter(col("vec_id") % LpSeedMod === 0)
+      .join(nodes, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("label").cast("long").as("lbl"), lit(0L).as("rnd"))
+    for (r <- 1 to LpRounds) {
+      val votes = edges
+        .join(labels.select(col("vec_id").as("neighbor_id"), col("lbl")), Seq("neighbor_id"))
+        .join(labels.select(col("vec_id").as("query_id")), Seq("query_id"), "left_anti")
+        .groupBy(col("query_id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("query_id").as("vec_id"), (-col("m.neg")).as("lbl"),
+          lit(r.toLong).as("rnd"))
+      labels = labels.unionByName(votes)
+    }
+    nodes.join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), lit(-1L)).as("lbl"),
+        coalesce(col("rnd"), lit(-1L)).as("rnd"))
+      .orderBy("vec_id")
+  }
+
+  lazy val q84Sql: String = {
+    val l0 =
+      s"""l0 AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS lbl, CAST(0 AS BIGINT) AS rnd
+         |  FROM embeddings WHERE vec_id % $LpSeedMod = 0
+         |    AND vec_id IN (SELECT vec_id FROM e))""".stripMargin
+    val rounds = (1 to LpRounds).map { r =>
+      s"""l$r AS (
+         |  SELECT * FROM l${r - 1}
+         |  UNION ALL
+         |  SELECT query_id AS vec_id, lbl, CAST($r AS BIGINT) AS rnd FROM (
+         |    SELECT v.query_id, v.lbl,
+         |           ROW_NUMBER() OVER (PARTITION BY v.query_id
+         |                              ORDER BY v.cnt DESC, v.lbl) AS rk
+         |    FROM (
+         |      SELECT g.query_id, l.lbl, COUNT(*) AS cnt
+         |      FROM edges g JOIN l${r - 1} l ON g.neighbor_id = l.vec_id
+         |      WHERE g.query_id NOT IN (SELECT vec_id FROM l${r - 1})
+         |      GROUP BY g.query_id, l.lbl) v)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnCandCtes,
+       |edges AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM cand)
+       |  WHERE rn <= $AdcK),
+       |$l0,
+       |$rounds
+       |SELECT n.vec_id, COALESCE(l.lbl, -1) AS lbl, COALESCE(l.rnd, -1) AS rnd
+       |FROM e n LEFT JOIN l$LpRounds l ON n.vec_id = l.vec_id
+       |ORDER BY n.vec_id""".stripMargin
   }
 
   /** q83: SEMANTIC dedup (SemDeDup shape — cluster-then-threshold): the
@@ -1730,5 +1833,6 @@ object Similarity {
     ("q79_ann_recall", q79AnnRecall _, Some(q79Sql)),
     ("q82_knn_graph", q82KnnGraph _, Some(q82Sql)),
     ("q83_semdedup", q83SemDedup _, Some(q83Sql)),
+    ("q84_label_prop", q84LabelProp _, Some(q84Sql)),
   )
 }

@@ -898,6 +898,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(dropIds.subsetOf(emb.keySet) && dropIds.size < emb.size)
   }
 
+  test("q84: label propagation matches an independent plain-Scala propagation over the q82 graph") {
+    graft.functions.VectorFunctions.register(spark)
+    val got = Similarity.q84LabelProp(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("lbl"), r.getAs[Long]("rnd")))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(got.length == byId.size, "one row per node")
+    // independent reimplementation: q82's gated graph + raw seed labels,
+    // two synchronous majority-vote rounds in plain Scala collections
+    val edges = Similarity.q82KnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val trueLbl = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
+    var labels: Map[Long, (Long, Long)] =
+      byId.keySet.filter(_ % 4 == 0).map(v => v -> (trueLbl(v), 0L)).toMap
+    for (r <- 1L to 2L) {
+      val votes = edges
+        .filter { case (q, n) => !labels.contains(q) && labels.contains(n) }
+        .groupBy(_._1).map { case (q, es) =>
+          val counts = es.map(e => labels(e._2)._1).groupBy(identity)
+            .map { case (l, xs) => (l, xs.length) }
+          // majority, ties toward the smaller label
+          q -> (counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1, r)
+        }
+      labels = labels ++ votes
+    }
+    val expect = byId.keySet.toSeq.sorted
+      .map(v => (v, labels.get(v).map(_._1).getOrElse(-1L),
+        labels.get(v).map(_._2).getOrElse(-1L)))
+    assert(got.toSeq.sortBy(_._1) == expect)
+    // seeds are clamped to their true labels at round 0
+    got.filter(_._1 % 4 == 0).foreach { case (v, l, r) =>
+      assert(l == trueLbl(v) && r == 0L, s"seed $v")
+    }
+  }
+
   test("quantize: max-magnitude code saturates, fingerprints deterministic") {
     val a = Similarity.q58Quantize(spark, sf).collect()
     val b = Similarity.q58Quantize(spark, sf).collect()

@@ -443,6 +443,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q84 label prop: every round is equi-join + partial agg — shuffles carry only edge/label keys") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q84LabelProp(spark, sf))
+    // per-round joins (edges ⋈ labels, anti vs labeled) and vote aggs keep
+    // every exchange on cell (graph build), neighbor_id, or query_id —
+    // tiny integer rows; nothing re-shuffles embeddings or collects
+    val ks = shuffleKeys(p)
+    assert(ks.toSet == Set("cell", "neighbor_id", "query_id"), ks.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q85 overlap join: bucketed expansion makes the range join EQUI — never a nested loop") {
     import graft.ops.AsOf
     val p = plan(AsOf.q85OverlapJoin(spark, sf))
