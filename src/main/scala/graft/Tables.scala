@@ -36,17 +36,30 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot represent
-    * as TimestampType (µs). The session sets
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, so the raw column arrives
-    * as epoch-nanos LongType; expose it as `ts_ns` (exact, same ordering as
-    * DuckDB's ns timestamps) plus a µs-truncated proper `ts` timestamp.
-    * Integer `div` keeps full precision — never divide ns epochs as double. */
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (earlier
+    * testdata drops) and TIMESTAMP(MICROS) (current drops), so detect the
+    * arrival type instead of assuming one:
+    *   - NANOS: Spark 4 cannot represent ns as TimestampType, so the session
+    *     sets `spark.sql.legacy.parquet.nanosAsLong=true` and the raw column
+    *     arrives as epoch-nanos LongType → rename to `ts_ns`, derive a
+    *     µs-truncated proper `ts` timestamp. Integer `div` keeps full
+    *     precision — never divide ns epochs as double.
+    *   - MICROS: the column arrives as TIMESTAMP_NTZ `ts` → cast to
+    *     TimestampType (exact under the UTC session zone, matching DuckDB's
+    *     naive-timestamp epoch_us) and derive `ts_ns = unix_micros(ts) *
+    *     1000` (exact, same ordering).
+    * Either way downstream code sees the same two columns: exact integer
+    * `ts_ns` (ns epoch, the window/sort key) and TimestampType `ts`. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    else
+      raw.withColumn("ts", col("ts").cast(TimestampType))
+        .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

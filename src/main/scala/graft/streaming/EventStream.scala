@@ -29,22 +29,34 @@ object EventStream {
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
       n_events: Int, total_value: Double)
 
-  /** Raw events schema as stored (ts is TIMESTAMP(NANOS) → long with
-    * nanosAsLong). */
+  /** Raw events schema as stored when `ts` is TIMESTAMP(NANOS) → long with
+    * nanosAsLong. Testdata has also shipped with TIMESTAMP(MICROS) `ts`
+    * (TimestampType on arrival) — `readEvents` detects which via a batch
+    * schema peek, mirroring `Tables.events`. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File stream over an events directory → typed events with a proper
-    * event-time column. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+    * event-time column. `readStream` needs an explicit schema, so peek the
+    * actual on-disk type of `ts` with a batch footer read first (driver-side
+    * listing only — no data scan), then normalize to the same (`ts_ns` long,
+    * `ts` timestamp) pair `Tables.events` exposes. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val in = spark.readStream
+      .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    if (onDisk("ts").dataType == LongType)
+      in.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    else
+      in.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+  }
 
   /** Tumbling-window counts per event type with a 10-minute watermark.
     * Note Spark's watermark contract is one-directional: state for windows

@@ -79,10 +79,7 @@ class EventStreamSpec extends AnyFunSuite {
 
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // drive it as a real stream over the same files
-    val streamIn = spark.readStream.schema(EventStream.rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val streamIn = EventStream.readEvents(spark, sf)
     val q = EventStream.sessionize(spark, streamIn)
       .writeStream.format("memory").queryName("stream_sessions")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
