@@ -586,6 +586,69 @@ object Corpus {
       "kept_words" -> kept.get("words").asInstanceOf[Long])
   }
 
+  /** q89: per-group feature standardization (z-score of `value` within each
+    * event_type) — the normalization pass every training pipeline runs over
+    * its numeric features. Deliberately NOT the window formulation
+    * (`avg/stddev OVER (PARTITION BY type)` would funnel each group through
+    * one task): group moments come from a partial+final hash aggregation —
+    * Σv and Σv² as exact DECIMALs so partition order cannot move low
+    * bits — and the tiny (one row per type) stats frame broadcast-joins
+    * back onto the events. Same partial+final-then-broadcast-back shape as
+    * the q74/q75 `n_cand` fix; the fact side never shuffles. σ uses the
+    * population form √((Σv² − (Σv)²/n)/n) written identically in both
+    * engines; z rounds to 6 decimals like every float gate in the repo. */
+  def q89GroupZscore(s: SparkSession, d: String): DataFrame = {
+    val v = col("value").cast("decimal(18,6)")
+    val ev = Tables.spread(s, Tables.events(s, d), "event_id")
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("sv"),
+        sum((v * v).cast("decimal(30,8)")).cast("double").as("svv"))
+      .select(col("event_type"), col("n"), (col("sv") / col("n")).as("mu"),
+        sqrt((col("svv") - col("sv") * col("sv") / col("n")) / col("n")).as("sigma"))
+    ev.select("event_id", "event_type", "value")
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mu")) / col("sigma"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
+  val q89Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+      |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(30,8))) AS DOUBLE) AS svv
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |       round((e.value - m.sv / m.n) /
+      |             sqrt((m.svv - m.sv * m.sv / m.n) / m.n), 6) AS z
+      |FROM events e JOIN m USING (event_type) ORDER BY event_id""".stripMargin
+
+  /** q91: deterministic weighted priority sampling — pick k documents with
+    * probability increasing in weight (n_chars), reproducibly. True A-Res
+    * keys (u^(1/w)) need `ln`/`pow`, whose low bits differ across engines;
+    * the integer formulation keeps the gate exact: u = Knuth-hash(doc_id)
+    * in [0, 2³²), priority = u·10⁶ div weight — all BIGINT ops, bit-equal
+    * everywhere — and the k smallest priorities win, so doubling a doc's
+    * weight halves its priority scale exactly. At 100 TB this is one
+    * map-side priority computation + a TakeOrdered top-k (O(k) per
+    * partition, no global sort); re-running the pipeline reselects the
+    * SAME sample — the property that makes training mixtures auditable. */
+  def q91WeightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("n_chars"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("u"))
+      .withColumn("priority", expr("u * 1000000 div n_chars"))
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy("priority", "doc_id")
+      .limit(50)
+
+  val q91Sql: String =
+    """SELECT doc_id, n_chars,
+      |       ((doc_id * 2654435761) % 4294967296) * 1000000 // n_chars AS priority
+      |FROM documents
+      |ORDER BY priority, doc_id LIMIT 50""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
     ("q35_sketch_stats", q35SketchStats _, Some(q35Sql)),
@@ -598,5 +661,7 @@ object Corpus {
     ("q63_quantile_cut", q63QuantileCut _, Some(q63Sql)),
     ("q67_grouped_median", q67GroupedMedian _, Some(q67Sql)),
     ("q68_decont_clean", q68DecontClean _, Some(q68Sql)),
+    ("q89_group_zscore", q89GroupZscore _, Some(q89Sql)),
+    ("q91_weighted_sample", q91WeightedSample _, Some(q91Sql)),
   )
 }

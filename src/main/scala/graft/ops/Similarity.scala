@@ -683,6 +683,47 @@ object Similarity {
       emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
   }
 
+  /** Shortlist size for the exact refine pass — 4× the returned k, FAISS's
+    * usual `k_factor` shape. */
+  private val RefineR = 20
+
+  /** q86: IVF-PQ + exact REFINE — the final stage of the production
+    * serving stack (FAISS `IndexRefineFlat`): ADC distances are 8-byte-
+    * code approximations, so rank order near the cut is noisy; the fix is
+    * to over-fetch a shortlist of R = 4k candidates by ADC and re-rank
+    * JUST those R against the true float vectors. Recall approaches
+    * exhaustive search while the corpus is still only ever touched through
+    * its 9-byte index rows — the full embeddings are read map-side, once,
+    * and only R·nq of them contribute distance arithmetic.
+    *
+    * At 100 TB the refine join is the critical shape: the shortlist
+    * (R·nq rows of two ids — KBs) is BROADCAST to the corpus embeddings,
+    * so the big side never shuffles and the equi join on vec_id prunes it
+    * to R·nq rows before any exact distance is computed. A shuffle-join
+    * formulation here would move every embedding for nothing. The only
+    * hash exchange in the refine stage is the final per-query top-k
+    * (same contract as q73/q74 — PlanSpec-guarded). Distances go through
+    * the repo's fixed-point gate (floor(‖q−x‖²·10⁶) as BIGINT) so the
+    * oracle hash is exact. */
+  def q86AdcRefine(s: SparkSession, d: String): DataFrame = {
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
+    val queries = emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e")
+    val shortlist = ivfPqSearchFrom(cents, books, codeTable, queries, k = RefineR)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"), col("e").as("eq"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("e").as("en"))
+    val w = Window.partitionBy("query_id").orderBy(col("exact_fixed"), col("neighbor_id"))
+    corpus.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("exact_fixed", expr(
+        s"CAST(floor((graft_dot(eq, eq) - 2 * graft_dot(eq, en) + graft_dot(en, en)) * $CentFixedScale) AS BIGINT)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= AdcK)
+      .select("query_id", "neighbor_id", "exact_fixed", "rn")
+      .orderBy("query_id", "rn")
+  }
+
 
   /** q75: RESIDUAL IVF-PQ — the refinement that makes production IVF-PQ
     * accurate (FAISS's default): instead of PQ-coding the raw vector, each
@@ -1421,7 +1462,12 @@ object Similarity {
        |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
   }
 
-  lazy val q74Sql: String = {
+  /** The full IVF-PQ oracle CTE chain (PQ train → codes → LUTs → coarse
+    * train → cell assignment → probe cells → ADC candidate distances),
+    * ending with `adc(query_id, neighbor_id, adc_fixed)` — shared verbatim
+    * by q74 (rank + n_cand) and q86 (shortlist + exact refine) so the two
+    * gates can never drift on the candidate pipeline. */
+  private lazy val ivfPqAdcCtes: String = {
     val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
     val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1493,7 +1539,11 @@ object Similarity {
        |  JOIN kq q ON q.cell = kx.cell AND q.query_id <> kx.neighbor_id
        |  JOIN cd ON cd.neighbor_id = kx.neighbor_id
        |  JOIN lut l ON l.query_id = q.query_id AND l.m = cd.m AND l.cent_id = cd.code
-       |  GROUP BY q.query_id, kx.neighbor_id)
+       |  GROUP BY q.query_id, kx.neighbor_id)""".stripMargin
+  }
+
+  lazy val q74Sql: String =
+    s"""$ivfPqAdcCtes
        |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
        |  SELECT query_id, neighbor_id, adc_fixed,
        |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
@@ -1501,7 +1551,30 @@ object Similarity {
        |                                 ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
        |  FROM adc)
        |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
-  }
+
+  lazy val q86Sql: String =
+    s"""$ivfPqAdcCtes,
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY adc_fixed, neighbor_id) AS arn
+       |    FROM adc)
+       |  WHERE arn <= $RefineR),
+       |refine AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         CAST(floor((list_inner_product(q.e, q.e)
+       |                     - 2 * list_inner_product(q.e, n.e)
+       |                     + list_inner_product(n.e, n.e)) * $CentFixedScale) AS BIGINT) AS exact_fixed
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  JOIN e n ON n.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, exact_fixed, rn FROM (
+       |  SELECT query_id, neighbor_id, exact_fixed,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY exact_fixed, neighbor_id) AS BIGINT) AS rn
+       |  FROM refine)
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
 
   lazy val q73Sql: String = {
     val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
@@ -1834,5 +1907,6 @@ object Similarity {
     ("q82_knn_graph", q82KnnGraph _, Some(q82Sql)),
     ("q83_semdedup", q83SemDedup _, Some(q83Sql)),
     ("q84_label_prop", q84LabelProp _, Some(q84Sql)),
+    ("q86_adc_refine", q86AdcRefine _, Some(q86Sql)),
   )
 }

@@ -174,11 +174,39 @@ object Skew {
       |             sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** q87: CUBE over (returnflag, linestatus) — all four grouping sets
+    * (detail, each one-dim subtotal, grand total) from ONE shuffle, the
+    * completion of q40's ROLLUP (which only produces the prefix sets).
+    * Spark plans the same Expand + single partial+final hash aggregation:
+    * at 100 TB a cube over low-cardinality dims costs one pass over the
+    * fact table regardless of how many grouping sets it materializes —
+    * versus 2ᵈ separate GROUP BY jobs re-reading the table. Values go
+    * through DECIMAL so the summation order across the Expand replicas
+    * cannot move low bits; NULL ordering pinned as in q40. */
+  def q87Cube(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.lineitem(s, d), "l_orderkey")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q87Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q38_salted_agg", q38SaltedAgg _, Some(q38Sql)),
     ("q40_rollup", q40Rollup _, Some(q40Sql)),
     ("q41_salted_join", q41SaltedJoin _, Some(q41Sql)),
     ("q51_topk_agg", q51TopkAgg _, Some(q51Sql)),
     ("q52_moments", q52Moments _, Some(q52Sql)),
+    ("q87_cube", q87Cube _, Some(q87Sql)),
   )
 }

@@ -308,6 +308,32 @@ object TextOps {
        |  FROM tf JOIN df USING (term))
        |WHERE rnk <= $TfidfK ORDER BY doc_id, rnk""".stripMargin
 
+  /** q90: corpus-level bigram frequency top-k — the n-gram language-model /
+    * contamination-signature primitive (which word pairs dominate the
+    * corpus). Bigrams are built INSIDE each document's token array with an
+    * indexed `transform` (tok[i] ⧺ tok[i+1]) before the explode — zero
+    * self-join: the naive formulation joins the exploded token table to
+    * itself on (doc_id, pos+1), which at 100 TB shuffles the whole token
+    * stream twice. Here the only shuffle is the partial+final count by
+    * bigram (classic word-count, map-side combined), and the global top-k
+    * is a TakeOrderedAndProject — O(k) per partition, no full sort.
+    * Single-token and empty docs yield empty slices, not errors. */
+  def q90BigramTopk(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (t, i) -> concat(t, ' ', element_at(w, i + 2)))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  val q90Sql: String =
+    """SELECT bigram, COUNT(*) AS n FROM (
+      |  SELECT t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)] AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(t))) AS i))
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
@@ -317,5 +343,6 @@ object TextOps {
     ("q49_redact", q49Redact _, Some(q49Sql)),
     ("q50_repetition", q50Repetition _, Some(q50Sql)),
     ("q56_tfidf", q56Tfidf _, Some(q56Sql)),
+    ("q90_bigram_topk", q90BigramTopk _, Some(q90Sql)),
   )
 }

@@ -243,9 +243,60 @@ object Sinks {
     """SELECT doc_id, md5(text) AS fp, source, n_chars
       |FROM documents WHERE source IN ('src3', 'src7') ORDER BY doc_id""".stripMargin
 
+  /** q88: Z-ORDER clustering — the multi-dimensional extension of the
+    * layout trilogy (q76 range-sorted stats skipping works for ONE sort
+    * key; z-order makes min/max skipping work on TWO filter columns at
+    * once, Delta/Iceberg's OPTIMIZE ZORDER). The z-value interleaves the
+    * low 8 bits of the two dimensions (bit i of x → z bit 2i, bit i of
+    * y → z bit 2i+1) as one codegen'd integer expression — map-side, no
+    * shuffle — and `bucket = z >> 10` is the file assignment a
+    * `repartitionByRange(z)` writer would produce (each bucket = one
+    * 32×32 tile of the key space). The gate materializes the layout
+    * CONTRACT: per-bucket row counts and min/max extents of BOTH
+    * dimensions — exactly the footer stats a reader would prune on. A
+    * correct z-curve bounds every bucket's extent to the tile width
+    * (≤ 31 of 255 — asserted in OperatorSpec); a plain sort on x gives
+    * the same x-extents but y-extents spanning the full range, which is
+    * why it cannot prune y-predicates. Everything is integer arithmetic,
+    * bit-identical in both engines; the only shuffle is the partial+final
+    * per-bucket agg. */
+  private def zBits(n: Int, xe: String, ye: String,
+      shl: (String, Int) => String, shr: (String, Int) => String): String =
+    (0 until n).map { i =>
+      s"${shl(s"(${shr(xe, i)} & 1)", 2 * i)} + ${shl(s"(${shr(ye, i)} & 1)", 2 * i + 1)}"
+    }.mkString(" + ")
+
+  def q88ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, min}
+    val z = zBits(8, "x", "y",
+      (e, k) => s"shiftleft($e, $k)", (e, k) => s"shiftright($e, $k)")
+    graft.Tables.spread(s, graft.Tables.lineitem(s, d), "l_orderkey")
+      .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+      .withColumn("z", expr(z))
+      .withColumn("bucket", expr("z div 1024"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy("bucket")
+  }
+
+  val q88Sql: String = {
+    val z = zBits(8, "x", "y",
+      (e, k) => s"($e << $k)", (e, k) => s"($e >> $k)")
+    s"""SELECT z // 1024 AS bucket, COUNT(*) AS n,
+       |       MIN(x) AS x_min, MAX(x) AS x_max,
+       |       MIN(y) AS y_min, MAX(y) AS y_max
+       |FROM (
+       |  SELECT x, y, $z AS z FROM (
+       |    SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem))
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q76_sink_roundtrip", q76SinkRoundtrip _, Some(q76Sql)),
     ("q80_bucketed_join", q80BucketedJoin _, Some(q80Sql)),
     ("q81_partition_prune", q81PartitionPrune _, Some(q81Sql)),
+    ("q88_zorder_layout", q88ZorderLayout _, Some(q88Sql)),
   )
 }

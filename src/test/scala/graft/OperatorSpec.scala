@@ -1367,4 +1367,133 @@ class OperatorSpec extends AnyFunSuite {
       Multimodal.extractFeatures(bad, 1, Multimodal.WavDecoder.decode).collect()
     }
   }
+
+  test("q86 refine: distances match driver-side exact L2; recall never below q74") {
+    val vecs = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val refined = Similarity.q86AdcRefine(spark, sf).collect()
+    assert(refined.nonEmpty)
+    // independent distance differential: every returned exact_fixed must be
+    // the driver-side floor(‖q−n‖²·10⁶) — sequential-sum order replicated
+    refined.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val d = {
+        // replicate graft_dot's expansion: q·q − 2 q·n + n·n, sequential sums
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+        }
+        dot(vecs(q), vecs(q)) - 2 * dot(vecs(q), vecs(n)) + dot(vecs(n), vecs(n))
+      }
+      assert(r.getAs[Long]("exact_fixed") == math.floor(d * 1e6).toLong,
+        s"($q,$n) exact_fixed differs from independent recompute")
+    }
+    refined.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length), s"query $q ranks")
+      val ds = sorted.map(_.getAs[Long]("exact_fixed")).toSeq
+      assert(ds == ds.sorted, s"query $q exact order")
+    }
+    // refine re-ranks a SUPERSET of q74's returned set by true distance, so
+    // any exact-top-5 member the shortlist caught must surface: recall can
+    // only improve or tie (fixed-point ties aside — epsilon allowance)
+    val exact = (0L until 10L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(vecs(q), vecs(n)), n)).take(5).toSet
+    }.toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+      byQ.map { case (q, rs) =>
+        rs.count(r => exact(q).contains(r.getAs[Long]("neighbor_id"))) / 5.0
+      }.sum / byQ.size
+    }
+    val r74 = recall(Similarity.q74IvfPqTopk(spark, sf).collect())
+    val r86 = recall(refined)
+    assert(r86 >= r74 - 1e-9, s"refine recall $r86 fell below ADC-only $r74")
+    info(f"recall@5 vs exact L2: q74 $r74%.2f, q86(refine) $r86%.2f")
+  }
+
+  test("q87 cube: all four grouping sets present and internally consistent") {
+    val rows = graft.ops.Skew.q87Cube(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L), byGid.keySet.toString)
+    // grand total row counts everything; every grouping set partitions it
+    assert(byGid(3L).map(_.getAs[Long]("n")).sum == total)
+    Seq(0L, 1L, 2L).foreach { g =>
+      assert(byGid(g).map(_.getAs[Long]("n")).sum == total, s"gid $g rows lost")
+    }
+  }
+
+  test("q88 z-order: every bucket is one key-space tile on BOTH dimensions") {
+    val rows = graft.sources.Sinks.q88ZorderLayout(spark, sf).collect()
+    assert(rows.length > 1, "degenerate single bucket")
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      // 6-bit bucket prefix = top 3 bits of each dim → a 32×32 tile; a
+      // plain sort on x would satisfy this for x but span ~255 on y
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") <= 31, r.toString)
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") <= 31, r.toString)
+    }
+  }
+
+  test("q89 zscore: per-type standardization really lands at mean 0, sd 1") {
+    val rows = graft.ops.Corpus.q89GroupZscore(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val zs = rs.map(_.getAs[Double]("z"))
+      val n = zs.length.toDouble
+      val mean = zs.sum / n
+      val sd = math.sqrt(zs.map(z => (z - mean) * (z - mean)).sum / n)
+      assert(math.abs(mean) < 1e-4, s"$t mean $mean")
+      assert(math.abs(sd - 1.0) < 1e-3, s"$t sd $sd")
+    }
+  }
+
+  test("q90 bigrams match an independent driver-side count") {
+    val got = graft.ops.TextOps.q90BigramTopk(spark, sf).collect()
+      .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("n"))).toSeq
+    assert(got.nonEmpty && got.head._2 >= 2, "vacuous: no repeated bigram")
+    // independent recompute: plain Scala over the raw text
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val w = r.getString(0).split(" ", -1)
+      var i = 0
+      while (i < w.length - 1) {
+        val b = w(i) + " " + w(i + 1)
+        counts(b) = counts.getOrElse(b, 0L) + 1L
+        i += 1
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (b, n) => (-n, b) }.take(20)
+    assert(got == expect, s"top-20 bigrams diverge:\n got=$got\n exp=$expect")
+  }
+
+  test("q91 weighted sample is deterministic and equals the independent recompute") {
+    val got = graft.ops.Corpus.q91WeightedSample(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("priority"))).toSeq
+    assert(got.length == 50)
+    val expect = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val u = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+        (id, u * 1000000L / r.getLong(1))
+      }.sortBy { case (id, p) => (p, id) }.take(50).toSeq
+    assert(got == expect, s"sample diverges:\n got=${got.take(5)}…\n exp=${expect.take(5)}…")
+    // weights matter: the selected docs skew long (chars above corpus median)
+    val medianChars = {
+      val cs = Tables.documents(spark, sf).select("n_chars").collect().map(_.getLong(0)).sorted
+      cs(cs.length / 2)
+    }
+    val chosen = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(got.map(_._1): _*))
+      .select("n_chars").collect().map(_.getLong(0))
+    assert(chosen.count(_ > medianChars) > chosen.length / 2,
+      "weighted sample shows no pull toward heavy docs")
+  }
 }

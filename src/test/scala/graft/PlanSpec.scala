@@ -478,6 +478,71 @@ class PlanSpec extends AnyFunSuite {
     assert(ks.toSet.subsetOf(Set("cell", "m", "query_id")), ks.toString)
   }
 
+  test("q86 refine: shortlist+queries broadcast onto the corpus, query_id-only candidate exchanges") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q86AdcRefine(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    // the refine join must stream the corpus embeddings map-side under the
+    // broadcast shortlist — a shuffled refine join moves every embedding
+    assert(p.contains("BroadcastHashJoin"), p)
+    // q74's two query_id exchanges (shortlist top-k + n_cand) + the final
+    // exact-rank top-k; everything else is the tiny training aggs
+    val ks = shuffleKeys(p)
+    assert(ks.count(_ == "query_id") == 3, ks.toString)
+    assert(ks.toSet.subsetOf(Set("cell", "m", "query_id")), ks.toString)
+    // both rank filters prune map-side
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q87 cube: all grouping sets from ONE Expand + partial/final agg pass") {
+    import graft.ops.Skew
+    val p = plan(Skew.q87Cube(spark, sf))
+    assert(p.contains("Expand"), p)
+    // one hash exchange keyed by the grouping columns — not one job per set
+    val ks = shuffleKeys(p)
+    assert(ks.toSet == Set("l_returnflag"), ks.toString)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q88 z-order: interleave is map-side, only the per-bucket agg shuffles") {
+    val p = plan(graft.sources.Sinks.q88ZorderLayout(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    val ks = shuffleKeys(p)
+    assert(ks.toSet.subsetOf(Set("bucket")), ks.toString)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q89 zscore: moments are partial+final, stats broadcast back, no window") {
+    import graft.ops.Corpus
+    val p = plan(Corpus.q89GroupZscore(spark, sf))
+    // the group stats must NOT be a window over the events (one task per
+    // event_type at scale); they aggregate partial+final and broadcast back
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val ks = shuffleKeys(p)
+    assert(ks.toSet.subsetOf(Set("event_type")), ks.toString)
+  }
+
+  test("q90 bigrams: built inside the token array (no self-join), count is partial+final, top-k is TakeOrdered") {
+    import graft.ops.TextOps
+    val p = plan(TextOps.q90BigramTopk(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val ks = shuffleKeys(p)
+    assert(ks.toSet.subsetOf(Set("bigram")), ks.toString)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q91 weighted sample: map-side priorities, top-k with zero hash exchange") {
+    import graft.ops.Corpus
+    val p = plan(Corpus.q91WeightedSample(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(shuffleKeys(p).isEmpty, shuffleKeys(p).toString)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
