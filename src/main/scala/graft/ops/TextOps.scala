@@ -334,6 +334,48 @@ object TextOps {
       |       LATERAL (SELECT unnest(range(1, len(t))) AS i))
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** Heavy-hitter threshold: a token is heavy when count · T > total —
+    * i.e. above 1/T of the token stream. */
+  private val HhT = 200L
+
+  /** q92: corpus heavy hitters via a Misra–Gries sketch + exact verify —
+    * the two-pass pattern for "which tokens dominate the corpus" when the
+    * vocabulary is too large to groupBy. Pass 1 is ONE global
+    * `graft_mg(token, 2T)` aggregation: each task keeps a bounded counter
+    * sketch, partials merge by the PODS'12 COMPRESS rule, and the
+    * guarantee is structural — every token above N/(2T+1) of the stream
+    * survives, so the candidate array (≤ 2T entries, one broadcastable
+    * row) is a provable SUPERSET of the heavy set. Pass 2 broadcast-joins
+    * the candidates back and exact-counts ONLY them: the groupBy shuffles
+    * O(candidates) keys instead of O(vocabulary). The threshold is
+    * integer-exact (n·T > total) and the final answer depends only on
+    * true counts — sketch internals (which extra candidates survive) are
+    * layout-dependent and never reach the gate, which is why the oracle
+    * can be the plain HAVING query. */
+  def q92HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MGAgg.register(s)
+    def toks = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val sk = toks.agg(expr(s"graft_mg(token, ${2 * HhT})").as("cands"),
+      count(lit(1)).as("total"))
+    val cand = sk.select(explode(col("cands")).as("token"), col("total"))
+    toks.join(broadcast(cand), Seq("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), max(col("total")).as("total"))
+      .filter(col("n") * lit(HhT) > col("total"))
+      .select("token", "n")
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  val q92Sql: String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |tot AS (SELECT COUNT(*) AS total FROM t)
+       |SELECT token, COUNT(*) AS n
+       |FROM t, tot
+       |GROUP BY token, tot.total
+       |HAVING COUNT(*) * $HhT > tot.total
+       |ORDER BY n DESC, token""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
@@ -344,5 +386,6 @@ object TextOps {
     ("q50_repetition", q50Repetition _, Some(q50Sql)),
     ("q56_tfidf", q56Tfidf _, Some(q56Sql)),
     ("q90_bigram_topk", q90BigramTopk _, Some(q90Sql)),
+    ("q92_heavy_hitters", q92HeavyHitters _, Some(q92Sql)),
   )
 }

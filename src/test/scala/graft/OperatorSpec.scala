@@ -1474,6 +1474,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expect, s"top-20 bigrams diverge:\n got=$got\n exp=$expect")
   }
 
+  test("q92 heavy hitters: final equals exact; MG candidates are a provable superset") {
+    val got = graft.ops.TextOps.q92HeavyHitters(spark, sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n"))).toSeq
+    assert(got.nonEmpty, "vacuous: no heavy tokens at sf0.001")
+    // independent exact recompute over the raw text
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    var total = 0L
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).split(" ", -1).foreach { t =>
+        counts(t) = counts.getOrElse(t, 0L) + 1L; total += 1L
+      }
+    }
+    val exact = counts.toSeq.filter { case (_, n) => n * 200L > total }
+      .sortBy { case (t, n) => (-n, t) }
+    assert(got == exact, s"heavy set diverges:\n got=$got\n exp=$exact")
+    // the structural claim behind the two-pass design, checked directly:
+    // every exact-heavy token must appear in the raw sketch output
+    graft.functions.MGAgg.register(spark)
+    val cands = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(expr("graft_mg(token, 400)")).head().getSeq[String](0).toSet
+    exact.foreach { case (t, _) =>
+      assert(cands.contains(t), s"superset guarantee violated for '$t'")
+    }
+    assert(cands.size <= 400, s"sketch exceeded capacity: ${cands.size}")
+  }
+
+  test("MG sketch superset guarantee holds on adversarial random streams") {
+    graft.functions.MGAgg.register(spark)
+    // zipf-ish stream with planted heavies, shuffled deterministically so
+    // partition layout is hostile (heavy items scattered)
+    val rnd = new scala.util.Random(7)
+    val stream = new scala.util.Random(11)
+      .shuffle((1 to 5000).map { i =>
+        if (i % 5 == 0) s"heavy_${i % 3}" else s"tail_${rnd.nextInt(2000)}"
+      }.toVector)
+    val n = stream.size.toLong
+    val exactCounts = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cap = 50
+    val cands = spark.createDataset(stream)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("token").repartition(16)
+      .agg(expr(s"graft_mg(token, $cap)")).head().getSeq[String](0).toSet
+    // anything above n/(cap+1) must survive, however partials merged
+    exactCounts.filter { case (_, c) => c > n / (cap + 1) }.keys.foreach { k =>
+      assert(cands.contains(k), s"lost guaranteed item $k")
+    }
+  }
+
   test("q91 weighted sample is deterministic and equals the independent recompute") {
     val got = graft.ops.Corpus.q91WeightedSample(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("priority"))).toSeq

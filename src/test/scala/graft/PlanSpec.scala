@@ -543,6 +543,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q92 heavy hitters: bounded-sketch agg + broadcast candidates — the vocabulary never shuffles") {
+    import graft.ops.TextOps
+    val p = plan(TextOps.q92HeavyHitters(spark, sf))
+    // pass 1: the MG sketch is a typed imperative aggregate — partial
+    // sketches (≤ 2T entries each) through a single-partition merge, never
+    // a per-token hash exchange
+    assert(p.contains("ObjectHashAggregate"), p)
+    // pass 2: candidates broadcast back; only candidate-matched rows reach
+    // the exact-count shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val ks = shuffleKeys(p)
+    assert(ks.toSet.subsetOf(Set("token")), ks.toString)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
