@@ -705,23 +705,35 @@ object Similarity {
     * (same contract as q73/q74 — PlanSpec-guarded). Distances go through
     * the repo's fixed-point gate (floor(‖q−x‖²·10⁶) as BIGINT) so the
     * oracle hash is exact. */
-  def q86AdcRefine(s: SparkSession, d: String): DataFrame = {
-    val (emb, subs, seedsPq) = pqParts(s, d)
-    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
-    val queries = emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e")
-    val shortlist = ivfPqSearchFrom(cents, books, codeTable, queries, k = RefineR)
+  /** Serve refined top-k from PERSISTED index artifacts plus the raw
+    * embeddings table — the q86 serving path (`ivfPqSearchFrom` for the
+    * shortlist, then the broadcast exact re-rank). `corpus` is the full
+    * `(vec_id, e)` table the shortlist ids resolve against; it is only
+    * ever read map-side under the broadcast shortlist. Bit-identical to
+    * the self-contained q86 through a parquet round trip (OperatorSpec). */
+  def ivfPqRefineFrom(cents: DataFrame, books: DataFrame, codeTable: DataFrame,
+      corpus: DataFrame, queries: DataFrame,
+      r: Int = RefineR, k: Int = AdcK): DataFrame = {
+    val shortlist = ivfPqSearchFrom(cents, books, codeTable, queries, k = r)
       .select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col("vec_id").as("query_id"), col("e").as("eq"))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("e").as("en"))
+    val corp = corpus.select(col("vec_id").as("neighbor_id"), col("e").as("en"))
     val w = Window.partitionBy("query_id").orderBy(col("exact_fixed"), col("neighbor_id"))
-    corpus.join(broadcast(shortlist), Seq("neighbor_id"))
+    corp.join(broadcast(shortlist), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("exact_fixed", expr(
         s"CAST(floor((graft_dot(eq, eq) - 2 * graft_dot(eq, en) + graft_dot(en, en)) * $CentFixedScale) AS BIGINT)"))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= AdcK)
+      .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "exact_fixed", "rn")
       .orderBy("query_id", "rn")
+  }
+
+  def q86AdcRefine(s: SparkSession, d: String): DataFrame = {
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
+    ivfPqRefineFrom(cents, books, codeTable, emb,
+      emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
   }
 
 

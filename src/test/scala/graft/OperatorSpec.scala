@@ -705,6 +705,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 refine serves bit-identically from parquet-persisted artifacts") {
+    val (emb, subs, seedsPq) = Similarity.pqParts(spark, sf)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_refine_idx").toString
+    try {
+      cents.write.mode("overwrite").parquet(s"$dir/cents")
+      books.write.mode("overwrite").parquet(s"$dir/books")
+      codeTable.write.mode("overwrite").parquet(s"$dir/codes")
+      val queries = emb.filter(col("vec_id") < 10).select("vec_id", "e")
+      def m(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rn")) ->
+          (r.getAs[Long]("neighbor_id"), r.getAs[Long]("exact_fixed"))).toMap
+      val served = m(Similarity.ivfPqRefineFrom(
+        spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/books"),
+        spark.read.parquet(s"$dir/codes"), emb, queries).collect())
+      val direct = m(Similarity.q86AdcRefine(spark, sf).collect())
+      assert(served == direct, "persisted-artifact refine diverged from the catalog query")
+      assert(served.nonEmpty)
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq
+        .sortBy((p: Path) => -p.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("q77 OPQ: rotation exactly orthogonal (norms/dots preserved), recall vs q74 comparable") {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
