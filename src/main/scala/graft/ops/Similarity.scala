@@ -1230,33 +1230,56 @@ object Similarity {
   def q84LabelProp(s: SparkSession, d: String): DataFrame = {
     val nodes = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    // The graph build (coarse train + Σ-cell candidate join + per-query
+    // top-k) is the expensive subtree and every round's vote join
+    // references it — persist it ONCE so rounds read the materialized
+    // n·k integer edge rows instead of re-executing the kNN kernel.
     val edges = knnCand(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= AdcK)
       .select("query_id", "neighbor_id")
+      .cache() // lazy: round 1's materialization populates it
     // seed labels live on the raw table (embWithNorm prunes them away);
     // the semi-join keeps the seed set inside the nonzero-norm node set
     var labels = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .filter(col("vec_id") % LpSeedMod === 0)
       .join(nodes, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("label").cast("long").as("lbl"), lit(0L).as("rnd"))
+      .cache()
     for (r <- 1 to LpRounds) {
-      val votes = edges
-        .join(labels.select(col("vec_id").as("neighbor_id"), col("lbl")), Seq("neighbor_id"))
-        .join(labels.select(col("vec_id").as("query_id")), Seq("query_id"), "left_anti")
-        .groupBy(col("query_id"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("query_id"))
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("query_id").as("vec_id"), (-col("m.neg")).as("lbl"),
-          lit(r.toLong).as("rnd"))
-      labels = labels.unionByName(votes)
+      val prev = labels
+      labels = prev.unionByName(lpVotes(edges, prev, r))
+      // materialize per round (trainCentroids' pattern): each round's
+      // votes reference `labels` twice (equi + anti), so an unmaterialized
+      // lineage triples per round — 102 scans / 14 SMJs at LpRounds = 2.
+      // The LAST round needs no barrier: nothing references it twice, so
+      // its one cheap vote join runs inside the final job over the cached
+      // inputs instead of paying an extra job round-trip.
+      if (r < LpRounds) {
+        labels.cache().count()
+        prev.unpersist(false)
+      }
     }
     nodes.join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("lbl"), lit(-1L)).as("lbl"),
         coalesce(col("rnd"), lit(-1L)).as("rnd"))
       .orderBy("vec_id")
   }
+
+  /** One synchronous vote round: unlabeled nodes adopt the majority label
+    * among already-labeled neighbors. Exposed as a seam so PlanSpec can
+    * assert the per-round shuffle shape (equi joins + partial aggs on
+    * tiny integer rows) now that q84's loop runs over cached state. */
+  private[graft] def lpVotes(edges: DataFrame, labels: DataFrame, r: Int): DataFrame =
+    edges
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("lbl")), Seq("neighbor_id"))
+      .join(labels.select(col("vec_id").as("query_id")), Seq("query_id"), "left_anti")
+      .groupBy(col("query_id"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+      .select(col("query_id").as("vec_id"), (-col("m.neg")).as("lbl"),
+        lit(r.toLong).as("rnd"))
 
   lazy val q84Sql: String = {
     val l0 =

@@ -443,14 +443,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
-  test("q84 label prop: every round is equi-join + partial agg — shuffles carry only edge/label keys") {
+  test("q84 label prop: graph built once — final plan's scan count is independent of LpRounds") {
     import graft.ops.Similarity
-    val p = plan(Similarity.q84LabelProp(spark, sf))
-    // per-round joins (edges ⋈ labels, anti vs labeled) and vote aggs keep
-    // every exchange on cell (graph build), neighbor_id, or query_id —
-    // tiny integer rows; nothing re-shuffles embeddings or collects
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // NOTE formatted-explain strings are useless here: explain expands
+    // every InMemoryRelation's RECOMPUTE lineage, so the printed text
+    // still shows hundreds of scans. The executed plan is the claim —
+    // InMemoryTableScan is a leaf; the parquet scans beneath it never run.
+    val df = Similarity.q84LabelProp(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val scans = ns.count(_.isInstanceOf[FileSourceScanExec])
+    val cacheReads = ns.count(_.isInstanceOf[InMemoryTableScanExec])
+    val smjs = ns.count(_.isInstanceOf[SortMergeJoinExec])
+    // round 9's unmaterialized loop executed 102 parquet scans and 14
+    // SortMergeJoins at LpRounds = 2 (the subtree tripled per round). With
+    // `edges` persisted and `labels` cached per round, the final plan is
+    // one node scan joined against the label cache — constants for ANY
+    // LpRounds.
+    assert(scans <= 2, s"parquet scans = $scans (expected ≤ 2): " +
+      ns.collect { case f: FileSourceScanExec => f.nodeName + " " + f.output.map(_.name).mkString(",") }.mkString(" | "))
+    assert(cacheReads >= 1, s"cache reads = $cacheReads (expected ≥ 1)")
+    assert(smjs <= 2, s"SortMergeJoins = $smjs (expected ≤ 2)")
+  }
+
+  test("q84 vote round: equi joins + partial aggs — shuffles carry only neighbor_id/query_id keys") {
+    import graft.ops.Similarity
+    val sess = spark
+    import sess.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L)).toDF("query_id", "neighbor_id")
+    val labels = Seq((2L, 7L, 0L), (3L, 8L, 0L)).toDF("vec_id", "lbl", "rnd")
+    val p = plan(Similarity.lpVotes(edges, labels, 1))
+    // per-round joins (edges ⋈ labels equi, anti vs labeled) and the two
+    // vote aggs keep every exchange on neighbor_id or query_id — tiny
+    // integer rows; nothing re-shuffles embeddings or collects
     val ks = shuffleKeys(p)
-    assert(ks.toSet == Set("cell", "neighbor_id", "query_id"), ks.toString)
+    assert(ks.toSet.subsetOf(Set("neighbor_id", "query_id")), ks.toString)
     assert(!p.contains("CartesianProduct"), p)
   }
 
