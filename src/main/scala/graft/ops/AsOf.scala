@@ -91,22 +91,31 @@ object AsOf {
     * gate proves the bucketed rewrite ≡ the textbook formulation. */
   private val OverlapBucketS = 900L
 
-  def q85OverlapJoin(s: SparkSession, d: String): DataFrame = {
-    val sess = Corpus.sessions(Tables.events(s, d), 1800L)
+  /** The bucketed-expansion overlap core on any `(user_id, session_id,
+    * start_s, end_s)` frame — factored so AsOfSpec can drive it with
+    * synthetic skew (a season-long hot session) independent of the events
+    * table. `bucketS` is the W lever: replication 1 + len/W per interval
+    * vs Σ_bucket n_b² per-bucket density; residual hot buckets are AQE
+    * skew-join territory (AsOfSpec demonstrates the split). */
+  private[graft] def overlapPairs(sess: DataFrame,
+      bucketS: Long = OverlapBucketS): DataFrame = {
     val a = sess.select(col("user_id").as("user_a"), col("session_id").as("session_a"),
       col("start_s").as("a0"), col("end_s").as("a1"))
-      .withColumn("bkt", explode(expr(s"sequence(a0 div $OverlapBucketS, a1 div $OverlapBucketS)")))
+      .withColumn("bkt", explode(expr(s"sequence(a0 div $bucketS, a1 div $bucketS)")))
     val b = sess.select(col("user_id").as("user_b"), col("session_id").as("session_b"),
       col("start_s").as("b0"), col("end_s").as("b1"))
-      .withColumn("bkt", explode(expr(s"sequence(b0 div $OverlapBucketS, b1 div $OverlapBucketS)")))
+      .withColumn("bkt", explode(expr(s"sequence(b0 div $bucketS, b1 div $bucketS)")))
     a.join(b, Seq("bkt"))
       .filter(col("user_a") < col("user_b"))
       .filter(col("a0") <= col("b1") && col("b0") <= col("a1"))
-      .filter(expr(s"greatest(a0, b0) div $OverlapBucketS") === col("bkt"))
+      .filter(expr(s"greatest(a0, b0) div $bucketS") === col("bkt"))
       .select(col("user_a"), col("session_a"), col("user_b"), col("session_b"),
         (least(col("a1"), col("b1")) - greatest(col("a0"), col("b0"))).as("overlap_s"))
-      .orderBy("user_a", "session_a", "user_b", "session_b")
   }
+
+  def q85OverlapJoin(s: SparkSession, d: String): DataFrame =
+    overlapPairs(Corpus.sessions(Tables.events(s, d), 1800L))
+      .orderBy("user_a", "session_a", "user_b", "session_b")
 
   val q85Sql: String =
     """WITH g AS (

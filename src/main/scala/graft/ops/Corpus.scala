@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -606,22 +606,29 @@ object Corpus {
         sum((v * v).cast("decimal(30,8)")).cast("double").as("svv"))
       .select(col("event_type"), col("n"), (col("sv") / col("n")).as("mu"),
         sqrt((col("svv") - col("sv") * col("sv") / col("n")) / col("n")).as("sigma"))
+    // σ = 0 (a constant-valued group) must NOT produce 0/0 = NaN: NaN
+    // ordering/formatting diverges across engines. Define z ≡ 0 there —
+    // a constant feature is exactly "zero deviations from the mean".
     ev.select("event_id", "event_type", "value")
       .join(broadcast(stats), Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("value"),
-        round((col("value") - col("mu")) / col("sigma"), 6).as("z"))
+        when(col("sigma") === 0, lit(0.0))
+          .otherwise(round((col("value") - col("mu")) / col("sigma"), 6)).as("z"))
       .orderBy("event_id")
   }
 
   val q89Sql: String =
-    """WITH m AS (
+    """WITH s AS (
       |  SELECT event_type, COUNT(*) AS n,
       |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
       |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(30,8))) AS DOUBLE) AS svv
-      |  FROM events GROUP BY event_type)
+      |  FROM events GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, sv / n AS mu, sqrt((svv - sv * sv / n) / n) AS sigma
+      |  FROM s)
       |SELECT e.event_id, e.event_type, e.value,
-      |       round((e.value - m.sv / m.n) /
-      |             sqrt((m.svv - m.sv * m.sv / m.n) / m.n), 6) AS z
+      |       CASE WHEN m.sigma = 0 THEN 0.0
+      |            ELSE round((e.value - m.mu) / m.sigma, 6) END AS z
       |FROM events e JOIN m USING (event_type) ORDER BY event_id""".stripMargin
 
   /** q91: deterministic weighted priority sampling — pick k documents with
@@ -636,18 +643,33 @@ object Corpus {
     * SAME sample — the property that makes training mixtures auditable. */
   def q91WeightedSample(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.documents(s, d), "doc_id")
-      .select(col("doc_id"), col("n_chars"),
-        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("u"))
+      .select(col("doc_id"), col("n_chars"), knuthHash32(col("doc_id")).as("u"))
       .withColumn("priority", expr("u * 1000000 div n_chars"))
       .select(col("doc_id"), col("n_chars"), col("priority"))
       .orderBy("priority", "doc_id")
       .limit(50)
 
+  /** u = (id · 2654435761) mod 2³² computed overflow-free on BIGINT: the
+    * naive product exceeds 2⁶³ for id ≥ ~3.47e9 — exactly the id range a
+    * 100 TB corpus reaches — so ANSI engines raise and non-ANSI ones wrap.
+    * Since only id mod 2³² matters, reduce first, then split the reduced id
+    * into 16-bit halves so every intermediate stays < 2⁴⁹:
+    *   u = ((hi16·C mod 2³²) · 2¹⁶ + lo16·C) mod 2³².
+    * Identical to the direct product for all ids (proof: multiply is
+    * linear mod 2³²), so existing small-id hashes are unchanged. */
+  private[graft] def knuthHash32(id: Column): Column = {
+    val C = lit(2654435761L)
+    val dd = pmod(id, lit(4294967296L))
+    val hi = pmod(shiftright(dd, 16) * C, lit(4294967296L))
+    (shiftleft(hi, 16) + dd.bitwiseAND(lit(65535L)) * C) % lit(4294967296L)
+  }
+
   val q91Sql: String =
-    """SELECT doc_id, n_chars,
-      |       ((doc_id * 2654435761) % 4294967296) * 1000000 // n_chars AS priority
-      |FROM documents
-      |ORDER BY priority, doc_id LIMIT 50""".stripMargin
+    """WITH h AS (SELECT doc_id, n_chars, doc_id % 4294967296 AS dd FROM documents)
+      |SELECT doc_id, n_chars,
+      |       (((dd // 65536 * 2654435761 % 4294967296) * 65536
+      |         + dd % 65536 * 2654435761) % 4294967296) * 1000000 // n_chars AS priority
+      |FROM h ORDER BY priority, doc_id LIMIT 50""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),

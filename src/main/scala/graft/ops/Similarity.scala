@@ -28,7 +28,7 @@ object Similarity {
     * with an explicit `nrm > 0` filter so the divergence is unobservable.
     * Euclidean consumers (PQ/ADC) are NaN-free by construction and accept
     * zero vectors, so the filter is NOT applied globally here. */
-  private def embWithNorm(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embWithNorm(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -829,7 +829,10 @@ object Similarity {
     * it fuses into the same scan as assign+encode, and in artifact mode
     * the rotated corpus is exactly what [[ivfPqAppend]] sees (persist (v,
     * vv) beside the codebooks; fresh batches rotate map-side on ingest). */
-  private[graft] def opqRotate(emb: DataFrame): DataFrame = {
+  /** TRAIN the rotation: the persisted OPQ artifact is this ONE (v, vv)
+    * row — everything else in the OPQ index is the plain IVF-PQ trio over
+    * the rotated corpus. */
+  private[graft] def opqHh(emb: DataFrame): DataFrame = {
     val mu = emb
       .select(posexplode(col("e")).as(Seq("i", "v")))
       .groupBy("i")
@@ -837,10 +840,16 @@ object Similarity {
         count(lit(1)).as("fn"))
       .agg(expr("transform(array_sort(collect_list(struct(i, fs, fn))), " +
         s"t -> (CAST(t.fs AS DOUBLE) / t.fn) / $CentFixedScale.0D)").as("mu"))
-    val hh = mu.select(expr(
+    mu.select(expr(
         "transform(sequence(0, size(mu) - 1), i -> element_at(mu, i + 1) - " +
           "CASE WHEN i = 0 THEN sqrt(graft_dot(mu, mu)) ELSE 0.0D END)").as("v"))
       .withColumn("vv", expr("graft_dot(v, v)"))
+  }
+
+  /** APPLY an already-trained rotation map-side: one broadcast row, pure
+    * array expressions — fuses into whatever scan feeds it (ingest append,
+    * query-batch rotation, or the index build's own encode pass). */
+  private[graft] def opqApply(hh: DataFrame, emb: DataFrame): DataFrame =
     // the Householder coefficient is hoisted per vector (NULL ⟺ degenerate
     // v = 0, i.e. identity); op order matches the oracle exactly:
     // (2.0 · v·e) / vv, then elementwise e_i − c·v_i
@@ -851,14 +860,44 @@ object Similarity {
         "transform(sequence(0, size(e) - 1), i -> " +
         "element_at(e, i + 1) - _hc * element_at(v, i + 1)) END"))
       .select("vec_id", "e")
-  }
 
-  def q77OpqIvfPq(s: SparkSession, d: String): DataFrame = {
-    val rot = opqRotate(embWithNorm(s, d).select("vec_id", "e"))
+  private[graft] def opqRotate(emb: DataFrame): DataFrame =
+    opqApply(opqHh(emb), emb)
+
+  /** The PERSISTED OPQ index: the (v, vv) rotation row plus the plain
+    * IVF-PQ trio trained over the ROTATED corpus. Write all four to
+    * parquet; [[opqSearchFrom]]/[[opqAppend]] then serve/ingest without
+    * ever retraining the rotation or re-reading corpus embeddings
+    * (OperatorSpec pins the round trip bit-identical to q77). */
+  def opqIndex(emb: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val hh = opqHh(emb)
+    val rot = opqApply(hh, emb)
     val (subs, seeds) = subSplit(rot)
     val (cents, books, codeTable) = ivfPqIndex(rot, subs, seeds)
-    ivfPqSearchFrom(cents, books, codeTable,
-      rot.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
+    (hh, cents, books, codeTable)
+  }
+
+  /** Serve OPQ top-k from persisted artifacts: rotate the query batch
+    * under the one-row (v, vv) broadcast, then the shared IVF-PQ serve. */
+  def opqSearchFrom(hh: DataFrame, cents: DataFrame, books: DataFrame,
+      codeTable: DataFrame, queries: DataFrame,
+      nprobe: Int = IvfNProbe, k: Int = AdcK): DataFrame =
+    ivfPqSearchFrom(cents, books, codeTable, opqApply(hh, queries), nprobe, k)
+
+  /** Incremental OPQ ingest: rotate the fresh batch map-side, then the
+    * shared assign+encode — still zero-shuffle (PlanSpec), still never a
+    * retrain. */
+  def opqAppend(hh: DataFrame, cents: DataFrame, books: DataFrame,
+      emb: DataFrame): DataFrame =
+    ivfPqAppend(cents, books, opqApply(hh, emb))
+
+  def q77OpqIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    // the catalog entry IS the artifact pipeline (train + encode + serve),
+    // so the OperatorSpec parquet round trip pins serving ≡ this query
+    val (hh, cents, books, codeTable) = opqIndex(emb)
+    opqSearchFrom(hh, cents, books, codeTable,
+      emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
   }
 
   /** q74's oracle with the `e` CTE swapped for the fixed-point Householder
@@ -918,25 +957,54 @@ object Similarity {
     * candidate-path exchanges are the query_id top-k + n_cand agg, and the
     * rank<=k filter prunes map-side (WindowGroupLimit, PlanSpec). The index
     * row is cell + 64 bytes + 2 scalars — no embedding ever shuffles. */
-  def q78Sq8Ivf(s: SparkSession, d: String): DataFrame = {
-    val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
-    val coarseSeed = emb.filter(col("vec_id") < IvfNList)
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    val cc = fixedPointUpdate(assignCells(emb.select("vec_id", "e"), coarseSeed), coarseSeed)
-      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
-    // q58's encoder verbatim (incl. the ±127 max-element special case)
-    val sq8Codes = "transform(e, x -> CAST(CASE WHEN abs(x) = max_abs " +
+  /** q58's encoder verbatim (incl. the ±127 max-element special case) —
+    * shared by the SQ8 build, append, and serve paths so they can never
+    * drift. */
+  private val sq8CodesExpr: String =
+    "transform(e, x -> CAST(CASE WHEN abs(x) = max_abs " +
       "THEN IF(x >= 0.0D, 127.0D, -127.0D) " +
       "ELSE greatest(-127.0D, least(127.0D, floor(x * 127.0 / max_abs))) END AS INT))"
-    val enc = emb.crossJoin(broadcast(cc))
+
+  /** The PERSISTED SQ8-IVF index: coarse centroids `(cent_id, ce)` plus
+    * the code table `(vec_id, cell, qc, max_abs, nrm)` — cell + 64 int8
+    * codes + 2 scalars per corpus vector. Train once, write both to
+    * parquet; [[sq8SearchFrom]] serves and [[sq8Append]] ingests without
+    * retraining (OperatorSpec pins the round trip bit-identical to q78). */
+  def sq8Index(emb: DataFrame): (DataFrame, DataFrame) = {
+    val coarseSeed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val cents = fixedPointUpdate(
+      assignCells(emb.select("vec_id", "e"), coarseSeed), coarseSeed)
+    (cents, sq8Append(cents, emb))
+  }
+
+  /** Map-side assign+encode of a vector batch under ALREADY-TRAINED
+    * centroids — both the index build's encode pass and the incremental
+    * ingest path. One one-row broadcast, pure array expressions, no
+    * shuffle (PlanSpec). `emb` is any `(vec_id, e, nrm)` batch. */
+  def sq8Append(cents: DataFrame, emb: DataFrame): DataFrame = {
+    val cc = cents.agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    emb.crossJoin(broadcast(cc))
       .withColumn("max_abs", expr("array_max(transform(e, x -> abs(x)))"))
-      .withColumn("qc", expr(sq8Codes))
-    val index = enc
+      .withColumn("qc", expr(sq8CodesExpr))
       .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
-      .select(col("vec_id").as("neighbor_id"), col("cell"), col("qc").as("cn"),
-        col("max_abs").as("maxn"), col("nrm").as("nn"))
-    val probes = enc.filter(col("vec_id") < AdcQueries)
-      .withColumn("pcell", explode(expr(probeCellsExpr(IvfNProbe))))
+      .select(col("vec_id"), col("cell"), col("qc"), col("max_abs"), col("nrm"))
+  }
+
+  /** Serve SQ8-IVF top-k from persisted artifacts — corpus embeddings
+    * never read. `queries` is any `(vec_id, e, nrm)` batch; it encodes
+    * itself map-side under the centroid broadcast (encoding is per-row
+    * deterministic, so a query that is also a corpus vector gets the exact
+    * code row the index holds). Same exchange shapes as q74's serve. */
+  def sq8SearchFrom(cents: DataFrame, codeTable: DataFrame, queries: DataFrame,
+      nprobe: Int = IvfNProbe, k: Int = AdcK): DataFrame = {
+    val cc = cents.agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    val index = codeTable.select(col("vec_id").as("neighbor_id"), col("cell"),
+      col("qc").as("cn"), col("max_abs").as("maxn"), col("nrm").as("nn"))
+    val probes = queries.crossJoin(broadcast(cc))
+      .withColumn("max_abs", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("qc", expr(sq8CodesExpr))
+      .withColumn("pcell", explode(expr(probeCellsExpr(nprobe))))
       .select(col("vec_id").as("query_id"), col("qc").as("cq"),
         col("max_abs").as("maxq"), col("nrm").as("nq"), col("pcell").as("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("sim8").desc, col("neighbor_id"))
@@ -951,10 +1019,18 @@ object Similarity {
     val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
     cand
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= AdcK)
+      .filter(col("rn") <= k)
       .join(broadcast(nCand), Seq("query_id"))
       .select("query_id", "neighbor_id", "sim8", "n_cand", "rn")
       .orderBy("query_id", "rn")
+  }
+
+  def q78Sq8Ivf(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+    // the catalog entry IS the artifact pipeline (train + encode + serve),
+    // so the OperatorSpec parquet round trip pins serving ≡ this query
+    val (cents, codeTable) = sq8Index(emb)
+    sq8SearchFrom(cents, codeTable, emb.filter(col("vec_id") < AdcQueries))
   }
 
   lazy val q78Sql: String = {
@@ -1254,11 +1330,13 @@ object Similarity {
       // lineage triples per round — 102 scans / 14 SMJs at LpRounds = 2.
       // The LAST round needs no barrier: nothing references it twice, so
       // its one cheap vote join runs inside the final job over the cached
-      // inputs instead of paying an extra job round-trip.
-      if (r < LpRounds) {
-        labels.cache().count()
-        prev.unpersist(false)
-      }
+      // inputs instead of paying an extra job round-trip. `prev` must NOT
+      // be unpersisted here: the cache just built is a dependent of prev,
+      // and dropping prev invalidates it, forcing the final plan to
+      // recompute the seed subtree. The ≤ LpRounds+1 caches are tiny
+      // (n integer rows each) and fall to session clearCache like every
+      // other in-query cache in this repo.
+      if (r < LpRounds) labels.cache().count()
     }
     nodes.join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("lbl"), lit(-1L)).as("lbl"),
@@ -1674,6 +1752,29 @@ object Similarity {
     val cents = emb.filter(col("vec_id") < IvfNList)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
     ivfPqAppend(cents, seeds, emb)
+  }
+
+  /** PlanSpec probe: OPQ ingest under untrained artifacts — a (v, vv) row
+    * taken from a single vector instead of the trained mean, so no
+    * training shuffle clouds the lineage. Rotation + assign + encode must
+    * remain pure map-side. */
+  private[graft] def q77AppendProbe(s: SparkSession, d: String): DataFrame = {
+    val (emb, _, seeds) = pqParts(s, d)
+    val hh = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("v"), expr("graft_dot(e, e)").as("vv"))
+    val cents = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    opqAppend(hh, cents, seeds, emb)
+  }
+
+  /** PlanSpec probe: SQ8 ingest under untrained (seed) centroids — the
+    * assign+encode pass must be pure map-side under the one centroid
+    * broadcast. */
+  private[graft] def q78AppendProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+    val cents = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    sq8Append(cents, emb)
   }
 
   lazy val q72Sql: String = {

@@ -293,10 +293,111 @@ object Sinks {
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Keyed update-else-insert (MERGE) as a batch relational op: matched
+    * target rows take the update's values, unmatched target rows survive,
+    * brand-new update keys insert. One left-anti equi join on the key —
+    * at 100 TB that's a single shuffle of the TARGET on the merge key (or
+    * none, when the batch is small enough for AQE to broadcast the anti
+    * side), plus the union; nothing driver-side. Pair with
+    * [[overwritePartitions]] so only the partitions the batch touches are
+    * rewritten — the reference's yearly catchup re-ingest
+    * (dags/redskins-rule-dag.py:153-160) is exactly this shape. */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      target.join(updates.select(key), Seq(key), "left_anti"))
+
+  /** Idempotent INSERT OVERWRITE of exactly the partitions present in
+    * `df` (dynamic partition-overwrite): untouched partition directories
+    * are never listed, rewritten, or deleted, so a catchup batch re-run is
+    * a per-partition replace — re-running the SAME batch converges to the
+    * same table (SinksSpec pins both properties, including untouched-file
+    * identity). Static overwrite (the default) would drop the WHOLE table
+    * first — at 100 TB the difference between rewriting one year and
+    * rewriting a decade. */
+  def overwritePartitions(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).parquet(path)
+
+  /** q93: the MERGE + partition-overwrite pipeline under the ORACLE gate —
+    * the reference's yearly-catchup backfill re-expressed as engine
+    * operators (the last pipeline shape VERDICT r10 named as missing).
+    * The documents table is laid out partitioned by `source` (q81's
+    * layout); a catchup batch re-ingests provenances src3+src7 with
+    * updated rows (doc_id % 3 = 0, n_chars bumped — a metadata re-compute)
+    * and late-arriving inserts (fresh ids past the corpus range); the
+    * MERGE result for the touched provenances dynamic-overwrites ONLY
+    * those two partition directories; the gate fingerprints the read-back
+    * of the whole table, so a lost row, a double-apply, a misrouted
+    * partition, or an overwrite bleeding into untouched provenances all
+    * break the hash. Eager at construction like q76/q80/q81 (session
+    * dir, shutdown-hook deleted). The oracle is the classic MERGE
+    * expansion: updates ∪ (target ⟕̸ updates) ∪ untouched partitions. */
+  private lazy val mergeDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_merge")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        val all = Files.walk(p).iterator().asScala.toSeq
+        all.sortBy(-_.getNameCount).foreach((f: Path) => Files.deleteIfExists(f))
+      }
+    }
+    p.toString
+  }
+
+  /** The catchup batch for q93: updated versions of every third src3/src7
+    * doc plus the same docs re-keyed past the corpus id range as fresh
+    * inserts. Derived from the RAW table (not the sink dir) so re-applying
+    * the batch is deterministic — the SinksSpec idempotence anchor. */
+  private def mergeBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val src = graft.Tables.spread(s, graft.Tables.documents(s, d), "doc_id")
+      .filter(col("source").isin("src3", "src7") && col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    src.withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(src.withColumn("doc_id", col("doc_id") + 100000000L))
+  }
+
+  def q93MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = graft.Tables.spread(s, graft.Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val out = mergeDir
+    writePartitioned(docs, out, "source")
+    val touched = s.read.parquet(out)
+      .filter(col("source").isin("src3", "src7"))
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    overwritePartitions(
+      mergeUpsert(touched, mergeBatch(s, d), "doc_id"), out, "source")
+    s.read.parquet(out)
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q93Sql: String =
+    """WITH t AS (SELECT doc_id, text, source, n_chars FROM documents),
+      |s37 AS (SELECT * FROM t WHERE source IN ('src3', 'src7')),
+      |upd AS (
+      |  SELECT doc_id, text, source, n_chars + 1000 AS n_chars
+      |  FROM s37 WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000000, text, source, n_chars
+      |  FROM s37 WHERE doc_id % 3 = 0),
+      |merged AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT * FROM s37 WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      |  UNION ALL
+      |  SELECT * FROM t WHERE source NOT IN ('src3', 'src7'))
+      |SELECT doc_id, md5(text) AS fp, source, n_chars
+      |FROM merged ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q76_sink_roundtrip", q76SinkRoundtrip _, Some(q76Sql)),
     ("q80_bucketed_join", q80BucketedJoin _, Some(q80Sql)),
     ("q81_partition_prune", q81PartitionPrune _, Some(q81Sql)),
     ("q88_zorder_layout", q88ZorderLayout _, Some(q88Sql)),
+    ("q93_merge_upsert", q93MergeUpsert _, Some(q93Sql)),
   )
 }

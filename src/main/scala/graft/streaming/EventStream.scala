@@ -44,8 +44,18 @@ object EventStream {
     * listing only — no data scan), then normalize to the same (`ts_ns` long,
     * `ts` timestamp) pair `Tables.events` exposes. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val onDisk = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    // An existing-but-empty directory is a normal cold start for a file
+    // stream (the sink side created the dir; producers haven't written
+    // yet). The schema peek can't infer anything from zero footers, so
+    // fall back to the NANOS rawSchema instead of throwing — exactly what
+    // the stream will see once the first writer lands.
+    val onDisk =
+      try spark.read
+        .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.toLowerCase.contains("infer schema") => rawSchema
+      }
     val in = spark.readStream
       .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")

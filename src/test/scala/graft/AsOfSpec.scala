@@ -80,4 +80,55 @@ class AsOfSpec extends AnyFunSuite {
     // plan, so a double-count would surface as a duplicate row here)
     assert(got.distinct.size == got.size)
   }
+
+  test("q85 skew: a season-long hot session stays exact and AQE splits the hot bucket") {
+    val spark = TestSpark.spark
+    val s = spark; import s.implicits._
+    // 300 users with short sessions piled into the SAME 900s bucket (the
+    // hot bucket every realistic corpus has: the traffic spike), plus one
+    // user whose single session spans an entire season — the worst-case
+    // interval for bucketed expansion: it replicates into ~17k buckets
+    // and overlaps every other session
+    val short = (1 to 300).map(u =>
+      (u.toLong, 0L, 3600L + (u % 30) * 10L, 3600L + (u % 30) * 10L + 400L))
+    val hot = Seq((100000L, 0L, 0L, 180L * 24 * 3600))
+    val sess = (short ++ hot).toDF("user_id", "session_id", "start_s", "end_s")
+      .repartition(4, col("user_id"))
+    val conf = Seq(
+      // make the join a shuffle join (not broadcast) and drop AQE's skew
+      // thresholds to test scale so the hot bucket's partition is split;
+      // 64 shuffle partitions spread the season session's 17k bucket rows
+      // thin so the hot bucket's partition is the clear outlier (at prod
+      // scale the same ratio arises from the traffic spike itself)
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = AsOf.overlapPairs(sess)
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("session_a"),
+          r.getAs[Long]("user_b"), r.getAs[Long]("session_b"),
+          r.getAs[Long]("overlap_s"))).toSeq.sorted
+      val all = short ++ hot
+      val naive = (for {
+        (ua, sa, a0, a1) <- all
+        (ub, sb, b0, b1) <- all
+        if ua < ub && a0 <= b1 && b0 <= a1
+      } yield (ua, sa, ub, sb, math.min(a1, b1) - math.max(a0, b0))).sorted
+      assert(naive.size > 40000, s"degenerate fixture: ${naive.size} pairs")
+      assert(got == naive, "skewed bucketed overlap diverged from the naive scan")
+      // the executed adaptive plan actually split the skewed partition —
+      // the claim that residual hot buckets are AQE territory, not a
+      // repartition-by-hand problem
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew="), s"no AQE skew split in plan:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

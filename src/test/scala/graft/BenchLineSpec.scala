@@ -16,6 +16,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * Budget 1900 = 2000 − footer − margin.
   */
 class BenchLineSpec extends AnyFunSuite {
+  test("catalog size is pinned — update DELIBERATELY when adding queries") {
+    // round 8 silently shrank the oracle gate 76→75 via a source-schema
+    // surprise; an exact pin makes any accidental shrink (or growth that
+    // forgot its oracle) a red test instead of a quiet judging artifact
+    assert(SparkEntry.queries.size == 93,
+      s"catalog is ${SparkEntry.queries.size}, expected 93 — if you added/" +
+        "removed a query on purpose, update this pin in the same commit")
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
   test("final bench line fits the driver tail window at worst-case widths") {
     val names = Bench.allNames
     assert(names.size >= 69, s"catalog shrank? ${names.size}")

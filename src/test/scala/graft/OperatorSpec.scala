@@ -731,6 +731,86 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q77 artifacts: persisted rotation+index serve bit-identically; append equals rebuild") {
+    val emb = Similarity.embWithNorm(spark, sf).select("vec_id", "e")
+    val (hh, cents, books, codeTable) = Similarity.opqIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq_idx").toString
+    try {
+      hh.write.mode("overwrite").parquet(s"$dir/hh")
+      cents.write.mode("overwrite").parquet(s"$dir/cents")
+      books.write.mode("overwrite").parquet(s"$dir/books")
+      codeTable.write.mode("overwrite").parquet(s"$dir/codes")
+      val (ph, pc, pb, pt) = (spark.read.parquet(s"$dir/hh"),
+        spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/books"),
+        spark.read.parquet(s"$dir/codes"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rn"))
+      // serving from parquet (rotation never retrained, corpus unread)
+      // must be bit-identical to the self-contained catalog query
+      val queries = emb.filter(col("vec_id") < 10).select("vec_id", "e")
+      val served = Similarity.opqSearchFrom(ph, pc, pb, pt, queries).collect()
+        .map(r => key(r) -> (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_fixed"),
+          r.getAs[Long]("n_cand"))).toMap
+      val direct = Similarity.q77OpqIvfPq(spark, sf).collect()
+        .map(r => key(r) -> (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_fixed"),
+          r.getAs[Long]("n_cand"))).toMap
+      assert(served == direct, "persisted-artifact OPQ serving diverged from the catalog query")
+      assert(served.nonEmpty)
+      // ingest: rotate+encode a fresh batch under the persisted artifacts
+      // ≡ the full rebuild's rows for the same ids
+      def codeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("cell"), r.getAs[Seq[Long]]("codes").mkString(","))).toMap
+      val fresh = emb.filter(col("vec_id") % 5 === 0).select("vec_id", "e")
+      val appended = codeRows(Similarity.opqAppend(ph, pc, pb, fresh))
+      val rebuilt = codeRows(codeTable.filter(col("vec_id") % 5 === 0))
+      assert(appended == rebuilt && appended.nonEmpty, "OPQ append diverged from rebuild")
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq
+        .sortBy((p: Path) => -p.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("q78 artifacts: persisted SQ8 index serves bit-identically; append equals rebuild") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Similarity.embWithNorm(spark, sf).filter(col("nrm") > 0)
+      .select("vec_id", "e", "nrm")
+    val (cents, codeTable) = Similarity.sq8Index(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
+    try {
+      cents.write.mode("overwrite").parquet(s"$dir/cents")
+      codeTable.write.mode("overwrite").parquet(s"$dir/codes")
+      val pc = spark.read.parquet(s"$dir/cents")
+      val pt = spark.read.parquet(s"$dir/codes")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rn"))
+      val queries = emb.filter(col("vec_id") < 10)
+      val served = Similarity.sq8SearchFrom(pc, pt, queries).collect()
+        .map(r => key(r) -> (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim8"),
+          r.getAs[Long]("n_cand"))).toMap
+      val direct = Similarity.q78Sq8Ivf(spark, sf).collect()
+        .map(r => key(r) -> (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim8"),
+          r.getAs[Long]("n_cand"))).toMap
+      assert(served == direct, "persisted-artifact SQ8 serving diverged from the catalog query")
+      assert(served.nonEmpty)
+      def codeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("cell"), r.getAs[Seq[Int]]("qc").mkString(","),
+            r.getAs[Double]("max_abs"), r.getAs[Double]("nrm"))).toMap
+      val fresh = emb.filter(col("vec_id") % 5 === 0)
+      val appended = codeRows(Similarity.sq8Append(pc, fresh))
+      val rebuilt = codeRows(codeTable.filter(col("vec_id") % 5 === 0))
+      assert(appended == rebuilt && appended.nonEmpty, "SQ8 append diverged from rebuild")
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq
+        .sortBy((p: Path) => -p.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("q77 OPQ: rotation exactly orthogonal (norms/dots preserved), recall vs q74 comparable") {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
@@ -1569,5 +1649,37 @@ class OperatorSpec extends AnyFunSuite {
       .select("n_chars").collect().map(_.getLong(0))
     assert(chosen.count(_ > medianChars) > chosen.length / 2,
       "weighted sample shows no pull toward heavy docs")
+  }
+
+  test("q91 hash is total on BIGINT: 100TB-scale doc_ids match the BigInt recompute") {
+    val s = spark; import s.implicits._
+    // ids ≥ ~3.47e9 overflow the naive doc_id*2654435761 product; the
+    // split-multiply must agree with exact BigInt arithmetic everywhere
+    val ids = Seq(0L, 1L, 65535L, 65536L, 2654435760L, 3470000000L,
+      5000000000L, 1234567890123456789L, Long.MaxValue, -7L)
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), graft.ops.Corpus.knuthHash32(col("doc_id")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = BigInt(4294967296L)
+    ids.foreach { id =>
+      val exp = (BigInt(id) * BigInt(2654435761L)).mod(m).toLong
+      assert(got(id) == exp, s"id $id: got ${got(id)}, expect $exp")
+    }
+  }
+
+  test("q89 zscore: a constant-valued group gives z=0, never NaN") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q89const").toString
+    Seq((1L, 1000000000L, 1L, "const", 42.0, "{}"),
+        (2L, 2000000000L, 1L, "const", 42.0, "{}"),
+        (3L, 3000000000L, 2L, "vary", 1.0, "{}"),
+        (4L, 4000000000L, 2L, "vary", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.ops.Corpus.q89GroupZscore(spark, dir).collect()
+    assert(rows.forall(r => !r.getAs[Double]("z").isNaN), "NaN leaked from sigma=0")
+    val z = rows.map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap
+    assert(z(1L) == 0.0 && z(2L) == 0.0, s"constant group must standardize to 0: $z")
+    assert(z(3L) == -1.0 && z(4L) == 1.0, z.toString)
   }
 }

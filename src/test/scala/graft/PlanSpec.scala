@@ -324,6 +324,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q77/q78 append (incremental ingest) is pure map-side like q74's") {
+    import graft.ops.Similarity
+    // rotation + assign + encode under persisted artifacts: the only
+    // joins are one-row broadcasts — nothing may shuffle the fresh batch
+    Seq(Similarity.q77AppendProbe(spark, sf), Similarity.q78AppendProbe(spark, sf))
+      .foreach { df =>
+        val p = plan(df)
+        assert(shuffleKeys(p).isEmpty, shuffleKeys(p).toString)
+        assert(!p.contains("Window"), p)
+        assert(!p.contains("SortMergeJoin"), p)
+      }
+  }
+
   test("q75 residual IVF-PQ keeps q74's shapes: broadcast cell gate, sole query_id exchange") {
     import graft.ops.Similarity
     val p = plan(Similarity.q75IvfPqResidual(spark, sf))

@@ -154,6 +154,58 @@ class SinksSpec extends AnyFunSuite {
       Tables.events(spark, sf).count())
   }
 
+  test("merge upsert + dynamic partition overwrite: idempotent, untouched partitions never rewritten") {
+    val spark = TestSpark.spark
+    val dir = Files.createTempDirectory("graft_merge_idem").toString
+    val docs = Tables.spread(spark, Tables.documents(spark, sf), "doc_id")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    Sinks.writePartitioned(docs, dir, "source")
+    // the catchup batch: updates (bumped n_chars) + late inserts, derived
+    // from the raw table so every application is the same batch
+    val src = docs.filter(col("source").isin("src3", "src7") && col("doc_id") % 3 === 0)
+    val batch = src.withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(src.withColumn("doc_id", col("doc_id") + 100000000L))
+    def applyBatch(): Unit = {
+      val touched = spark.read.parquet(dir)
+        .filter(col("source").isin("src3", "src7"))
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      Sinks.overwritePartitions(
+        Sinks.mergeUpsert(touched, batch, "doc_id"), dir, "source")
+    }
+    def snapshot() = spark.read.parquet(dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    def untouchedFiles() = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(dir, "source=src0")).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => (p.toString, Files.size(p), Files.getLastModifiedTime(p)))
+        .toSeq.sortBy(_._1)
+    }
+    val filesBefore = untouchedFiles()
+    applyBatch()
+    val after1 = snapshot()
+    // the merge really happened: updated rows bumped, inserts present,
+    // unmatched target rows survived
+    val m = after1.map(s => s(0).asInstanceOf[Long] -> s).toMap
+    val probe = docs.filter(col("source") === "src3").select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    probe.filter(_._1 % 3 == 0).take(3).foreach { case (id, nc) =>
+      assert(m(id)(2) == nc + 1000, s"doc $id not updated")
+      assert(m.contains(id + 100000000L), s"insert for $id missing")
+    }
+    probe.filter(_._1 % 3 != 0).take(3).foreach { case (id, nc) =>
+      assert(m(id)(2) == nc, s"unmatched doc $id must survive unchanged")
+    }
+    // re-running the SAME batch is a no-op on content...
+    applyBatch()
+    assert(snapshot().sameElements(after1), "re-applied batch changed the table")
+    // ...and partitions outside the batch were never rewritten by either
+    // apply (same files, same bytes, same mtimes — not merely same rows)
+    assert(untouchedFiles() == filesBefore,
+      "dynamic overwrite touched a partition outside the batch")
+  }
+
   test("HTML-table source extracts header and body rows distributed") {
     val spark = TestSpark.spark
     val html = getClass.getResource("/fixtures/html").getPath

@@ -26,6 +26,23 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("readEvents cold-starts on an existing-but-empty directory") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.streaming.Trigger
+    // a sink-created dir with no files yet is a NORMAL file-stream cold
+    // start; the schema peek must fall back to rawSchema, not throw
+    val dir = java.nio.file.Files.createTempDirectory("evt_cold").toString
+    val in = EventStream.readEvents(spark, dir)
+    assert(in.isStreaming)
+    assert(Seq("ts_ns", "ts", "event_id").forall(in.schema.fieldNames.contains))
+    // and the stream actually runs: zero input files drain to zero rows
+    val q = EventStream.windowedCounts(in)
+      .writeStream.format("memory").queryName("evt_cold")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("evt_cold").count() == 0)
+  }
+
   test("streaming dedup with watermark preserves distinct events") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.streaming.Trigger
