@@ -279,7 +279,7 @@ object Similarity {
     * equi-join on cell, and the exact-top-k comparison side is a 10-query
     * probe subset, not the corpus. */
   private val IvfNList = 8
-  private val IvfNProbe = 2
+  private[graft] val IvfNProbe = 2
   private val IvfK = 5
   private val IvfNQueries = 10
 
@@ -524,8 +524,8 @@ object Similarity {
     * 100 TB the candidate set comes from q69's IVF cells first (IVF-PQ);
     * here the flat scan IS the point — it gates ADC arithmetic end-to-end
     * against DuckDB. */
-  private val AdcQueries = 10
-  private val AdcK = 5
+  private[graft] val AdcQueries = 10
+  private[graft] val AdcK = 5
 
   /** Shared ADC expression strings (identical arithmetic in q73/q74): the
     * per-vector PQ code array, the per-query integer LUT, and the M-lookup
@@ -650,20 +650,22 @@ object Similarity {
     * broadcasts, the candidate gate is a broadcast equi join on cell, and
     * the only hash exchanges are on query_id (top-k + the n_cand agg). */
   def ivfPqSearchFrom(cents: DataFrame, books: DataFrame, codeTable: DataFrame,
-      queries: DataFrame, nprobe: Int = IvfNProbe, k: Int = AdcK): DataFrame = {
+      queries: DataFrame, nprobe: Int = IvfNProbe, k: Int = AdcK,
+      probeTap: DataFrame => DataFrame = identity,
+      candTap: DataFrame => DataFrame = identity): DataFrame = {
     val cc = cents.agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
     val cs = books.agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
     val index = codeTable
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
-    val probes = queries
+    val probes = probeTap(queries
       .crossJoin(broadcast(cc)).crossJoin(broadcast(cs))
       .withColumn("lut", expr(pqLutExpr))
       .withColumn("pcell", explode(expr(probeCellsExpr(nprobe))))
-      .select(col("vec_id").as("query_id"), col("lut"), col("pcell").as("cell"))
+      .select(col("vec_id").as("query_id"), col("lut"), col("pcell").as("cell")))
     val w = Window.partitionBy("query_id").orderBy(col("adc_fixed"), col("neighbor_id"))
-    val cand = index.join(broadcast(probes), Seq("cell"))
+    val cand = candTap(index.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_fixed", expr(adcSumExpr))
+      .withColumn("adc_fixed", expr(adcSumExpr)))
     val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
     cand
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -671,6 +673,45 @@ object Similarity {
       .join(broadcast(nCand), Seq("query_id"))
       .select("query_id", "neighbor_id", "adc_fixed", "n_cand", "rn")
       .orderBy("query_id", "rn")
+  }
+
+  /** ANN serving observability: `Dataset.observe` counters piggybacked on
+    * the ONE real serving action, mirroring
+    * [[graft.ops.Corpus.observedCleanMetrics]] — cells probed (probe
+    * fan-out rows = nq × nprobe), candidates ADC-scored (rows surviving
+    * the cell gate — THE number the nprobe/nlist lever controls and the
+    * per-batch health signal an operator watches at 100 TB), and result
+    * rows, all counted by the same tasks that serve the batch. Per-stage
+    * `count()` actions would re-run serving once per metric; observe costs
+    * zero extra passes.
+    *
+    * observedCleanMetrics's documented contract — each observed subtree
+    * executes exactly once — needs care here because `cand` feeds both the
+    * n_cand aggregate and the top-k window: the observed path persists the
+    * observed cand frame, so the accumulator fires during cache population
+    * and both consumers read the materialized rows. */
+  def observedServeMetrics(s: SparkSession, d: String): Map[String, Long] = {
+    import org.apache.spark.sql.Observation
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
+    val probed = Observation()
+    val scored = Observation()
+    val served = Observation()
+    var cached: DataFrame = null
+    val out = ivfPqSearchFrom(cents, books, codeTable,
+        emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"),
+        probeTap = _.observe(probed, count(lit(1)).as("cells")),
+        candTap = { c =>
+          cached = c.observe(scored, count(lit(1)).as("cands")).persist()
+          cached
+        })
+      .observe(served, count(lit(1)).as("rows"))
+    try out.write.format("noop").mode("overwrite").save()
+    finally if (cached != null) cached.unpersist(false)
+    Map(
+      "cells_probed" -> probed.get("cells").asInstanceOf[Long],
+      "candidates_scored" -> scored.get("cands").asInstanceOf[Long],
+      "results" -> served.get("rows").asInstanceOf[Long])
   }
 
   def q74IvfPqTopk(s: SparkSession, d: String): DataFrame = {

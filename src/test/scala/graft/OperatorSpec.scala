@@ -705,6 +705,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN serving observe counters equal independent counts, from one action") {
+    val m = Similarity.observedServeMetrics(spark, sf)
+    val q74 = Similarity.q74IvfPqTopk(spark, sf).collect()
+    // cells probed = nq × nprobe (every query fans out to exactly nprobe cells)
+    val (emb, _, _) = Similarity.pqParts(spark, sf)
+    val nq = emb.filter(col("vec_id") < Similarity.AdcQueries).count()
+    assert(m("cells_probed") == nq * Similarity.IvfNProbe)
+    // candidates scored = Σ per-query n_cand — the number the query itself
+    // reports, recomputed independently from the catalog entry's output
+    val sumNCand = q74.groupBy(_.getAs[Long]("query_id"))
+      .map(_._2.head.getAs[Long]("n_cand")).sum
+    assert(m("candidates_scored") == sumNCand)
+    assert(sumNCand > 0, "vacuous: the cell gate must pass candidates")
+    assert(m("results") == q74.length.toLong)
+    // the gate must actually prune: scoring fewer candidates than a flat
+    // ADC scan over the whole corpus is the point of the IVF structure
+    val corpus = emb.count()
+    assert(m("candidates_scored") < nq * corpus,
+      "cell gate scored the whole corpus per query — IVF pruning is vacuous")
+  }
+
   test("q86 refine serves bit-identically from parquet-persisted artifacts") {
     val (emb, subs, seedsPq) = Similarity.pqParts(spark, sf)
     val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
