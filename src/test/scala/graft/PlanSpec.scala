@@ -494,12 +494,23 @@ class PlanSpec extends AnyFunSuite {
     import sess.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L)).toDF("query_id", "neighbor_id")
     val labels = Seq((2L, 7L, 0L), (3L, 8L, 0L)).toDF("vec_id", "lbl", "rnd")
-    val p = plan(Similarity.lpVotes(edges, labels, 1))
+    // 3-row literals sit under autoBroadcastJoinThreshold, so with the
+    // default config the plan can contain ZERO hash exchanges and the
+    // subset assertion below passes vacuously — disable broadcast so the
+    // at-scale exchange structure (both sides corpus-sized) is what's
+    // planned and the key assertion bites
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try plan(Similarity.lpVotes(edges, labels, 1))
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     // per-round joins (edges ⋈ labels equi, anti vs labeled) and the two
     // vote aggs keep every exchange on neighbor_id or query_id — tiny
     // integer rows; nothing re-shuffles embeddings or collects
     val ks = shuffleKeys(p)
+    assert(ks.nonEmpty, "no hash exchanges planned — assertion would be vacuous:\n" + p)
     assert(ks.toSet.subsetOf(Set("neighbor_id", "query_id")), ks.toString)
+    assert(ks.contains("neighbor_id") && ks.contains("query_id"),
+      s"expected both the vote join (neighbor_id) and the per-node agg (query_id) exchanges: $ks")
     assert(!p.contains("CartesianProduct"), p)
   }
 
