@@ -278,8 +278,17 @@ object Similarity {
     * rows, corpus-size-independent (the q64 shape). The index join is an
     * equi-join on cell, and the exact-top-k comparison side is a 10-query
     * probe subset, not the corpus. */
-  private val IvfNList = 8
-  private[graft] val IvfNProbe = 2
+  /** nlist/nprobe are env-overridable SCALE LEVERS (defaults preserve the
+    * oracle-gated catalog bit-for-bit): the corpus×corpus entries' candidate
+    * volume is Σ_cell |cell|·|probes| ≈ n²·nprobe/nlist, so at large n the
+    * operator raises nlist to hold per-cell blocks bounded — BASELINE.md
+    * records the lever empirically (anchor runs set SPARK_GRAFT_NLIST).
+    * Both the Spark plan and the DuckDB oracle SQL interpolate the same
+    * value, so the correctness gate follows the lever automatically. */
+  private[graft] val IvfNList: Int =
+    sys.env.get("SPARK_GRAFT_NLIST").map(_.toInt).getOrElse(8)
+  private[graft] val IvfNProbe: Int =
+    sys.env.get("SPARK_GRAFT_NPROBE").map(_.toInt).getOrElse(2)
   private val IvfK = 5
   private val IvfNQueries = 10
 
@@ -1436,6 +1445,88 @@ object Similarity {
        |ORDER BY n.vec_id""".stripMargin
   }
 
+  /** q94: PAGERANK centrality over the kNN graph — the graph-importance
+    * signal behind centrality-weighted corpus curation (prefer documents
+    * whose neighborhoods the corpus keeps pointing at; downweight isolated
+    * or orphaned content). Classic damped PageRank, a FIXED small round
+    * count over the shared [[knnCand]] edge set (built once, cached —
+    * q84's materialization pattern).
+    *
+    * Hashability: each round's per-edge contribution `pr/outdeg` is one
+    * IEEE division, scaled `floor(·10⁹)` to a BIGINT so the per-node
+    * fan-in SUM is order-independent (the q64 fixed-point trick — a raw
+    * double Σ would hash-diverge on partition layout), and the damped
+    * update `0.15 + 0.85·(Σ/10⁹)` is the same two correctly-rounded IEEE
+    * ops in both engines. No logs anywhere (cross-libm lg is the one
+    * non-portable float op — q56's lesson).
+    *
+    * Scale shape: edges are n·k integer rows built once; every round is
+    * (a) an equi join edges ⋈ ranks on query_id, (b) a map-side division,
+    * (c) a partial+final BIGINT sum keyed neighbor_id, (d) a left join
+    * back onto the node set — shuffles carry only id+long rows. Dangling
+    * mass is deliberately dropped (uniform-teleport-only for sink nodes),
+    * the standard large-graph simplification; rounds are fixed, not
+    * convergence-tested, like q84/q71. */
+  private val PrRounds = 3
+
+  def q94PageRank(s: SparkSession, d: String): DataFrame = {
+    val nodes = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    // edge list + out-degree, persisted once: every round's contribution
+    // join re-reads these n·k integer rows, never the kNN kernel
+    val edges = knnCand(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= AdcK)
+      .select("query_id", "neighbor_id")
+    val eo = edges
+      .join(edges.groupBy("query_id").agg(count(lit(1)).as("outdeg")), Seq("query_id"))
+      .cache() // lazy: round 1's materialization populates it
+    var pr = nodes.select(col("vec_id"), lit(1.0).as("pr")).cache()
+    for (r <- 1 to PrRounds) {
+      val sums = eo
+        .join(pr.select(col("vec_id").as("query_id"), col("pr")), Seq("query_id"))
+        .select(col("neighbor_id").as("vec_id"),
+          floor(col("pr") / col("outdeg") * lit(1000000000.0)).as("c"))
+        .groupBy("vec_id").agg(sum(col("c")).as("fs"))
+      pr = nodes.join(sums, Seq("vec_id"), "left")
+        .select(col("vec_id"), (lit(0.15) + lit(0.85) *
+          (coalesce(col("fs"), lit(0L)).cast("double") / lit(1000000000.0))).as("pr"))
+      // same per-round barrier as q84: each round reads the previous
+      // ranks once, but an unmaterialized lineage re-derives every prior
+      // round inside round r's plan (and the final plan would re-run the
+      // whole recursion); the last round folds into the final job
+      if (r < PrRounds) pr.cache().count()
+    }
+    pr.select(col("vec_id"), round(col("pr"), 6).as("pr")).orderBy("vec_id")
+  }
+
+  lazy val q94Sql: String = {
+    val rounds = (1 to PrRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT n.vec_id,
+         |         0.15 + 0.85 * (CAST(COALESCE(s.fs, 0) AS DOUBLE) / 1000000000.0) AS pr
+         |  FROM e n LEFT JOIN (
+         |    SELECT g.neighbor_id AS vec_id,
+         |           SUM(CAST(floor(p.pr / g.outdeg * 1000000000.0) AS BIGINT)) AS fs
+         |    FROM eo g JOIN p${r - 1} p ON g.query_id = p.vec_id
+         |    GROUP BY g.neighbor_id) s ON n.vec_id = s.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnCandCtes,
+       |edges AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM cand)
+       |  WHERE rn <= $AdcK),
+       |deg AS (SELECT query_id, COUNT(*) AS outdeg FROM edges GROUP BY query_id),
+       |eo AS (SELECT e.query_id, e.neighbor_id, d.outdeg
+       |       FROM edges e JOIN deg d USING (query_id)),
+       |p0 AS (SELECT vec_id, CAST(1.0 AS DOUBLE) AS pr FROM e),
+       |$rounds
+       |SELECT vec_id, round(pr, 6) AS pr FROM p$PrRounds ORDER BY vec_id""".stripMargin
+  }
+
   /** q83: SEMANTIC dedup (SemDeDup shape — cluster-then-threshold): the
     * corpus is coarse-clustered with the q69 fixed-point quantizer, and
     * near-duplicate detection runs WITHIN each cell only — a vector is
@@ -2085,5 +2176,6 @@ object Similarity {
     ("q83_semdedup", q83SemDedup _, Some(q83Sql)),
     ("q84_label_prop", q84LabelProp _, Some(q84Sql)),
     ("q86_adc_refine", q86AdcRefine _, Some(q86Sql)),
+    ("q94_pagerank", q94PageRank _, Some(q94Sql)),
   )
 }

@@ -376,6 +376,98 @@ object TextOps {
        |HAVING COUNT(*) * $HhT > tot.total
        |ORDER BY n DESC, token""".stripMargin
 
+  /** q95: BM25 top-k retrieval — query-by-example keyword search over the
+    * corpus (the retrieval primitive behind decontamination probes, eval-set
+    * neighborhood audits, and quality-targeted sampling). Queries are the
+    * first [[Bm25NQueries]] documents' first-4-token distinct term sets
+    * (deterministic, corpus-derived); each query ranks every OTHER document
+    * by Σ_terms idf·saturation with Robertson k1=1.2, b=0.75.
+    *
+    * Hashability: the idf LOG is dropped for its rational core
+    * `(N−df+0.5)/(df+0.5)` — cross-libm `ln` is the one non-portable float
+    * op (q56's lesson); the per-term ranking it induces is identical
+    * (log is monotone), only the multi-term weighting compresses, which is
+    * this operator's documented scoring variant. Every per-(query,doc,term)
+    * part is a fixed chain of correctly-rounded IEEE ops on DOUBLE (both
+    * engines' SQL spells out the same casts), scaled `floor(·10⁶)` to
+    * BIGINT so the per-(query,doc) Σ is order-independent (q64 trick);
+    * the reported score IS that integer.
+    *
+    * Scale shape: tf and dl are computed INSIDE the token array map-side
+    * (q56's transform trick — the token stream never shuffles); df is a
+    * partial+final count; corpus stats (N, avgdl) are a one-row broadcast;
+    * the query-term table is eval-set-sized and broadcasts onto the tf
+    * table (never the reverse); the score agg is partial+final keyed
+    * (query_id, doc_id) and the final top-k is a rank-filtered window
+    * (WindowGroupLimit prunes map-side). No cartesian anywhere. */
+  private val Bm25NQueries = 5
+  private val Bm25K = 10
+  private val bm25PartExpr: String =
+    "CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D) * " +
+      "(CAST(tf AS DOUBLE) * 2.2D / (CAST(tf AS DOUBLE) + 1.2D * " +
+      "(0.25D + 0.75D * CAST(dl AS DOUBLE) / avgdl))) * 1000000.0D) AS BIGINT)"
+
+  def q95Bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val tf = docs
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(expr(
+        "transform(array_distinct(w), t -> struct(t AS term, size(filter(w, x -> x = t)) AS tf))")).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.term").as("term"), col("p.tf").cast("long").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("w")).cast("long")).cast("double") / count(lit(1))).as("avgdl"))
+    val qt = docs.filter(col("doc_id") < Bm25NQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("w"), 1, 4))).as("term"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    tf.join(df, Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("part", expr(bm25PartExpr))
+      .groupBy("query_id", "doc_id").agg(sum(col("part")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= Bm25K)
+      .select("query_id", "rnk", "doc_id", "score")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q95Sql: String =
+    s"""WITH dw AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM dw)
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM dw),
+       |qt AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, unnest(list_slice(w, 1, 4)) AS term
+       |    FROM dw WHERE doc_id < $Bm25NQueries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         CAST(SUM(CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) *
+       |             (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 *
+       |             (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) * 1000000.0) AS BIGINT)) AS BIGINT) AS score
+       |  FROM tf
+       |  JOIN df USING (term)
+       |  JOIN qt USING (term)
+       |  CROSS JOIN stats
+       |  WHERE tf.doc_id <> qt.query_id
+       |  GROUP BY qt.query_id, tf.doc_id)
+       |SELECT query_id, rnk, doc_id, score FROM (
+       |  SELECT query_id, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $Bm25K ORDER BY query_id, rnk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
@@ -387,5 +479,6 @@ object TextOps {
     ("q56_tfidf", q56Tfidf _, Some(q56Sql)),
     ("q90_bigram_topk", q90BigramTopk _, Some(q90Sql)),
     ("q92_heavy_hitters", q92HeavyHitters _, Some(q92Sql)),
+    ("q95_bm25", q95Bm25 _, Some(q95Sql)),
   )
 }

@@ -1703,4 +1703,69 @@ class OperatorSpec extends AnyFunSuite {
     assert(z(1L) == 0.0 && z(2L) == 0.0, s"constant group must standardize to 0: $z")
     assert(z(3L) == -1.0 && z(4L) == 1.0, z.toString)
   }
+
+  test("q94 pagerank matches an independent plain-Scala fixed-point recompute over the q82 graph") {
+    graft.functions.VectorFunctions.register(spark)
+    val got = Similarity.q94PageRank(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pr")).toMap
+    val edges = Similarity.q82KnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val outdeg = edges.groupBy(_._1).map { case (q, es) => q -> es.length }
+    // same fixed-point rule, single-threaded: floor(pr/outdeg·1e9) BIGINT
+    // contributions, damped update, 3 rounds
+    var pr: Map[Long, Double] = got.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val sums = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (q, n) =>
+        sums(n) += math.floor(pr(q) / outdeg(q) * 1000000000.0).toLong
+      }
+      pr = pr.keys.map(v => v -> (0.15 + 0.85 * (sums(v).toDouble / 1000000000.0))).toMap
+    }
+    assert(got.keySet == pr.keySet)
+    got.foreach { case (v, p) =>
+      val exp = BigDecimal(pr(v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(p == exp, s"node $v: got $p expect $exp")
+    }
+    // centrality varies: the graph is not rank-uniform (a constant result
+    // would mean the vote rounds never executed)
+    assert(got.values.toSet.size > 1, "pagerank degenerated to a constant")
+  }
+
+  test("q95 bm25 matches an independent plain-Scala recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    // Spark's split(str, ' ') is java split with limit -1 (keeps trailing
+    // empties) — the recompute must tokenize identically
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = docs.length.toLong
+    val dl = toks.map { case (id, w) => id -> w.length.toLong }
+    val avgdl = dl.values.sum.toDouble / n
+    val tfm = toks.map { case (id, w) =>
+      id -> w.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong } }
+    val dfm = tfm.values.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val expect = docs.filter(_._1 < 5).flatMap { case (qid, _) =>
+      val terms = toks(qid).take(4).distinct
+      val scored = docs.flatMap { case (did, _) =>
+        if (did == qid) None
+        else {
+          val parts = terms.flatMap { t =>
+            tfm(did).get(t).map { tf =>
+              val df = dfm(t)
+              math.floor(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) *
+                (tf.toDouble * 2.2 / (tf.toDouble + 1.2 *
+                  (0.25 + 0.75 * dl(did).toDouble / avgdl))) * 1000000.0).toLong
+            }
+          }
+          if (parts.isEmpty) None else Some((did, parts.sum))
+        }
+      }
+      scored.sortBy { case (did, s) => (-s, did) }.take(10).zipWithIndex
+        .map { case ((did, s), i) => (qid, (i + 1).toLong, did, s) }
+    }
+    val got = graft.ops.TextOps.q95Bm25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    assert(got.nonEmpty, "bm25 returned no rows at sf0.001")
+    assert(got == expect, s"bm25 diverges:\n got=${got.take(6)}…\n exp=${expect.take(6)}…")
+  }
 }

@@ -514,6 +514,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q94 pagerank: graph+outdeg built once — final plan's scan count is independent of PrRounds") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // q84's executed-plan guard applied to the PageRank loop: the edge+
+    // outdeg cache and the per-round rank caches mean the final job scans
+    // parquet at most twice (node set + the last round's uncached inputs)
+    // no matter how many rounds ran — an unmaterialized lineage re-derives
+    // the whole recursion and the kNN kernel inside one plan
+    val df = Similarity.q94PageRank(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val scans = ns.count(_.isInstanceOf[FileSourceScanExec])
+    val cacheReads = ns.count(_.isInstanceOf[InMemoryTableScanExec])
+    assert(scans <= 2, s"parquet scans = $scans (expected ≤ 2): " +
+      ns.collect { case f: FileSourceScanExec => f.nodeName + " " + f.output.map(_.name).mkString(",") }.mkString(" | "))
+    assert(cacheReads >= 1, s"cache reads = $cacheReads (expected ≥ 1)")
+  }
+
+  test("q95 bm25: query terms broadcast onto tf, stats one-row attach, top-k group-limited") {
+    import graft.ops.TextOps
+    val p = plan(TextOps.q95Bm25(spark, sf))
+    // the eval-set query-term table broadcasts onto the corpus tf table —
+    // never the reverse, and never a real cartesian (the one BNLJ Cross is
+    // the one-row corpus-stats attach, the established pattern)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // shuffles: df-count + tf↔df attach on term, score agg + final window
+    // on query_id (doc_id never keys an exchange alone) — the token stream
+    // itself is map-side (no doc_id-keyed token shuffle)
+    val ks = shuffleKeys(p)
+    assert(ks.nonEmpty && ks.toSet.subsetOf(Set("term", "query_id")), ks.toString)
+    // per-query top-k prunes map-side
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q85 overlap join: bucketed expansion makes the range join EQUI — never a nested loop") {
     import graft.ops.AsOf
     val p = plan(AsOf.q85OverlapJoin(spark, sf))
