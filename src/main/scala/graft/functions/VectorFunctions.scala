@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expression for double-array dot products.
   *
@@ -145,6 +145,107 @@ case class SrpBuckets(child: Expression, planes: Seq[Double], tables: Int, bits:
     copy(child = c)
 }
 
+/** The k nearest centroids of a vector in ONE native pass:
+  * `graft_near_cells(e, cents, k)` over the one-row broadcast centroid set
+  * `cents: array<struct<cent_id: long, ce: array<double>>>` returns the k
+  * lexicographically-(distance, cent_id)-smallest entries as
+  * `array<struct<_d: double, cent_id: long>>`, ascending.
+  *
+  * Drop-in for the HOF formulation
+  * `slice(array_sort(transform(cents, c -> struct(d, c.cent_id))), 1, k)`:
+  * higher-order lambdas evaluate interpreted PER ELEMENT — at nlist = 256
+  * that's nlist struct allocations + an O(nlist log nlist) interpreted sort
+  * per row, which dominated the kNN-graph anchor runs (the argmin/probe
+  * passes, not the candidate join, were the cost at 100k vectors). This is
+  * a tight primitive loop with an O(nlist·k) bounded insertion — no
+  * allocation until the k-row result.
+  *
+  * BIT-IDENTICAL to the HOF expression it replaces: the distance is the
+  * same `dot(e,e) - 2*dot(e,ce) + dot(ce,ce)` left-to-right IEEE chain
+  * with [[DotProductD]]'s min-length loop bounds, and the (distance,
+  * cent_id) tie order matches struct ordering under array_min/array_sort.
+  * (-0.0/NaN cannot arise here: squared-distance sums of finite inputs;
+  * a NaN would sort last, matching Spark's double order.) Interpreted
+  * eval (CodegenFallback) is deliberate — the per-row nlist·dim loop
+  * dwarfs the call overhead, and the surrounding stage still codegens. */
+case class NearCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
+    case ArrayType(DoubleType, _) => second.dataType match {
+      case ArrayType(StructType(fs), _)
+        if fs.length == 2 && fs(0).dataType == LongType &&
+          fs(1).dataType == ArrayType(DoubleType, false) ||
+          fs.length == 2 && fs(0).dataType == LongType &&
+            fs(1).dataType == ArrayType(DoubleType, true) =>
+        if (third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("k must be INT")
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"cents must be array<struct<bigint, array<double>>>, got $t")
+    }
+    case t => TypeCheckResult.TypeCheckFailure(s"e must be array<double>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_d", DoubleType, nullable = false),
+    StructField("cent_id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_near_cells"
+
+  override def nullSafeEval(eAny: Any, cAny: Any, kAny: Any): Any = {
+    val e = eAny.asInstanceOf[ArrayData]
+    val cents = cAny.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val dim = e.numElements()
+    var ee = 0.0
+    var i = 0
+    while (i < dim) { val v = e.getDouble(i); ee += v * v; i += 1 }
+    val n = cents.numElements()
+    val m = math.min(k, n)
+    val ds = new Array[Double](m)
+    val ids = new Array[Long](m)
+    var size = 0
+    var ci = 0
+    while (ci < n) {
+      val row = cents.getStruct(ci, 2)
+      val id = row.getLong(0)
+      val ce = row.getArray(1)
+      val lc = ce.numElements()
+      val le = math.min(dim, lc)
+      var ec = 0.0
+      var j = 0
+      while (j < le) { ec += e.getDouble(j) * ce.getDouble(j); j += 1 }
+      var cc2 = 0.0
+      j = 0
+      while (j < lc) { val c = ce.getDouble(j); cc2 += c * c; j += 1 }
+      val d = ee - 2 * ec + cc2
+      // skip unless it beats the current worst (or the buffer has room)
+      val worse = size == m && m > 0 &&
+        (d > ds(m - 1) || (d == ds(m - 1) && id > ids(m - 1)))
+      if (m > 0 && !worse) {
+        var lo = math.min(size, m - 1)
+        while (lo > 0 && (ds(lo - 1) > d || (ds(lo - 1) == d && ids(lo - 1) > id))) lo -= 1
+        var p = math.min(size, m - 1)
+        while (p > lo) { ds(p) = ds(p - 1); ids(p) = ids(p - 1); p -= 1 }
+        ds(lo) = d
+        ids(lo) = id
+        if (size < m) size += 1
+      }
+      ci += 1
+    }
+    val out = new Array[Any](size)
+    i = 0
+    while (i < size) {
+      out(i) = new GenericInternalRow(Array[Any](ds(i), ids(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** Session-level registration + Column builders (SQL-name route keeps us on
   * the public API across Spark 4's Column internals). */
 object VectorFunctions {
@@ -155,6 +256,8 @@ object VectorFunctions {
     if (registered.add(spark.sessionState.toString)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_near_cells", exprs => NearCells(exprs(0), exprs(1), exprs(2)), "built-in")
     }
 
   /** dot(a, b) — requires register(spark) once per session. */

@@ -221,10 +221,7 @@ object Similarity {
     // lexicographic (distance, id) minimum the old groupBy-min computed.
     val cs = cents.agg(collect_list(struct(col("cent_id"), col("ce"))).as("cs"))
     emb.crossJoin(broadcast(cs))
-      .withColumn("m", expr(
-        "array_min(transform(cs, c -> struct(" +
-          "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
-          "c.cent_id AS cent_id)))"))
+      .withColumn("m", expr("element_at(graft_near_cells(e, cs, 1), 1)"))
       .select(col("vec_id"), col("e"), col("m._d").as("dist"), col("m.cent_id").as("cell"))
   }
 
@@ -607,15 +604,14 @@ object Similarity {
   /** Coarse argmin / nprobe-cell expressions over the one-row `cc`
     * broadcast and an `e` embedding column — shared by the index build,
     * append, and serve paths so they can never drift. */
+  // both go through the native NearCells pass (VectorFunctions — bit-identical
+  // to the HOF array_min/array_sort formulation it replaced; at nlist ≥ 64
+  // the interpreted per-element lambdas dominated every index build)
   private def coarseArgminExpr: String =
-    "array_min(transform(cc, c -> struct(" +
-      "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
-      "c.cent_id AS cent_id)))"
+    "element_at(graft_near_cells(e, cc, 1), 1)"
 
   private def probeCellsExpr(nprobe: Int): String =
-    "transform(slice(array_sort(transform(cc, c -> struct(" +
-      "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
-      s"c.cent_id AS cent_id))), 1, $nprobe), s -> s.cent_id)"
+    s"transform(graft_near_cells(e, cc, $nprobe), s -> s.cent_id)"
 
   /** The PERSISTED ANN index artifacts — the q70/`corpusArtifact` story for
     * the serving path (closing "the index is rebuilt inside every run"):
@@ -1480,7 +1476,10 @@ object Similarity {
       .select("query_id", "neighbor_id")
     val eo = edges
       .join(edges.groupBy("query_id").agg(count(lit(1)).as("outdeg")), Seq("query_id"))
-      .cache() // lazy: round 1's materialization populates it
+      .cache() // lazy: round 1's materialization populates it; like q84's
+    // caches (n·k integer rows + PrRounds tiny rank frames) these fall to
+    // the session-level clearCache between bench/verify queries — repo
+    // convention for in-query caches (see q84's scaladoc)
     var pr = nodes.select(col("vec_id"), lit(1.0).as("pr")).cache()
     for (r <- 1 to PrRounds) {
       val sums = eo
