@@ -246,6 +246,104 @@ case class NearCells(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** [[NearCells]] for the PQ codebook layout: `graft_pq_near(se, cs, m, k)`
+  * ranks only the rows of `cs: array<struct<m: int, cent_id: long,
+  * ce: array<double>>>` whose subspace tag equals `m` — the native
+  * replacement for `array_min(transform(filter(cs, c -> c.m = m), ...))`,
+  * whose interpreted filter alone evaluates a lambda per codebook row per
+  * vector row (M·K per subspace assign — the dominant cost of PQ encode at
+  * 1M vectors). Same distance chain, same (distance, cent_id) tie order,
+  * same output shape as [[NearCells]]; bit-identical results. */
+case class PqNearCells(se: Expression, cs: Expression, m: Expression, k: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(se, cs, m, k)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult = se.dataType match {
+    case ArrayType(DoubleType, _) => cs.dataType match {
+      case ArrayType(StructType(fs), _)
+        if fs.length == 3 && fs(0).dataType == IntegerType &&
+          fs(1).dataType == LongType &&
+          fs(2).dataType.isInstanceOf[ArrayType] &&
+          fs(2).dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+        if (m.dataType == IntegerType && k.dataType == IntegerType)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("m and k must be INT")
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"cs must be array<struct<int, bigint, array<double>>>, got $t")
+    }
+    case t => TypeCheckResult.TypeCheckFailure(s"se must be array<double>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_d", DoubleType, nullable = false),
+    StructField("cent_id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_pq_near"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val eAny = se.eval(input)
+    val cAny = cs.eval(input)
+    val mAny = m.eval(input)
+    val kAny = k.eval(input)
+    if (eAny == null || cAny == null || mAny == null || kAny == null) return null
+    val e = eAny.asInstanceOf[ArrayData]
+    val cents = cAny.asInstanceOf[ArrayData]
+    val mTag = mAny.asInstanceOf[Int]
+    val kk = kAny.asInstanceOf[Int]
+    val dim = e.numElements()
+    var ee = 0.0
+    var i = 0
+    while (i < dim) { val v = e.getDouble(i); ee += v * v; i += 1 }
+    val n = cents.numElements()
+    val cap = math.min(kk, n)
+    val ds = new Array[Double](math.max(cap, 0))
+    val ids = new Array[Long](math.max(cap, 0))
+    var size = 0
+    var ci = 0
+    while (ci < n) {
+      val row = cents.getStruct(ci, 3)
+      if (row.getInt(0) == mTag) {
+        val id = row.getLong(1)
+        val ce = row.getArray(2)
+        val lc = ce.numElements()
+        val le = math.min(dim, lc)
+        var ec = 0.0
+        var j = 0
+        while (j < le) { ec += e.getDouble(j) * ce.getDouble(j); j += 1 }
+        var cc2 = 0.0
+        j = 0
+        while (j < lc) { val c = ce.getDouble(j); cc2 += c * c; j += 1 }
+        val d = ee - 2 * ec + cc2
+        val worse = size == cap && cap > 0 &&
+          (d > ds(cap - 1) || (d == ds(cap - 1) && id > ids(cap - 1)))
+        if (cap > 0 && !worse) {
+          var lo = math.min(size, cap - 1)
+          while (lo > 0 && (ds(lo - 1) > d || (ds(lo - 1) == d && ids(lo - 1) > id))) lo -= 1
+          var p = math.min(size, cap - 1)
+          while (p > lo) { ds(p) = ds(p - 1); ids(p) = ids(p - 1); p -= 1 }
+          ds(lo) = d
+          ids(lo) = id
+          if (size < cap) size += 1
+        }
+      }
+      ci += 1
+    }
+    val out = new Array[Any](size)
+    i = 0
+    while (i < size) {
+      out(i) = new GenericInternalRow(Array[Any](ds(i), ids(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      cs2: IndexedSeq[Expression]): Expression =
+    copy(se = cs2(0), cs = cs2(1), m = cs2(2), k = cs2(3))
+}
+
 /** Session-level registration + Column builders (SQL-name route keeps us on
   * the public API across Spark 4's Column internals). */
 object VectorFunctions {
@@ -258,6 +356,8 @@ object VectorFunctions {
         "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_near_cells", exprs => NearCells(exprs(0), exprs(1), exprs(2)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_pq_near", exprs => PqNearCells(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     }
 
   /** dot(a, b) — requires register(spark) once per session. */

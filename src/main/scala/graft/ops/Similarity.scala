@@ -436,13 +436,8 @@ object Similarity {
       collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
     emb.crossJoin(broadcast(cs))
       .withColumn("enc", expr(
-        s"""transform(
-           |  transform(sequence(0, ${PqM - 1}),
-           |            m -> struct(m AS m, slice(e, m * $PqSub + 1, $PqSub) AS se)),
-           |  t -> array_min(transform(filter(cs, c -> c.m = t.m),
-           |         c -> struct(graft_dot(t.se, t.se) - 2 * graft_dot(t.se, c.ce)
-           |                       + graft_dot(c.ce, c.ce) AS _d,
-           |                     c.cent_id AS cent_id))))""".stripMargin))
+        s"transform(sequence(0, ${PqM - 1}), m -> " +
+          s"element_at(graft_pq_near(slice(e, m * $PqSub + 1, $PqSub), cs, m, 1), 1))"))
       // argmin ties break on the RAW (dist, cent_id) order — identical to
       // the oracle's ROW_NUMBER; the error is fixed-pointed only AFTER the
       // winner is chosen, so quantization can never flip a code
@@ -479,10 +474,7 @@ object Similarity {
   private[graft] def pqTrain(subs: DataFrame, seeds: DataFrame): DataFrame = {
     val cs = seeds.agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
     val asg = subs.crossJoin(broadcast(cs))
-      .withColumn("cell", expr(
-        "array_min(transform(filter(cs, c -> c.m = m), c -> struct(" +
-          "graft_dot(se, se) - 2 * graft_dot(se, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
-          "c.cent_id AS cent_id))).cent_id"))
+      .withColumn("cell", expr("element_at(graft_pq_near(se, cs, m, 1), 1).cent_id"))
     val means = asg
       .select(col("m"), col("cell"), posexplode(col("se")).as(Seq("i", "v")))
       .groupBy("m", "cell", "i")
@@ -537,14 +529,12 @@ object Similarity {
     * per-vector PQ code array, the per-query integer LUT, and the M-lookup
     * integer distance sum. All assume columns `e` and the one-row `cs`
     * codebook broadcast (and `lut`/`codes` for the sum). */
+  // native graft_pq_near (VectorFunctions.PqNearCells) — the interpreted
+  // filter+array_min lambdas evaluated M·K codebook rows per vector row
+  // and dominated PQ encode at 1M vectors; bit-identical replacement
   private def pqCodesExpr: String =
-    s"""transform(
-       |  transform(sequence(0, ${PqM - 1}),
-       |            m -> struct(m AS m, slice(e, m * $PqSub + 1, $PqSub) AS se)),
-       |  t -> array_min(transform(filter(cs, c -> c.m = t.m),
-       |         c -> struct(graft_dot(t.se, t.se) - 2 * graft_dot(t.se, c.ce)
-       |                       + graft_dot(c.ce, c.ce) AS _d,
-       |                     c.cent_id AS cent_id))).cent_id)""".stripMargin
+    s"transform(sequence(0, ${PqM - 1}), m -> " +
+      s"element_at(graft_pq_near(slice(e, m * $PqSub + 1, $PqSub), cs, m, 1), 1).cent_id)"
 
   private def pqLutExpr: String =
     s"""flatten(transform(
@@ -1258,15 +1248,35 @@ object Similarity {
   }
 
   def q82KnnGraph(s: SparkSession, d: String): DataFrame = {
-    val cand = knnCand(s, d)
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
-    cand
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= AdcK)
-      .join(nCand.hint("shuffle_hash"), Seq("query_id"))
-      .select("query_id", "neighbor_id", "cos_sim", "n_cand", "rn")
+    // ONE partial+final aggregate computes the bounded top-k (graft_topk —
+    // q51's TypedImperativeAggregate; (cos_sim desc, neighbor_id asc) is
+    // exactly its total order) AND n_cand per query. The previous
+    // window+count+join-back formulation executed the Σ|cell| candidate
+    // kernel TWICE (rank subtree + count subtree) and pushed every
+    // candidate row through a per-partition sort — at 100k vectors that
+    // was 27 of q82's 35 anchor seconds. Now each candidate row is
+    // touched once, map-side, and the only candidate-keyed exchange
+    // carries ≤ k pairs + one count per query. */
+    graft.functions.TopKAgg.register(s)
+    knnCand(s, d)
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_sim, neighbor_id, $AdcK)").as("tk"),
+        count(lit(1)).as("n_cand"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("rn0", "p")), col("n_cand"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.score").as("cos_sim"), col("n_cand"),
+        (col("rn0") + 1).cast("long").as("rn"))
       .orderBy("query_id", "rn")
+  }
+
+  /** The kNN EDGE LIST (query_id → its top-k neighbors) shared by q84 and
+    * q94 — the same bounded-aggregate shape as q82 minus n_cand. */
+  private[graft] def knnEdges(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    knnCand(s, d)
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_sim, neighbor_id, $AdcK)").as("tk"))
+      .select(col("query_id"), explode(expr("transform(tk, t -> t.id)")).as("neighbor_id"))
   }
 
   /** The CTE chain producing the kNN candidate set (`e` … `cand`) —
@@ -1351,15 +1361,11 @@ object Similarity {
 
   def q84LabelProp(s: SparkSession, d: String): DataFrame = {
     val nodes = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    // The graph build (coarse train + Σ-cell candidate join + per-query
-    // top-k) is the expensive subtree and every round's vote join
+    // The graph build (coarse train + Σ-cell candidate join + bounded
+    // top-k agg) is the expensive subtree and every round's vote join
     // references it — persist it ONCE so rounds read the materialized
     // n·k integer edge rows instead of re-executing the kNN kernel.
-    val edges = knnCand(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= AdcK)
-      .select("query_id", "neighbor_id")
+    val edges = knnEdges(s, d)
       .cache() // lazy: round 1's materialization populates it
     // seed labels live on the raw table (embWithNorm prunes them away);
     // the semi-join keeps the seed set inside the nonzero-norm node set
@@ -1467,13 +1473,9 @@ object Similarity {
 
   def q94PageRank(s: SparkSession, d: String): DataFrame = {
     val nodes = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     // edge list + out-degree, persisted once: every round's contribution
     // join re-reads these n·k integer rows, never the kNN kernel
-    val edges = knnCand(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= AdcK)
-      .select("query_id", "neighbor_id")
+    val edges = knnEdges(s, d)
     val eo = edges
       .join(edges.groupBy("query_id").agg(count(lit(1)).as("outdeg")), Seq("query_id"))
       .cache() // lazy: round 1's materialization populates it; like q84's

@@ -428,13 +428,17 @@ class PlanSpec extends AnyFunSuite {
     // on cell (one shuffle per side), not a broadcast — and n_cand joins
     // back co-partitioned on query_id for the same reason
     assert(p.contains("SortMergeJoin"), p)
-    // exact key SET (not count: the formatted text duplicates the unreused
-    // subtree under cand's two consumers, and the coarse-train aggs are
-    // cell-keyed too — runtime dedups identical exchanges): every shuffle
-    // is on cell or query_id, never an embedding-bearing all-pairs key
+    // exact key SET: every shuffle is on cell (pair join + coarse-train
+    // aggs) or query_id (the one bounded top-k+count agg), never an
+    // embedding-bearing all-pairs key
     val ks = shuffleKeys(p)
     assert(ks.toSet == Set("cell", "query_id"), ks.toString)
-    assert(p.contains("WindowGroupLimit"), p)
+    // top-k + n_cand are ONE partial+final ObjectHashAggregate pass over
+    // the candidate stream — no window sort of Σ|cell| candidate rows, no
+    // second execution of the kernel for the count (each candidate row is
+    // touched exactly once, map-side)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
   }
 
   test("q83 semdedup: co-partitioned cell pair join; drop-resolution is a partial+final agg, not a window") {

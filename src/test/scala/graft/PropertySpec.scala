@@ -230,6 +230,64 @@ class PropertySpec extends AnyFunSuite {
   }
   private val GenCorpusSnapshot = "88ef945ff7b586ff95c833e3acd16f42"
 
+  test("native near-cells ≡ the HOF array_sort formulation it replaced, on random inputs") {
+    // graft_near_cells / graft_pq_near must be BIT-identical to the
+    // interpreted slice(array_sort(transform(...))) chain — same IEEE op
+    // order, same (distance, cent_id) ties — or every IVF oracle hash
+    // breaks. Differential over seeded random vectors INSIDE Spark so both
+    // sides run the engine's own expression evaluators.
+    val s = TestSpark.spark
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 8
+    val nCents = 17
+    val rows = Seq.tabulate(40) { i =>
+      (i.toLong, Array.fill(dim)(math.floor(rnd.nextDouble() * 1000) / 250.0 - 2.0))
+    }
+    val cents = Seq.tabulate(nCents) { c =>
+      // duplicated centroid vectors (c and c+100) force exact distance ties
+      // so the cent_id tiebreak is actually exercised
+      val base = Array.fill(dim)(math.floor(rnd.nextDouble() * 1000) / 250.0 - 2.0)
+      Seq((c.toLong, base)) ++ (if (c < 3) Seq((c + 100L, base)) else Nil)
+    }.flatten
+    val emb = rows.toDF("vec_id", "e")
+    val cc = cents.toDF("cent_id", "ce")
+      .agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct($"cent_id", $"ce")).as("cc"))
+    val joined = emb.crossJoin(org.apache.spark.sql.functions.broadcast(cc))
+    for (k <- Seq(1, 2, 5, 100)) {
+      val hof = joined.selectExpr("vec_id",
+        s"transform(slice(array_sort(transform(cc, c -> struct(" +
+          "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
+          s"c.cent_id AS cent_id))), 1, $k), s -> struct(s._d, s.cent_id)) AS r")
+        .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+      val native = joined.selectExpr("vec_id", s"graft_near_cells(e, cc, $k) AS r")
+        .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+      rows.foreach { case (id, _) =>
+        assert(native(id).map(r => (r.getDouble(0), r.getLong(1))) ==
+          hof(id).map(r => (r.getDouble(0), r.getLong(1))), s"k=$k vec $id")
+      }
+    }
+    // pq variant: subspace-tagged codebook, argmin must honor the m filter
+    val csPq = cents.zipWithIndex.map { case ((id, ce), i) => (i % 4, id, ce) }
+      .toDF("m", "cent_id", "ce")
+      .agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct($"m", $"cent_id", $"ce")).as("cs"))
+    val jp = emb.crossJoin(org.apache.spark.sql.functions.broadcast(csPq))
+    for (m <- 0 until 4) {
+      val hof = jp.selectExpr("vec_id",
+        s"array_min(transform(filter(cs, c -> c.m = $m), c -> struct(" +
+          "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
+          "c.cent_id AS cent_id))) AS r")
+        .collect().map(r => r.getStruct(1)).map(r => (r.getDouble(0), r.getLong(1)))
+      val native = jp.selectExpr("vec_id",
+        s"element_at(graft_pq_near(e, cs, $m, 1), 1) AS r")
+        .collect().map(r => r.getStruct(1)).map(r => (r.getDouble(0), r.getLong(1)))
+      assert(native.toSeq == hof.toSeq, s"m=$m")
+    }
+  }
+
   test("minhash buffer round-trips through serialization") {
     val agg = graft.functions.MinHashAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(1L), 8)
