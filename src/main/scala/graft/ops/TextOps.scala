@@ -468,6 +468,97 @@ object TextOps {
        |  FROM scored)
        |WHERE rnk <= $Bm25K ORDER BY query_id, rnk""".stripMargin
 
+  /** q96: HLL DISTINCT-CARDINALITY sketch, per-source + merged — the
+    * dataset-profiling primitive behind "how many distinct documents does
+    * each source contribute" at 100 TB, where an exact COUNT(DISTINCT)
+    * shuffles every fingerprint and a sketch shuffles 4 KiB per partition.
+    * Register semantics (p=12, m=4096, rho capped at 50) live in
+    * [[graft.functions.HllUtil]]; this query derives the (bucket, rho) pair
+    * from md5(text) hex — the q22/q43 portable-hash convention — builds one
+    * sketch per source with the native TypedImperativeAggregate, and derives
+    * the corpus-wide row by MERGING the per-source sketches (max per
+    * register), never re-scanning the corpus. The estimate is the raw HLL
+    * harmonic mean alpha·m²/Σ2^(−M[b]) with the Σ kept as an exact scaled
+    * BIGINT (order-independent) and NO small-range ln correction — ln is the
+    * one non-portable float op (q56's lesson), and the oracle gate needs the
+    * estimate bit-equal, not textbook-tuned.
+    *
+    * Scale shape: one corpus scan → map-side partial sketches → one 4 KiB
+    * row per (partition, source) shuffled → per-source rows; the '_all_' row
+    * folds those ≤ #sources sketches. The same algebra serves persisted
+    * per-batch sketches on an ingest path (the q65 Bloom convention). */
+  private val HllEstExpr: String =
+    "0.7213D / (1.0D + 1.079D / 4096.0D) * 4096.0D * 4096.0D * 1125899906842624.0D"
+
+  def q96HllDistinct(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HllAgg.register(s)
+    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .filter(col("text").isNotNull)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("bucket", expr("CAST(conv(substring(fp, 1, 3), 16, 10) AS BIGINT)"))
+      .withColumn("tl", substring(col("fp"), 4, 13))
+      .withColumn("z", length(regexp_extract(col("tl"), "^0*", 0)).cast("long"))
+      .withColumn("nz", substring(regexp_replace(col("tl"), "^0*", ""), 1, 1))
+      .withColumn("rho",
+        when(col("z") === 13, lit(50L)).otherwise(least(
+          col("z") * 4 +
+            when(col("nz") === "1", lit(3L))
+              .when(col("nz").isin("2", "3"), lit(2L))
+              .when(col("nz").isin("4", "5", "6", "7"), lit(1L))
+              .otherwise(lit(0L)) + 1L,
+          lit(50L))))
+    // one corpus pass feeds both output branches: per-source sketches are
+    // ≤ #sources 4 KiB rows, cached (session-level clearCache convention)
+    val perSrc = docs.groupBy("source")
+      .agg(expr("graft_hll_agg(bucket, rho)").as("sk")).cache()
+    perSrc.count()
+    val allRow = perSrc.agg(expr("graft_hll_merge(sk)").as("sk"))
+      .select(lit("_all_").as("source"), col("sk"))
+    perSrc.select(col("source"), col("sk")).unionByName(allRow)
+      .withColumn("st", expr("graft_hll_stats(sk)"))
+      .select(col("source"), lit(4096L).as("m"),
+        col("st.v_empty").as("v_empty"),
+        (col("st.s_scaled")).as("s_scaled"),
+        round(expr(s"$HllEstExpr / CAST(st.s_scaled AS DOUBLE)"), 3).as("est"))
+      .orderBy("source")
+  }
+
+  val q96Sql: String = {
+    def hv(i: Int) =
+      s"(CASE WHEN substring(fp, $i, 1) >= 'a' THEN ascii(substring(fp, $i, 1)) - 87" +
+        s" ELSE ascii(substring(fp, $i, 1)) - 48 END)"
+    """WITH h AS (
+      |  SELECT source,
+      |         CAST(HV1 * 256 + HV2 * 16 + HV3 AS BIGINT) AS bucket,
+      |         CAST(CASE WHEN z = 13 THEN 50
+      |              ELSE LEAST(z * 4 + CASE WHEN nz = '1' THEN 3
+      |                                      WHEN nz IN ('2','3') THEN 2
+      |                                      WHEN nz IN ('4','5','6','7') THEN 1
+      |                                      ELSE 0 END + 1, 50) END AS BIGINT) AS rho
+      |  FROM (
+      |    SELECT source, fp,
+      |           CAST(length(regexp_extract(substring(fp, 4, 13), '^0*', 0)) AS BIGINT) AS z,
+      |           substring(regexp_replace(substring(fp, 4, 13), '^0*', ''), 1, 1) AS nz
+      |    FROM (SELECT source, md5(text) AS fp FROM documents WHERE text IS NOT NULL))),
+      |reg AS (SELECT source, bucket, MAX(rho) AS r FROM h GROUP BY source, bucket),
+      |per AS (
+      |  SELECT source, COUNT(*) AS nzr, SUM(CAST(1 AS BIGINT) << (50 - r)) AS s_nz
+      |  FROM reg GROUP BY source),
+      |mreg AS (SELECT bucket, MAX(r) AS r FROM reg GROUP BY bucket),
+      |mper AS (
+      |  SELECT '_all_' AS source, COUNT(*) AS nzr,
+      |         SUM(CAST(1 AS BIGINT) << (50 - r)) AS s_nz
+      |  FROM mreg),
+      |u AS (SELECT * FROM per UNION ALL SELECT * FROM mper)
+      |SELECT source, CAST(4096 AS BIGINT) AS m,
+      |       CAST(4096 - nzr AS BIGINT) AS v_empty,
+      |       CAST(s_nz + (4096 - nzr) * 1125899906842624 AS BIGINT) AS s_scaled,
+      |       round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 * 1125899906842624.0
+      |             / CAST(s_nz + (4096 - nzr) * 1125899906842624 AS DOUBLE), 3) AS est
+      |FROM u ORDER BY source""".stripMargin
+      .replace("HV1", hv(1)).replace("HV2", hv(2)).replace("HV3", hv(3))
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
@@ -480,5 +571,6 @@ object TextOps {
     ("q90_bigram_topk", q90BigramTopk _, Some(q90Sql)),
     ("q92_heavy_hitters", q92HeavyHitters _, Some(q92Sql)),
     ("q95_bm25", q95Bm25 _, Some(q95Sql)),
+    ("q96_hll_distinct", q96HllDistinct _, Some(q96Sql)),
   )
 }

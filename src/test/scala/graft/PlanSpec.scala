@@ -664,6 +664,34 @@ class PlanSpec extends AnyFunSuite {
     assert(ks.toSet.subsetOf(Set("token")), ks.toString)
   }
 
+  test("q96 hll: one corpus scan feeds both branches; sketches are partial-agg'd, never a bucket shuffle") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = TextOps.q96HllDistinct(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    // the merged '_all_' row derives from the cached per-source sketches —
+    // the documents scan happened ONCE, during cache materialization
+    assert(ns.count(_.isInstanceOf[FileSourceScanExec]) == 0,
+      "final plan re-scanned parquet: the per-source sketch cache was bypassed")
+    assert(ns.count(_.isInstanceOf[InMemoryTableScanExec]) >= 2,
+      "expected both branches to read the per-source sketch cache")
+    // the sketch aggregate is typed-imperative: partial per-partition
+    // sketches merge through ObjectHashAggregate — the shuffle carries one
+    // 4 KiB buffer per (partition, source), NEVER a per-bucket exchange
+    val p = plan(TextOps.q96HllDistinct(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p)
+    val ks = shuffleKeys(p)
+    assert(ks.toSet.subsetOf(Set("source")), ks.toString)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
