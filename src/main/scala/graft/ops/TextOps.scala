@@ -490,10 +490,12 @@ object TextOps {
   private val HllEstExpr: String =
     "0.7213D / (1.0D + 1.079D / 4096.0D) * 4096.0D * 4096.0D * 1125899906842624.0D"
 
-  def q96HllDistinct(s: SparkSession, d: String): DataFrame = {
-    graft.functions.HllAgg.register(s)
-    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
-      .filter(col("text").isNotNull)
+  /** The portable (bucket, rho) derivation — md5 hex → 12-bit register
+    * index + leading-zero run of the next 52 bits. Shared by q96 and the
+    * streaming ingest profile ([[graft.streaming.DocStream.docSketches]]),
+    * so every sketch in the system is merge-compatible. */
+  private[graft] def hllDerive(df: DataFrame): DataFrame =
+    df.filter(col("text").isNotNull)
       .withColumn("fp", md5(col("text")))
       .withColumn("bucket", expr("CAST(conv(substring(fp, 1, 3), 16, 10) AS BIGINT)"))
       .withColumn("tl", substring(col("fp"), 4, 13))
@@ -507,6 +509,21 @@ object TextOps {
               .when(col("nz").isin("4", "5", "6", "7"), lit(1L))
               .otherwise(lit(0L)) + 1L,
           lit(50L))))
+
+  /** sketch rows (source, sk) → (source, m, v_empty, s_scaled, est) —
+    * shared output shape for q96 and the streaming merge path. */
+  private[graft] def hllEstimate(sketches: DataFrame): DataFrame =
+    sketches
+      .withColumn("st", expr("graft_hll_stats(sk)"))
+      .select(col("source"), lit(4096L).as("m"),
+        col("st.v_empty").as("v_empty"),
+        col("st.s_scaled").as("s_scaled"),
+        round(expr(s"$HllEstExpr / CAST(st.s_scaled AS DOUBLE)"), 3).as("est"))
+      .orderBy("source")
+
+  def q96HllDistinct(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HllAgg.register(s)
+    val docs = hllDerive(Tables.spread(s, Tables.documents(s, d), "doc_id"))
     // one corpus pass feeds both output branches: per-source sketches are
     // ≤ #sources 4 KiB rows, cached (session-level clearCache convention)
     val perSrc = docs.groupBy("source")
@@ -514,13 +531,7 @@ object TextOps {
     perSrc.count()
     val allRow = perSrc.agg(expr("graft_hll_merge(sk)").as("sk"))
       .select(lit("_all_").as("source"), col("sk"))
-    perSrc.select(col("source"), col("sk")).unionByName(allRow)
-      .withColumn("st", expr("graft_hll_stats(sk)"))
-      .select(col("source"), lit(4096L).as("m"),
-        col("st.v_empty").as("v_empty"),
-        (col("st.s_scaled")).as("s_scaled"),
-        round(expr(s"$HllEstExpr / CAST(st.s_scaled AS DOUBLE)"), 3).as("est"))
-      .orderBy("source")
+    hllEstimate(perSrc.select(col("source"), col("sk")).unionByName(allRow))
   }
 
   val q96Sql: String = {

@@ -136,6 +136,37 @@ object DocStream {
       .select(col("doc_id").as("fresh_id"), col("ex_id"), col("jaccard"))
       .dropDuplicates("fresh_id", "ex_id")
 
+  /** One 4 KiB HLL sketch row per source PER MICRO-BATCH — the continuous
+    * cardinality profile of an ingest stream. Run inside `foreachBatch` and
+    * append the rows to a sketch table: each batch costs one pass over THAT
+    * batch (the corpus is never re-read), and the persisted rows compose by
+    * max-merge, so "how many distinct documents has this stream seen, per
+    * source and overall" is answerable at any time from KBs of sketches
+    * ([[mergeSketches]]). Same register semantics as the batch q96
+    * ([[graft.ops.TextOps.hllDerive]]), so batch and stream sketches are
+    * mutually mergeable — the q65 Bloom persist-and-compose convention
+    * applied to cardinality. */
+  def docSketches(batch: DataFrame): DataFrame = {
+    graft.functions.HllAgg.register(batch.sparkSession)
+    graft.ops.TextOps.hllDerive(batch)
+      .groupBy("source")
+      .agg(expr("graft_hll_agg(bucket, rho)").as("sk"))
+  }
+
+  /** Persisted per-batch sketch rows → per-source + '_all_' cardinality
+    * estimates. Reads ONLY sketch rows (batches × sources × 4 KiB); the
+    * answer for a 100 TB stream history costs a KB-scale fold. */
+  def mergeSketches(sketches: DataFrame): DataFrame = {
+    graft.functions.HllAgg.register(sketches.sparkSession)
+    val perSrc = sketches.groupBy("source")
+      .agg(expr("graft_hll_merge(sk)").as("sk")).cache()
+    perSrc.count()
+    val allRow = perSrc.agg(expr("graft_hll_merge(sk)").as("sk"))
+      .select(lit("_all_").as("source"), col("sk"))
+    graft.ops.TextOps.hllEstimate(
+      perSrc.select(col("source"), col("sk")).unionByName(allRow))
+  }
+
   /** `nearDupAgainst` under an event-time WATERMARK — the production shape.
     * The unwatermarked path's pair-dedup state (a candidate pair surfaces
     * once per shared prefix token) grows with the stream forever; here the

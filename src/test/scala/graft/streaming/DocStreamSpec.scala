@@ -206,4 +206,46 @@ class DocStreamSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streamed index diverged: ${streamed.size} vs ${batch.size} rows")
   }
+
+  test("streamed HLL profile: per-batch sketches merged on read equal one batch sketch over the whole stream") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, sf)
+
+    // stage three micro-batches as separate parquet files in one stream dir
+    val dir = java.nio.file.Files.createTempDirectory("docstream_hll").toString
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val skDir = java.nio.file.Files.createTempDirectory("docstream_hll_sk").toString
+
+    // the production shape: foreachBatch appends one sketch row per source
+    // per micro-batch; the corpus is never re-read
+    val q = DocStream.readDocs(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DocStream.docSketches(batch)
+          .coalesce(1).write.mode("append").parquet(skDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val merged = DocStream.mergeSketches(spark.read.parquet(skDir)).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("v_empty"), r.getAs[Long]("s_scaled")))).toMap
+
+    // batch differential: one sketch pass over ALL the docs at once
+    val direct = graft.ops.TextOps.q96HllDistinct(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("v_empty"), r.getAs[Long]("s_scaled")))).toMap
+
+    assert(merged.keySet == direct.keySet,
+      s"source sets diverge: ${merged.keySet} vs ${direct.keySet}")
+    assert(merged.size >= 2, "vacuous: need at least one source plus '_all_'")
+    merged.foreach { case (src, got) =>
+      assert(got == direct(src),
+        s"stream-merged sketch diverges for $src: got=$got exp=${direct(src)}")
+    }
+  }
 }
