@@ -439,6 +439,13 @@ class PlanSpec extends AnyFunSuite {
     // touched exactly once, map-side)
     assert(!p.contains("Window"), p)
     assert(p.contains("ObjectHashAggregate"), p)
+    // the partial agg must not sort-fall-back after 128 query_id groups:
+    // building the graph raises the ObjectHashAggregate threshold (the
+    // measured −27% at the 100k anchor), unless an operator already set it
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "4000000",
+      "kNN-graph build left the sort-fallback threshold at a default that " +
+        "sorts every candidate row")
   }
 
   test("q83 semdedup: co-partitioned cell pair join; drop-resolution is a partial+final agg, not a window") {
