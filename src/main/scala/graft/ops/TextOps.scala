@@ -334,6 +334,40 @@ object TextOps {
       |       LATERAL (SELECT unnest(range(1, len(t))) AS i))
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** q97: KNESER–NEY continuation counts — the n-gram-LM smoothing
+    * statistic behind KN/modified-KN language models (the classic quality
+    * scorer for corpus filtering à la CCNet): for each token, how many
+    * DISTINCT left contexts it continues (cont_n = |{v : bigram "v w"
+    * occurs}|) vs its raw continuation frequency. KN backs off to
+    * cont/Σcont instead of raw frequency — the "Francisco" fix: a token
+    * that is frequent but glued to one context (Francisco after San)
+    * scores low where raw counts would score it high. Output: top-20
+    * tokens by continuation count with both statistics.
+    *
+    * Scale shape: bigrams are built INSIDE the token array (q90's
+    * transform trick — the token stream never self-joins), and
+    * `count + countDistinct` over one column plans as the two-phase
+    * distinct aggregate: partial dedup keyed (tok, prev) map-side, then a
+    * final count keyed tok — two bounded exchanges over pair keys, no
+    * full-vocabulary window; top-k is TakeOrderedAndProject. */
+  def q97Continuation(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS prev, element_at(w, i + 2) AS tok))")).as("b"))
+      .select(col("b.prev").as("prev"), col("b.tok").as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("raw_n"), countDistinct(col("prev")).as("cont_n"))
+      .orderBy(col("cont_n").desc, col("tok"))
+      .limit(20)
+
+  val q97Sql: String =
+    """SELECT tok, COUNT(*) AS raw_n, COUNT(DISTINCT prev) AS cont_n FROM (
+      |  SELECT t[CAST(i AS INTEGER)] AS prev, t[CAST(i + 1 AS INTEGER)] AS tok
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(t))) AS i))
+      |GROUP BY tok ORDER BY cont_n DESC, tok LIMIT 20""".stripMargin
+
   /** Heavy-hitter threshold: a token is heavy when count · T > total —
     * i.e. above 1/T of the token stream. */
   private val HhT = 200L
@@ -583,5 +617,6 @@ object TextOps {
     ("q92_heavy_hitters", q92HeavyHitters _, Some(q92Sql)),
     ("q95_bm25", q95Bm25 _, Some(q95Sql)),
     ("q96_hll_distinct", q96HllDistinct _, Some(q96Sql)),
+    ("q97_continuation", q97Continuation _, Some(q97Sql)),
   )
 }

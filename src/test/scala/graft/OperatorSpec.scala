@@ -1769,6 +1769,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expect, s"bm25 diverges:\n got=${got.take(6)}…\n exp=${expect.take(6)}…")
   }
 
+  test("q97 continuation counts match an independent plain-Scala recompute") {
+    val raw = scala.collection.mutable.Map.empty[String, Long]
+    val ctx = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val w = r.getString(0).split(" ", -1)
+      var i = 0
+      while (i < w.length - 1) {
+        raw(w(i + 1)) = raw.getOrElse(w(i + 1), 0L) + 1L
+        ctx.getOrElseUpdate(w(i + 1), scala.collection.mutable.Set.empty) += w(i)
+        i += 1
+      }
+    }
+    val expect = raw.keys.toSeq
+      .map(t => (t, raw(t), ctx(t).size.toLong))
+      .sortBy { case (t, _, c) => (-c, t) }.take(20)
+    val got = graft.ops.TextOps.q97Continuation(spark, sf).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("raw_n"),
+        r.getAs[Long]("cont_n"))).toSeq
+    assert(got.nonEmpty && got.head._3 >= 2, "vacuous: no token with 2+ contexts")
+    // the KN point: raw-frequency rank and continuation rank must actually
+    // differ somewhere in the corpus, else the statistic adds nothing
+    assert(got.exists { case (_, r, c) => r != c },
+      "vacuous: raw == continuation everywhere")
+    assert(got == expect, s"continuation top-20 diverges:\n got=$got\n exp=$expect")
+  }
+
   test("q96 hll: registers match an independent plain-Scala md5 recompute") {
     // pin the Spark-side hex derivation (conv bucket + regexp rho) against
     // a from-scratch MessageDigest implementation of the same register

@@ -699,6 +699,19 @@ class PlanSpec extends AnyFunSuite {
     assert(ks.toSet.subsetOf(Set("source")), ks.toString)
   }
 
+  test("q97 continuation: two-phase distinct agg (pair dedup then token count), top-k is TakeOrdered") {
+    import graft.ops.TextOps
+    val p = plan(TextOps.q97Continuation(spark, sf))
+    // count+countDistinct over one column plans as the two-phase distinct
+    // aggregate: partial (tok, prev) dedup map-side before its exchange,
+    // final count keyed tok — never a full-vocabulary window or self-join
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+    val ks = shuffleKeys(p)
+    assert(ks.nonEmpty && ks.toSet.subsetOf(Set("tok", "prev")), ks.toString)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
