@@ -1301,6 +1301,16 @@ object Similarity {
       .select(col("query_id"), explode(expr("transform(tk, t -> t.id)")).as("neighbor_id"))
   }
 
+  /** Persist the kNN edge list as a SERVABLE parquet artifact — the graph
+    * analogue of `ivfPqIndex`: the Σ|cell| candidate kernel (the expensive
+    * build, minutes at 1M vectors) runs ONCE, and every downstream graph
+    * analytic (label propagation, PageRank, clustering audits) reads n·k
+    * 16-byte integer rows instead of re-running it. Serving is bit-equal to
+    * self-contained (OperatorSpec round-trip) because the edge list IS the
+    * whole graph state — no float recompute on the read path. */
+  def knnGraphArtifact(s: SparkSession, d: String, path: String): Unit =
+    knnEdges(s, d).write.mode("overwrite").parquet(path)
+
   /** The CTE chain producing the kNN candidate set (`e` … `cand`) —
     * the SQL mirror of `knnCand`, shared by q82 and q84 so the two
     * oracles can never drift. */
@@ -1381,14 +1391,19 @@ object Similarity {
   private val LpRounds = 2
   private val LpSeedMod = 4
 
-  def q84LabelProp(s: SparkSession, d: String): DataFrame = {
-    val nodes = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id")
+  def q84LabelProp(s: SparkSession, d: String): DataFrame =
     // The graph build (coarse train + Σ-cell candidate join + bounded
     // top-k agg) is the expensive subtree and every round's vote join
     // references it — persist it ONCE so rounds read the materialized
     // n·k integer edge rows instead of re-executing the kNN kernel.
-    val edges = knnEdges(s, d)
-      .cache() // lazy: round 1's materialization populates it
+    q84LabelPropFrom(s, d, knnEdges(s, d).cache()) // lazy: round 1 populates
+
+  /** The serving seam: label propagation over an ALREADY-BUILT edge list —
+    * pass `knnEdges` (self-contained catalog shape) or a parquet round-trip
+    * of it ([[knnGraphArtifact]]) so repeated graph analytics never re-run
+    * the Σ|cell| kNN kernel. Same contract as `ivfPqSearchFrom`. */
+  private[graft] def q84LabelPropFrom(s: SparkSession, d: String, edges: DataFrame): DataFrame = {
+    val nodes = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id")
     // seed labels live on the raw table (embWithNorm prunes them away);
     // the semi-join keeps the seed set inside the nonzero-norm node set
     var labels = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
@@ -1493,11 +1508,15 @@ object Similarity {
     * convergence-tested, like q84/q71. */
   private val PrRounds = 3
 
-  def q94PageRank(s: SparkSession, d: String): DataFrame = {
+  def q94PageRank(s: SparkSession, d: String): DataFrame =
+    q94PageRankFrom(s, d, knnEdges(s, d))
+
+  /** Serving seam, same contract as [[q84LabelPropFrom]]: PageRank over an
+    * already-built (or parquet-served) edge list. */
+  private[graft] def q94PageRankFrom(s: SparkSession, d: String, edges: DataFrame): DataFrame = {
     val nodes = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id")
     // edge list + out-degree, persisted once: every round's contribution
     // join re-reads these n·k integer rows, never the kNN kernel
-    val edges = knnEdges(s, d)
     val eo = edges
       .join(edges.groupBy("query_id").agg(count(lit(1)).as("outdeg")), Seq("query_id"))
       .cache() // lazy: round 1's materialization populates it; like q84's

@@ -1769,6 +1769,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expect, s"bm25 diverges:\n got=${got.take(6)}…\n exp=${expect.take(6)}…")
   }
 
+  test("kNN graph artifact serving: q84/q94 from the parquet edge list equal the self-contained queries") {
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("knn_graph_art").toString
+    Similarity.knnGraphArtifact(spark, sf, dir)
+    val served = spark.read.parquet(dir)
+    val lpSelf = Similarity.q84LabelProp(spark, sf).collect().toSeq
+    val lpServed = Similarity.q84LabelPropFrom(spark, sf, served).collect().toSeq
+    assert(lpSelf.nonEmpty && lpSelf == lpServed,
+      s"served label-prop diverged: ${lpServed.size} vs ${lpSelf.size} rows")
+    val prSelf = Similarity.q94PageRank(spark, sf).collect().toSeq
+    val prServed = Similarity.q94PageRankFrom(spark, sf, served).collect().toSeq
+    assert(prSelf.nonEmpty && prSelf == prServed,
+      s"served pagerank diverged: ${prServed.size} vs ${prSelf.size} rows")
+    // the serving path's lineage must be the artifact, not the kernel:
+    // the edge frame reads exactly one parquet location — the artifact dir
+    val scans = served.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.relation.location.rootPaths
+      .forall(_.toString.contains("knn_graph_art"))),
+      "served edges did not come from the artifact")
+  }
+
   test("q97 continuation counts match an independent plain-Scala recompute") {
     val raw = scala.collection.mutable.Map.empty[String, Long]
     val ctx = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
