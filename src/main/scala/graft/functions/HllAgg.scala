@@ -47,8 +47,18 @@ object HllUtil {
 
   /** (v_empty, s_scaled): empty-register count and the exact integer
     * Σ_b 2^(RhoCap − M[b]) — the harmonic-mean denominator scaled by
-    * 2^RhoCap so it sums as a BIGINT (order-independent). */
+    * 2^RhoCap so it sums as a BIGINT (order-independent).
+    *
+    * A wrong-length buffer fails LOUDLY here and in the merge below: a
+    * sketch is a claim about cardinality, and silently skipping or padding
+    * a malformed one would produce a confidently wrong estimate (contrast
+    * BloomUtil.contains, where answering false on garbage merely costs
+    * work — membership false negatives there would be wrong, and false on
+    * malformed input is the conservative direction; for HLL there is no
+    * conservative direction). */
   def stats(buf: Array[Byte]): (Long, Long) = {
+    require(buf.length == M,
+      s"malformed HLL sketch: ${buf.length} registers, expected $M")
     var v = 0L; var s = 0L; var i = 0
     while (i < M) {
       if (buf(i) == 0) v += 1
@@ -137,7 +147,11 @@ case class HllMergeAgg(
     val v = child.eval(input)
     if (v != null) {
       val b = v.asInstanceOf[Array[Byte]]
-      if (b.length == HllUtil.M) HllUtil.mergeInto(buf, b)
+      // fail loudly, never skip: a silently dropped sketch is a silently
+      // low cardinality estimate (see HllUtil.stats)
+      require(b.length == HllUtil.M,
+        s"graft_hll_merge: malformed sketch of ${b.length} bytes, expected ${HllUtil.M}")
+      HllUtil.mergeInto(buf, b)
     }
     buf
   }
