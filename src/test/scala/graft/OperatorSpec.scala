@@ -1782,13 +1782,16 @@ class OperatorSpec extends AnyFunSuite {
     val prServed = Similarity.q94PageRankFrom(spark, sf, served).collect().toSeq
     assert(prSelf.nonEmpty && prSelf == prServed,
       s"served pagerank diverged: ${prServed.size} vs ${prSelf.size} rows")
-    // the serving path's lineage must be the artifact, not the kernel:
-    // the edge frame reads exactly one parquet location — the artifact dir
-    val scans = served.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    // the serving path's lineage must be the artifact, not the kernel: the
+    // edge frame is file-backed by exactly the artifact dir (checked on the
+    // ANALYZED plan — the physical plan may read the serving cache that
+    // q94PageRankFrom installs, which is itself rooted at this relation)
+    val rels = served.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
     }
-    assert(scans.nonEmpty && scans.forall(_.relation.location.rootPaths
-      .forall(_.toString.contains("knn_graph_art"))),
+    assert(rels.nonEmpty && rels.forall(
+      _.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.forall(_.toString.contains("knn_graph_art"))),
       "served edges did not come from the artifact")
   }
 

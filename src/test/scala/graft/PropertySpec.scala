@@ -288,6 +288,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hll sketch is partition-layout invariant and merge is associative/commutative/idempotent") {
+    val spark = TestSpark.spark
+    graft.functions.HllAgg.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(5000)((rnd.nextInt(4096).toLong, (rnd.nextInt(50) + 1).toLong))
+    import spark.implicits._
+    def stats(parts: Int): (Long, Long) = {
+      val st = rows.toDF("bucket", "rho").repartition(parts)
+        .agg(org.apache.spark.sql.functions.expr(
+          "graft_hll_stats(graft_hll_agg(bucket, rho))").as("st"))
+        .select("st.v_empty", "st.s_scaled").head()
+      (st.getLong(0), st.getLong(1))
+    }
+    val base = stats(1)
+    Seq(2, 7, 32).foreach { p =>
+      assert(stats(p) == base, s"sketch diverged at $p partitions")
+    }
+    // buffer algebra directly: merge is elementwise max — assoc/comm/idem
+    val u = graft.functions.HllUtil
+    def sk(pairs: Seq[(Long, Long)]): Array[Byte] = {
+      val b = u.newSketch(); pairs.foreach { case (bk, r) => u.update(b, bk, r) }; b
+    }
+    val (x, y, z) = (sk(rows.take(1000)), sk(rows.slice(1000, 3000)), sk(rows.drop(3000)))
+    def m(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val c = a.clone(); u.mergeInto(c, b); c
+    }
+    assert(java.util.Arrays.equals(m(m(x, y), z), m(x, m(y, z))), "not associative")
+    assert(java.util.Arrays.equals(m(x, y), m(y, x)), "not commutative")
+    assert(java.util.Arrays.equals(m(x, x), x), "not idempotent")
+    // serde round-trip
+    val agg = graft.functions.HllAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L),
+      org.apache.spark.sql.catalyst.expressions.Literal(1L))
+    assert(java.util.Arrays.equals(agg.deserialize(agg.serialize(x)), x))
+  }
+
   test("minhash buffer round-trips through serialization") {
     val agg = graft.functions.MinHashAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(1L), 8)
