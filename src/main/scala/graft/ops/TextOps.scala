@@ -368,6 +368,49 @@ object TextOps {
       |       LATERAL (SELECT unnest(range(1, len(t))) AS i))
       |GROUP BY tok ORDER BY cont_n DESC, tok LIMIT 20""".stripMargin
 
+  /** q98: CROSS-SOURCE content-overlap matrix — for every source pair, how
+    * many DISTINCT word 3-grams they share: the provenance-audit signal
+    * behind "is src7 a mirror/scrape of src3" and "which crawls should be
+    * deduped against each other first" (exact-fingerprint overlap is often
+    * empty across sources — mutated copies share n-grams, not bytes, so
+    * the gram level is where cross-source duplication is visible).
+    *
+    * Scale shape — deliberately NO self-join on the gram key: a hot gram
+    * shared by s sources would contribute s² join rows per gram. Instead
+    * ONE gram-keyed shuffle: distinct (source, gram) via partial+final
+    * dedup, then collect_set per gram (bounded by #sources), pair
+    * expansion INSIDE the sorted array (≤ s²/2 structs per gram, computed
+    * map-side after the agg), and a partial+final count keyed by the pair.
+    * Output is ≤ #sources² rows regardless of corpus size. */
+  def q98SourceOverlap(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), explode(expr(
+        "transform(slice(w, 1, greatest(size(w) - 2, 0)), " +
+          "(t, i) -> concat(t, ' ', element_at(w, i + 2), ' ', element_at(w, i + 3)))")).as("gram"))
+      .distinct()
+      .groupBy("gram").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), " +
+          "y -> struct(x AS src_a, y AS src_b))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .orderBy(col("n_shared").desc, col("src_a"), col("src_b"))
+
+  val q98Sql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT source,
+      |         w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)]
+      |           || ' ' || w[CAST(i + 2 AS INTEGER)] AS gram
+      |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source)
+      |SELECT src_a, src_b, COUNT(*) AS n_shared
+      |FROM p GROUP BY src_a, src_b
+      |ORDER BY n_shared DESC, src_a, src_b""".stripMargin
+
   /** Heavy-hitter threshold: a token is heavy when count · T > total —
     * i.e. above 1/T of the token stream. */
   private val HhT = 200L
@@ -618,5 +661,6 @@ object TextOps {
     ("q95_bm25", q95Bm25 _, Some(q95Sql)),
     ("q96_hll_distinct", q96HllDistinct _, Some(q96Sql)),
     ("q97_continuation", q97Continuation _, Some(q97Sql)),
+    ("q98_source_overlap", q98SourceOverlap _, Some(q98Sql)),
   )
 }

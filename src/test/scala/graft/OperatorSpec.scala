@@ -1821,6 +1821,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expect, s"continuation top-20 diverges:\n got=$got\n exp=$expect")
   }
 
+  test("q98 source overlap matches an independent plain-Scala recompute") {
+    val grams = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+    Tables.documents(spark, sf).select("source", "text").collect().foreach { r =>
+      val w = r.getString(1).split(" ", -1)
+      var i = 0
+      while (i < w.length - 2) {
+        grams.getOrElseUpdate(w(i) + " " + w(i + 1) + " " + w(i + 2),
+          scala.collection.mutable.Set.empty) += r.getString(0)
+        i += 1
+      }
+    }
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    grams.values.filter(_.size >= 2).foreach { ss =>
+      val sorted = ss.toSeq.sorted
+      for (a <- sorted.indices; b <- a + 1 until sorted.size)
+        pairCounts((sorted(a), sorted(b))) =
+          pairCounts.getOrElse((sorted(a), sorted(b)), 0L) + 1L
+    }
+    val expect = pairCounts.toSeq
+      .map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }
+    val got = graft.ops.TextOps.q98SourceOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("n_shared"))).toSeq
+    assert(got.nonEmpty && got.head._3 >= 2, "vacuous: no cross-source overlap")
+    assert(got == expect, s"overlap matrix diverges:\n got=${got.take(5)}…\n exp=${expect.take(5)}…")
+  }
+
   test("q96 hll: registers match an independent plain-Scala md5 recompute") {
     // pin the Spark-side hex derivation (conv bucket + regexp rho) against
     // a from-scratch MessageDigest implementation of the same register

@@ -712,6 +712,23 @@ class PlanSpec extends AnyFunSuite {
     assert(ks.nonEmpty && ks.toSet.subsetOf(Set("tok", "prev")), ks.toString)
   }
 
+  test("q98 source overlap: no self-join on the gram key — set-collect + in-array pair expansion") {
+    import graft.ops.TextOps
+    val p = plan(TextOps.q98SourceOverlap(spark, sf))
+    // a hot gram shared by s sources would contribute s² rows through a
+    // gram-keyed self-join; the plan must instead collect the bounded
+    // source set per gram and expand pairs inside the array
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("Join"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p) // collect_set
+    val ks = shuffleKeys(p)
+    // _groupingexpression = the (src_a, src_b) pair key (struct-field
+    // grouping gets an internal alias in the exchange)
+    assert(ks.nonEmpty &&
+      ks.toSet.subsetOf(Set("gram", "source", "src_a", "_groupingexpression")),
+      ks.toString)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
