@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BloomAgg, BloomContains, DotProductD, MinHashAgg, SimHashAgg, SrpBuckets}
+import graft.functions.{BloomAgg, BloomContains, DotProductD, HllAgg, HllMergeAgg, HllStats, MGAgg, MinHashAgg, NearCells, PqNearCells, SimHashAgg, SrpBuckets, TopKAgg}
 
 /** Session-extension installer: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -72,5 +72,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_simhash bits must be an int literal, got $other")
       })))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk", "graft_topk(score, id, k) - bounded per-group top-k aggregate"),
+      (exprs: Seq[Expression]) => TopKAgg(exprs(0), exprs(1), exprs(2) match {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"graft_topk k must be an int literal, got $other")
+      })))
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg"),
+      info("graft_mg", "graft_mg(item, capacity) - Misra-Gries heavy-hitter sketch aggregate"),
+      (exprs: Seq[Expression]) => MGAgg(exprs(0), exprs(1) match {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"graft_mg capacity must be an int literal, got $other")
+      })))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_agg"),
+      info("graft_hll_agg", "graft_hll_agg(bucket, rho) - HLL register-sketch aggregate (binary)"),
+      (exprs: Seq[Expression]) => HllAgg(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_merge"),
+      info("graft_hll_merge", "graft_hll_merge(sketch) - max-merge already-built HLL sketches"),
+      (exprs: Seq[Expression]) => HllMergeAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_stats"),
+      info("graft_hll_stats", "graft_hll_stats(sketch) - (v_empty, s_scaled) register stats"),
+      (exprs: Seq[Expression]) => HllStats(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_near_cells"),
+      info("graft_near_cells",
+        "graft_near_cells(e, cents, k) - k nearest coarse cells of an array<double>"),
+      (exprs: Seq[Expression]) => NearCells(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_near"),
+      info("graft_pq_near",
+        "graft_pq_near(se, cs, m, k) - per-subspace PQ codeword argmin"),
+      (exprs: Seq[Expression]) => PqNearCells(exprs(0), exprs(1), exprs(2), exprs(3))))
   }
 }

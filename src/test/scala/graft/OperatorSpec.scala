@@ -1306,6 +1306,26 @@ class OperatorSpec extends AnyFunSuite {
         |   FROM (SELECT explode(sequence(1, 10)) AS x))""".stripMargin)
       .head().getBoolean(0)
     assert(hit, "a member must probe true through the SQL surface")
+    // the sketch/top-k aggregates injected for pure-SQL clients
+    graft.functions.TopKAgg.register(spark)
+    graft.functions.MGAgg.register(spark)
+    graft.functions.HllAgg.register(spark)
+    val tk = spark.sql(
+      """SELECT graft_topk(CAST(x AS DOUBLE), CAST(x AS BIGINT), 2) AS t
+        |FROM (SELECT explode(sequence(1, 5)) AS x)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(_.getLong(1)) == Seq(5L, 4L), tk.toString)
+    val mg = spark.sql(
+      """SELECT graft_mg(CAST(x % 2 AS STRING), 4) AS c
+        |FROM (SELECT explode(sequence(1, 10)) AS x)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.nonEmpty, "MG sketch empty through the SQL surface")
+    val hll = spark.sql(
+      """SELECT graft_hll_stats(graft_hll_merge(sk)).s_scaled AS s FROM (
+        |  SELECT graft_hll_agg(CAST(x % 4096 AS BIGINT), CAST(1 + x % 20 AS BIGINT)) AS sk
+        |  FROM (SELECT explode(sequence(1, 1000)) AS x) GROUP BY x % 3)""".stripMargin)
+      .head().getLong(0)
+    assert(hll > 0, "HLL stats empty through the SQL surface")
   }
 
   test("multimodal feature extraction is deterministic and frame sampling explodes") {
