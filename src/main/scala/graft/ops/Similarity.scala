@@ -1305,6 +1305,122 @@ object Similarity {
         explode(expr("transform(tk, t -> t.id)")).as("neighbor_id"))
   }
 
+  /** q99: PCA TOP COMPONENT via fixed-point POWER ITERATION — the
+    * dimensionality/variance-structure probe behind embedding-space audits
+    * (is one direction dominating the space? which documents sit at the
+    * extremes of it?). Output: the 10 vectors with the largest |projection|
+    * onto the corpus's top principal direction.
+    *
+    * Everything float-hazardous is fixed-point (the q64/q94 discipline),
+    * which is what makes an ITERATIVE linear-algebra kernel hashable
+    * cross-engine:
+    *  - per-dim mean: Σ floor(x·10⁶) BIGINTs / n;
+    *  - covariance cells: Σ floor(cx_i·cx_j·10⁶) via the native
+    *    [[graft.functions.CovAgg]] — one d²-long buffer per partition
+    *    through the shuffle, never an n·d² explode;
+    *  - each power round: the matvec Σ_j floor(C[i][j]·v[j]·10⁶) is a
+    *    BIGINT sum, the normalization w/√(Σw²) is sqrt+divide (both
+    *    correctly rounded IEEE ops) rounded to 6dp — identical both
+    *    engines; a degenerate all-zero round yields 0 (guarded, the q89
+    *    sigma=0 lesson), not NaN;
+    *  - projections: Σ_i floor(cx_i·v_i·10⁶) BIGINT, map-side with the
+    *    component attached as a one-row broadcast.
+    *
+    * Scale shape: three honest corpus passes (mean, covariance, project) —
+    * each a map-side pass with a bounded aggregate (64 keys / one 32 KiB
+    * buffer / top-k) — plus a 64×64 iteration subplan on the CACHED cov
+    * frame (tiny joins, corpus never re-read; rounds are a fixed count
+    * like q71/q84/q94). */
+  private val PcaDim = 64
+  private val PcaRounds = 3
+  private val PcaTopK = 10
+
+  def q99PcaPower(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CovAgg.register(s)
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    val mu = emb
+      .select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(expr("CAST(floor(x * 1000000.0) AS BIGINT)")).as("fs"),
+        count(lit(1)).as("n"))
+      .select(col("i"),
+        ((col("fs").cast("double") / col("n")) / lit(1000000.0)).as("m"))
+    val muArr = mu.agg(
+      expr("transform(array_sort(collect_list(struct(i, m))), t -> t.m)").as("mu"))
+      .cache() // one row; saves the final projection pass a mean re-derivation
+    def centered = emb.crossJoin(broadcast(muArr))
+      .select(col("vec_id"), expr("zip_with(e, mu, (x, m) -> x - m)").as("cx"))
+    val cov = centered
+      .agg(expr(s"graft_cov(cx, $PcaDim)").as("cs"), count(lit(1)).as("n"))
+      .select(col("n"), posexplode(col("cs")).as(Seq("k", "fs")))
+      .select(expr(s"CAST(k div $PcaDim AS INT)").as("i"),
+        expr(s"CAST(k % $PcaDim AS INT)").as("j"),
+        ((col("fs").cast("double") / col("n")) / lit(1000000.0)).as("c"))
+      .cache() // 64×64 rows; the rounds re-derive from this, never the corpus
+    cov.count()
+    var v = s.range(PcaDim).select(col("id").cast("int").as("j"),
+      when(col("id") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+    for (_ <- 1 to PcaRounds) {
+      val w = cov.join(v, Seq("j"))
+        .groupBy("i")
+        .agg(sum(expr("CAST(floor(c * v * 1000000.0) AS BIGINT)")).as("w"))
+      // Σw² through DECIMAL(38,0): w can reach ~6e9 on high-variance data,
+      // so the BIGINT square would overflow where the decimal cannot (the
+      // q91 lesson applied preemptively); the exact integer converts to
+      // double identically in both engines
+      val n2 = w.agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+      v = w.crossJoin(broadcast(n2))
+        .select(col("i").as("j"),
+          when(col("n2") === 0, lit(0.0)).otherwise(
+            round(col("w").cast("double") / sqrt(col("n2").cast("double")), 6)).as("v"))
+    }
+    val vArr = v.agg(
+      expr("transform(array_sort(collect_list(struct(j, v))), t -> t.v)").as("vv"))
+    centered.crossJoin(broadcast(vArr))
+      .select(col("vec_id"),
+        expr(s"aggregate(sequence(1, $PcaDim), CAST(0 AS BIGINT), " +
+          "(acc, i) -> acc + CAST(floor(element_at(cx, i) * element_at(vv, i) " +
+          "* 1000000.0) AS BIGINT))").as("proj"))
+      .orderBy(abs(col("proj")).desc, col("vec_id"))
+      .limit(PcaTopK)
+  }
+
+  lazy val q99Sql: String = {
+    def round(prev: String, r: Int): String =
+      s"""w$r AS (
+         |  SELECT cov.i, SUM(CAST(floor(c * v * 1000000.0) AS BIGINT)) AS w
+         |  FROM cov JOIN $prev ON cov.j = $prev.j GROUP BY cov.i),
+         |v$r AS (
+         |  SELECT CAST(w$r.i AS INTEGER) AS j,
+         |         CASE WHEN n2 = 0 THEN 0.0
+         |              ELSE round(CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 6) END AS v
+         |  FROM w$r CROSS JOIN (
+         |    SELECT SUM(CAST(w AS DECIMAL(38,0)) * w) AS n2 FROM w$r) s$r)""".stripMargin
+    val rounds = (1 to PcaRounds).map(r => round(s"v${r - 1}", r)).mkString(",\n")
+    s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ex AS (SELECT vec_id, CAST(i AS INTEGER) AS i, e[CAST(i + 1 AS INTEGER)] AS x
+       |       FROM e2, LATERAL (SELECT unnest(range(0, $PcaDim)) AS i)),
+       |mu AS (SELECT i, (CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |                  / COUNT(*)) / 1000000.0 AS m
+       |       FROM ex GROUP BY i),
+       |cx AS (SELECT vec_id, ex.i, x - m AS cx FROM ex JOIN mu ON ex.i = mu.i),
+       |nn AS (SELECT COUNT(*) AS n FROM e2),
+       |cov AS (SELECT a.i AS i, b.i AS j,
+       |               (CAST(SUM(CAST(floor(a.cx * b.cx * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |                / MAX(nn.n)) / 1000000.0 AS c
+       |        FROM cx a JOIN cx b ON a.vec_id = b.vec_id CROSS JOIN nn
+       |        GROUP BY a.i, b.i),
+       |v0 AS (SELECT CAST(i AS INTEGER) AS j,
+       |              CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS v
+       |       FROM (SELECT unnest(range(0, $PcaDim)) AS i)),
+       |$rounds,
+       |proj AS (SELECT vec_id,
+       |                CAST(SUM(CAST(floor(cx * v * 1000000.0) AS BIGINT)) AS BIGINT) AS proj
+       |         FROM cx JOIN v$PcaRounds ON cx.i = v$PcaRounds.j GROUP BY vec_id)
+       |SELECT vec_id, proj FROM proj
+       |ORDER BY abs(proj) DESC, vec_id LIMIT $PcaTopK""".stripMargin
+  }
+
   /** Persist the kNN edge list as a SERVABLE parquet artifact — the graph
     * analogue of `ivfPqIndex`: the Σ|cell| candidate kernel (the expensive
     * build, minutes at 1M vectors) runs ONCE, and every downstream graph
@@ -2225,5 +2341,6 @@ object Similarity {
     ("q84_label_prop", q84LabelProp _, Some(q84Sql)),
     ("q86_adc_refine", q86AdcRefine _, Some(q86Sql)),
     ("q94_pagerank", q94PageRank _, Some(q94Sql)),
+    ("q99_pca_power", q99PcaPower _, Some(q99Sql)),
   )
 }

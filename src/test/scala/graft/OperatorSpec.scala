@@ -1841,6 +1841,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expect, s"continuation top-20 diverges:\n got=$got\n exp=$expect")
   }
 
+  test("q99 pca power iteration matches an independent plain-Scala recompute") {
+    val dDim = 64
+    val xs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val n = xs.length
+    val mu = Array.tabulate(dDim) { i =>
+      (xs.map(x => math.floor(x._2(i) * 1e6).toLong).sum.toDouble / n) / 1e6
+    }
+    val cx = xs.map { case (id, e) =>
+      (id, Array.tabulate(dDim)(i => e(i) - mu(i)))
+    }
+    val cov = Array.ofDim[Long](dDim, dDim)
+    cx.foreach { case (_, c) =>
+      var i = 0
+      while (i < dDim) {
+        var j = 0
+        while (j < dDim) { cov(i)(j) += math.floor(c(i) * c(j) * 1e6).toLong; j += 1 }
+        i += 1
+      }
+    }
+    val cm = Array.tabulate(dDim, dDim)((i, j) => (cov(i)(j).toDouble / n) / 1e6)
+    var v = Array.tabulate(dDim)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dDim)(i =>
+        (0 until dDim).map(j => math.floor(cm(i)(j) * v(j) * 1e6).toLong).sum)
+      val n2 = w.map(x => BigInt(x) * BigInt(x)).sum
+      v = w.map(x => if (n2 == 0) 0.0 else
+        java.math.BigDecimal.valueOf(x.toDouble / math.sqrt(n2.toDouble))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    }
+    val expect = cx.map { case (id, c) =>
+      (id, (0 until dDim).map(i => math.floor(c(i) * v(i) * 1e6).toLong).sum)
+    }.sortBy { case (id, p) => (-math.abs(p), id) }.take(10).toSeq
+    val got = graft.ops.Similarity.q99PcaPower(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("proj"))).toSeq
+    assert(got.nonEmpty && got.head._2 != 0, "vacuous: zero top projection")
+    // the component must actually differ from the axis-0 start vector,
+    // else the iteration did nothing
+    assert(v.count(math.abs(_) > 1e-4) > 1, "power iteration did not move off e0")
+    assert(got == expect, s"pca top-10 diverges:\n got=$got\n exp=$expect")
+  }
+
   test("q98 source overlap matches an independent plain-Scala recompute") {
     val grams = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
     Tables.documents(spark, sf).select("source", "text").collect().foreach { r =>

@@ -729,6 +729,34 @@ class PlanSpec extends AnyFunSuite {
       ks.toString)
   }
 
+  test("q99 pca: covariance is ONE buffer aggregate, rounds read the cached cov, top-k is TakeOrdered") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Similarity.q99PcaPower(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    // the final projection job reads the corpus ONCE; mean + covariance
+    // live in the one-row/4096-row caches, and the 64×64 power rounds
+    // re-derive from the cov cache, never the corpus
+    assert(ns.count(_.isInstanceOf[FileSourceScanExec]) <= 1,
+      s"final plan re-scanned the corpus: " +
+        ns.collect { case f: FileSourceScanExec => f.nodeName }.mkString(","))
+    assert(ns.count(_.isInstanceOf[InMemoryTableScanExec]) >= 1,
+      "expected the cov/mean caches in the final plan")
+    val p = plan(Similarity.q99PcaPower(spark, sf))
+    // the d² covariance is a typed-imperative buffer aggregate — one
+    // 32 KiB array per partition through the shuffle, never an n·d² explode
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q05: aggregation is partial (map-side) then final") {
     val p = plan(Relational.q05AggGroup(spark, sf))
     // two HashAggregate nodes per agg: partial before the exchange, final after
