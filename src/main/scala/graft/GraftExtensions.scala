@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BloomAgg, BloomContains, DotProductD, HllAgg, HllMergeAgg, HllStats, MGAgg, MinHashAgg, NearCells, PqNearCells, SimHashAgg, SrpBuckets, TopKAgg}
+import graft.functions.{BloomAgg, BloomContains, CovAgg, DotProductD, HllAgg, HllMergeAgg, HllStats, MGAgg, MinHashAgg, NearCells, PqNearCells, SimHashAgg, SrpBuckets, TopKAgg}
 
 /** Session-extension installer: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -100,6 +100,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hll_stats"),
       info("graft_hll_stats", "graft_hll_stats(sketch) - (v_empty, s_scaled) register stats"),
       (exprs: Seq[Expression]) => HllStats(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cov"),
+      info("graft_cov", "graft_cov(cx, d) - fixed-point d^2 second-moment sums aggregate"),
+      (exprs: Seq[Expression]) => CovAgg(exprs(0), exprs(1) match {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"graft_cov d must be an int literal, got $other")
+      })))
     ext.injectFunction((
       FunctionIdentifier("graft_near_cells"),
       info("graft_near_cells",

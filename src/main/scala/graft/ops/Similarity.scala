@@ -1335,7 +1335,10 @@ object Similarity {
   private val PcaRounds = 3
   private val PcaTopK = 10
 
-  def q99PcaPower(s: SparkSession, d: String): DataFrame = {
+  /** Shared by q99/q100: centered corpus + the cached d×d covariance
+    * frame (one corpus pass each — the mean lives in a cached one-row
+    * frame, the cov cells in a cached 64×64 frame). */
+  private def pcaParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.CovAgg.register(s)
     val emb = embWithNorm(s, d).select("vec_id", "e")
     val mu = emb
@@ -1348,7 +1351,7 @@ object Similarity {
     val muArr = mu.agg(
       expr("transform(array_sort(collect_list(struct(i, m))), t -> t.m)").as("mu"))
       .cache() // one row; saves the final projection pass a mean re-derivation
-    def centered = emb.crossJoin(broadcast(muArr))
+    val centered = emb.crossJoin(broadcast(muArr))
       .select(col("vec_id"), expr("zip_with(e, mu, (x, m) -> x - m)").as("cx"))
     val cov = centered
       .agg(expr(s"graft_cov(cx, $PcaDim)").as("cs"), count(lit(1)).as("n"))
@@ -1356,8 +1359,13 @@ object Similarity {
       .select(expr(s"CAST(k div $PcaDim AS INT)").as("i"),
         expr(s"CAST(k % $PcaDim AS INT)").as("j"),
         ((col("fs").cast("double") / col("n")) / lit(1000000.0)).as("c"))
-      .cache() // 64×64 rows; the rounds re-derive from this, never the corpus
+      .cache() // 64×64 rows; consumers re-derive from this, never the corpus
     cov.count()
+    (centered, cov)
+  }
+
+  def q99PcaPower(s: SparkSession, d: String): DataFrame = {
+    val (centered, cov) = pcaParts(s, d)
     var v = s.range(PcaDim).select(col("id").cast("int").as("j"),
       when(col("id") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
     for (_ <- 1 to PcaRounds) {
@@ -1420,6 +1428,51 @@ object Similarity {
        |SELECT vec_id, proj FROM proj
        |ORDER BY abs(proj) DESC, vec_id LIMIT $PcaTopK""".stripMargin
   }
+
+  /** q100: TOP CORRELATED DIMENSION PAIRS — the redundant-dimension audit
+    * on the same fixed-point covariance (ONE corpus pass shared with q99's
+    * machinery): corr(i, j) = C[i][j] / √(C[i][i]·C[j][j]) over the cached
+    * 64×64 cell frame, top-10 by |corr|. Embedding dims that correlate
+    * strongly are candidates for PQ subspace grouping / dim dropping; on a
+    * well-conditioned embedding space the matrix should be near-diagonal —
+    * this query is the check. All arithmetic after the fixed-point cells is
+    * correctly rounded IEEE (divide, sqrt, 6dp round) — hashable. */
+  def q100CorrPairs(s: SparkSession, d: String): DataFrame = {
+    val (_, cov) = pcaParts(s, d)
+    val diag = cov.filter(col("i") === col("j"))
+      .select(col("i").as("k"), col("c").as("vr"))
+    cov.filter(col("i") < col("j"))
+      .join(diag.select(col("k").as("i"), col("vr").as("vi")), Seq("i"))
+      .join(diag.select(col("k").as("j"), col("vr").as("vj")), Seq("j"))
+      .filter(col("vi") > 0 && col("vj") > 0)
+      .select(col("i"), col("j"),
+        round(col("c") / sqrt(col("vi") * col("vj")), 6).as("corr"))
+      .orderBy(abs(col("corr")).desc, col("i"), col("j"))
+      .limit(PcaTopK)
+  }
+
+  lazy val q100Sql: String =
+    s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ex AS (SELECT vec_id, CAST(i AS INTEGER) AS i, e[CAST(i + 1 AS INTEGER)] AS x
+       |       FROM e2, LATERAL (SELECT unnest(range(0, $PcaDim)) AS i)),
+       |mu AS (SELECT i, (CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |                  / COUNT(*)) / 1000000.0 AS m
+       |       FROM ex GROUP BY i),
+       |cx AS (SELECT vec_id, ex.i, x - m AS cx FROM ex JOIN mu ON ex.i = mu.i),
+       |nn AS (SELECT COUNT(*) AS n FROM e2),
+       |cov AS (SELECT a.i AS i, b.i AS j,
+       |               (CAST(SUM(CAST(floor(a.cx * b.cx * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |                / MAX(nn.n)) / 1000000.0 AS c
+       |        FROM cx a JOIN cx b ON a.vec_id = b.vec_id CROSS JOIN nn
+       |        GROUP BY a.i, b.i),
+       |diag AS (SELECT i AS k, c AS vr FROM cov WHERE i = j)
+       |SELECT cov.i, cov.j, round(c / sqrt(di.vr * dj.vr), 6) AS corr
+       |FROM cov
+       |JOIN diag di ON cov.i = di.k
+       |JOIN diag dj ON cov.j = dj.k
+       |WHERE cov.i < cov.j AND di.vr > 0 AND dj.vr > 0
+       |ORDER BY abs(round(c / sqrt(di.vr * dj.vr), 6)) DESC, cov.i, cov.j
+       |LIMIT $PcaTopK""".stripMargin
 
   /** Persist the kNN edge list as a SERVABLE parquet artifact — the graph
     * analogue of `ivfPqIndex`: the Σ|cell| candidate kernel (the expensive
@@ -2342,5 +2395,6 @@ object Similarity {
     ("q86_adc_refine", q86AdcRefine _, Some(q86Sql)),
     ("q94_pagerank", q94PageRank _, Some(q94Sql)),
     ("q99_pca_power", q99PcaPower _, Some(q99Sql)),
+    ("q100_corr_pairs", q100CorrPairs _, Some(q100Sql)),
   )
 }

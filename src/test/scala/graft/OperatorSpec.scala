@@ -1884,6 +1884,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expect, s"pca top-10 diverges:\n got=$got\n exp=$expect")
   }
 
+  test("q100 correlated dim pairs match an independent plain-Scala recompute") {
+    val dDim = 64
+    val xs = Tables.embeddings(spark, sf)
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS e").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = xs.length
+    val mu = Array.tabulate(dDim) { i =>
+      (xs.map(x => math.floor(x(i) * 1e6).toLong).sum.toDouble / n) / 1e6
+    }
+    val cov = Array.ofDim[Long](dDim, dDim)
+    xs.foreach { e =>
+      val c = Array.tabulate(dDim)(i => e(i) - mu(i))
+      for (i <- 0 until dDim; j <- 0 until dDim)
+        cov(i)(j) += math.floor(c(i) * c(j) * 1e6).toLong
+    }
+    val cm = Array.tabulate(dDim, dDim)((i, j) => (cov(i)(j).toDouble / n) / 1e6)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expect = (for {
+      i <- 0 until dDim; j <- i + 1 until dDim
+      if cm(i)(i) > 0 && cm(j)(j) > 0
+    } yield (i, j, r6(cm(i)(j) / math.sqrt(cm(i)(i) * cm(j)(j)))))
+      .sortBy { case (i, j, c) => (-math.abs(c), i, j) }.take(10)
+    val got = graft.ops.Similarity.q100CorrPairs(spark, sf).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Double]("corr"))).toSeq
+    assert(got.size == 10 && got.forall { case (_, _, c) => math.abs(c) <= 1.0 })
+    assert(got == expect, s"corr top-10 diverges:\n got=$got\n exp=$expect")
+  }
+
   test("q98 source overlap matches an independent plain-Scala recompute") {
     val grams = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
     Tables.documents(spark, sf).select("source", "text").collect().foreach { r =>
