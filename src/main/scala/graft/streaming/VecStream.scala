@@ -50,4 +50,35 @@ object VecStream {
   def indexAppend(freshVecs: DataFrame, cents: DataFrame, books: DataFrame): DataFrame =
     Similarity.ivfPqAppend(cents, books,
       freshVecs.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  /** One RAW Gram/second-moment sketch row per micro-batch — the streaming
+    * statistics feed for PCA/correlation audits (q99/q100): each batch
+    * contributes (Σ floor(x_i·x_j·10⁶) over the batch, batch count). Because the fixed-point floor applies PER ROW and
+    * the cell sums are plain BIGINT +, per-batch sketches are EXACTLY
+    * additive under any batching — the streamed fold is bit-equal to one
+    * whole-corpus aggregate (VecStreamSpec), unlike float moments where
+    * batching changes rounding. Run inside `foreachBatch`, append to a
+    * stats table; [[mergeGram]] folds KBs of rows into the corpus matrix.
+    * (Raw moments, not centered: centering needs the global mean, so a
+    * mean-corrected matrix is derived AT MERGE time — the standard
+    * streaming-moments decomposition; per-dim mean sums stream the same
+    * way via the q99 fixed-point mean pass.) */
+  def gramSketch(batch: DataFrame): DataFrame = {
+    graft.functions.CovAgg.register(batch.sparkSession)
+    batch
+      .select(col("embedding").cast("array<double>").as("e"))
+      .agg(expr("graft_cov(e, 64)").as("cs"), count(lit(1)).as("n"))
+  }
+
+  /** Persisted per-batch Gram sketches → the exact corpus-level cell
+    * matrix (i, j, fs, n): element-wise BIGINT sums over KB-scale rows —
+    * the corpus is never re-read. */
+  def mergeGram(sketches: DataFrame): DataFrame =
+    sketches
+      .select(col("n"), posexplode(col("cs")).as(Seq("k", "fs")))
+      .groupBy("k")
+      .agg(sum(col("fs")).as("fs"), sum(col("n")).as("n"))
+      .select(expr("CAST(k div 64 AS INT)").as("i"),
+        expr("CAST(k % 64 AS INT)").as("j"),
+        col("fs"), col("n"))
 }

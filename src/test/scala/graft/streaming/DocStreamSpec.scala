@@ -207,6 +207,36 @@ class DocStreamSpec extends AnyFunSuite {
       s"streamed index diverged: ${streamed.size} vs ${batch.size} rows")
   }
 
+  test("streamed Gram sketches fold to the exact whole-corpus matrix (fixed-point cells are additive)") {
+    val spark = TestSpark.spark
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+
+    val dir = java.nio.file.Files.createTempDirectory("vecstream_gram").toString
+    (0 until 3).foreach { i =>
+      vecs.filter(col("vec_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val skDir = java.nio.file.Files.createTempDirectory("vecstream_gram_sk").toString
+    val q = VecStream.readVecs(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        VecStream.gramSketch(batch)
+          .coalesce(1).write.mode("append").parquet(skDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val merged = VecStream.mergeGram(spark.read.parquet(skDir)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val direct = VecStream.mergeGram(VecStream.gramSketch(vecs)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(merged.size == 64 * 64 && direct.size == 64 * 64)
+    assert(merged == direct,
+      "streamed Gram fold diverged from the whole-corpus aggregate — " +
+        "fixed-point cell additivity is broken")
+  }
+
   test("streamed HLL profile: per-batch sketches merged on read equal one batch sketch over the whole stream") {
     val spark = TestSpark.spark
     val docs = Tables.documents(spark, sf)
