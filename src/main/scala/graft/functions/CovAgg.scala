@@ -23,7 +23,13 @@ import org.apache.spark.sql.types._
   * and bit-equal to the oracle's SQL Σ (q64's trick). Overflow bound: with
   * per-row |term| ≲ 2.5e7 (unit-variance data) the BIGINT cell holds to
   * ~3·10¹¹ rows; beyond that shard the aggregate and sum shards as
-  * DECIMAL(38,0) — same convention as the other fixed-point aggregates. */
+  * DECIMAL(38,0) — same convention as the other fixed-point aggregates.
+  * The bound is ENFORCED, not prose (the repo's fail-loud convention, cf.
+  * HllUtil.stats): update rejects components with |x| > 1e6 (beyond which
+  * the per-row floor(x_i·x_j·10⁶) term itself could exceed Long range and
+  * Double→Long conversion would SATURATE silently), and both the cell
+  * accumulation and partial merge use Math.addExact so a wrapped sum
+  * raises ArithmeticException instead of shipping a wrong Gram matrix. */
 case class CovAgg(
     child: Expression,
     d: Int,
@@ -56,10 +62,16 @@ case class CovAgg(
       var i = 0
       while (i < d) {
         val xi = x(i)
+        // |x| ≤ 1e6 keeps every floor(x_i·x_j·1e6) term within Long range
+        // (≤ 1e18 < 2⁶³) — beyond it the Double→Long conversion saturates
+        // silently, so reject loudly instead (NaN fails this check too)
+        require(math.abs(xi) <= 1e6,
+          s"graft_cov: |component| ${xi} exceeds the 1e6 fixed-point bound")
         val row = i * d
         var j = 0
         while (j < d) {
-          buf(row + j) += math.floor(xi * x(j) * 1000000.0).toLong
+          buf(row + j) = Math.addExact(buf(row + j),
+            math.floor(xi * x(j) * 1000000.0).toLong)
           j += 1
         }
         i += 1
@@ -70,7 +82,7 @@ case class CovAgg(
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
+    while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
     a
   }
 

@@ -281,11 +281,44 @@ object Similarity {
     * operator raises nlist to hold per-cell blocks bounded — BASELINE.md
     * records the lever empirically (anchor runs set SPARK_GRAFT_NLIST).
     * Both the Spark plan and the DuckDB oracle SQL interpolate the same
-    * value, so the correctness gate follows the lever automatically. */
+    * value, so the correctness gate follows the lever automatically.
+    * Since round 12 the corpus² family no longer RELIES on the manual
+    * lever: with no env override it derives nlist ≈ ⌈√n⌉ from the corpus
+    * count ([[corpusNList]]); the static [[IvfNList]] below only feeds the
+    * per-query serving family, where nlist scales build cost linearly. */
   private[graft] val IvfNList: Int =
     sys.env.get("SPARK_GRAFT_NLIST").map(_.toInt).getOrElse(8)
   private[graft] val IvfNProbe: Int =
     sys.env.get("SPARK_GRAFT_NPROBE").map(_.toInt).getOrElse(2)
+
+  /** AUTO-SIZED nlist for the CORPUS×CORPUS family (q82/q83/q84/q94 — the
+    * queries whose candidate volume is ≈ n²·nprobe/nlist): `max(8, ⌈√n⌉)`.
+    * The per-query ANN serving family keeps the static [[IvfNList]] lever
+    * (its query side is a fixed probe subset, so nlist only scales the
+    * index-build cost linearly), but for corpus² work a FIXED nlist is a
+    * measured quadratic cliff — BASELINE.md round-11: q83 at 100k vectors
+    * took 437 s under nlist=8 vs 10.4 s at nlist=128 — and √n is the
+    * standard IVF sizing rule (per-cell block ≈ √n, so candidate volume
+    * ≈ n^1.5·nprobe, the honest kNN-graph cost with one data factor
+    * absorbed by the index). */
+  private[graft] def derivedNList(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt)
+
+  /** The corpus² nlist: the `SPARK_GRAFT_NLIST` override if set (anchor
+    * runs pin it), else [[derivedNList]] of a cheap embeddings row count
+    * (parquet footer metadata — no column data is read). The DuckDB oracle
+    * interpolates [[corpusNListSql]], which computes the SAME formula as a
+    * scalar subquery, so the correctness gate follows the derivation
+    * automatically at any corpus size. */
+  private[graft] def corpusNList(s: SparkSession, d: String): Int =
+    sys.env.get("SPARK_GRAFT_NLIST").map(_.toInt)
+      .getOrElse(derivedNList(Tables.embeddings(s, d).count()))
+
+  /** SQL mirror of [[corpusNList]]: the env literal when the override is
+    * set, else the √n derivation as a scalar subquery over the same table. */
+  private[graft] lazy val corpusNListSql: String =
+    sys.env.get("SPARK_GRAFT_NLIST").map(_.toInt.toString).getOrElse(
+      "(SELECT GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)")
   private val IvfK = 5
   private val IvfNQueries = 10
 
@@ -1217,17 +1250,27 @@ object Similarity {
     *
     * Candidate volume is Σ_cell |cell|·|probes(cell)| ≈ n²·nprobe/nlist —
     * inherently quadratic-over-nlist (that IS the kNN-graph cost); nlist
-    * is the scale lever, and per-cell skew is bounded by the Lloyd-trained
-    * balance (plus AQE skew splitting at the extreme). Hashability: same
-    * fixed-point coarse train as q74/q78, exact IEEE cosine rounded 6dp,
-    * neighbor_id ties — deterministic cross-engine. */
+    * auto-sizes to ⌈√n⌉ ([[corpusNList]]), and per-cell skew is bounded by
+    * the Lloyd-trained balance (plus AQE skew splitting at the extreme).
+    * Hashability: same fixed-point coarse train as q74/q78, exact IEEE
+    * cosine rounded 6dp, neighbor_id ties — deterministic cross-engine.
+    *
+    * SESSION-CONF NOTE (applies to q82/q84/q94/[[knnGraphArtifact]] — every
+    * caller of the top-k kernel): building these queries raises
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` from
+    * Spark's default 128 to 4,000,000 FOR THE SESSION (SQLConf is read at
+    * planning, so a narrower scope is impossible for a lazily-executed
+    * frame); later ObjectHashAggregates in the same session inherit the
+    * larger in-memory-map bound. An explicitly pre-set non-default value is
+    * never overridden — see [[raiseTopkFallback]] for the measurement and
+    * the worst-case memory math. */
   /** The kNN-graph candidate kernel shared by q82 (graph construction) and
     * q84 (label propagation): coarse cells over the nonzero-norm corpus,
     * co-partitioned cell join, exact rounded cosine per candidate pair.
     * Columns: (query_id, neighbor_id, cos_sim). */
   private[graft] def knnCand(s: SparkSession, d: String): DataFrame = {
     val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
-    val coarseSeed = emb.filter(col("vec_id") < IvfNList)
+    val coarseSeed = emb.filter(col("vec_id") < corpusNList(s, d))
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
     val cc = fixedPointUpdate(assignCells(emb.select("vec_id", "e"), coarseSeed), coarseSeed)
       .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
@@ -1493,7 +1536,7 @@ object Similarity {
        |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
        |  WHERE sqrt(list_inner_product(e, e)) > 0),
-       |kseed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $IvfNList),
+       |kseed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $corpusNListSql),
        |ka0 AS (
        |  SELECT x.vec_id, x.e, c.cent_id,
        |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
@@ -1771,7 +1814,7 @@ object Similarity {
 
   def q83SemDedup(s: SparkSession, d: String): DataFrame = {
     val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
-    val coarseSeed = emb.filter(col("vec_id") < IvfNList)
+    val coarseSeed = emb.filter(col("vec_id") < corpusNList(s, d))
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
     val cc = fixedPointUpdate(assignCells(emb.select("vec_id", "e"), coarseSeed), coarseSeed)
       .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
@@ -1799,7 +1842,7 @@ object Similarity {
        |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
        |  WHERE sqrt(list_inner_product(e, e)) > 0),
-       |kseed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $IvfNList),
+       |kseed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $corpusNListSql),
        |ka0 AS (
        |  SELECT x.vec_id, x.e, c.cent_id,
        |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn

@@ -488,9 +488,22 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // Per-doc term frequency in O(L log L), still entirely MAP-SIDE (the
+    // token stream never shuffles): sort the token array, mark run starts
+    // (position 0 or token ≠ its predecessor), and each run's tf is the
+    // gap to the next start (a zip of the start list with its own tail plus
+    // one end sentinel). The previous formulation — size(filter(w, x = t))
+    // per distinct t — was O(L²) per document: invisible at the ≤598-char
+    // testdata, dominant on real 10⁴–10⁵-token documents (measured linear
+    // on the GenLongDocs corpus, BASELINE.md round-12 anchors).
     val tf = docs
+      .withColumn("ws", expr("array_sort(w)"))
+      .withColumn("st", expr(
+        "filter(transform(ws, (t, i) -> struct(t AS term, i AS i)), " +
+          "p -> p.i = 0 OR element_at(ws, p.i) <> p.term)"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(expr(
-        "transform(array_distinct(w), t -> struct(t AS term, size(filter(w, x -> x = t)) AS tf))")).as("p"))
+        "zip_with(st, concat(slice(st, 2, size(st)), array(struct('' AS term, size(ws) AS i))), " +
+          "(a, b) -> struct(a.term AS term, b.i - a.i AS tf))")).as("p"))
       .select(col("doc_id"), col("dl"), col("p.term").as("term"), col("p.tf").cast("long").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
@@ -587,8 +600,17 @@ object TextOps {
               .otherwise(lit(0L)) + 1L,
           lit(50L))))
 
-  /** sketch rows (source, sk) → (source, m, v_empty, s_scaled, est) —
-    * shared output shape for q96 and the streaming merge path. */
+  /** sketch rows (source, sk) → (source, m, v_empty, s_scaled, est,
+    * est_valid) — shared output shape for q96 and the streaming merge path.
+    * `est` is the RAW harmonic-mean estimate with no small-range ln
+    * correction (ln is the one non-portable float op — q56's lesson), which
+    * makes it confidently wrong below n ≈ 2.5m (~10k): `est_valid` flags
+    * exactly that — the textbook applicability test (no empty registers, or
+    * est above 2.5m), computed from integers + the already-rounded est so
+    * it hashes identically cross-engine. Consumers needing a small-range
+    * number apply external linear counting from v_empty (m·ln(m/v_empty)),
+    * which v_empty/s_scaled expose precisely so the non-portable ln stays
+    * OUT of the gated columns. */
   private[graft] def hllEstimate(sketches: DataFrame): DataFrame =
     sketches
       .withColumn("st", expr("graft_hll_stats(sk)"))
@@ -596,6 +618,8 @@ object TextOps {
         col("st.v_empty").as("v_empty"),
         col("st.s_scaled").as("s_scaled"),
         round(expr(s"$HllEstExpr / CAST(st.s_scaled AS DOUBLE)"), 3).as("est"))
+      .withColumn("est_valid",
+        col("v_empty") === 0L || col("est") > lit(10240.0))
       .orderBy("source")
 
   def q96HllDistinct(s: SparkSession, d: String): DataFrame = {
@@ -642,7 +666,11 @@ object TextOps {
       |       CAST(4096 - nzr AS BIGINT) AS v_empty,
       |       CAST(s_nz + (4096 - nzr) * 1125899906842624 AS BIGINT) AS s_scaled,
       |       round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 * 1125899906842624.0
-      |             / CAST(s_nz + (4096 - nzr) * 1125899906842624 AS DOUBLE), 3) AS est
+      |             / CAST(s_nz + (4096 - nzr) * 1125899906842624 AS DOUBLE), 3) AS est,
+      |       ((4096 - nzr) = 0 OR
+      |        round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 * 1125899906842624.0
+      |              / CAST(s_nz + (4096 - nzr) * 1125899906842624 AS DOUBLE), 3) > 10240.0)
+      |         AS est_valid
       |FROM u ORDER BY source""".stripMargin
       .replace("HV1", hv(1)).replace("HV2", hv(2)).replace("HV3", hv(3))
   }

@@ -67,6 +67,10 @@ object VecStream {
     graft.functions.CovAgg.register(batch.sparkSession)
     batch
       .select(col("embedding").cast("array<double>").as("e"))
+      // null embeddings are skipped by CovAgg.update, so they must not be
+      // counted into n either — otherwise the merged (fs, n) pairs would
+      // normalize the Gram cells by more rows than were accumulated
+      .filter(col("e").isNotNull)
       .agg(expr("graft_cov(e, 64)").as("cs"), count(lit(1)).as("n"))
   }
 

@@ -984,14 +984,44 @@ class OperatorSpec extends AnyFunSuite {
       assert(sims == sims.sorted.reverse, s"query $q order")
       assert(rs.head.getAs[Long]("n_cand") >= rs.length, s"query $q n_cand")
     }
-    // identical coarse quantizer + nprobe ⇒ for the 10 q74 query ids the
-    // scanned candidate sets are the same size (q82 ranks them on exact
-    // cosine, q74 on ADC codes — fidelity differs, cells scanned don't)
-    val q74n = Similarity.q74IvfPqTopk(spark, sf).collect()
-      .groupBy(_.getAs[Long]("query_id")).view
-      .mapValues(_.head.getAs[Long]("n_cand")).toMap
-    q74n.foreach { case (q, n) =>
-      assert(byQ(q).head.getAs[Long]("n_cand") == n, s"query $q n_cand vs q74")
+    // n_cand cross-check: a plain-Scala recompute of the coarse quantizer
+    // at the DERIVED nlist (seed → one fixed-point Lloyd update → argmin
+    // assignment → nprobe probe cells) must predict every query's scanned
+    // candidate count. (Until round 12 this compared against q74's n_cand,
+    // which silently assumed the serving and corpus² families share one
+    // nlist — the auto-sizing split broke that by design.)
+    val nlist = Similarity.corpusNList(spark, sf)
+    val nprobe = Similarity.IvfNProbe
+    val vecs = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("e").toArray)
+      .filter { case (_, e) => math.sqrt(e.map(x => x * x).sum) > 0 }
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def d2(x: Array[Double], c: Array[Double]): Double =
+      dot(x, x) - 2 * dot(x, c) + dot(c, c)
+    def nearCells(cents: Array[(Long, Array[Double])], x: Array[Double], k: Int): Seq[Long] =
+      cents.map { case (cid, ce) => (d2(x, ce), cid) }.sortBy(identity).take(k).map(_._2).toSeq
+    val seeds = vecs.filter(_._1 < nlist)
+    val upd = vecs.map { case (_, e) => (nearCells(seeds, e, 1).head, e) }
+      .groupBy(_._1).map { case (cell, xs) =>
+        val dim = xs.head._2.length
+        cell -> Array.tabulate(dim) { i =>
+          val fs = xs.map(x => math.floor(x._2(i) * 1000000.0).toLong).sum
+          (fs.toDouble / xs.length) / 1000000.0
+        }
+      }
+    val cents = seeds.map { case (cid, ce) => cid -> upd.getOrElse(cid, ce) }
+    val cellOf = vecs.map { case (id, e) => id -> nearCells(cents, e, 1).head }.toMap
+    val cellSize = cellOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    vecs.foreach { case (id, e) =>
+      val probes = nearCells(cents, e, nprobe)
+      val exp = probes.map(c => cellSize.getOrElse(c, 0L)).sum -
+        (if (probes.contains(cellOf(id))) 1L else 0L)
+      assert(byQ(id).head.getAs[Long]("n_cand") == exp, s"query $id n_cand vs recompute")
     }
   }
 
@@ -1023,6 +1053,26 @@ class OperatorSpec extends AnyFunSuite {
     // strictly smaller than the corpus and every drop is a corpus member
     val dropIds = drops.map(_.getAs[Long]("drop_id")).toSet
     assert(dropIds.subsetOf(emb.keySet) && dropIds.size < emb.size)
+  }
+
+  test("corpus² nlist auto-sizes to ≥ ⌈√n⌉ from the corpus count (no env lever needed)") {
+    // the derivation rule itself: max(8, ⌈√n⌉)
+    assert(Similarity.derivedNList(10000L) == 100)
+    assert(Similarity.derivedNList(500L) == 23)
+    assert(Similarity.derivedNList(1000000L) == 1000)
+    assert(Similarity.derivedNList(10L) == 8, "small corpora keep the floor of 8")
+    assert(Similarity.derivedNList(0L) == 8)
+    // end-to-end on a synthetic 10k-vector table: corpusNList reads only
+    // the parquet row count and lands exactly at ⌈√10000⌉ = 100
+    val dir = java.nio.file.Files.createTempDirectory("nlist_syn").toString
+    spark.range(10000)
+      .selectExpr("id AS vec_id", "array(CAST(id AS FLOAT)) AS embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    if (!sys.env.contains("SPARK_GRAFT_NLIST")) {
+      val got = Similarity.corpusNList(spark, dir)
+      assert(got == 100, s"derived nlist $got for a 10k-vector corpus")
+      assert(got >= math.ceil(math.sqrt(10000.0)).toInt)
+    }
   }
 
   test("q84: label propagation matches an independent plain-Scala propagation over the q82 graph") {
