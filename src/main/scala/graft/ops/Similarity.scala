@@ -1409,6 +1409,19 @@ object Similarity {
 
   def q99PcaPower(s: SparkSession, d: String): DataFrame = {
     val (centered, cov) = pcaParts(s, d)
+    q99PowerProject(s, centered, cov)
+  }
+
+  /** The iteration+projection half of q99, split out as a SERVING SEAM:
+    * `centered` is any (vec_id, cx) frame and `cov` any (i, j, c) cell
+    * frame. The batch entry feeds it [[pcaParts]]; the streaming serve
+    * path feeds it the SAME frames derived from merged per-batch
+    * fixed-point sketches ([[graft.streaming.VecStream.mergeGram]] /
+    * `mergeMean`) — bit-equal because every per-row floor happens before
+    * any Σ, so batch boundaries can't change a single bit
+    * (VecStreamServe spec holds the end-to-end equality). */
+  private[graft] def q99PowerProject(s: SparkSession, centered: DataFrame,
+      cov: DataFrame): DataFrame = {
     var v = s.range(PcaDim).select(col("id").cast("int").as("j"),
       when(col("id") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
     for (_ <- 1 to PcaRounds) {
@@ -1782,6 +1795,124 @@ object Similarity {
        |deg AS (SELECT query_id, COUNT(*) AS outdeg FROM edges GROUP BY query_id),
        |eo AS (SELECT e.query_id, e.neighbor_id, d.outdeg
        |       FROM edges e JOIN deg d USING (query_id)),
+       |p0 AS (SELECT vec_id, CAST(1.0 AS DOUBLE) AS pr FROM e),
+       |$rounds
+       |SELECT vec_id, round(pr, 6) AS pr FROM p$PrRounds ORDER BY vec_id""".stripMargin
+  }
+
+  /** Session-scoped parquet dir for the served-graph catalog entry (the
+    * q76 sink convention: one temp dir per JVM, overwritten on repeated
+    * builds, deleted by a shutdown hook; the path never reaches output). */
+  private lazy val knnGraphServeDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_knn_serve")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        val all = Files.walk(p).iterator().asScala.toSeq
+        all.sortBy(-_.getNameCount).foreach((f: Path) => Files.deleteIfExists(f))
+      }
+    }
+    p.toString
+  }
+
+  /** q101: PAGERANK SERVED FROM THE PERSISTED GRAPH ARTIFACT — the
+    * oracle-gated promotion of the [[knnGraphArtifact]] serving seam (the
+    * q74-append precedent applied to the graph family): the entry writes
+    * the kNN edge list to parquet via [[knnGraphArtifact]], reads it back,
+    * and runs [[q94PageRankFrom]] over the ROUND-TRIPPED rows. The gate is
+    * exactly q94's oracle, so any loss/corruption/type drift in the
+    * artifact write/read path — or any recompute drift between the served
+    * and self-contained shapes — breaks the hash. PlanSpec additionally
+    * pins that the served plan contains NO kNN kernel (no coarse argmin,
+    * no bounded top-k): the Σ|cell| build cost is paid once at write time,
+    * and every served analytic reads n·k 16-byte integer rows. Eager at
+    * construction (writes the artifact), like q76/q93. */
+  def q101PageRankServed(s: SparkSession, d: String): DataFrame = {
+    val path = s"$knnGraphServeDir/edges"
+    knnGraphArtifact(s, d, path)
+    q94PageRankFrom(s, d, s.read.parquet(path))
+  }
+
+  /** q103: MASS-CONSERVING PAGERANK (dangling-node variant) — q94 drops
+    * sink-node mass (uniform-teleport-only), the standard large-graph
+    * simplification; on real crawl graphs the dangling mass is NOT
+    * negligible at 100 TB, so this entry gates the conserving update:
+    * each round the rank mass sitting on OUT-DEGREE-ZERO nodes is summed
+    * (fixed-point `floor(pr·10⁹)` BIGINTs — one extra global Σ, a one-row
+    * broadcast) and redistributed uniformly, pr' = 0.15 + 0.85·(Σ_in +
+    * dangling/n). Because the kNN graph gives every node out-degree k by
+    * construction, sinks are INDUCED deterministically (nodes with
+    * `vec_id % 7 == 0` contribute no out-edges — the audit shape for
+    * crawl-frontier graphs where a fixed fraction of pages have no
+    * resolvable outlinks); the dangling SET is still derived from the
+    * data (anti join on the edge list), not from the rule.
+    *
+    * Scale shape = q94 plus one bounded agg per round: the dangling Σ is
+    * a partial+final BIGINT sum over an anti-join-derived node subset
+    * (id-only rows), broadcast back as one row. OperatorSpec holds the
+    * conservation law ‖Σpr − n‖ ≤ n·10⁻⁶ — the invariant the
+    * uniform-teleport q94 deliberately gives up on a sink graph. */
+  private[graft] val PrSinkMod = 7
+
+  def q103PageRankDangling(s: SparkSession, d: String): DataFrame = {
+    val nodes = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id")
+    val eo = knnEdges(s, d).filter(col("query_id") % PrSinkMod =!= 0).cache()
+    val dangling = nodes.join(eo.select(col("query_id").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti").cache()
+    val nD = nodes.count().toDouble
+    var pr = nodes.select(col("vec_id"), lit(1.0).as("pr")).cache()
+    for (r <- 1 to PrRounds) {
+      val dm = pr.join(dangling, Seq("vec_id"), "left_semi")
+        .agg(coalesce(sum(floor(col("pr") * lit(1000000000.0))), lit(0L)).as("dms"))
+      val sums = eo
+        .join(pr.select(col("vec_id").as("query_id"), col("pr")), Seq("query_id"))
+        .select(col("neighbor_id").as("vec_id"),
+          floor(col("pr") / col("outdeg") * lit(1000000000.0)).as("c"))
+        .groupBy("vec_id").agg(sum(col("c")).as("fs"))
+      pr = nodes.join(sums, Seq("vec_id"), "left").crossJoin(broadcast(dm))
+        .select(col("vec_id"), (lit(0.15) + lit(0.85) *
+          ((coalesce(col("fs"), lit(0L)).cast("double") / lit(1000000000.0)) +
+            ((col("dms").cast("double") / lit(1000000000.0)) / lit(nD)))).as("pr"))
+      // q94's per-round barrier (see its scaladoc); the last round folds
+      // into the final job over the cached edge/dangling/rank inputs
+      if (r < PrRounds) pr.cache().count()
+    }
+    pr.select(col("vec_id"), round(col("pr"), 6).as("pr")).orderBy("vec_id")
+  }
+
+  lazy val q103Sql: String = {
+    val rounds = (1 to PrRounds).map { r =>
+      s"""dm$r AS (
+         |  SELECT COALESCE(SUM(CAST(floor(p.pr * 1000000000.0) AS BIGINT)), 0) AS dms
+         |  FROM p${r - 1} p JOIN dangling dg ON p.vec_id = dg.vec_id),
+         |p$r AS (
+         |  SELECT n.vec_id,
+         |         0.15 + 0.85 * ((CAST(COALESCE(s.fs, 0) AS DOUBLE) / 1000000000.0) +
+         |                        ((CAST(dm.dms AS DOUBLE) / 1000000000.0) / nn.n_d)) AS pr
+         |  FROM e n CROSS JOIN dm$r dm CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT g.neighbor_id AS vec_id,
+         |           SUM(CAST(floor(p.pr / g.outdeg * 1000000000.0) AS BIGINT)) AS fs
+         |    FROM eo g JOIN p${r - 1} p ON g.query_id = p.vec_id
+         |    GROUP BY g.neighbor_id) s ON n.vec_id = s.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnCandCtes,
+       |edges0 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM cand)
+       |  WHERE rn <= $AdcK),
+       |edges AS (SELECT * FROM edges0 WHERE query_id % $PrSinkMod <> 0),
+       |deg AS (SELECT query_id, COUNT(*) AS outdeg FROM edges GROUP BY query_id),
+       |eo AS (SELECT e.query_id, e.neighbor_id, d.outdeg
+       |       FROM edges e JOIN deg d USING (query_id)),
+       |dangling AS (
+       |  SELECT vec_id FROM e
+       |  WHERE vec_id NOT IN (SELECT DISTINCT query_id FROM edges)),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_d FROM e),
        |p0 AS (SELECT vec_id, CAST(1.0 AS DOUBLE) AS pr FROM e),
        |$rounds
        |SELECT vec_id, round(pr, 6) AS pr FROM p$PrRounds ORDER BY vec_id""".stripMargin
@@ -2439,5 +2570,9 @@ object Similarity {
     ("q94_pagerank", q94PageRank _, Some(q94Sql)),
     ("q99_pca_power", q99PcaPower _, Some(q99Sql)),
     ("q100_corr_pairs", q100CorrPairs _, Some(q100Sql)),
+    // served ≡ self-contained: the artifact round-trip is gated against
+    // q94's own oracle, the strongest form of the serving contract
+    ("q101_pagerank_served", q101PageRankServed _, Some(q94Sql)),
+    ("q103_pagerank_dangling", q103PageRankDangling _, Some(q103Sql)),
   )
 }

@@ -368,6 +368,70 @@ object TextOps {
       |       LATERAL (SELECT unnest(range(1, len(t))) AS i))
       |GROUP BY tok ORDER BY cont_n DESC, tok LIMIT 20""".stripMargin
 
+  /** q102: FULL interpolated KNESER–NEY bigram probabilities — the smoothing
+    * that completes the n-gram LM statistics q97's continuation counts
+    * start: P(w|v) = (c(vw) − D)/c(v·) + (D·N1+(v·)/c(v·)) · N1+(·w)/B with
+    * absolute discount D = 0.75 (c(vw) ≥ 1 makes the max(·,0) clamp
+    * vacuous). The backoff weight is exactly the discount mass the first
+    * term releases, so Σ over OBSERVED w of (c(vw) − D) = c(v·) − D·N1+(v·)
+    * — the identity OperatorSpec holds exactly in BigDecimal.
+    *
+    * Hashability (the q95 idf discipline — no logs anywhere): every factor
+    * is an integer count; the probability is a FIXED chain of
+    * correctly-rounded IEEE double ops spelled identically in both engines
+    * — (c−0.75)/cv, (0.75·n1v)/cv, contw/B, one multiply, one add — then
+    * round(·, 6). D = 0.75 is exactly representable, so no decimal-literal
+    * drift.
+    *
+    * Scale shape: bigrams build INSIDE the token array (q90's transform —
+    * the token stream never self-joins); everything downstream aggregates
+    * the BIGRAM-TYPE table, vocab²-bounded regardless of corpus size:
+    * left-context stats are a partial+final agg keyed prev, continuation
+    * stats keyed tok, the type count B a one-row broadcast; top-k is
+    * TakeOrderedAndProject. */
+  private val KnD = 0.75
+  private val KnTopK = 100
+
+  def q102KneserNey(s: SparkSession, d: String): DataFrame = {
+    val bi = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS prev, element_at(w, i + 2) AS tok))")).as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.tok").as("tok"))
+      .agg(count(lit(1)).as("cvw"))
+    val prevStats = bi.groupBy("prev")
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+    val contStats = bi.groupBy("tok").agg(count(lit(1)).as("contw"))
+    val types = bi.agg(count(lit(1)).as("b_types"))
+    bi.join(prevStats, Seq("prev"))
+      .join(contStats, Seq("tok"))
+      .crossJoin(broadcast(types))
+      .withColumn("p_kn", round(
+        expr("(CAST(cvw AS DOUBLE) - 0.75D) / CAST(cv AS DOUBLE)") +
+          expr("(0.75D * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)) * " +
+            "(CAST(contw AS DOUBLE) / CAST(b_types AS DOUBLE))"), 6))
+      .select("prev", "tok", "cvw", "cv", "n1v", "contw", "p_kn")
+      .orderBy(col("cvw").desc, col("prev"), col("tok"))
+      .limit(KnTopK)
+  }
+
+  val q102Sql: String =
+    s"""WITH bi AS (
+       |  SELECT prev, tok, COUNT(*) AS cvw FROM (
+       |    SELECT t[CAST(i AS INTEGER)] AS prev, t[CAST(i + 1 AS INTEGER)] AS tok
+       |    FROM (SELECT string_split(text, ' ') AS t FROM documents),
+       |         LATERAL (SELECT unnest(range(1, len(t))) AS i))
+       |  GROUP BY prev, tok),
+       |pv AS (SELECT prev, CAST(SUM(cvw) AS BIGINT) AS cv, COUNT(*) AS n1v FROM bi GROUP BY prev),
+       |ct AS (SELECT tok, COUNT(*) AS contw FROM bi GROUP BY tok),
+       |ty AS (SELECT COUNT(*) AS b_types FROM bi)
+       |SELECT bi.prev, bi.tok, cvw, cv, n1v, contw,
+       |       round(((CAST(cvw AS DOUBLE) - 0.75) / CAST(cv AS DOUBLE)) +
+       |             ((0.75 * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)) *
+       |              (CAST(contw AS DOUBLE) / CAST(b_types AS DOUBLE))), 6) AS p_kn
+       |FROM bi JOIN pv USING (prev) JOIN ct USING (tok) CROSS JOIN ty
+       |ORDER BY cvw DESC, bi.prev, bi.tok LIMIT $KnTopK""".stripMargin
+
   /** q98: CROSS-SOURCE content-overlap matrix — for every source pair, how
     * many DISTINCT word 3-grams they share: the provenance-audit signal
     * behind "is src7 a mirror/scrape of src3" and "which crawls should be
@@ -690,5 +754,6 @@ object TextOps {
     ("q96_hll_distinct", q96HllDistinct _, Some(q96Sql)),
     ("q97_continuation", q97Continuation _, Some(q97Sql)),
     ("q98_source_overlap", q98SourceOverlap _, Some(q98Sql)),
+    ("q102_kneser_ney", q102KneserNey _, Some(q102Sql)),
   )
 }

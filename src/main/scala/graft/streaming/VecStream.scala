@@ -85,4 +85,51 @@ object VecStream {
       .select(expr("CAST(k div 64 AS INT)").as("i"),
         expr("CAST(k % 64 AS INT)").as("j"),
         col("fs"), col("n"))
+
+  /** Per-batch per-dimension FIXED-POINT MEAN sums (i, fs, n) — the first
+    * of the two streamed passes behind the SERVED q99 (pass 1: mean; pass 2
+    * re-streams the same append log with the merged mean broadcast —
+    * [[centeredGramSketch]]). fs = Σ floor(x_i·10⁶) is a BIGINT, so
+    * per-batch rows are exactly additive under any batching, like
+    * [[gramSketch]]. */
+  def meanSketch(batch: DataFrame): DataFrame =
+    batch
+      .select(col("embedding").cast("array<double>").as("e"))
+      .filter(col("e").isNotNull)
+      .select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(expr("CAST(floor(x * 1000000.0) AS BIGINT)")).as("fs"),
+        count(lit(1)).as("n"))
+
+  /** Merged mean-sum rows → the ONE-ROW mean array frame in exactly the
+    * batch q99 shape ([[graft.ops.Similarity]] pcaParts' `muArr`): per dim
+    * m = (Σfs / Σn) / 10⁶ — the same two correctly-rounded IEEE ops on the
+    * same exact integers, so the served mean is bit-equal to the batch
+    * mean no matter how the stream was batched. */
+  def mergeMean(sketches: DataFrame): DataFrame =
+    sketches
+      .groupBy("i")
+      .agg(sum(col("fs")).as("fs"), sum(col("n")).as("n"))
+      .select(col("i"),
+        ((col("fs").cast("double") / col("n")) / lit(1000000.0)).as("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), t -> t.m)").as("mu"))
+
+  /** Pass-2 sketch: the CENTERED Gram cells of one batch under the merged
+    * corpus mean (a one-row broadcast) — per row floor(cx_i·cx_j·10⁶)
+    * BIGINTs, additive across batches, so the merged matrix equals the
+    * batch q99 covariance cells bit-for-bit and the served component/
+    * projections are IDENTICAL to self-contained q99 (VecStreamServe
+    * spec). Centering at sketch time (not merge time) is what buys
+    * bit-equality: mean-correcting RAW moments at merge time is the
+    * standard streaming decomposition but rounds differently than
+    * flooring centered products per row. */
+  def centeredGramSketch(batch: DataFrame, muArr: DataFrame): DataFrame = {
+    graft.functions.CovAgg.register(batch.sparkSession)
+    batch
+      .select(col("embedding").cast("array<double>").as("e"))
+      .filter(col("e").isNotNull)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(muArr))
+      .select(expr("zip_with(e, mu, (x, m) -> x - m)").as("cx"))
+      .agg(expr("graft_cov(cx, 64)").as("cs"), count(lit(1)).as("n"))
+  }
 }

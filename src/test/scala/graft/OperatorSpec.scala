@@ -1839,6 +1839,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expect, s"bm25 diverges:\n got=${got.take(6)}…\n exp=${expect.take(6)}…")
   }
 
+  test("q102: kneser-ney counts match a plain-Scala recompute; p_kn bit-equal; discount-mass identity exact") {
+    val rows = graft.ops.TextOps.q102KneserNey(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recompute of every count from the raw text
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val bigrams = texts.flatMap { t => val w = t.split(" "); w.dropRight(1).zip(w.drop(1)) }
+    val cvw = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cv = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1v = cvw.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val contw = cvw.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b = cvw.size.toLong
+    rows.foreach { r =>
+      val (v, w) = (r.getAs[String]("prev"), r.getAs[String]("tok"))
+      assert(r.getAs[Long]("cvw") == cvw((v, w)), s"c($v,$w)")
+      assert(r.getAs[Long]("cv") == cv(v) && r.getAs[Long]("n1v") == n1v(v), s"prev stats $v")
+      assert(r.getAs[Long]("contw") == contw(w), s"cont $w")
+      // the exact op chain the operator and the oracle both execute
+      val exp = BigDecimal(
+        (cvw((v, w)).toDouble - 0.75) / cv(v).toDouble +
+          (0.75 * n1v(v).toDouble / cv(v).toDouble) * (contw(w).toDouble / b.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("p_kn") == exp, s"p_kn($v,$w)")
+      val p = r.getAs[Double]("p_kn")
+      assert(p > 0 && p < 1, r.toString)
+    }
+    // absolute-discounting mass identity, exact in BigDecimal: the backoff
+    // weight D·N1+(v·)/c(v·) is precisely the mass the first term released
+    cv.keys.foreach { v =>
+      val released = cvw.collect { case ((p, _), c) if p == v => BigDecimal(c) - BigDecimal("0.75") }.sum
+      assert(released == BigDecimal(cv(v)) - BigDecimal("0.75") * BigDecimal(n1v(v)), s"mass identity for $v")
+    }
+  }
+
+  test("q103: Σpr conserved on the sink graph; the uniform-teleport update on the same edges loses the dangling mass") {
+    graft.functions.VectorFunctions.register(spark)
+    val got = Similarity.q103PageRankDangling(spark, sf).collect()
+    val n = got.length.toDouble
+    assert(n > 0)
+    val total = got.map(_.getAs[Double]("pr")).sum
+    assert(math.abs(total - n) <= n * 1e-6, s"Σpr=$total vs n=$n")
+    // counterfactual: q94's non-conserving update over the SAME sink-bearing
+    // edge set drops the dangling share every round — the law q103 restores
+    val edges = Similarity.knnEdges(spark, sf)
+      .filter(col("query_id") % Similarity.PrSinkMod =!= 0)
+    val plain = Similarity.q94PageRankFrom(spark, sf, edges).collect()
+    val plainTotal = plain.map(_.getAs[Double]("pr")).sum
+    assert(plainTotal < total - 1.0,
+      s"uniform-teleport on the sink graph should lose mass: $plainTotal vs $total")
+  }
+
   test("kNN graph artifact serving: q84/q94 from the parquet edge list equal the self-contained queries") {
     import graft.ops.Similarity
     val dir = java.nio.file.Files.createTempDirectory("knn_graph_art").toString

@@ -550,6 +550,31 @@ class PlanSpec extends AnyFunSuite {
     assert(cacheReads >= 1, s"cache reads = $cacheReads (expected ≥ 1)")
   }
 
+  test("q101 served pagerank: zero rebuild — no kNN kernel anywhere in the served lineage, edges scanned from the artifact") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Similarity.q101PageRankServed(spark, sf)
+    df.collect()
+    // walk INTO cached relations: the per-round caches would hide a kernel
+    // re-run from a plain executed-plan stringification
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val full = ns.map(_.toString).mkString("\n")
+    assert(!full.contains("graft_near_cells"),
+      "served lineage re-runs the coarse argmin — the build cost the artifact exists to amortize")
+    assert(!full.contains("graft_topk"), "served lineage re-runs the bounded top-k")
+    assert(ns.collect { case f: FileSourceScanExec => f }
+      .exists(_.relation.location.rootPaths.exists(_.toString.contains("graft_knn_serve"))),
+      "expected a parquet scan rooted at the served edge artifact")
+  }
+
   test("q95 bm25: query terms broadcast onto tf, stats one-row attach, top-k group-limited") {
     import graft.ops.TextOps
     val p = plan(TextOps.q95Bm25(spark, sf))

@@ -237,6 +237,61 @@ class DocStreamSpec extends AnyFunSuite {
         "fixed-point cell additivity is broken")
   }
 
+  test("streamed PCA serve: component+projections from two streamed sketch passes equal batch q99 bit-for-bit") {
+    val spark = TestSpark.spark
+    import graft.ops.Similarity
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+
+    val dir = java.nio.file.Files.createTempDirectory("vecstream_pca").toString
+    (0 until 3).foreach { i =>
+      vecs.filter(col("vec_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+
+    // PASS 1: streamed per-dim fixed-point mean sums, merged to the corpus mean
+    val muDir = java.nio.file.Files.createTempDirectory("vecstream_pca_mu").toString
+    val q1 = VecStream.readVecs(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        VecStream.meanSketch(batch).coalesce(1).write.mode("append").parquet(muDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val muArr = VecStream.mergeMean(spark.read.parquet(muDir)).cache()
+    assert(muArr.count() == 1)
+
+    // PASS 2: re-stream the same append log, sketching CENTERED Gram cells
+    // under the merged mean (a one-row broadcast)
+    val gDir = java.nio.file.Files.createTempDirectory("vecstream_pca_gram").toString
+    val q2 = VecStream.readVecs(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        VecStream.centeredGramSketch(batch, muArr)
+          .coalesce(1).write.mode("append").parquet(gDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+
+    // merged sketches → the (i, j, c) cell frame in the exact batch shape
+    val cov = VecStream.mergeGram(spark.read.parquet(gDir))
+      .select(col("i"), col("j"),
+        ((col("fs").cast("double") / col("n")) / lit(1000000.0)).as("c"))
+      .cache()
+    assert(cov.count() == 64 * 64)
+    val centered = vecs
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(muArr))
+      .select(col("vec_id"), expr("zip_with(e, mu, (x, m) -> x - m)").as("cx"))
+
+    val served = Similarity.q99PowerProject(spark, centered, cov).collect().toSeq
+    val batchQ99 = Similarity.q99PcaPower(spark, sf).collect().toSeq
+    assert(served.nonEmpty && served == batchQ99,
+      s"served PCA diverged from batch q99:\n served=$served\n batch=$batchQ99")
+  }
+
   test("streamed HLL profile: per-batch sketches merged on read equal one batch sketch over the whole stream") {
     val spark = TestSpark.spark
     val docs = Tables.documents(spark, sf)
