@@ -19,7 +19,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * same tool scales to a 10^9-doc corpus on a cluster.
   */
 object GenCorpus {
-  private val Vocab: Array[String] = Array(
+  private[graft] val Vocab: Array[String] = Array(
     "spark", "line", "column", "order", "small", "sort", "fast", "value",
     "scan", "batch", "part", "query", "agg", "table", "hash", "key",
     "group", "join", "filter", "stream", "customer", "vector", "slow",

@@ -265,7 +265,7 @@ object TextOps {
   // hash-compare on last-ulp log differences).
   //
   // Scale shape: tf is computed MAP-SIDE inside the term array (per-doc term
-  // counting never shuffles; O(distinct·len) per doc, bounded by doc length),
+  // counting never shuffles; O(L log L) per doc — [[termCounts]]),
   // df is a partial+final count over the already-distinct (doc, term) pairs,
   // and the tf↔df attach is an equi-join on term whose strategy is left to
   // Catalyst's size estimate: broadcast while the distinct-term table is
@@ -278,13 +278,32 @@ object TextOps {
   // window formulation.
   private val TfidfK = 3
 
+  /** Per-document term frequencies in O(L log L), entirely MAP-SIDE (the
+    * token stream never shuffles): sort the token array, mark run starts
+    * (position 0 or token ≠ predecessor), and each run's tf is the gap to
+    * the next start (zip of the start list with its own tail plus one end
+    * sentinel). Shared by q56 and q95 — both previously counted via
+    * `size(filter(w, x = t))` per distinct token, O(L·distinct) per doc:
+    * invisible at the ≤598-char testdata, dominant on real 10⁴–10⁵-token
+    * documents (measured linear in L on the GenLongDocs corpus,
+    * BASELINE.md round-12 anchors). Input (doc_id, w); output
+    * (doc_id, dl, term, tf). */
+  private[graft] def termCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", expr("array_sort(w)"))
+      .withColumn("st", expr(
+        "filter(transform(ws, (t, i) -> struct(t AS term, i AS i)), " +
+          "p -> p.i = 0 OR element_at(ws, p.i) <> p.term)"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(expr(
+        "zip_with(st, concat(slice(st, 2, size(st)), array(struct('' AS term, size(ws) AS i))), " +
+          "(a, b) -> struct(a.term AS term, b.i - a.i AS tf))")).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.term").as("term"), col("p.tf").cast("long").as("tf"))
+
   def q56Tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.spread(s, Tables.documents(s, d), "doc_id")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        "transform(array_distinct(w), t -> struct(t AS term, size(filter(w, x -> x = t)) AS tf))")).as("p"))
-      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").cast("long").as("tf"))
+    val tf = termCounts(Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w")))
+      .select("doc_id", "term", "tf")
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
@@ -384,21 +403,29 @@ object TextOps {
     * drift.
     *
     * Scale shape: bigrams build INSIDE the token array (q90's transform —
-    * the token stream never self-joins); everything downstream aggregates
-    * the BIGRAM-TYPE table, vocab²-bounded regardless of corpus size:
-    * left-context stats are a partial+final agg keyed prev, continuation
-    * stats keyed tok, the type count B a one-row broadcast; top-k is
+    * the token stream never self-joins); ONE corpus pass aggregates the
+    * BIGRAM-TYPE table (≤ vocab², ≪ the token stream for natural text),
+    * which is cached and feeds all four downstream stats: left-context
+    * stats are a partial+final agg keyed prev, continuation stats keyed
+    * tok, the type count B a one-row broadcast; top-k is
     * TakeOrderedAndProject. */
   private val KnD = 0.75
   private val KnTopK = 100
 
   def q102KneserNey(s: SparkSession, d: String): DataFrame = {
+    // the bigram-TYPE table feeds FOUR consumers (bi itself, prev stats,
+    // continuation stats, the type count) — cache it so the corpus-wide
+    // explode+agg pass runs ONCE, not four times inside one plan (measured
+    // 13 s → ~2 s on the sflong10 long-doc corpus; q96/pcaParts convention,
+    // falls to the session clearCache like every in-query cache here)
     val bi = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(split(col("text"), " ").as("w"))
       .select(explode(expr(
         "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS prev, element_at(w, i + 2) AS tok))")).as("b"))
       .groupBy(col("b.prev").as("prev"), col("b.tok").as("tok"))
       .agg(count(lit(1)).as("cvw"))
+      .cache()
+    bi.count()
     val prevStats = bi.groupBy("prev")
       .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
     val contStats = bi.groupBy("tok").agg(count(lit(1)).as("contw"))
@@ -552,23 +579,9 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    // Per-doc term frequency in O(L log L), still entirely MAP-SIDE (the
-    // token stream never shuffles): sort the token array, mark run starts
-    // (position 0 or token ≠ its predecessor), and each run's tf is the
-    // gap to the next start (a zip of the start list with its own tail plus
-    // one end sentinel). The previous formulation — size(filter(w, x = t))
-    // per distinct t — was O(L²) per document: invisible at the ≤598-char
-    // testdata, dominant on real 10⁴–10⁵-token documents (measured linear
-    // on the GenLongDocs corpus, BASELINE.md round-12 anchors).
-    val tf = docs
-      .withColumn("ws", expr("array_sort(w)"))
-      .withColumn("st", expr(
-        "filter(transform(ws, (t, i) -> struct(t AS term, i AS i)), " +
-          "p -> p.i = 0 OR element_at(ws, p.i) <> p.term)"))
-      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), explode(expr(
-        "zip_with(st, concat(slice(st, 2, size(st)), array(struct('' AS term, size(ws) AS i))), " +
-          "(a, b) -> struct(a.term AS term, b.i - a.i AS tf))")).as("p"))
-      .select(col("doc_id"), col("dl"), col("p.term").as("term"), col("p.tf").cast("long").as("tf"))
+    // Per-doc term frequency via the shared O(L log L) sorted-run counter
+    // ([[termCounts]] — map-side, the token stream never shuffles)
+    val tf = termCounts(docs)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       (sum(size(col("w")).cast("long")).cast("double") / count(lit(1))).as("avgdl"))
