@@ -310,9 +310,18 @@ object Similarity {
     * interpolates [[corpusNListSql]], which computes the SAME formula as a
     * scalar subquery, so the correctness gate follows the derivation
     * automatically at any corpus size. */
+  private val nlistCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
   private[graft] def corpusNList(s: SparkSession, d: String): Int =
     sys.env.get("SPARK_GRAFT_NLIST").map(_.toInt)
-      .getOrElse(derivedNList(Tables.embeddings(s, d).count()))
+      // memoized per dataset dir: every corpus² entry (q82/q83/q84/q94/
+      // q101/q103…) triggers this at PLAN time, so an unmemoized count
+      // would launch the same footer-metadata job once per query in a
+      // bench/verify pass. The count depends only on the files under `d`;
+      // tests that mutate a corpus write to a fresh temp dir, so a
+      // dir-keyed entry can never serve a stale size.
+      .getOrElse(nlistCache.computeIfAbsent(d,
+        _ => derivedNList(Tables.embeddings(s, d).count())))
 
   /** SQL mirror of [[corpusNList]]: the env literal when the override is
     * set, else the √n derivation as a scalar subquery over the same table. */
@@ -1270,10 +1279,31 @@ object Similarity {
     * Columns: (query_id, neighbor_id, cos_sim). */
   private[graft] def knnCand(s: SparkSession, d: String): DataFrame = {
     val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
-    val coarseSeed = emb.filter(col("vec_id") < corpusNList(s, d))
+    knnCandFrom(emb, ccRow(knnCents(emb, corpusNList(s, d))))
+  }
+
+  /** The kNN-graph family's coarse centroids as (cent_id, ce) ROWS — the
+    * persistable form ([[knnGraphArtifact]] freezes these next to the edge
+    * list so [[knnGraphAppend]] serves under the build-time quantizer, the
+    * same no-retrain contract as [[ivfPqAppend]]). One fixed-point Lloyd
+    * round over vec_id < nlist seeds, exactly as the self-contained
+    * queries train. */
+  private[graft] def knnCents(emb: DataFrame, nlist: Int): DataFrame = {
+    val coarseSeed = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    val cc = fixedPointUpdate(assignCells(emb.select("vec_id", "e"), coarseSeed), coarseSeed)
-      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    fixedPointUpdate(assignCells(emb.select("vec_id", "e"), coarseSeed), coarseSeed)
+  }
+
+  /** Collapse a (cent_id, ce) centroid frame to the one-row `cc` broadcast
+    * the coarse argmin / probe-cell expressions consume. */
+  private[graft] def ccRow(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+
+  /** [[knnCand]] under EXPLICIT centroids — the seam the append
+    * differential and the artifact build share with the self-contained
+    * queries, so candidate semantics can never drift between them.
+    * `emb` must be the nonzero-norm (vec_id, e, nrm) corpus. */
+  private[graft] def knnCandFrom(emb: DataFrame, cc: DataFrame): DataFrame = {
     val assigned = emb.crossJoin(broadcast(cc))
     val index = assigned
       .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
@@ -1333,19 +1363,39 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Bounded top-k edge aggregation over any (query_id, neighbor_id,
+    * cos_sim) candidate frame — the one shape shared by the self-contained
+    * edge list, the artifact build, and both halves of the append merge.
+    * Output: (query_id, outdeg, neighbor_id, cos_sim), k-bounded per query.
+    * outdeg rides along for free — it is size(tk), known the moment the
+    * bounded top-k lands, so PageRank (and any outdeg-weighted analytic)
+    * never re-aggregates the edge list to recover it; cos_sim survives so
+    * a PERSISTED edge list stays mergeable (top-k(A ∪ B) needs A's
+    * scores — the identity [[knnGraphAppend]] is built on). */
+  private[graft] def topkEdges(cand: DataFrame): DataFrame =
+    cand
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_sim, neighbor_id, $AdcK)").as("tk"))
+      .select(col("query_id"), size(col("tk")).cast("long").as("outdeg"),
+        explode(col("tk")).as("p"))
+      .select(col("query_id"), col("outdeg"), col("p.id").as("neighbor_id"),
+        col("p.score").as("cos_sim"))
+
   /** The kNN EDGE LIST (query_id → its top-k neighbors) shared by q84 and
     * q94 — the same bounded-aggregate shape as q82 minus n_cand. */
   private[graft] def knnEdges(s: SparkSession, d: String): DataFrame = {
     graft.functions.TopKAgg.register(s)
     raiseTopkFallback(s)
-    knnCand(s, d)
-      .groupBy("query_id")
-      .agg(expr(s"graft_topk(cos_sim, neighbor_id, $AdcK)").as("tk"))
-      // outdeg rides along for free — it is size(tk), known the moment the
-      // bounded top-k lands, so PageRank (and any outdeg-weighted analytic)
-      // never re-aggregates the edge list to recover it
-      .select(col("query_id"), size(col("tk")).cast("long").as("outdeg"),
-        explode(expr("transform(tk, t -> t.id)")).as("neighbor_id"))
+    topkEdges(knnCand(s, d)).drop("cos_sim")
+  }
+
+  /** SCORED edge list under explicit centroids — what the artifact
+    * persists and what the append differential rebuilds. */
+  private[graft] def knnEdgesScoredFrom(s: SparkSession, emb: DataFrame,
+      cc: DataFrame): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    raiseTopkFallback(s)
+    topkEdges(knnCandFrom(emb, cc))
   }
 
   /** q99: PCA TOP COMPONENT via fixed-point POWER ITERATION — the
@@ -1383,7 +1433,12 @@ object Similarity {
     * frame, the cov cells in a cached 64×64 frame). */
   private def pcaParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.CovAgg.register(s)
-    val emb = embWithNorm(s, d).select("vec_id", "e")
+    // null embeddings are skipped by CovAgg.update (and contribute no rows
+    // to the posexplode mean pass), so they must not be counted into the
+    // Gram normalizer n either — the same filter the streamed sketches
+    // apply (VecStream.gramSketch/meanSketch), which is what keeps the
+    // served≡batch bit-equality honest on corpora with null rows
+    val emb = embWithNorm(s, d).select("vec_id", "e").filter(col("e").isNotNull)
     val mu = emb
       .select(posexplode(col("e")).as(Seq("i", "x")))
       .groupBy("i")
@@ -1461,7 +1516,8 @@ object Similarity {
          |  FROM w$r CROSS JOIN (
          |    SELECT SUM(CAST(w AS DECIMAL(38,0)) * w) AS n2 FROM w$r) s$r)""".stripMargin
     val rounds = (1 to PcaRounds).map(r => round(s"v${r - 1}", r)).mkString(",\n")
-    s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |            WHERE embedding IS NOT NULL),
        |ex AS (SELECT vec_id, CAST(i AS INTEGER) AS i, e[CAST(i + 1 AS INTEGER)] AS x
        |       FROM e2, LATERAL (SELECT unnest(range(0, $PcaDim)) AS i)),
        |mu AS (SELECT i, (CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
@@ -1508,7 +1564,8 @@ object Similarity {
   }
 
   lazy val q100Sql: String =
-    s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |            WHERE embedding IS NOT NULL),
        |ex AS (SELECT vec_id, CAST(i AS INTEGER) AS i, e[CAST(i + 1 AS INTEGER)] AS x
        |       FROM e2, LATERAL (SELECT unnest(range(0, $PcaDim)) AS i)),
        |mu AS (SELECT i, (CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
@@ -1534,11 +1591,103 @@ object Similarity {
     * analogue of `ivfPqIndex`: the Σ|cell| candidate kernel (the expensive
     * build, minutes at 1M vectors) runs ONCE, and every downstream graph
     * analytic (label propagation, PageRank, clustering audits) reads n·k
-    * 16-byte integer rows instead of re-running it. Serving is bit-equal to
-    * self-contained (OperatorSpec round-trip) because the edge list IS the
-    * whole graph state — no float recompute on the read path. */
-  def knnGraphArtifact(s: SparkSession, d: String, path: String): Unit =
-    knnEdges(s, d).write.mode("overwrite").parquet(path)
+    * rows instead of re-running it. Serving is bit-equal to self-contained
+    * (OperatorSpec round-trip) because the edge list IS the whole graph
+    * state — no float recompute on the read path.
+    *
+    * Layout: the SCORED edge list (query_id, outdeg, neighbor_id, cos_sim)
+    * at `path` — scores persisted so [[knnGraphAppend]] can merge fresh
+    * candidates into existing top-k lists without re-running the kernel —
+    * and the coarse centroids (cent_id, ce) at `${path}_cents` (the frozen
+    * build-time quantizer every append serves under; edges are built from
+    * the ROUND-TRIPPED cents so artifact and append can never see different
+    * quantizers — doubles survive parquet bit-exactly).
+    *
+    * Eager (two writes), so unlike the lazily-returned query frames it can
+    * SCOPE the topk-fallback session conf: the prior value is restored once
+    * the writes complete (closes the round-12 "restore after eager actions"
+    * item; the documented session-wide raise remains only for lazy frames,
+    * where SQLConf-at-planning makes scoping impossible). */
+  def knnGraphArtifact(s: SparkSession, d: String, path: String): Unit = {
+    val confKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prior = s.conf.get(confKey, "128")
+    try {
+      val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+      knnCents(emb, corpusNList(s, d))
+        .write.mode("overwrite").parquet(s"${path}_cents")
+      knnEdgesScoredFrom(s, emb, ccRow(s.read.parquet(s"${path}_cents")))
+        .write.mode("overwrite").parquet(path)
+    } finally s.conf.set(confKey, prior)
+  }
+
+  /** INCREMENTAL kNN-GRAPH MAINTENANCE — the missing member of the append
+    * family ([[ivfPqAppend]]/[[opqAppend]]/[[sq8Append]]), and the genuinely
+    * harder one: fresh vectors can DISPLACE existing top-k edges, so unlike
+    * the one-sided incremental-dedup probe the existing side must be
+    * patched, not just probed. Under the artifact's frozen quantizer
+    * (`cents` — the ivfPqAppend no-retrain contract):
+    *
+    *  - FRESH nodes get their top-k from a one-sided probe: each fresh
+    *    vector's nprobe cells meet the union index (existing ∪ fresh
+    *    assigned cells) with the fresh probe rows BROADCAST — the corpus
+    *    side never shuffles;
+    *  - EXISTING nodes are PATCHED: each existing vector's probe cells meet
+    *    the BROADCAST fresh index, and the new top-k is the bounded merge
+    *    top-k(old top-k ∪ fresh candidates). This equals the full rebuild's
+    *    top-k(base candidates ∪ fresh candidates) by the selection identity
+    *    top-k(A ∪ B) = top-k(top-k(A) ∪ B) — OperatorSpec holds
+    *    append ≡ rebuild row-for-row under shared cents.
+    *
+    * Cost: |fresh|·(n/nlist)·nprobe candidate rows (linear in n with a
+    * small factor) plus one n·k edge-row merge shuffle — never the
+    * n²·nprobe/nlist corpus² kernel. Every cell join broadcasts the
+    * fresh-derived side (PlanSpec: zero sort-merge joins in the append
+    * plan), so at 100 TB the corpus contributes only map-side scans.
+    *
+    * `baseEmb` = the nonzero-norm (vec_id, e, nrm) corpus the artifact was
+    * built from; `edges` = the persisted SCORED edge list; `fresh` = the
+    * (vec_id, e) batch (ids must be new). Returns the full union scored
+    * edge list in [[topkEdges]] shape — write it back over the artifact to
+    * complete the fold. */
+  def knnGraphAppend(s: SparkSession, baseEmb: DataFrame, edges: DataFrame,
+      cents: DataFrame, fresh: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.TopKAgg.register(s)
+    raiseTopkFallback(s)
+    val cc = ccRow(cents)
+    val fr = fresh.select(col("vec_id"), col("e"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+      .filter(col("nrm") > 0)
+    val frA = fr.crossJoin(broadcast(cc))
+      .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val exA = baseEmb.crossJoin(broadcast(cc))
+      .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    def asIndex(df: DataFrame): DataFrame =
+      df.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("e").as("en"), col("nrm").as("nn"))
+    def asProbes(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cc))
+        .withColumn("pcell", explode(expr(probeCellsExpr(IvfNProbe))))
+        .select(col("vec_id").as("query_id"), col("e").as("eq"),
+          col("nrm").as("nq"), col("pcell").as("cell"))
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        round(expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
+      .select("query_id", "neighbor_id", "cos_sim")
+    // fresh side: probes broadcast onto the union index (corpus streams)
+    val freshEdges = topkEdges(scored(
+      asIndex(exA.unionByName(frA)).join(broadcast(asProbes(fr)), Seq("cell"))))
+    // existing side: corpus probe rows stream against the broadcast fresh
+    // index; the merge re-top-ks old edges ∪ fresh candidates per node
+    val patchCand = scored(
+      asProbes(baseEmb).join(broadcast(asIndex(frA)), Seq("cell")))
+    val merged = topkEdges(
+      edges.select("query_id", "neighbor_id", "cos_sim").unionByName(patchCand))
+    merged.unionByName(freshEdges)
+  }
 
   /** The CTE chain producing the kNN candidate set (`e` … `cand`) —
     * the SQL mirror of `knnCand`, shared by q82 and q84 so the two
@@ -1800,21 +1949,34 @@ object Similarity {
        |SELECT vec_id, round(pr, 6) AS pr FROM p$PrRounds ORDER BY vec_id""".stripMargin
   }
 
-  /** Session-scoped parquet dir for the served-graph catalog entry (the
-    * q76 sink convention: one temp dir per JVM, overwritten on repeated
-    * builds, deleted by a shutdown hook; the path never reaches output). */
+  /** Session-scoped parquet root for the served-graph catalog entries (the
+    * q76 sink convention: one temp root per JVM, deleted by a shutdown
+    * hook; the path never reaches output). Artifacts live in a SUBDIR KEYED
+    * BY DATASET ([[knnGraphServePath]]) so building the served entry for a
+    * second dataset in the same JVM can never overwrite the parquet a
+    * still-lazy served frame from an earlier dataset will read. */
   private lazy val knnGraphServeDir: String = {
     val p = java.nio.file.Files.createTempDirectory("graft_knn_serve")
     sys.addShutdownHook {
       import java.nio.file.{Files, Path}
       import scala.jdk.CollectionConverters._
       if (Files.exists(p)) {
-        val all = Files.walk(p).iterator().asScala.toSeq
-        all.sortBy(-_.getNameCount).foreach((f: Path) => Files.deleteIfExists(f))
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach((f: Path) => Files.deleteIfExists(f))
+        finally walk.close()
       }
     }
     p.toString
   }
+
+  /** Per-dataset artifact dir under [[knnGraphServeDir]]: a sanitized tail
+    * of the dataset path plus its full-path hash (collision-proof across
+    * same-named leaf dirs). Stable within the JVM, so repeated builds for
+    * the SAME dataset still overwrite in place (the q76 convention). */
+  private[graft] def knnGraphServePath(d: String): String =
+    s"$knnGraphServeDir/${d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40)}_" +
+      java.lang.Integer.toHexString(d.hashCode)
 
   /** q101: PAGERANK SERVED FROM THE PERSISTED GRAPH ARTIFACT — the
     * oracle-gated promotion of the [[knnGraphArtifact]] serving seam (the
@@ -1829,9 +1991,24 @@ object Similarity {
     * and every served analytic reads n·k 16-byte integer rows. Eager at
     * construction (writes the artifact), like q76/q93. */
   def q101PageRankServed(s: SparkSession, d: String): DataFrame = {
-    val path = s"$knnGraphServeDir/edges"
+    val path = s"${knnGraphServePath(d)}/edges"
     knnGraphArtifact(s, d, path)
     q94PageRankFrom(s, d, s.read.parquet(path))
+  }
+
+  /** q105: LABEL PROPAGATION SERVED FROM THE PERSISTED GRAPH ARTIFACT —
+    * q101's recipe applied to the other graph analytic ([[q84LabelPropFrom]]
+    * was previously exercised only by Profile94 + specs): build the edge
+    * artifact, read it back, and run label propagation over the
+    * ROUND-TRIPPED rows under EXACTLY q84's oracle — any write/read/type
+    * drift in the artifact path, or any divergence between served and
+    * self-contained propagation, breaks the hash. Writes to its own subpath
+    * so a still-lazy q101 frame and this entry can never clobber each
+    * other's parquet. PlanSpec pins the no-kernel lineage like q101's. */
+  def q105LabelPropServed(s: SparkSession, d: String): DataFrame = {
+    val path = s"${knnGraphServePath(d)}/edges_lp"
+    knnGraphArtifact(s, d, path)
+    q84LabelPropFrom(s, d, s.read.parquet(path))
   }
 
   /** q103: MASS-CONSERVING PAGERANK (dangling-node variant) — q94 drops
@@ -2574,5 +2751,8 @@ object Similarity {
     // q94's own oracle, the strongest form of the serving contract
     ("q101_pagerank_served", q101PageRankServed _, Some(q94Sql)),
     ("q103_pagerank_dangling", q103PageRankDangling _, Some(q103Sql)),
+    // served ≡ self-contained for the second graph analytic: gated against
+    // q84's own oracle through the artifact round-trip
+    ("q105_label_prop_served", q105LabelPropServed _, Some(q84Sql)),
   )
 }

@@ -459,6 +459,106 @@ object TextOps {
        |FROM bi JOIN pv USING (prev) JOIN ct USING (tok) CROSS JOIN ty
        |ORDER BY cvw DESC, bi.prev, bi.tok LIMIT $KnTopK""".stripMargin
 
+  /** q104: TRIGRAM interpolated Kneser–Ney with BACKOFF into the q102
+    * bigram model — the standard modified-KN recursion one level up:
+    * P(w|u,v) = (c(uvw) − D)/c(uv·) + (D·N1+(uv·)/c(uv·)) · P_KN(w|v),
+    * where P_KN(w|v) is exactly q102's interpolated bigram probability
+    * (continuation counts over bigram types — the "Francisco" fix carried
+    * through the recursion). The released discount mass identity holds per
+    * context level, so the spec's BigDecimal check extends unchanged.
+    *
+    * Hashability: P_KN(w|v) is rounded to 6dp FIRST (so both engines feed
+    * the identical double into the trigram chain — the q102 discipline made
+    * compositional), then the trigram probability is the same fixed chain
+    * of correctly-rounded IEEE ops, rounded 6dp. All counts are integers;
+    * D = 0.75 is exactly representable; no logs anywhere.
+    *
+    * Scale shape: trigrams build INSIDE the token array (q90/q98's indexed
+    * transform — the token stream never self-joins); the TRIGRAM-TYPE table
+    * (≤ vocab³ but ≪ the token stream for natural text) aggregates in one
+    * corpus pass and is cached for its two consumers (the probability join
+    * and the (u,v)-context stats); the bigram-type table is q102's cached
+    * build feeding the backoff factors; every stat is a partial+final agg
+    * over type keys; top-k is TakeOrderedAndProject. */
+  def q104KneserNey3(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(split(col("text"), " ").as("w"))
+    // bigram-type table: q102's cached-build convention (4 consumers there,
+    // 4 here: bi itself, prev stats, continuation stats, type count)
+    val bi = docs
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS prev, element_at(w, i + 2) AS tok))")).as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.tok").as("tok"))
+      .agg(count(lit(1)).as("cvw"))
+      .cache()
+    bi.count()
+    val prevStats = bi.groupBy("prev")
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+    val contStats = bi.groupBy("tok").agg(count(lit(1)).as("contw"))
+    val types = bi.agg(count(lit(1)).as("b_types"))
+    // the bigram-KN backoff distribution, ROUNDED 6dp before composition
+    val pkn2 = bi.join(prevStats, Seq("prev"))
+      .join(contStats, Seq("tok"))
+      .crossJoin(broadcast(types))
+      .withColumn("p_kn2", round(
+        expr("(CAST(cvw AS DOUBLE) - 0.75D) / CAST(cv AS DOUBLE)") +
+          expr("(0.75D * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)) * " +
+            "(CAST(contw AS DOUBLE) / CAST(b_types AS DOUBLE))"), 6))
+      .select(col("prev"), col("tok"), col("p_kn2"))
+    // trigram-type table — two consumers (ctx stats + the final join)
+    val tri = docs
+      .select(explode(expr(
+        "transform(slice(w, 1, greatest(size(w) - 2, 0)), (t, i) -> " +
+          "struct(t AS prev2, element_at(w, i + 2) AS prev, element_at(w, i + 3) AS tok))")).as("g"))
+      .groupBy(col("g.prev2").as("prev2"), col("g.prev").as("prev"), col("g.tok").as("tok"))
+      .agg(count(lit(1)).as("cuvw"))
+      .cache()
+    tri.count()
+    val ctx3 = tri.groupBy("prev2", "prev")
+      .agg(sum(col("cuvw")).as("cuv"), count(lit(1)).as("n1uv"))
+    tri.join(ctx3, Seq("prev2", "prev"))
+      .join(pkn2, Seq("prev", "tok"))
+      .withColumn("p_kn3", round(
+        expr("(CAST(cuvw AS DOUBLE) - 0.75D) / CAST(cuv AS DOUBLE)") +
+          expr("(0.75D * CAST(n1uv AS DOUBLE) / CAST(cuv AS DOUBLE)) * p_kn2"), 6))
+      .select("prev2", "prev", "tok", "cuvw", "cuv", "n1uv", "p_kn2", "p_kn3")
+      .orderBy(col("cuvw").desc, col("prev2"), col("prev"), col("tok"))
+      .limit(KnTopK)
+  }
+
+  val q104Sql: String =
+    s"""WITH bi AS (
+       |  SELECT prev, tok, COUNT(*) AS cvw FROM (
+       |    SELECT t[CAST(i AS INTEGER)] AS prev, t[CAST(i + 1 AS INTEGER)] AS tok
+       |    FROM (SELECT string_split(text, ' ') AS t FROM documents),
+       |         LATERAL (SELECT unnest(range(1, len(t))) AS i))
+       |  GROUP BY prev, tok),
+       |pv AS (SELECT prev, CAST(SUM(cvw) AS BIGINT) AS cv, COUNT(*) AS n1v FROM bi GROUP BY prev),
+       |ct AS (SELECT tok, COUNT(*) AS contw FROM bi GROUP BY tok),
+       |ty AS (SELECT COUNT(*) AS b_types FROM bi),
+       |p2 AS (
+       |  SELECT bi.prev, bi.tok,
+       |         round(((CAST(cvw AS DOUBLE) - 0.75) / CAST(cv AS DOUBLE)) +
+       |               ((0.75 * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)) *
+       |                (CAST(contw AS DOUBLE) / CAST(b_types AS DOUBLE))), 6) AS p_kn2
+       |  FROM bi JOIN pv USING (prev) JOIN ct USING (tok) CROSS JOIN ty),
+       |tri AS (
+       |  SELECT prev2, prev, tok, COUNT(*) AS cuvw FROM (
+       |    SELECT t[CAST(i AS INTEGER)] AS prev2, t[CAST(i + 1 AS INTEGER)] AS prev,
+       |           t[CAST(i + 2 AS INTEGER)] AS tok
+       |    FROM (SELECT string_split(text, ' ') AS t FROM documents),
+       |         LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i))
+       |  GROUP BY prev2, prev, tok),
+       |c3 AS (SELECT prev2, prev, CAST(SUM(cuvw) AS BIGINT) AS cuv, COUNT(*) AS n1uv
+       |       FROM tri GROUP BY prev2, prev)
+       |SELECT tri.prev2, tri.prev, tri.tok, cuvw, cuv, n1uv, p_kn2,
+       |       round(((CAST(cuvw AS DOUBLE) - 0.75) / CAST(cuv AS DOUBLE)) +
+       |             ((0.75 * CAST(n1uv AS DOUBLE) / CAST(cuv AS DOUBLE)) * p_kn2), 6) AS p_kn3
+       |FROM tri
+       |JOIN c3 USING (prev2, prev)
+       |JOIN p2 ON p2.prev = tri.prev AND p2.tok = tri.tok
+       |ORDER BY cuvw DESC, tri.prev2, tri.prev, tri.tok LIMIT $KnTopK""".stripMargin
+
   /** q98: CROSS-SOURCE content-overlap matrix — for every source pair, how
     * many DISTINCT word 3-grams they share: the provenance-audit signal
     * behind "is src7 a mirror/scrape of src3" and "which crawls should be
@@ -768,5 +868,6 @@ object TextOps {
     ("q97_continuation", q97Continuation _, Some(q97Sql)),
     ("q98_source_overlap", q98SourceOverlap _, Some(q98Sql)),
     ("q102_kneser_ney", q102KneserNey _, Some(q102Sql)),
+    ("q104_kneser_ney3", q104KneserNey3 _, Some(q104Sql)),
   )
 }
