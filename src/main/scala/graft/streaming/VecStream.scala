@@ -132,4 +132,37 @@ object VecStream {
       .select(expr("zip_with(e, mu, (x, m) -> x - m)").as("cx"))
       .agg(expr("graft_cov(cx, 64)").as("cs"), count(lit(1)).as("n"))
   }
+
+  /** STREAMING GRAPH MAINTENANCE — one micro-batch fold of fresh vectors
+    * into the persisted kNN-graph artifact, the last serving family to get
+    * a streaming ingest story (the ANN index has [[indexAppend]], the PCA
+    * stats have the sketch passes; this is the edge-list analogue). Run
+    * inside `foreachBatch`: delegates to the batch
+    * [[graft.ops.Similarity.knnGraphAppend]] kernel VERBATIM (same
+    * broadcasts, same bounded merge), which is exactly why
+    * streamed ≡ batch rebuild holds transitively across any batching
+    * (DocStreamSpec) — append(append(G, b₁), b₂) = rebuild(base ∪ b₁ ∪ b₂)
+    * by induction on the per-step equivalence.
+    *
+    * Copy-on-write versioning: the updated SCORED edge list lands at
+    * `outPath` (a NEW dir — parquet cannot be overwritten while the fold
+    * is reading it), and the frozen centroids are carried forward to
+    * `${outPath}_cents`, so every version is a self-contained artifact the
+    * next fold (or any serving query) can point at. Retiring old versions
+    * is the caller's swap step, the standard CoW table convention.
+    *
+    * `baseEmb` must be the nonzero-norm (vec_id, e, nrm) corpus the
+    * `artifactPath` edge list currently covers — stream operators keep it
+    * current by appending each drained batch's raw rows to the corpus
+    * store they read it from (the spec's accumulating-dir shape). */
+  def graphAppend(s: SparkSession, baseEmb: DataFrame, artifactPath: String,
+      fresh: DataFrame, outPath: String): Unit = {
+    val edges = s.read.parquet(artifactPath)
+    val cents = s.read.parquet(s"${artifactPath}_cents")
+    graft.ops.Similarity
+      .knnGraphAppend(s, baseEmb, edges, cents,
+        fresh.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+      .write.mode("overwrite").parquet(outPath)
+    cents.write.mode("overwrite").parquet(s"${outPath}_cents")
+  }
 }

@@ -1915,6 +1915,115 @@ class OperatorSpec extends AnyFunSuite {
       "served edges did not come from the artifact")
   }
 
+  test("knnGraphAppend ≡ full rebuild over the union corpus under the frozen quantizer, and fresh vectors really displace edges") {
+    graft.functions.VectorFunctions.register(spark)
+    val all = Similarity.embWithNorm(spark, sf)
+      .filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+    val maxId = all.agg(max("vec_id")).head().getLong(0)
+    val cut = maxId * 4 / 5
+    val base = all.filter(col("vec_id") <= cut)
+    val fresh = all.filter(col("vec_id") > cut).select("vec_id", "e")
+    // shared EXPLICIT centroids (trained on base — the artifact's frozen
+    // quantizer; the rebuild must see the same cells or equivalence is
+    // ill-posed, exactly as ivfPqAppend never retrains)
+    val cents = Similarity.knnCents(base, 8).cache()
+    val cc = Similarity.ccRow(cents)
+    val baseEdges = Similarity.knnEdgesScoredFrom(spark, base, cc).cache()
+    val appended = Similarity
+      .knnGraphAppend(spark, base, baseEdges, cents, fresh)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    val rebuilt = Similarity.knnEdgesScoredFrom(spark, all, cc)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    assert(appended.nonEmpty && appended == rebuilt,
+      s"append diverged from rebuild: ${appended.size} vs ${rebuilt.size} rows")
+    // the hard half must actually fire: some existing node's top-k now
+    // contains a fresh neighbor (a pure fresh-side append would pass the
+    // equality above on a corpus where no displacement happens)
+    assert(appended.exists(r => r.getAs[Long]("query_id") <= cut &&
+      r.getAs[Long]("neighbor_id") > cut),
+      "no existing node adopted a fresh neighbor — displacement untested")
+  }
+
+  test("knnGraphArtifact restores the session topk-fallback conf after its eager writes") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prior = spark.conf.get(key, "128")
+    try {
+      spark.conf.set(key, "128") // simulate the untouched Spark default
+      val dir = java.nio.file.Files.createTempDirectory("knn_art_conf").toString
+      Similarity.knnGraphArtifact(spark, sf, s"$dir/edges")
+      assert(spark.conf.get(key) == "128",
+        "eager artifact build must restore the session conf it raised")
+    } finally spark.conf.set(key, prior)
+  }
+
+  test("termCounts: sorted-run counter ≡ brute-force recount on long docs; q56/q95 keep the linear kernel") {
+    // real long-doc text (the GenLongDocs mixture: per-doc distinct counts
+    // grow ~L/2, the regime where the pre-r12 O(L·distinct) kernel was
+    // measurably quadratic) — doc 9 takes the skew-tail maxTok branch
+    val docs = Seq(0L, 1L, 9L).map(id => (id, GenLongDocs.docText(id, 1000, 2000)))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val got = graft.ops.TextOps.termCounts(df).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> (r.getLong(1), r.getLong(3))).toMap
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1)
+      val exp = w.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(got.keys.count(_._1 == id) == exp.size, s"doc $id distinct terms")
+      exp.foreach { case (t, n) =>
+        assert(got((id, t)) == ((w.length.toLong, n)), s"tf($id, $t)") }
+    }
+    // regression guard: the quadratic kernel counted via a per-distinct-
+    // token size(filter(w, x -> x = t)) — nothing else in these plans
+    // legitimately composes size over filter, so its return is red here
+    // (round-12 verdict: without this, a revert passes every gate)
+    for (q <- Seq(graft.ops.TextOps.q56Tfidf(spark, sf),
+        graft.ops.TextOps.q95Bm25(spark, sf))) {
+      val p = q.queryExecution.analyzed.toString
+      assert(!p.contains("size(filter("),
+        "per-distinct-token tf counting reappeared in the analyzed plan")
+      assert(p.contains("array_sort"), "sorted-run tf kernel missing")
+    }
+  }
+
+  test("q104: trigram KN matches a plain-Scala recompute; backoff composes the ROUNDED bigram p_kn; mass identity exact") {
+    val rows = graft.ops.TextOps.q104KneserNey3(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val bigrams = texts.flatMap { t => val w = t.split(" "); w.dropRight(1).zip(w.drop(1)) }
+    val cvw = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cv = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1v = cvw.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val contw = cvw.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b = cvw.size.toLong
+    val trigrams = texts.flatMap { t =>
+      val w = t.split(" "); if (w.length < 3) Nil else w.sliding(3).map(a => (a(0), a(1), a(2))).toSeq }
+    val cuvw = trigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cuv = trigrams.groupBy(g => (g._1, g._2)).view.mapValues(_.length.toLong).toMap
+    val n1uv = cuvw.keys.toSeq.groupBy(g => (g._1, g._2)).view.mapValues(_.size.toLong).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (u, v, w) = (r.getAs[String]("prev2"), r.getAs[String]("prev"), r.getAs[String]("tok"))
+      assert(r.getAs[Long]("cuvw") == cuvw((u, v, w)), s"c($u,$v,$w)")
+      assert(r.getAs[Long]("cuv") == cuv((u, v)) && r.getAs[Long]("n1uv") == n1uv((u, v)), s"ctx($u,$v)")
+      val p2 = r6((cvw((v, w)).toDouble - 0.75) / cv(v).toDouble +
+        (0.75 * n1v(v).toDouble / cv(v).toDouble) * (contw(w).toDouble / b.toDouble))
+      assert(r.getAs[Double]("p_kn2") == p2, s"p_kn2($v,$w)")
+      // composition feeds the ROUNDED backoff — the cross-engine contract
+      val p3 = r6((cuvw((u, v, w)).toDouble - 0.75) / cuv((u, v)).toDouble +
+        (0.75 * n1uv((u, v)).toDouble / cuv((u, v)).toDouble) * p2)
+      assert(r.getAs[Double]("p_kn3") == p3, s"p_kn3($u,$v,$w)")
+      assert(p3 > 0 && p3 < 1, r.toString)
+    }
+    // the released-discount-mass identity, one context level up, exact
+    cuv.keys.foreach { case (u, v) =>
+      val released = cuvw.collect {
+        case ((a, bb, _), c) if a == u && bb == v => BigDecimal(c) - BigDecimal("0.75") }.sum
+      assert(released == BigDecimal(cuv((u, v))) - BigDecimal("0.75") * BigDecimal(n1uv((u, v))),
+        s"mass identity for ($u,$v)")
+    }
+  }
+
   test("q97 continuation counts match an independent plain-Scala recompute") {
     val raw = scala.collection.mutable.Map.empty[String, Long]
     val ctx = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]

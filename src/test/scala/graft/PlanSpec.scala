@@ -575,6 +575,68 @@ class PlanSpec extends AnyFunSuite {
       "expected a parquet scan rooted at the served edge artifact")
   }
 
+  test("q105 served label-prop: zero rebuild — no kNN kernel anywhere in the served lineage, edges scanned from the artifact") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Similarity.q105LabelPropServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val full = ns.map(_.toString).mkString("\n")
+    assert(!full.contains("graft_near_cells"),
+      "served lineage re-runs the coarse argmin — the build cost the artifact exists to amortize")
+    assert(!full.contains("graft_topk"), "served lineage re-runs the bounded top-k")
+    assert(ns.collect { case f: FileSourceScanExec => f }
+      .exists(_.relation.location.rootPaths.exists(_.toString.contains("graft_knn_serve"))),
+      "expected a parquet scan rooted at the served edge artifact")
+  }
+
+  test("knnGraphAppend: every cell join broadcasts the fresh-derived side — the corpus never shuffles for candidates") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.functions.VectorFunctions.register(spark)
+    // a real artifact round-trip: edges + cents come from parquet, so the
+    // append plan's lineage is clean of the build kernel (the production
+    // serving contract — in-memory lineage would smuggle shuffle_merge
+    // cell joins from the build into this assertion)
+    val dir = java.nio.file.Files.createTempDirectory("knn_append_plan").toString
+    Similarity.knnGraphArtifact(spark, sf, s"$dir/edges")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val cents = spark.read.parquet(s"$dir/edges_cents")
+    val base = Similarity.embWithNorm(spark, sf)
+      .filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+    val fresh = base.limit(40)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("e"))
+    val df = Similarity.knnGraphAppend(spark, base, edges, cents, fresh)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val smj = ns.collect { case s: SortMergeJoinExec => s }
+    assert(smj.isEmpty,
+      s"append must never plan a corpus-shuffling merge join: ${smj.map(_.leftKeys).mkString(";")}")
+    val cellBhj = ns.collect {
+      case b: BroadcastHashJoinExec
+        if b.leftKeys.exists(_.toString.contains("cell")) ||
+          b.rightKeys.exists(_.toString.contains("cell")) => b
+    }
+    assert(cellBhj.size >= 2,
+      s"expected both candidate cell joins to broadcast (fresh probes, fresh index); found ${cellBhj.size}")
+  }
+
   test("q95 bm25: query terms broadcast onto tf, stats one-row attach, top-k group-limited") {
     import graft.ops.TextOps
     val p = plan(TextOps.q95Bm25(spark, sf))

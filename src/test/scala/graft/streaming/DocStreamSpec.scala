@@ -333,4 +333,72 @@ class DocStreamSpec extends AnyFunSuite {
         s"stream-merged sketch diverges for $src: got=$got exp=${direct(src)}")
     }
   }
+
+  test("streamed graph maintenance: per-micro-batch edge folds equal the batch rebuild over the whole stream") {
+    val spark = TestSpark.spark
+    import graft.ops.Similarity
+    graft.functions.VectorFunctions.register(spark)
+    val allE = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+      .filter(col("nrm") > 0)
+    val static = allE.filter(col("vec_id") % 3 === 2)
+
+    // base artifact: frozen cents + scored edges for the static corpus
+    // (the explicit-cents seams — the artifact layout knnGraphArtifact
+    // writes, built here per-split so the quantizer freezes on `static`)
+    val root = java.nio.file.Files.createTempDirectory("vecstream_graph").toString
+    Similarity.knnCents(static, 8)
+      .write.mode("overwrite").parquet(s"$root/v0_cents")
+    Similarity.knnEdgesScoredFrom(spark, static,
+        Similarity.ccRow(spark.read.parquet(s"$root/v0_cents")))
+      .write.mode("overwrite").parquet(s"$root/v0")
+
+    // the corpus store the folds read their baseEmb from (CoW convention:
+    // each drained batch appends its raw rows after its fold lands)
+    val accDir = s"$root/corpus"
+    Tables.embeddings(spark, sf).filter(col("vec_id") % 3 === 2)
+      .select("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(accDir)
+
+    // two fresh micro-batches, forced to drain separately
+    val dir = java.nio.file.Files.createTempDirectory("vecstream_graph_src").toString
+    Seq(0, 1).foreach { m =>
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 3 === m)
+        .select("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    var ver = 0
+    val q = spark.readStream.schema(VecStream.rawSchema)
+      .option("pathGlobFilter", "*.parquet").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val baseEmb = spark.read.parquet(accDir)
+            .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+            .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+            .filter(col("nrm") > 0)
+          VecStream.graphAppend(spark, baseEmb, s"$root/v$ver", batch, s"$root/v${ver + 1}")
+          batch.select("vec_id", "embedding").coalesce(1)
+            .write.mode("append").parquet(accDir)
+          ver += 1
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(ver >= 2, s"expected ≥2 micro-batches, got $ver — maxFilesPerTrigger ignored?")
+
+    def key(a: Array[org.apache.spark.sql.Row]) = a.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        ((r.getAs[Long]("outdeg"), r.getAs[Double]("cos_sim")))).toMap
+    val streamed = key(spark.read.parquet(s"$root/v$ver").collect())
+    // batch differential: one rebuild over the full union under the SAME
+    // frozen quantizer — transitive equivalence across any batching
+    val rebuilt = key(Similarity.knnEdgesScoredFrom(spark, allE,
+      Similarity.ccRow(spark.read.parquet(s"$root/v0_cents"))).collect())
+    assert(rebuilt.nonEmpty && streamed == rebuilt,
+      s"streamed graph diverged: ${streamed.size} vs ${rebuilt.size} edges")
+  }
 }
