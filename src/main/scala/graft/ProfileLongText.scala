@@ -11,11 +11,13 @@ import org.apache.spark.sql.SparkSession
   * `GenLongDocs /tmp/sflong10 500 10000 30000`): a linear-in-L operator
   * shows ~2× wall-clock, a quadratic one ~4× — the q95/q56 sorted-run
   * term counter was switched on exactly this measurement (BASELINE.md
-  * round-12 anchors record the numbers).
+  * round-13 anchors record the committed table: sorted-run 2.31 → 3.17 s
+  * at 2× length vs the pre-r12 quadratic kernel's 126 → 430 s).
   *
   * Covers the judge-named long-doc set: q95 BM25 (term counting), q56
   * TF-IDF (same counter), q90 bigram top-k, q97 continuation counts, q98
-  * source overlap, q102 Kneser–Ney.
+  * source overlap, q102 Kneser–Ney, q104 trigram KN; `quad` mode adds the
+  * pre-r12 tf kernel and the uncached-q102 head-to-heads.
   */
 object ProfileLongText {
   def main(args: Array[String]): Unit = {
@@ -53,6 +55,33 @@ object ProfileLongText {
     time("q97 continuation")(graft.ops.TextOps.q97Continuation(spark, d).count())
     time("q98 source overlap")(graft.ops.TextOps.q98SourceOverlap(spark, d).count())
     time("q102 kneser-ney")(graft.ops.TextOps.q102KneserNey(spark, d).count())
+    time("q104 kneser-ney3")(graft.ops.TextOps.q104KneserNey3(spark, d).count())
+    if (args.length > 1 && args(1) == "quad") {
+      // the q102 cache head-to-head: the SAME plan minus the bigram-table
+      // cache barrier — the corpus-wide explode+agg runs once per consumer
+      // (4×) inside one job instead of once total (measurement target only)
+      spark.catalog.clearCache()
+      time("q102 (uncached bigram table)")({
+        val bi = Tables.spread(spark, Tables.documents(spark, d), "doc_id")
+          .select(split(col("text"), " ").as("w"))
+          .select(explode(expr(
+            "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS prev, element_at(w, i + 2) AS tok))")).as("b"))
+          .groupBy(col("b.prev").as("prev"), col("b.tok").as("tok"))
+          .agg(count(lit(1)).as("cvw"))
+        val prevStats = bi.groupBy("prev")
+          .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+        val contStats = bi.groupBy("tok").agg(count(lit(1)).as("contw"))
+        val types = bi.agg(count(lit(1)).as("b_types"))
+        bi.join(prevStats, Seq("prev")).join(contStats, Seq("tok"))
+          .crossJoin(broadcast(types))
+          .withColumn("p_kn", round(
+            expr("(CAST(cvw AS DOUBLE) - 0.75D) / CAST(cv AS DOUBLE)") +
+              expr("(0.75D * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)) * " +
+                "(CAST(contw AS DOUBLE) / CAST(b_types AS DOUBLE))"), 6))
+          .orderBy(col("cvw").desc, col("prev"), col("tok"))
+          .limit(100).count()
+      })
+    }
     spark.stop()
   }
 }

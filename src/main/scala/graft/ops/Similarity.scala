@@ -1615,10 +1615,33 @@ object Similarity {
       val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
       knnCents(emb, corpusNList(s, d))
         .write.mode("overwrite").parquet(s"${path}_cents")
-      knnEdgesScoredFrom(s, emb, ccRow(s.read.parquet(s"${path}_cents")))
+      val cc = ccRow(s.read.parquet(s"${path}_cents"))
+      // the per-vector PROBE-CELL table (vec_id, pcells) — the graph
+      // analogue of ivfPqIndex's per-vector cell+code table: pcells[0] is
+      // the assign cell (graft_near_cells orders by (distance, cent_id),
+      // the identical tie-break as the k=1 argmin), the rest are the probe
+      // cells. Appends read these n·nprobe integer rows instead of
+      // re-running the n·nlist assign over the base corpus — measured at
+      // 1M vectors the two recomputed assign passes are 2×30 s of the
+      // append's 90 s (BASELINE.md round-13), and they grow n^1.5 under
+      // √n nlist sizing while the persisted-table join grows n.
+      probeCellRows(emb.select("vec_id", "e"), s.read.parquet(s"${path}_cents"))
+        .write.mode("overwrite").parquet(s"${path}_cells")
+      knnEdgesScoredFrom(s, emb, cc)
         .write.mode("overwrite").parquet(path)
     } finally s.conf.set(confKey, prior)
   }
+
+  /** (vec_id, pcells) probe-cell rows for a (vec_id, e) batch under frozen
+    * cents — the artifact's `_cells` schema (pcells[0] = assign cell);
+    * nonzero-norm rows only, the graph node-set convention. The streaming
+    * fold uses this to carry the cells table forward per version. */
+  def probeCellRows(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)"))).filter(col("nrm") > 0)
+      .crossJoin(broadcast(ccRow(cents)))
+      .withColumn("pcells", expr(probeCellsExpr(IvfNProbe)))
+      .select("vec_id", "pcells")
 
   /** INCREMENTAL kNN-GRAPH MAINTENANCE — the missing member of the append
     * family ([[ivfPqAppend]]/[[opqAppend]]/[[sq8Append]]), and the genuinely
@@ -1652,26 +1675,63 @@ object Similarity {
   def knnGraphAppend(s: SparkSession, baseEmb: DataFrame, edges: DataFrame,
       cents: DataFrame, fresh: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    val cc = ccRow(cents)
+    // base-side cells/probes RECOMPUTED map-side (two n·nlist passes —
+    // correct at any scale, zero extra state; [[knnGraphAppendFrom]] is
+    // the cheaper path when the artifact's probe-cell table is at hand)
+    val exA = baseEmb.crossJoin(broadcast(cc))
+      .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val exProbes = baseEmb.crossJoin(broadcast(cc))
+      .withColumn("pcell", explode(expr(probeCellsExpr(IvfNProbe))))
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq"), col("pcell").as("cell"))
+    appendCore(s, exA, exProbes, edges, cc, fresh)
+  }
+
+  /** [[knnGraphAppend]] served from the artifact's persisted PROBE-CELL
+    * table (`${path}_cells`: vec_id → pcells, pcells[0] = assign cell) —
+    * the base corpus's cells/probes come from n·nprobe integer parquet
+    * rows joined to the embeddings on vec_id instead of two recomputed
+    * n·nlist assign passes. The join is O(n) shuffle where the recompute
+    * is O(n·√n) ops under √n nlist sizing, so this is the path that keeps
+    * append LINEAR in corpus size (BASELINE.md round-13 measures the
+    * crossover at 1M). Same results bit-for-bit: the persisted pcells are
+    * the same expression over the same frozen cents. */
+  def knnGraphAppendFrom(s: SparkSession, baseEmb: DataFrame, cells: DataFrame,
+      edges: DataFrame, cents: DataFrame, fresh: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cc = ccRow(cents)
+    val pre = baseEmb.join(cells, Seq("vec_id"))
+    val exA = pre.select(col("vec_id"), col("e"), col("nrm"),
+      element_at(col("pcells"), 1).as("cell"))
+    val exProbes = pre
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq"), explode(col("pcells")).as("cell"))
+    appendCore(s, exA, exProbes, edges, cc, fresh)
+  }
+
+  /** The shared append merge: fresh assignment + one-sided broadcast
+    * candidate joins + the bounded top-k merges, over base-side
+    * (vec_id, e, nrm, cell) assignments and (query_id, eq, nq, cell)
+    * probe rows from either derivation. */
+  private def appendCore(s: SparkSession, exA: DataFrame, exProbes: DataFrame,
+      edges: DataFrame, cc: DataFrame, fresh: DataFrame): DataFrame = {
     graft.functions.TopKAgg.register(s)
     raiseTopkFallback(s)
-    val cc = ccRow(cents)
     val fr = fresh.select(col("vec_id"), col("e"))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
       .filter(col("nrm") > 0)
     val frA = fr.crossJoin(broadcast(cc))
       .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
-    val exA = baseEmb.crossJoin(broadcast(cc))
-      .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
-      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
     def asIndex(df: DataFrame): DataFrame =
       df.select(col("vec_id").as("neighbor_id"), col("cell"),
         col("e").as("en"), col("nrm").as("nn"))
-    def asProbes(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(cc))
-        .withColumn("pcell", explode(expr(probeCellsExpr(IvfNProbe))))
-        .select(col("vec_id").as("query_id"), col("e").as("eq"),
-          col("nrm").as("nq"), col("pcell").as("cell"))
+    val frProbes = fr.crossJoin(broadcast(cc))
+      .withColumn("pcell", explode(expr(probeCellsExpr(IvfNProbe))))
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq"), col("pcell").as("cell"))
     def scored(pairs: DataFrame): DataFrame = pairs
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
@@ -1679,11 +1739,11 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim")
     // fresh side: probes broadcast onto the union index (corpus streams)
     val freshEdges = topkEdges(scored(
-      asIndex(exA.unionByName(frA)).join(broadcast(asProbes(fr)), Seq("cell"))))
+      asIndex(exA.unionByName(frA)).join(broadcast(frProbes), Seq("cell"))))
     // existing side: corpus probe rows stream against the broadcast fresh
     // index; the merge re-top-ks old edges ∪ fresh candidates per node
     val patchCand = scored(
-      asProbes(baseEmb).join(broadcast(asIndex(frA)), Seq("cell")))
+      exProbes.join(broadcast(asIndex(frA)), Seq("cell")))
     val merged = topkEdges(
       edges.select("query_id", "neighbor_id", "cos_sim").unionByName(patchCand))
     merged.unionByName(freshEdges)

@@ -285,8 +285,10 @@ object TextOps {
     * sentinel). Shared by q56 and q95 — both previously counted via
     * `size(filter(w, x = t))` per distinct token, O(L·distinct) per doc:
     * invisible at the ≤598-char testdata, dominant on real 10⁴–10⁵-token
-    * documents (measured linear in L on the GenLongDocs corpus,
-    * BASELINE.md round-12 anchors). Input (doc_id, w); output
+    * documents (measured linear in L on the GenLongDocs corpora:
+    * 2.31 s → 3.17 s at 2× length vs the quadratic kernel's 126 s → 430 s
+    * on the same data — BASELINE.md round-13 anchors; OperatorSpec guards
+    * both the output and the kernel shape). Input (doc_id, w); output
     * (doc_id, dl, term, tf). */
   private[graft] def termCounts(docs: DataFrame): DataFrame =
     docs
@@ -415,9 +417,16 @@ object TextOps {
   def q102KneserNey(s: SparkSession, d: String): DataFrame = {
     // the bigram-TYPE table feeds FOUR consumers (bi itself, prev stats,
     // continuation stats, the type count) — cache it so the corpus-wide
-    // explode+agg pass runs ONCE, not four times inside one plan (measured
-    // 13 s → ~2 s on the sflong10 long-doc corpus; q96/pcaParts convention,
-    // falls to the session clearCache like every in-query cache here)
+    // explode+agg pass runs ONCE, not four times inside one plan (q96/
+    // pcaParts convention, falls to the session clearCache like every
+    // in-query cache here). Measured honestly (BASELINE.md round-13
+    // anchors): on the sflong10 HEAVY-TAIL corpus the cache is break-even
+    // (7.2 s cached vs 6.2 s uncached in-session) because the 200k-id tail
+    // makes bigram TYPES ≈ half the token stream, so materializing the
+    // type table costs what the three saved passes cost; on natural text
+    // (Heaps' law: types ≪ tokens — the driver testdata and any real
+    // corpus) the cached table is small and the three saved corpus passes
+    // dominate, which is the 100 TB case the barrier exists for.
     val bi = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(split(col("text"), " ").as("w"))
       .select(explode(expr(

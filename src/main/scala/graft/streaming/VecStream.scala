@@ -159,10 +159,18 @@ object VecStream {
       fresh: DataFrame, outPath: String): Unit = {
     val edges = s.read.parquet(artifactPath)
     val cents = s.read.parquet(s"${artifactPath}_cents")
+    val cells = s.read.parquet(s"${artifactPath}_cells")
+    val fr = fresh.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    // the O(n)-shuffle path: base cells/probes from the persisted
+    // probe-cell table, never an n·nlist recompute per micro-batch
     graft.ops.Similarity
-      .knnGraphAppend(s, baseEmb, edges, cents,
-        fresh.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+      .knnGraphAppendFrom(s, baseEmb, cells, edges, cents, fr)
       .write.mode("overwrite").parquet(outPath)
     cents.write.mode("overwrite").parquet(s"${outPath}_cents")
+    // fold the batch's probe-cell rows in so the NEXT version appends
+    // against the union table (same expression, same frozen cents)
+    cells.unionByName(graft.ops.Similarity.probeCellRows(fr, cents))
+      .write.mode("overwrite").parquet(s"${outPath}_cells")
   }
 }

@@ -1942,6 +1942,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(appended.exists(r => r.getAs[Long]("query_id") <= cut &&
       r.getAs[Long]("neighbor_id") > cut),
       "no existing node adopted a fresh neighbor — displacement untested")
+    // the persisted-probe-cell path (knnGraphAppendFrom — the O(n)-shuffle
+    // serving shape) must produce the identical union edge list
+    val cellsTable = Similarity.probeCellRows(base.select("vec_id", "e"), cents)
+    val appendedFrom = Similarity
+      .knnGraphAppendFrom(spark, base, cellsTable, baseEdges, cents, fresh)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    assert(appendedFrom == rebuilt,
+      s"cells-table append diverged: ${appendedFrom.size} vs ${rebuilt.size} rows")
   }
 
   test("knnGraphArtifact restores the session topk-fallback conf after its eager writes") {

@@ -353,6 +353,9 @@ class DocStreamSpec extends AnyFunSuite {
     Similarity.knnEdgesScoredFrom(spark, static,
         Similarity.ccRow(spark.read.parquet(s"$root/v0_cents")))
       .write.mode("overwrite").parquet(s"$root/v0")
+    Similarity.probeCellRows(static.select("vec_id", "e"),
+        spark.read.parquet(s"$root/v0_cents"))
+      .write.mode("overwrite").parquet(s"$root/v0_cells")
 
     // the corpus store the folds read their baseEmb from (CoW convention:
     // each drained batch appends its raw rows after its fold lands)
