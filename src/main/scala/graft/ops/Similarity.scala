@@ -1608,7 +1608,8 @@ object Similarity {
     * the writes complete (closes the round-12 "restore after eager actions"
     * item; the documented session-wide raise remains only for lazy frames,
     * where SQLConf-at-planning makes scoping impossible). */
-  def knnGraphArtifact(s: SparkSession, d: String, path: String): Unit = {
+  def knnGraphArtifact(s: SparkSession, d: String, path: String,
+      withCells: Boolean = true): Unit = {
     val confKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prior = s.conf.get(confKey, "128")
     try {
@@ -1625,8 +1626,13 @@ object Similarity {
       // 1M vectors the two recomputed assign passes are 2×30 s of the
       // append's 90 s (BASELINE.md round-13), and they grow n^1.5 under
       // √n nlist sizing while the persisted-table join grows n.
-      probeCellRows(emb.select("vec_id", "e"), s.read.parquet(s"${path}_cents"))
-        .write.mode("overwrite").parquet(s"${path}_cells")
+      // withCells=false skips the probe-cell table for SERVE-ONLY builds
+      // (the q101/q105 gates re-build per run and never append) — readers
+      // that will fold batches in keep the default and get the append-
+      // ready artifact
+      if (withCells)
+        probeCellRows(emb.select("vec_id", "e"), s.read.parquet(s"${path}_cents"))
+          .write.mode("overwrite").parquet(s"${path}_cells")
       knnEdgesScoredFrom(s, emb, cc)
         .write.mode("overwrite").parquet(path)
     } finally s.conf.set(confKey, prior)
@@ -2052,7 +2058,7 @@ object Similarity {
     * construction (writes the artifact), like q76/q93. */
   def q101PageRankServed(s: SparkSession, d: String): DataFrame = {
     val path = s"${knnGraphServePath(d)}/edges"
-    knnGraphArtifact(s, d, path)
+    knnGraphArtifact(s, d, path, withCells = false)
     q94PageRankFrom(s, d, s.read.parquet(path))
   }
 
@@ -2067,8 +2073,98 @@ object Similarity {
     * other's parquet. PlanSpec pins the no-kernel lineage like q101's. */
   def q105LabelPropServed(s: SparkSession, d: String): DataFrame = {
     val path = s"${knnGraphServePath(d)}/edges_lp"
-    knnGraphArtifact(s, d, path)
+    knnGraphArtifact(s, d, path, withCells = false)
     q84LabelPropFrom(s, d, s.read.parquet(path))
+  }
+
+  /** q106: THE APPEND GATE — [[knnGraphAppendFrom]]'s whole algebra under
+    * the DuckDB oracle (the stretch the round-12 task list asked for): the
+    * corpus is split at cut = ⌊max(vec_id)·4/5⌋, the quantizer trains on
+    * the BASE side only (freeze — the ivfPqAppend no-retrain contract),
+    * the base edge list + probe-cell table build exactly as
+    * [[knnGraphArtifact]] persists them, and the held-out tail is folded
+    * in through the one-sided append merge. The oracle is the FULL REBUILD
+    * over the union under the same base-trained cents — the selection
+    * identity top-k(A∪B) = top-k(top-k(A)∪B) is what makes append ≡
+    * rebuild, so any drift in the patch merge, the fresh-side union index,
+    * the probe-cell table derivation, or the frozen-cents discipline
+    * breaks the hash cross-engine. cut and nlist (√base-count, or the env
+    * lever) are interpolated into both plans as the same integer
+    * arithmetic. Output: the union SCORED edge list. */
+  def q106GraphAppend(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+    val cut = Tables.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0) * 4 / 5
+    val base = emb.filter(col("vec_id") <= cut)
+    val nlist = sys.env.get("SPARK_GRAFT_NLIST").map(_.toInt)
+      .getOrElse(derivedNList(base.count()))
+    val cents = knnCents(base, nlist).cache() // tiny; three consumers below
+    val cellsTable = probeCellRows(base.select("vec_id", "e"), cents)
+    val baseEdges = knnEdgesScoredFrom(s, base, ccRow(cents))
+    val fresh = emb.filter(col("vec_id") > cut).select("vec_id", "e")
+    knnGraphAppendFrom(s, base, cellsTable, baseEdges, cents, fresh)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  lazy val q106Sql: String = {
+    val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
+    val nlistSql = sys.env.get("SPARK_GRAFT_NLIST").map(_.toInt.toString).getOrElse(
+      "(SELECT GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM eb)")
+    s"""WITH e AS (
+       |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |  WHERE sqrt(list_inner_product(e, e)) > 0),
+       |cutv AS (SELECT CAST(CAST(max(vec_id) AS BIGINT) * 4 / 5 AS BIGINT) AS cut
+       |         FROM embeddings),
+       |eb AS (SELECT e.vec_id, e.e, e.nrm FROM e, cutv WHERE e.vec_id <= cutv.cut),
+       |kseed AS (SELECT vec_id AS cent_id, e AS ce FROM eb WHERE vec_id < $nlistSql),
+       |ka0 AS (
+       |  SELECT x.vec_id, x.e, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |  FROM eb x CROSS JOIN kseed c),
+       |kmx AS (
+       |  SELECT cell, i,
+       |         SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT cent_id AS cell, unnest(range(0, len(e))) AS i, e FROM ka0 WHERE rn = 1)
+       |  GROUP BY cell, i),
+       |kmean AS (
+       |  SELECT cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM kmx GROUP BY cell),
+       |kcents AS (
+       |  SELECT s.cent_id, COALESCE(m.ce_new, s.ce) AS ce
+       |  FROM kseed s LEFT JOIN kmean m ON s.cent_id = m.cell),
+       |kassign AS (
+       |  SELECT vec_id AS neighbor_id, cent_id AS cell FROM (
+       |    SELECT x.vec_id, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN kcents c)
+       |  WHERE rn = 1),
+       |kq AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT x.vec_id AS query_id, c.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN kcents c)
+       |  WHERE rn <= $IvfNProbe),
+       |cand AS (
+       |  SELECT q.query_id, i.neighbor_id,
+       |         round(list_inner_product(eq.e, en.e) / (eq.nrm * en.nrm), 6) AS cos_sim
+       |  FROM kq q
+       |  JOIN kassign i USING (cell)
+       |  JOIN e eq ON eq.vec_id = q.query_id
+       |  JOIN e en ON en.vec_id = i.neighbor_id
+       |  WHERE q.query_id <> i.neighbor_id),
+       |edges AS (
+       |  SELECT query_id, neighbor_id, cos_sim FROM (
+       |    SELECT query_id, neighbor_id, cos_sim,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM cand)
+       |  WHERE rn <= $AdcK)
+       |SELECT query_id,
+       |       CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS outdeg,
+       |       neighbor_id, cos_sim
+       |FROM edges ORDER BY query_id, neighbor_id""".stripMargin
   }
 
   /** q103: MASS-CONSERVING PAGERANK (dangling-node variant) — q94 drops
@@ -2814,5 +2910,8 @@ object Similarity {
     // served ≡ self-contained for the second graph analytic: gated against
     // q84's own oracle through the artifact round-trip
     ("q105_label_prop_served", q105LabelPropServed _, Some(q84Sql)),
+    // the append algebra itself under the oracle: entry = one-sided fold
+    // of the held-out tail, oracle = the full rebuild under frozen cents
+    ("q106_graph_append", q106GraphAppend _, Some(q106Sql)),
   )
 }
