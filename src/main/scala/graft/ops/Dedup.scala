@@ -745,6 +745,52 @@ object Dedup {
        |$clusterCte
        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
 
+  /** q108: LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — the assignment every
+    * training pipeline needs before eval numbers mean anything: a plain
+    * per-document hash split leaks near-duplicates across the boundary
+    * (the test set "contains" mutated copies of training documents — the
+    * classic eval-inflation bug), so the split key is the NEAR-DUP CLUSTER
+    * (q53's connected components over the J ≥ 0.6 pair graph; singletons
+    * key by their own doc_id), and membership is a portable integer hash
+    * of that group key — md5-hex → BIGINT, the q22/q43 cross-engine
+    * convention — bucketed 80/10/10. Every document in a cluster inherits
+    * the SAME bucket by construction, so no near-dup pair can straddle a
+    * split (OperatorSpec asserts it over the actual pair set); re-running
+    * reselects the identical split (auditable, like q91's sampling).
+    *
+    * Scale shape: the cluster labels come from the scale-audited q53
+    * kernel (min-label propagation with the O(log² n) star-contraction
+    * fallback); the label attach is one doc-keyed left equi join; the
+    * hash and bucket arithmetic are map-side. Nothing new shuffles beyond
+    * q53's own passes. */
+  def q108LeakSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterPairs(exactJaccardPairs(s, d, 0.6).select("a_id", "b_id"))
+    Tables.spread(s, Tables.documents(s, d), "doc_id").select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(grp AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10"))
+      .withColumn("split", when(col("bucket") <= 7, lit("train"))
+        .when(col("bucket") === 8, lit("val")).otherwise(lit("test")))
+      .select("doc_id", "grp", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  val q108Sql: String =
+    s"""WITH RECURSIVE $jaccardCte,
+       |$clusterCte,
+       |g AS (
+       |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS grp
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+       |b AS (
+       |  SELECT doc_id, grp,
+       |         CAST(('0x' || substring(md5(CAST(grp AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bucket
+       |  FROM g)
+       |SELECT doc_id, grp, bucket,
+       |       CASE WHEN bucket <= 7 THEN 'train'
+       |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** Cross-document repeated-substring spans — the distributed form of
     * exact-substring dedup (the "remove any ≥N-token run that appears in
     * more than one document" rule; the reference-free analogue of suffix-
@@ -1055,6 +1101,7 @@ object Dedup {
     ("q27_dedup_embed", q27DedupEmbed _, Some(q27Sql)),
     ("q42_dedup_collapsed", q42DedupCollapsed _, Some(q42Sql)),
     ("q53_dedup_clusters", q53DedupClusters _, Some(q53Sql)),
+    ("q108_leak_safe_split", q108LeakSafeSplit _, Some(q108Sql)),
     ("q57_substr_spans", q57SubstrSpans _, Some(q57Sql)),
     ("q59_edit_dedup", q59EditDedup _, Some(q59Sql)),
     ("q60_substr_clean", q60SubstrClean _, Some(q60Sql)),

@@ -1279,6 +1279,10 @@ object Similarity {
     * Columns: (query_id, neighbor_id, cos_sim). */
   private[graft] def knnCand(s: SparkSession, d: String): DataFrame = {
     val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+    // no cache barrier on cents: although the cc broadcast feeds both the
+    // index and the probes branch, AQE's runtime exchange reuse already
+    // executes the centroid-train broadcast stage once (measured: caching
+    // cents moved q82's 100k steady-state by 0.0 s)
     knnCandFrom(emb, ccRow(knnCents(emb, corpusNList(s, d))))
   }
 

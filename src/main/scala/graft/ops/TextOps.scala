@@ -568,6 +568,94 @@ object TextOps {
        |JOIN p2 ON p2.prev = tri.prev AND p2.tok = tri.tok
        |ORDER BY cuvw DESC, tri.prev2, tri.prev, tri.tok LIMIT $KnTopK""".stripMargin
 
+  /** q107: LANGUAGE-MODEL DOCUMENT SCORING — each document scored by the
+    * corpus's OWN interpolated-KN bigram model (q102's distribution over
+    * ALL bigram types, not the top-k report): score = mean P_KN over the
+    * document's bigrams. This is the CCNet-style quality signal that ties
+    * the n-gram LM statistics into corpus curation — documents whose
+    * word-pair usage the corpus finds improbable (boilerplate, mangled
+    * encodings, keyword stuffing) score low and become filter candidates.
+    *
+    * Hashability (the no-logs discipline carried to perplexity's
+    * replacement): a log-perplexity is not portable cross-libm, so the
+    * score is the MEAN probability — same ordering intent, every part
+    * exact: per-bigram P_KN is q102's rounded-6dp double, floored to a
+    * 10⁻⁶ fixed-point BIGINT and summed with its type count (the Σ is
+    * order-independent integers), and the mean is two correctly-rounded
+    * IEEE divisions spelled identically in both engines.
+    *
+    * Scale shape: the model is vocab²-bounded (built once from the cached
+    * bigram-type table); the document side aggregates per-doc bigram TYPE
+    * counts BEFORE the model join (never the raw token stream), the join
+    * is equi on (prev, tok) — broadcast while the model is small, shuffle
+    * at real vocabularies — and the final per-doc Σ is a partial+final agg
+    * keyed doc_id. Three bounded exchanges, no token-stream self-join. */
+  def q107KnDocScore(s: SparkSession, d: String): DataFrame = {
+    val docsW = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bi = docsW
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS prev, element_at(w, i + 2) AS tok))")).as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.tok").as("tok"))
+      .agg(count(lit(1)).as("cvw"))
+      .cache()
+    bi.count()
+    val prevStats = bi.groupBy("prev")
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+    val contStats = bi.groupBy("tok").agg(count(lit(1)).as("contw"))
+    val types = bi.agg(count(lit(1)).as("b_types"))
+    val model = bi.join(prevStats, Seq("prev"))
+      .join(contStats, Seq("tok"))
+      .crossJoin(broadcast(types))
+      .withColumn("p_kn", round(
+        expr("(CAST(cvw AS DOUBLE) - 0.75D) / CAST(cv AS DOUBLE)") +
+          expr("(0.75D * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)) * " +
+            "(CAST(contw AS DOUBLE) / CAST(b_types AS DOUBLE))"), 6))
+      .select(col("prev"), col("tok"), col("p_kn"))
+    val docBi = docsW
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS prev, element_at(w, i + 2) AS tok))")).as("b"))
+      .groupBy(col("doc_id"), col("b.prev").as("prev"), col("b.tok").as("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    docBi.join(model, Seq("prev", "tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * expr("CAST(floor(p_kn * 1000000.0) AS BIGINT)")).as("kn_mass"),
+        sum(col("cnt")).as("n_bi"))
+      .select(col("doc_id"), col("n_bi"), col("kn_mass"),
+        round(col("kn_mass").cast("double") / col("n_bi").cast("double")
+          / lit(1000000.0), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  val q107Sql: String =
+    """WITH bi AS (
+      |  SELECT prev, tok, COUNT(*) AS cvw FROM (
+      |    SELECT t[CAST(i AS INTEGER)] AS prev, t[CAST(i + 1 AS INTEGER)] AS tok
+      |    FROM (SELECT string_split(text, ' ') AS t FROM documents),
+      |         LATERAL (SELECT unnest(range(1, len(t))) AS i))
+      |  GROUP BY prev, tok),
+      |pv AS (SELECT prev, CAST(SUM(cvw) AS BIGINT) AS cv, COUNT(*) AS n1v FROM bi GROUP BY prev),
+      |ct AS (SELECT tok, COUNT(*) AS contw FROM bi GROUP BY tok),
+      |ty AS (SELECT COUNT(*) AS b_types FROM bi),
+      |model AS (
+      |  SELECT bi.prev, bi.tok,
+      |         round(((CAST(cvw AS DOUBLE) - 0.75) / CAST(cv AS DOUBLE)) +
+      |               ((0.75 * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)) *
+      |                (CAST(contw AS DOUBLE) / CAST(b_types AS DOUBLE))), 6) AS p_kn
+      |  FROM bi JOIN pv USING (prev) JOIN ct USING (tok) CROSS JOIN ty),
+      |db AS (
+      |  SELECT doc_id, prev, tok, COUNT(*) AS cnt FROM (
+      |    SELECT doc_id, t[CAST(i AS INTEGER)] AS prev, t[CAST(i + 1 AS INTEGER)] AS tok
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |         LATERAL (SELECT unnest(range(1, len(t))) AS i))
+      |  GROUP BY doc_id, prev, tok)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bi,
+      |       CAST(SUM(cnt * CAST(floor(p_kn * 1000000.0) AS BIGINT)) AS BIGINT) AS kn_mass,
+      |       round(CAST(SUM(cnt * CAST(floor(p_kn * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |             / CAST(SUM(cnt) AS DOUBLE) / 1000000.0, 6) AS score
+      |FROM db JOIN model USING (prev, tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q98: CROSS-SOURCE content-overlap matrix — for every source pair, how
     * many DISTINCT word 3-grams they share: the provenance-audit signal
     * behind "is src7 a mirror/scrape of src3" and "which crawls should be
@@ -878,5 +966,6 @@ object TextOps {
     ("q98_source_overlap", q98SourceOverlap _, Some(q98Sql)),
     ("q102_kneser_ney", q102KneserNey _, Some(q102Sql)),
     ("q104_kneser_ney3", q104KneserNey3 _, Some(q104Sql)),
+    ("q107_kn_doc_score", q107KnDocScore _, Some(q107Sql)),
   )
 }

@@ -2032,6 +2032,64 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q107: KN doc scores match a plain-Scala recompute of the whole model+score pipeline") {
+    val rows = graft.ops.TextOps.q107KnDocScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bigrams = texts.flatMap { case (_, t) =>
+      val w = t.split(" "); w.dropRight(1).zip(w.drop(1)) }
+    val cvw = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cv = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1v = cvw.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val contw = cvw.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b = cvw.size.toLong
+    def pkn(v: String, w: String): Double =
+      BigDecimal((cvw((v, w)).toDouble - 0.75) / cv(v).toDouble +
+        (0.75 * n1v(v).toDouble / cv(v).toDouble) * (contw(w).toDouble / b.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = texts.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      if (w.length < 2) None else {
+        val bs = w.dropRight(1).zip(w.drop(1))
+        val mass = bs.map { case (v, tk) => math.floor(pkn(v, tk) * 1e6).toLong }.sum
+        Some(id -> ((bs.length.toLong, mass)))
+      }
+    }.toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nb, mass) = expect(id)
+      assert(r.getAs[Long]("n_bi") == nb && r.getAs[Long]("kn_mass") == mass, s"doc $id")
+      val score = BigDecimal(mass.toDouble / nb.toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("score") == score, s"score($id)")
+      assert(score > 0 && score < 1, r.toString)
+    }
+  }
+
+  test("q108: no near-dup pair straddles a split; all three splits populated; split is a pure function of the group") {
+    val rows = graft.ops.Dedup.q108LeakSafeSplit(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val split = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val grp = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("grp")).toMap
+    // the property the operator exists for: every J >= 0.6 pair lands on
+    // ONE side of every boundary (checked over the actual pair set, not
+    // the construction)
+    val pairs = graft.ops.Dedup.q24DedupNgram(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.nonEmpty, "vacuous: no near-dup pairs at sf0.001")
+    pairs.foreach { case (a, bId) =>
+      assert(split(a) == split(bId), s"pair ($a,$bId) straddles ${split(a)}/${split(bId)}")
+      assert(grp(a) == grp(bId), s"pair ($a,$bId) in different groups")
+    }
+    val dist = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(dist.keySet == Set("train", "val", "test"), dist.toString)
+    // 80/10/10 by group-hash: at 500 docs every band must be populated and
+    // train must dominate
+    assert(dist("train") > dist("val") && dist("train") > dist("test"), dist.toString)
+  }
+
   test("q97 continuation counts match an independent plain-Scala recompute") {
     val raw = scala.collection.mutable.Map.empty[String, Long]
     val ctx = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
