@@ -56,6 +56,7 @@ object ProfileLongText {
     time("q98 source overlap")(graft.ops.TextOps.q98SourceOverlap(spark, d).count())
     time("q102 kneser-ney")(graft.ops.TextOps.q102KneserNey(spark, d).count())
     time("q104 kneser-ney3")(graft.ops.TextOps.q104KneserNey3(spark, d).count())
+    time("q107 kn doc score")(graft.ops.TextOps.q107KnDocScore(spark, d).count())
     if (args.length > 1 && args(1) == "quad") {
       // the q102 cache head-to-head: the SAME plan minus the bigram-table
       // cache barrier — the corpus-wide explode+agg runs once per consumer

@@ -593,6 +593,16 @@ object TextOps {
   def q107KnDocScore(s: SparkSession, d: String): DataFrame = {
     val docsW = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+    knScore(docsW, knModel(docsW)).orderBy("doc_id")
+  }
+
+  /** The interpolated-KN bigram MODEL over a (doc_id, w) corpus — q102's
+    * distribution over ALL types as a persistable (prev, tok, p_kn) frame.
+    * This is the artifact the streaming scorer serves under (DocStream —
+    * the LM analogue of the ANN index: train once on the frozen corpus,
+    * score every ingest batch against it; doubles round-trip parquet
+    * bit-exactly, so persisted ≡ fresh). */
+  private[graft] def knModel(docsW: DataFrame): DataFrame = {
     val bi = docsW
       .select(explode(expr(
         "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS prev, element_at(w, i + 2) AS tok))")).as("b"))
@@ -604,7 +614,7 @@ object TextOps {
       .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
     val contStats = bi.groupBy("tok").agg(count(lit(1)).as("contw"))
     val types = bi.agg(count(lit(1)).as("b_types"))
-    val model = bi.join(prevStats, Seq("prev"))
+    bi.join(prevStats, Seq("prev"))
       .join(contStats, Seq("tok"))
       .crossJoin(broadcast(types))
       .withColumn("p_kn", round(
@@ -612,20 +622,25 @@ object TextOps {
           expr("(0.75D * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)) * " +
             "(CAST(contw AS DOUBLE) / CAST(b_types AS DOUBLE))"), 6))
       .select(col("prev"), col("tok"), col("p_kn"))
-    val docBi = docsW
+  }
+
+  /** Score a (doc_id, w) document frame against a KN model frame — the
+    * shared seam of the batch q107 and the streaming per-batch scorer.
+    * Bigrams the model has never seen contribute nothing (inner join —
+    * the OOV convention; a doc with zero known bigrams is absent). */
+  private[graft] def knScore(docsW: DataFrame, model: DataFrame): DataFrame =
+    docsW
       .select(col("doc_id"), explode(expr(
         "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS prev, element_at(w, i + 2) AS tok))")).as("b"))
       .groupBy(col("doc_id"), col("b.prev").as("prev"), col("b.tok").as("tok"))
       .agg(count(lit(1)).as("cnt"))
-    docBi.join(model, Seq("prev", "tok"))
+      .join(model, Seq("prev", "tok"))
       .groupBy("doc_id")
       .agg(sum(col("cnt") * expr("CAST(floor(p_kn * 1000000.0) AS BIGINT)")).as("kn_mass"),
         sum(col("cnt")).as("n_bi"))
       .select(col("doc_id"), col("n_bi"), col("kn_mass"),
         round(col("kn_mass").cast("double") / col("n_bi").cast("double")
           / lit(1000000.0), 6).as("score"))
-      .orderBy("doc_id")
-  }
 
   val q107Sql: String =
     """WITH bi AS (

@@ -197,4 +197,22 @@ object DocStream {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id").as("fresh_id"), col("ex_id"), col("jaccard"), col("ingest_ts"))
       .dropDuplicatesWithinWatermark("fresh_id", "ex_id")
+
+  /** STREAMING LM QUALITY SCORING — score a fresh-document micro-batch
+    * against the PERSISTED interpolated-KN bigram model (q107's
+    * `TextOps.knModel` written to parquet): the LM analogue of the ANN
+    * serving loop — the model trains once on the frozen corpus and every
+    * ingest batch is scored under it map-side-plus-one-equi-join, so a
+    * quality gate can sit directly on the ingest stream (drop/flag
+    * low-scoring documents before they enter the corpus). Run inside
+    * `foreachBatch` (per-doc aggregation is batch-local by construction:
+    * a document arrives whole in its batch). Delegates to the batch
+    * `knScore` VERBATIM — streamed ≡ batch scores bit-for-bit for the
+    * same documents under the same model frame (DocStreamSpec), because
+    * parquet round-trips doubles exactly and the fixed-point per-doc Σ
+    * is order-independent. Model refresh is a periodic batch retrain
+    * (the IVF-PQ codebook convention — never mutated mid-stream). */
+  def knScoreBatch(batch: DataFrame, model: DataFrame): DataFrame =
+    graft.ops.TextOps.knScore(
+      batch.select(col("doc_id"), split(col("text"), " ").as("w")), model)
 }

@@ -799,6 +799,29 @@ class PlanSpec extends AnyFunSuite {
     assert(ks.nonEmpty && ks.toSet.subsetOf(Set("tok", "prev")), ks.toString)
   }
 
+  test("q104 trigram KN: in-array n-gram builds — type-keyed exchanges only, no token-stream self-join, top-k is TakeOrdered") {
+    import graft.ops.TextOps
+    val p = plan(TextOps.q104KneserNey3(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    val ks = shuffleKeys(p)
+    // every engine-introduced exchange keys a TYPE table (bigram/trigram
+    // stats or their join keys) — never doc_id or a raw-token key
+    // _groupingexpression = struct-field grouping keys (b.prev/g.prev2 …)
+    // get an internal alias in the exchange, the q98 convention
+    assert(ks.nonEmpty &&
+      ks.toSet.subsetOf(Set("prev", "prev2", "tok", "_groupingexpression")), ks.toString)
+  }
+
+  test("q107 KN doc scoring: per-doc types aggregated BEFORE the model join; doc/type-keyed exchanges only") {
+    import graft.ops.TextOps
+    val p = plan(TextOps.q107KnDocScore(spark, sf))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    val ks = shuffleKeys(p)
+    assert(ks.nonEmpty &&
+      ks.toSet.subsetOf(Set("prev", "tok", "doc_id", "_groupingexpression")), ks.toString)
+  }
+
   test("q98 source overlap: no self-join on the gram key — set-collect + in-array pair expansion") {
     import graft.ops.TextOps
     val p = plan(TextOps.q98SourceOverlap(spark, sf))

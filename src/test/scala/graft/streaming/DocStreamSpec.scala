@@ -334,6 +334,52 @@ class DocStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed KN scoring: micro-batch scores under the persisted model equal the batch scorer exactly") {
+    val spark = TestSpark.spark
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val static = all.filter(col("doc_id") % 4 =!= 0)
+    val fresh = all.filter(col("doc_id") % 4 === 0)
+
+    // train on the static corpus, persist the model (the serving artifact)
+    val art = java.nio.file.Files.createTempDirectory("knmodel").toString
+    graft.ops.TextOps.knModel(
+        static.select(col("doc_id"), split(col("text"), " ").as("w")))
+      .write.mode("overwrite").parquet(s"$art/model")
+    val model = spark.read.parquet(s"$art/model")
+
+    val dir = java.nio.file.Files.createTempDirectory("docstream_kn").toString
+    fresh
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val outDir = java.nio.file.Files.createTempDirectory("docstream_kn_out").toString
+    val q = DocStream.readDocs(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DocStream.knScoreBatch(batch, model)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def key(a: Array[org.apache.spark.sql.Row]) = a.map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_bi"),
+        r.getAs[Long]("kn_mass"), r.getAs[Double]("score")))).toMap
+    val streamed = key(spark.read.parquet(outDir).collect())
+    val batch = key(graft.ops.TextOps.knScore(
+      fresh.select(col("doc_id"), split(col("text"), " ").as("w")), model).collect())
+    assert(batch.nonEmpty, "vacuous: no scorable fresh docs")
+    assert(streamed == batch,
+      s"streamed KN scores diverged: ${streamed.size} vs ${batch.size} docs")
+    // OOV semantics sanity: fresh docs score over KNOWN bigrams only, so
+    // every streamed n_bi is ≤ the doc's own bigram count
+    fresh.collect().foreach { r =>
+      val id = r.getLong(0); val nb = r.getString(1).split(" ").length - 1
+      streamed.get(id).foreach { case (n, _, _) => assert(n <= nb, s"doc $id") }
+    }
+  }
+
   test("streamed graph maintenance: per-micro-batch edge folds equal the batch rebuild over the whole stream") {
     val spark = TestSpark.spark
     import graft.ops.Similarity
