@@ -1567,6 +1567,77 @@ object Similarity {
       .limit(PcaTopK)
   }
 
+  /** q109: EMBEDDING DISTRIBUTION-DRIFT AUDIT — per-dimension divergence
+    * between two corpus cohorts (here the label halves; in production:
+    * this week's ingest vs the training snapshot, or source A vs B). The
+    * standard monitor is PSI/KL, but both need logs — the one
+    * non-portable float op (q56's lesson) — so the reported statistic is
+    * TOTAL VARIATION distance in PURE INTEGER form: per dim, 10 fixed
+    * bins (floor(x·1.25 + 5) clamped — 1.25 is exactly representable, and
+    * the whole binning is the same two correctly-rounded IEEE ops in both
+    * engines), counts per (dim, bin, cohort), and
+    * tv_scaled = Σ_bins |c_A·n_B − c_B·n_A| — an exact BIGINT (the
+    * cross-multiplied form of Σ|p_A − p_B|; real TV = tv_scaled/(2·n_A·n_B),
+    * reported as a rounded double alongside). Dims ranked by drift:
+    * the top rows are the dimensions whose marginal distribution moved —
+    * retrain/requantize candidates (PQ codebooks and SQ8 ranges both
+    * assume the training distribution).
+    *
+    * Scale shape: ONE corpus pass (posexplode map-side) into a
+    * partial+final count with ≤ dims·bins·2 = 1,280 groups; everything
+    * after is arithmetic on that tiny frame plus a one-row cohort-total
+    * broadcast. The integer cross-product form bounds cohorts at ~2×10⁹
+    * rows before BIGINT overflow (c·n ≤ n²) — beyond that, divide per
+    * cohort first (documented trade; the oracle keeps the exact form). */
+  def q109EmbedDrift(s: SparkSession, d: String): DataFrame = {
+    val binned = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
+      .select(col("label"), col("embedding").cast("array<double>").as("e"))
+      .filter(col("e").isNotNull)
+      .select((col("label") < 5).cast("int").as("coh"),
+        posexplode(col("e")).as(Seq("i", "x")))
+      .withColumn("bin",
+        expr("LEAST(GREATEST(CAST(floor(x * 1.25D + 5.0D) AS BIGINT), 0L), 9L)"))
+      .groupBy("i", "bin", "coh").agg(count(lit(1)).as("c"))
+    val cells = binned.groupBy("i", "bin")
+      .agg(sum(when(col("coh") === 1, col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("coh") === 0, col("c")).otherwise(0L)).as("cb"))
+    // cohort totals PER DIMENSION (Σ over that dim's bins — summing the
+    // whole binned frame would count every vector once per dim, inflating
+    // the TV normalizer 64×); a 64-row frame broadcast back onto the cells
+    val totals = cells.groupBy("i")
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cells.join(broadcast(totals), Seq("i"))
+      .groupBy("i", "n_a", "n_b")
+      .agg(sum(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("tv_scaled"))
+      .select(col("i"), col("n_a"), col("n_b"), col("tv_scaled"),
+        round(col("tv_scaled").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")), 6).as("tv"))
+      .orderBy(col("tv_scaled").desc, col("i"))
+  }
+
+  lazy val q109Sql: String =
+    s"""WITH e2 AS (SELECT CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+       |            WHERE embedding IS NOT NULL),
+       |ex AS (SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS coh,
+       |              CAST(i AS INTEGER) AS i, e[CAST(i + 1 AS INTEGER)] AS x
+       |       FROM e2, LATERAL (SELECT unnest(range(0, $PcaDim)) AS i)),
+       |b AS (SELECT i, LEAST(GREATEST(CAST(floor(x * 1.25 + 5.0) AS BIGINT), 0), 9) AS bin,
+       |             coh, COUNT(*) AS c
+       |      FROM ex GROUP BY i, bin, coh),
+       |cells AS (SELECT i, bin,
+       |                 CAST(SUM(CASE WHEN coh = 1 THEN c ELSE 0 END) AS BIGINT) AS ca,
+       |                 CAST(SUM(CASE WHEN coh = 0 THEN c ELSE 0 END) AS BIGINT) AS cb
+       |          FROM b GROUP BY i, bin),
+       |nn AS (SELECT i, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+       |       FROM cells GROUP BY i)
+       |SELECT i, n_a, n_b,
+       |       CAST(SUM(abs(ca * n_b - cb * n_a)) AS BIGINT) AS tv_scaled,
+       |       round(CAST(SUM(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+       |             / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS tv
+       |FROM cells JOIN nn USING (i)
+       |GROUP BY i, n_a, n_b
+       |ORDER BY tv_scaled DESC, i""".stripMargin
+
   lazy val q100Sql: String =
     s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |            WHERE embedding IS NOT NULL),
@@ -2917,5 +2988,6 @@ object Similarity {
     // the append algebra itself under the oracle: entry = one-sided fold
     // of the held-out tail, oracle = the full rebuild under frozen cents
     ("q106_graph_append", q106GraphAppend _, Some(q106Sql)),
+    ("q109_embed_drift", q109EmbedDrift _, Some(q109Sql)),
   )
 }

@@ -2068,6 +2068,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q109: per-dim TV drift matches a plain-Scala recompute; identical cohorts would score zero") {
+    val rows = Similarity.q109EmbedDrift(spark, sf).collect()
+    assert(rows.length == 64)
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("label", "CAST(embedding AS ARRAY<DOUBLE>) AS e").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    def bin(x: Double): Long =
+      math.min(9L, math.max(0L, math.floor(x * 1.25 + 5.0).toLong))
+    val (a, b) = vecs.partition(_._1 < 5)
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    rows.foreach { r =>
+      val i = r.getAs[Int]("i")
+      val ca = a.map(v => bin(v._2(i))).groupBy(identity).view.mapValues(_.length.toLong)
+      val cb = b.map(v => bin(v._2(i))).groupBy(identity).view.mapValues(_.length.toLong)
+      val tvS = (0L to 9L).map(bi =>
+        math.abs(ca.getOrElse(bi, 0L) * nb - cb.getOrElse(bi, 0L) * na)).sum
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb, s"dim $i totals")
+      assert(r.getAs[Long]("tv_scaled") == tvS, s"dim $i tv_scaled")
+      val tv = BigDecimal(tvS.toDouble / (2.0 * na.toDouble * nb.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("tv") == tv, s"dim $i tv")
+      assert(tv >= 0 && tv <= 1, r.toString)
+    }
+    // self-drift sanity: a cohort against itself has tv_scaled = 0 by the
+    // cross-multiplied identity — the statistic's zero is exact, not ~0
+    val self = a.take(50)
+    (0 until 64).foreach { i =>
+      val c = self.map(v => bin(v._2(i))).groupBy(identity).view.mapValues(_.length.toLong)
+      val z = (0L to 9L).map(bi =>
+        math.abs(c.getOrElse(bi, 0L) * 50L - c.getOrElse(bi, 0L) * 50L)).sum
+      assert(z == 0L)
+    }
+  }
+
   test("q108: no near-dup pair straddles a split; all three splits populated; split is a pure function of the group") {
     val rows = graft.ops.Dedup.q108LeakSafeSplit(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
