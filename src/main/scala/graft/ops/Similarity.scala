@@ -2596,6 +2596,44 @@ object Similarity {
        |  FROM adc)
        |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
 
+  /** q110: FILTERED ANN — metadata predicate + vector search in ONE
+    * operator, the RAG-serving primitive ("retrieve the top-k most
+    * similar documents FROM SOURCE X / within license Y / labeled Z"):
+    * q74's full IVF-PQ pipeline with the predicate pushed INTO the code
+    * table via a left-semi join BEFORE candidate generation — the
+    * filtered-IVF design. Pre-filter semantics (not post-rank): k results
+    * are the best among MATCHING vectors, so selective predicates still
+    * return k rows where a post-filter of an unfiltered top-k would
+    * return ~k·selectivity (the classic filtered-search bug), and n_cand
+    * counts matching candidates only.
+    *
+    * Scale shape: the predicate lands on a 9-byte-scale code-table row
+    * (never an embedding); the semi join keys vec_id — broadcast while
+    * the predicate subset is small, shuffle at scale — and everything
+    * downstream is q74's audited serving plan unchanged. The oracle is
+    * q74's CTE chain with the same predicate applied to the candidate
+    * rows before ranking — identical row set by construction. */
+  def q110FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
+    val keep = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
+      .filter(col("label") % 3 === 0).select("vec_id")
+    ivfPqSearchFrom(cents, books,
+      codeTable.join(keep, Seq("vec_id"), "left_semi"),
+      emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
+  }
+
+  lazy val q110Sql: String =
+    s"""$ivfPqAdcCtes
+       |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
+       |  SELECT query_id, neighbor_id, adc_fixed,
+       |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |  FROM adc
+       |  WHERE neighbor_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0))
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
+
   lazy val q86Sql: String =
     s"""$ivfPqAdcCtes,
        |short AS (
@@ -2989,5 +3027,6 @@ object Similarity {
     // of the held-out tail, oracle = the full rebuild under frozen cents
     ("q106_graph_append", q106GraphAppend _, Some(q106Sql)),
     ("q109_embed_drift", q109EmbedDrift _, Some(q109Sql)),
+    ("q110_filtered_ann", q110FilteredAnn _, Some(q110Sql)),
   )
 }

@@ -2068,6 +2068,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q110: filtered ANN is pre-filter — every neighbor matches, and k survives where a post-filter would lose rows") {
+    graft.functions.VectorFunctions.register(spark)
+    val lab = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.q110FilteredAnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(lab(r.getAs[Long]("neighbor_id")) % 3 == 0,
+        s"non-matching neighbor served: $r")
+    }
+    // the semantics the operator exists for: post-filtering q74's
+    // UNFILTERED top-k keeps only ~k·selectivity rows; the pre-filtered
+    // search must beat that for at least one query (in practice most)
+    val post = Similarity.q74IvfPqTopk(spark, sf).collect()
+      .filter(r => lab(r.getAs[Long]("neighbor_id")) % 3 == 0)
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+    val pre = rows.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+    assert(pre.exists { case (q, n) => n > post.getOrElse(q, 0) },
+      s"pre-filter never beat post-filter: pre=$pre post=$post")
+  }
+
   test("q109: per-dim TV drift matches a plain-Scala recompute; identical cohorts would score zero") {
     val rows = Similarity.q109EmbedDrift(spark, sf).collect()
     assert(rows.length == 64)
