@@ -799,6 +799,23 @@ class PlanSpec extends AnyFunSuite {
     assert(ks.nonEmpty && ks.toSet.subsetOf(Set("tok", "prev")), ks.toString)
   }
 
+  test("q110 filtered ANN: the predicate lands on the code table as a semi join — embeddings never shuffle for the filter") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q110FilteredAnn(spark, sf))
+    // the filtered-IVF shape: a LeftSemi against the predicate subset,
+    // applied to 9-byte code rows before candidate generation; the rest
+    // is q74's audited serving plan (broadcast LUT probes, query_id-only
+    // hash exchanges)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val ks = shuffleKeys(p)
+    // cell/m exchanges belong to the q74 index build (fixed-point train
+    // aggs); query_id to the serve-side top-k; vec_id would be the semi
+    // join at scale. A doc/embedding-keyed exchange outside these is red.
+    assert(ks.nonEmpty &&
+      ks.toSet.subsetOf(Set("query_id", "vec_id", "cell", "m")), ks.toString)
+  }
+
   test("q104 trigram KN: in-array n-gram builds — type-keyed exchanges only, no token-stream self-join, top-k is TakeOrdered") {
     import graft.ops.TextOps
     val p = plan(TextOps.q104KneserNey3(spark, sf))
