@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AsOf, Corpus, Dedup, Extras, Relational, Similarity, Skew, TextOps}
+import graft.ops.{AsOf, Corpus, Dedup, Extras, Relational, Retrieval, Similarity, Skew, TextOps}
 import graft.multimodal.MultimodalOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,8 @@ object SparkEntry {
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.catalog ++ Extras.catalog ++ TextOps.catalog ++ Dedup.catalog ++
       Similarity.catalog ++ MultimodalOps.catalog ++ Corpus.catalog ++
-      Skew.catalog ++ AsOf.catalog ++ graft.sources.Sinks.catalog
+      Skew.catalog ++ AsOf.catalog ++ Retrieval.catalog ++
+      graft.sources.Sinks.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -35,21 +35,44 @@ object Similarity {
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
   }
 
-  // brute-force cosine top-k (k=5) for the first 10 vectors as queries.
-  def q28AnnTopk(s: SparkSession, d: String): DataFrame = {
+  /** Brute-force cosine ranked list for the first `nq` vectors as queries:
+    * (query_id, neighbor_id, cos_sim, rn) with rn ≤ k. The exact-retrieval
+    * arm shared by q28 and the hybrid/diversified retrieval entries in
+    * [[Retrieval]] (q111/q114). round(·,6) before ranking keeps the order
+    * key portable (q28's discipline). */
+  private[graft] def cosRanked(s: SparkSession, d: String, nq: Int, k: Int): DataFrame = {
     val emb = embWithNorm(s, d)
     val q = emb.select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
-      .filter(col("query_id") < 10)
+      .filter(col("query_id") < nq)
     val n = emb.select(col("vec_id").as("neighbor_id"), col("e").as("en"), col("nrm").as("nn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     q.join(n, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(
         expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "cos_sim", "rn")
-      .orderBy("query_id", "rn")
   }
+
+  /** SQL mirror of [[cosRanked]] as a single CTE body (no WITH keyword):
+    * callers splice it under any name. */
+  private[graft] def cosRankedSqlBody(nq: Int, k: Int): String =
+    s"""SELECT query_id, neighbor_id, cos_sim, rn FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                        CAST(n.embedding AS DOUBLE[])), 6) AS cos_sim,
+       |           CAST(ROW_NUMBER() OVER (
+       |             PARTITION BY q.vec_id
+       |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                                   CAST(n.embedding AS DOUBLE[])), 6) DESC,
+       |                      n.vec_id) AS BIGINT) AS rn
+       |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |    WHERE q.vec_id < $nq)
+       |  WHERE rn <= $k""".stripMargin
+
+  // brute-force cosine top-k (k=5) for the first 10 vectors as queries.
+  def q28AnnTopk(s: SparkSession, d: String): DataFrame =
+    cosRanked(s, d, 10, 5).orderBy("query_id", "rn")
 
   val q28Sql: String =
     """SELECT query_id, neighbor_id, cos_sim, rn FROM (

@@ -780,15 +780,22 @@ object TextOps {
     * table (never the reverse); the score agg is partial+final keyed
     * (query_id, doc_id) and the final top-k is a rank-filtered window
     * (WindowGroupLimit prunes map-side). No cartesian anywhere. */
-  private val Bm25NQueries = 5
-  private val Bm25K = 10
-  private val bm25PartExpr: String =
+  private[graft] val Bm25NQueries = 5
+  private[graft] val Bm25K = 10
+  private[graft] val bm25PartExpr: String =
     "CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D) * " +
       "(CAST(tf AS DOUBLE) * 2.2D / (CAST(tf AS DOUBLE) + 1.2D * " +
       "(0.25D + 0.75D * CAST(dl AS DOUBLE) / avgdl))) * 1000000.0D) AS BIGINT)"
 
-  def q95Bm25(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The lexical-index frames every retrieval entry shares (q95, and the
+    * q111/q112/q113 retrieval family in [[Retrieval]]): tokenized docs,
+    * per-doc term frequencies ([[termCounts]] — map-side), document
+    * frequencies, one-row corpus stats, and the eval-query term table.
+    * Returned lazily so each caller keeps q95's audited scale shape. */
+  private[graft] case class Bm25Parts(docs: DataFrame, tf: DataFrame,
+      df: DataFrame, stats: DataFrame, qt: DataFrame)
+
+  private[graft] def bm25Parts(s: SparkSession, d: String): Bm25Parts = {
     val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     // Per-doc term frequency via the shared O(L log L) sorted-run counter
@@ -800,6 +807,16 @@ object TextOps {
     val qt = docs.filter(col("doc_id") < Bm25NQueries)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(col("w"), 1, 4))).as("term"))
+    Bm25Parts(docs, tf, df, stats, qt)
+  }
+
+  /** Disjunctive BM25 ranking from explicit index frames (tf/df/stats may
+    * come from [[bm25Parts]] or from a persisted lexical-index artifact —
+    * the q113 serve path): per-(query, doc) Σ of the fixed-point Robertson
+    * part, ranked DESC with doc_id tie-break, top [[Bm25K]] kept. */
+  private[graft] def bm25RankedFrom(tf: DataFrame, df: DataFrame,
+      stats: DataFrame, qt: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     tf.join(df, Seq("term"))
       .join(broadcast(qt), Seq("term"))
@@ -810,10 +827,17 @@ object TextOps {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= Bm25K)
       .select("query_id", "rnk", "doc_id", "score")
-      .orderBy("query_id", "rnk")
   }
 
-  val q95Sql: String =
+  def q95Bm25(s: SparkSession, d: String): DataFrame = {
+    val p = bm25Parts(s, d)
+    bm25RankedFrom(p.tf, p.df, p.stats, p.qt).orderBy("query_id", "rnk")
+  }
+
+  /** The WITH-chain up to the tokenized/index CTEs (dw, tf, df, stats, qt) —
+    * shared verbatim by q95 and the [[Retrieval]] oracles so the two engines
+    * can never drift on the index definition. */
+  private[graft] val bm25BaseCtes: String =
     s"""WITH dw AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |tf AS (
@@ -828,7 +852,12 @@ object TextOps {
        |qt AS (
        |  SELECT DISTINCT query_id, term FROM (
        |    SELECT doc_id AS query_id, unnest(list_slice(w, 1, 4)) AS term
-       |    FROM dw WHERE doc_id < $Bm25NQueries)),
+       |    FROM dw WHERE doc_id < $Bm25NQueries))""".stripMargin
+
+  /** Extends [[bm25BaseCtes]] with the disjunctive scored + ranked CTEs
+    * (`scored`, `lexr`). */
+  private[graft] val bm25RankCtes: String =
+    s"""$bm25BaseCtes,
        |scored AS (
        |  SELECT qt.query_id, tf.doc_id,
        |         CAST(SUM(CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) *
@@ -839,12 +868,16 @@ object TextOps {
        |  JOIN qt USING (term)
        |  CROSS JOIN stats
        |  WHERE tf.doc_id <> qt.query_id
-       |  GROUP BY qt.query_id, tf.doc_id)
-       |SELECT query_id, rnk, doc_id, score FROM (
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |lexr AS (
        |  SELECT query_id, doc_id, score,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |              ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  val q95Sql: String =
+    s"""$bm25RankCtes
+       |SELECT query_id, rnk, doc_id, score FROM lexr
        |WHERE rnk <= $Bm25K ORDER BY query_id, rnk""".stripMargin
 
   /** q96: HLL DISTINCT-CARDINALITY sketch, per-source + merged — the

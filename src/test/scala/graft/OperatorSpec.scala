@@ -2365,4 +2365,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(est - 400000.0) / 400000.0 < 0.05,
       s"raw HLL estimate off by >5% at n=400k: $est")
   }
+
+  test("q111 rrf: fused list recomputes from the two public arms") {
+    import graft.ops.{Retrieval, Similarity, TextOps}
+    // the two arms, independently (the oracle certifies their values;
+    // this differential certifies the FUSION: candidate union, per-arm
+    // reciprocal contributions, absent-arm zero, rank/tie discipline)
+    val p = TextOps.bm25Parts(spark, sf)
+    val lex = TextOps.bm25RankedFrom(p.tf, p.df, p.stats, p.qt).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("rnk")).toMap
+    val sem = Similarity.cosRanked(spark, sf, TextOps.Bm25NQueries, Retrieval.SemK).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("rn")).toMap
+    def contrib(r: Option[Long]): Long =
+      r.map(rk => math.floor(1000000000.0 / (60.0 + rk)).toLong).getOrElse(0L)
+    val expected = (lex.keySet ++ sem.keySet).toSeq
+      .map { case k @ (q, doc) => (q, doc, contrib(lex.get(k)) + contrib(sem.get(k))) }
+      .groupBy(_._1)
+      .flatMap { case (q, cands) =>
+        cands.sortBy { case (_, doc, rrf) => (-rrf, doc) }.take(10)
+          .zipWithIndex.map { case ((_, doc, rrf), i) => (q, i + 1L, doc, rrf) }
+      }.toSet
+    val got = graft.ops.Retrieval.q111HybridRrf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rrf"))).toSet
+    assert(got == expected, s"fusion diverges from arm recompute: " +
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
 }
