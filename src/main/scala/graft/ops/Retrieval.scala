@@ -82,7 +82,93 @@ object Retrieval {
        |  FROM fus)
        |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
 
+  /** q112: CONJUNCTIVE KEYWORD SEARCH — boolean-AND retrieval over the
+    * SAME inverted index q95 scores from (q95 is the disjunctive arm; most
+    * serving stacks expose both): a doc matches iff it contains EVERY
+    * query term, ranked by total matched term frequency.
+    *
+    * The AND is counting, not iterated intersection: one inverted-index
+    * probe (tf ⋈ broadcast qt), one partial+final agg per (query, doc)
+    * counting matched terms + summing tf, then a per-query filter
+    * n_match = |query terms| against the broadcast per-query term count.
+    * Integer arithmetic end-to-end — nothing to round.
+    *
+    * Scale shape: identical to q95's audited one — the corpus-sized side
+    * (tf) is probed exactly once by the eval-set-sized qt broadcast; the
+    * agg is keyed (query_id, doc_id); the n-match filter joins two
+    * eval-sized frames. At 100 TB the selective term postings would come
+    * from the q113 artifact instead of a rebuild — only `tf`'s origin
+    * changes, by [[bm25RankedFrom]]'s same substitution seam. */
+  def q112Conjunctive(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = TextOps.bm25Parts(s, d)
+    val qn = p.qt.groupBy("query_id").agg(count(lit(1)).as("nt"))
+    val w = Window.partitionBy("query_id").orderBy(col("tot_tf").desc, col("doc_id"))
+    p.tf.join(broadcast(p.qt), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_match"), sum(col("tf")).as("tot_tf"))
+      .join(broadcast(qn), Seq("query_id"))
+      .filter(col("n_match") === col("nt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= FusedK)
+      .select("query_id", "rnk", "doc_id", "tot_tf")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q112Sql: String =
+    s"""${TextOps.bm25BaseCtes},
+       |qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nt FROM qt GROUP BY query_id),
+       |hits AS (
+       |  SELECT qt.query_id, tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_match,
+       |         CAST(SUM(tf.tf) AS BIGINT) AS tot_tf
+       |  FROM tf JOIN qt USING (term)
+       |  WHERE tf.doc_id <> qt.query_id
+       |  GROUP BY qt.query_id, tf.doc_id)
+       |SELECT query_id, rnk, doc_id, tot_tf FROM (
+       |  SELECT h.query_id, h.doc_id, h.tot_tf,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY h.query_id
+       |              ORDER BY h.tot_tf DESC, h.doc_id) AS BIGINT) AS rnk
+       |  FROM hits h JOIN qn USING (query_id) WHERE h.n_match = qn.nt)
+       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+
+  /** Persist the lexical index (tf postings + df + corpus stats) as a
+    * parquet artifact — the build side of the q113 serve seam, the exact
+    * analogue of [[Similarity.knnGraphArtifact]] for the lexical family.
+    * The postings are written partitioned-friendly (plain columnar longs);
+    * `dl` rides on the tf rows so serving needs no doc-length side table. */
+  def lexIndexArtifact(s: SparkSession, d: String, path: String): Unit = {
+    val p = TextOps.bm25Parts(s, d)
+    p.tf.write.mode("overwrite").parquet(s"$path/tf")
+    p.df.write.mode("overwrite").parquet(s"$path/df")
+    p.stats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** q113: BM25 SERVED FROM THE PERSISTED LEXICAL-INDEX ARTIFACT — q101's
+    * recipe applied to the text family: the entry writes tf/df/stats via
+    * [[lexIndexArtifact]], reads them back, and ranks with
+    * [[bm25RankedFrom]] over the ROUND-TRIPPED frames under EXACTLY q95's
+    * oracle. Any write/read/type drift in the artifact path — or any
+    * divergence between served and self-contained scoring (the fixed-point
+    * Robertson part is integer once floored; avgdl round-trips bit-exact
+    * as a parquet double) — breaks the hash. Only the eval-query term
+    * table is recomputed at serve time (eval-set-sized by construction).
+    * PlanSpec pins that the served lineage contains NO tokenize/count
+    * kernel (no array_sort sorted-run counter) and roots at the artifact
+    * scan. Eager at construction (writes the artifact), like q101/q76. */
+  def q113Bm25Served(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Similarity.knnGraphServePath(d)}/lexindex"
+    lexIndexArtifact(s, d, path)
+    val qt = TextOps.bm25Parts(s, d).qt
+    TextOps.bm25RankedFrom(
+      s.read.parquet(s"$path/tf"), s.read.parquet(s"$path/df"),
+      s.read.parquet(s"$path/stats"), qt)
+      .orderBy("query_id", "rnk")
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_hybrid_rrf", q111HybridRrf _, Some(q111Sql)),
+    ("q112_conjunctive", q112Conjunctive _, Some(q112Sql)),
+    ("q113_bm25_served", q113Bm25Served _, Some(TextOps.q95Sql)),
   )
 }

@@ -2391,4 +2391,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected, s"fusion diverges from arm recompute: " +
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
+
+  test("q112 conjunctive: every hit contains ALL of its query's terms; no qualifying doc is ranked out below a non-qualifier") {
+    import graft.ops.Retrieval
+    val rows = Retrieval.q112Conjunctive(spark, sf).collect()
+    assert(rows.nonEmpty, "conjunctive retrieval returned no rows on the spec corpus")
+    // recompute the ground truth directly from the raw text
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(text, ' ') AS w").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val qTerms = docs.filter(_._1 < graft.ops.TextOps.Bm25NQueries)
+      .map { case (q, w) => q -> w.slice(0, 4).distinct.toSet }
+    rows.foreach { r =>
+      val (q, doc) = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      val missing = qTerms(q) -- docs(doc).toSet
+      assert(missing.isEmpty, s"q$q ranked doc $doc missing terms $missing")
+      assert(r.getAs[Long]("tot_tf") ==
+        docs(doc).count(qTerms(q)), s"tot_tf drift on ($q,$doc)")
+    }
+  }
 }

@@ -894,4 +894,32 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Relational.q17SortLimit(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q113 served bm25: no tokenize/count kernel in the scoring lineage — tf/df/stats scanned from the lexical artifact") {
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Retrieval.q113Bm25Served(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val full = ns.map(_.toString).mkString("\n")
+    // the sorted-run tf counter's signature: array_sort over the token
+    // array. The served plan tokenizes ONLY the eval-query side (split +
+    // slice, no array_sort) — a hit means the index was rebuilt, the cost
+    // the artifact exists to amortize
+    assert(!full.contains("array_sort"),
+      "served lineage re-runs the sorted-run tf counter — lexical index was rebuilt, not served")
+    val artifactScans = ns.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+      .filter(_.contains("lexindex"))
+    assert(Seq("tf", "df", "stats").forall(t => artifactScans.exists(_.endsWith(s"lexindex/$t"))),
+      s"expected parquet scans rooted at lexindex/{tf,df,stats}; got $artifactScans")
+  }
 }
