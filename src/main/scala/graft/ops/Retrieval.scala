@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** The hybrid-retrieval family: the serving patterns a RAG / eval-harness
   * stack runs against a trained corpus — lexical BM25 (q95), exact/ANN
@@ -132,16 +133,52 @@ object Retrieval {
        |  FROM hits h JOIN qn USING (query_id) WHERE h.n_match = qn.nt)
        |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
 
-  /** Persist the lexical index (tf postings + df + corpus stats) as a
-    * parquet artifact — the build side of the q113 serve seam, the exact
-    * analogue of [[Similarity.knnGraphArtifact]] for the lexical family.
-    * The postings are written partitioned-friendly (plain columnar longs);
+  /** Persist a lexical index (tf postings + df + corpus stats) as ONE
+    * IMMUTABLE SEGMENT of a parquet artifact — the Lucene/LSM shape: the
+    * initial build is `seg0`, every [[lexIndexAppend]] a new segment, so
+    * folding fresh documents is a pure O(fresh) write that never
+    * read-modify-writes existing postings (no overwrite races, no base
+    * rewrite — the property that makes the artifact appendable while
+    * earlier still-lazy served frames keep reading their segments).
     * `dl` rides on the tf rows so serving needs no doc-length side table. */
-  def lexIndexArtifact(s: SparkSession, d: String, path: String): Unit = {
-    val p = TextOps.bm25Parts(s, d)
-    p.tf.write.mode("overwrite").parquet(s"$path/tf")
-    p.df.write.mode("overwrite").parquet(s"$path/df")
-    p.stats.write.mode("overwrite").parquet(s"$path/stats")
+  def lexIndexSegment(docs: DataFrame, path: String, seg: String): Unit = {
+    val (tf, df, stats) = TextOps.lexIndexOf(docs)
+    tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
+    df.write.mode("overwrite").parquet(s"$path/$seg/df")
+    stats.write.mode("overwrite").parquet(s"$path/$seg/stats")
+  }
+
+  /** Fold freshly-arrived documents into a persisted lexical-index
+    * artifact: write them as a new immutable segment. Cost is O(fresh) —
+    * tokenize + count the fresh docs only; base postings are untouched. */
+  def lexIndexAppend(s: SparkSession, path: String, freshDocs: DataFrame, seg: String): Unit =
+    lexIndexSegment(freshDocs, path, seg)
+
+  /** Open a segmented lexical-index artifact for serving: postings are
+    * the union of segment scans (a glob read — no merge needed, `doc_id`
+    * spaces are disjoint by the append contract); the dictionary and
+    * corpus stats fold across segments by EXACT ADDITIVE merges
+    * (vocab-sized agg + a one-row agg — the only serve-time work, and the
+    * reason `stats` persists `tot_dl`: Σ of segment long-sums ≡ the
+    * single-pass sums, so merged df/avgdl are bit-identical to a full
+    * rebuild's). */
+  def lexIndexServe(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    // explicit segment enumeration (one driver-side metadata list) rather
+    // than a glob: deterministic order, and no spurious streaming-sink
+    // probe warnings on the unexpanded pattern
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.toString).sorted.toSeq
+    require(segs.nonEmpty, s"no lexical-index segments under $path")
+    val tf = s.read.parquet(segs.map(_ + "/tf"): _*)
+    val df = s.read.parquet(segs.map(_ + "/df"): _*)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val stats = s.read.parquet(segs.map(_ + "/stats"): _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+      .select(col("n_docs"),
+        (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
+    (tf, df, stats)
   }
 
   /** q113: BM25 SERVED FROM THE PERSISTED LEXICAL-INDEX ARTIFACT — q101's
@@ -158,17 +195,153 @@ object Retrieval {
     * scan. Eager at construction (writes the artifact), like q101/q76. */
   def q113Bm25Served(s: SparkSession, d: String): DataFrame = {
     val path = s"${Similarity.knnGraphServePath(d)}/lexindex"
-    lexIndexArtifact(s, d, path)
+    lexIndexSegment(TextOps.tokenizedDocs(s, d), path, "seg0")
+    val (tf, df, stats) = lexIndexServe(s, path)
     val qt = TextOps.bm25Parts(s, d).qt
-    TextOps.bm25RankedFrom(
-      s.read.parquet(s"$path/tf"), s.read.parquet(s"$path/df"),
-      s.read.parquet(s"$path/stats"), qt)
+    TextOps.bm25RankedFrom(tf, df, stats, qt).orderBy("query_id", "rnk")
+  }
+
+  /** q115: LEXICAL-INDEX APPEND — q106's freeze-and-fold contract applied
+    * to the text family, with a stronger identity: where the kNN append
+    * needed the top-k selection identity, the lexical index is EXACTLY
+    * additive (postings are per-doc rows, df/n_docs/tot_dl are sums), so
+    * segment-append ≡ full rebuild bit-for-bit with no approximation at
+    * all. The corpus splits at cut = ⌊max(doc_id)·4/5⌋; the base 4/5
+    * builds `seg0`, the held-out tail folds in through [[lexIndexAppend]]
+    * (tokenize + count the FRESH docs only — base postings untouched),
+    * and the serve-time merge ranks the eval queries under EXACTLY q95's
+    * oracle (the full-corpus index): any drift in the segment write, the
+    * glob union, the additive df fold, or the Σtot_dl/Σn_docs avgdl
+    * breaks the hash. Eager at construction (writes both segments). */
+  def q115LexAppend(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Similarity.knnGraphServePath(d)}/lexappend"
+    val docs = TextOps.tokenizedDocs(s, d)
+    val cut = Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    lexIndexSegment(docs.filter(col("doc_id") <= cut), path, "seg0")
+    lexIndexAppend(s, path, docs.filter(col("doc_id") > cut), "seg1")
+    val (tf, df, stats) = lexIndexServe(s, path)
+    TextOps.bm25RankedFrom(tf, df, stats, TextOps.bm25Parts(s, d).qt)
       .orderBy("query_id", "rnk")
+  }
+
+  /** Candidate-list size, selection count, and the fixed-point scale for
+    * q114: with λ=0.5 the MMR objective λ·rel − (1−λ)·maxsim collapses to
+    * (rel − maxsim)/2, so floor((rel − maxsim)·500000) is the λ-folded
+    * 10⁶ fixed-point score. */
+  private val MmrCandK = 10
+  private val MmrSelK = 5
+
+  /** q114: MMR-DIVERSIFIED RETRIEVAL (Carbonell & Goldstein's maximal
+    * marginal relevance) — the reranking pass a RAG stack runs so the k
+    * passages handed to the generator aren't k near-copies: greedily pick
+    * argmax[λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)] for [[MmrSelK]] rounds
+    * over the cosine top-[[MmrCandK]] candidates (q28's oracle-certified
+    * arm).
+    *
+    * Greedy-but-distributed: the selection recursion is [[MmrSelK]]−1
+    * chained DataFrame rounds (the q94 PageRank-rounds precedent — the
+    * oracle mirrors them as chained CTEs), each an eval-set-sized
+    * join/agg: maxsim(d) = MAX over the selected set of the candidate-
+    * pairwise sim table, scored in 10⁶ fixed point, argmax by
+    * (score DESC, doc_id) row_number. Nothing in the recursion touches
+    * the corpus.
+    *
+    * Hashability: rel and sim are round-6 cosines (bitwise cross-engine,
+    * the q28/q111 gate); the score is floor((rel−maxsim)·500000) — two
+    * IEEE ops on bitwise-equal inputs, floored to BIGINT before any
+    * comparison (memory discipline: round intermediates BEFORE composing).
+    *
+    * Scale shape: the corpus appears only in the two audited leaves — the
+    * candidate arm (substitutable by any ANN arm: only ranks/sims cross
+    * the interface) and one equi-join fetching the ≤ nq·k candidate
+    * embeddings (broadcast-sized by construction). The pairwise sim table
+    * is nq·k² rows — eval-sized, cached once, reread by every round. */
+  def q114MmrDiversified(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val cand = Similarity.cosRanked(s, d, TextOps.Bm25NQueries, MmrCandK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cos_sim").as("rel"))
+      .cache()
+    val emb = Similarity.embWithNorm(s, d).select(col("vec_id"), col("e"), col("nrm"))
+    val ce = cand.select("query_id", "doc_id")
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("query_id"), col("doc_id"), col("e"), col("nrm"))
+    val a = ce.select(col("query_id"), col("doc_id").as("d1"), col("e").as("e1"), col("nrm").as("n1"))
+    val b = ce.select(col("query_id").as("qb"), col("doc_id").as("d2"), col("e").as("e2"), col("nrm").as("n2"))
+    val pairsim = a.join(b, col("query_id") === col("qb") && col("d1") =!= col("d2"))
+      .select(col("query_id"), col("d1"), col("d2"),
+        round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 6).as("sim"))
+      .cache()
+    val wRel = Window.partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+    var sel = cand.withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("sel_rnk"),
+        expr("CAST(floor(rel * 500000.0D) AS BIGINT)").as("mmr"))
+    val wScore = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    for (i <- 2 to MmrSelK) {
+      val ms = pairsim
+        .join(sel.select(col("query_id"), col("doc_id").as("d2")), Seq("query_id", "d2"))
+        .groupBy("query_id", "d1").agg(max(col("sim")).as("maxsim"))
+        .withColumnRenamed("d1", "doc_id")
+      val pick = cand
+        .join(sel.select("query_id", "doc_id"), Seq("query_id", "doc_id"), "left_anti")
+        .join(ms, Seq("query_id", "doc_id"))
+        .withColumn("score", expr("CAST(floor((rel - maxsim) * 500000.0D) AS BIGINT)"))
+        .withColumn("rn", row_number().over(wScore)).filter(col("rn") === 1)
+        .select(col("query_id"), col("doc_id"), lit(i.toLong).as("sel_rnk"),
+          col("score").as("mmr"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select("query_id", "sel_rnk", "doc_id", "mmr").orderBy("query_id", "sel_rnk")
+  }
+
+  val q114Sql: String = {
+    val rounds = (2 to MmrSelK).map { i =>
+      val p = i - 1
+      s"""p$i AS (
+         |  SELECT c.query_id, c.doc_id,
+         |         CAST(floor((c.rel - ms.maxsim) * 500000.0) AS BIGINT) AS score
+         |  FROM cand c
+         |  JOIN (SELECT ps.query_id, ps.d1 AS doc_id, MAX(ps.sim) AS maxsim
+         |        FROM ps JOIN s$p ON ps.query_id = s$p.query_id AND ps.d2 = s$p.doc_id
+         |        GROUP BY ps.query_id, ps.d1) ms
+         |    ON c.query_id = ms.query_id AND c.doc_id = ms.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM s$p
+         |                    WHERE s$p.query_id = c.query_id AND s$p.doc_id = c.doc_id)),
+         |s$i AS (
+         |  SELECT * FROM s$p UNION ALL
+         |  SELECT query_id, doc_id, CAST($i AS BIGINT) AS sel_rnk, score AS mmr FROM (
+         |    SELECT query_id, doc_id, score,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, doc_id) AS rn
+         |    FROM p$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS (
+       |  SELECT query_id, neighbor_id AS doc_id, cos_sim AS rel FROM (
+       |    ${Similarity.cosRankedSqlBody(TextOps.Bm25NQueries, MmrCandK)})),
+       |ce AS (
+       |  SELECT c.query_id, c.doc_id, e.embedding FROM cand c
+       |  JOIN embeddings e ON c.doc_id = e.vec_id),
+       |ps AS (
+       |  SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
+       |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+       |s1 AS (
+       |  SELECT query_id, doc_id, CAST(1 AS BIGINT) AS sel_rnk,
+       |         CAST(floor(rel * 500000.0) AS BIGINT) AS mmr FROM (
+       |    SELECT query_id, doc_id, rel,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                ORDER BY rel DESC, doc_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, sel_rnk, doc_id, mmr FROM s$MmrSelK ORDER BY query_id, sel_rnk""".stripMargin
   }
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_hybrid_rrf", q111HybridRrf _, Some(q111Sql)),
     ("q112_conjunctive", q112Conjunctive _, Some(q112Sql)),
     ("q113_bm25_served", q113Bm25Served _, Some(TextOps.q95Sql)),
+    ("q114_mmr_diversified", q114MmrDiversified _, Some(q114Sql)),
+    ("q115_lex_append", q115LexAppend _, Some(TextOps.q95Sql)),
   )
 }

@@ -795,15 +795,30 @@ object TextOps {
   private[graft] case class Bm25Parts(docs: DataFrame, tf: DataFrame,
       df: DataFrame, stats: DataFrame, qt: DataFrame)
 
-  private[graft] def bm25Parts(s: SparkSession, d: String): Bm25Parts = {
-    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+  /** Index frames from ANY tokenized (doc_id, w) frame — the full corpus
+    * for q95/q113, a base/fresh split for the q115 segment-append algebra.
+    * `stats` carries `tot_dl` alongside `avgdl` because the token-length
+    * SUM is the ADDITIVE form: segment sums fold to the exact full-corpus
+    * sum (long arithmetic), so a merged avgdl = CAST(Σtot_dl AS DOUBLE) /
+    * Σn_docs is bit-identical to the single-pass build's. */
+  private[graft] def lexIndexOf(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // Per-doc term frequency via the shared O(L log L) sorted-run counter
     // ([[termCounts]] — map-side, the token stream never shuffles)
     val tf = termCounts(docs)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w")).cast("long")).as("tot_dl"),
       (sum(size(col("w")).cast("long")).cast("double") / count(lit(1))).as("avgdl"))
+    (tf, df, stats)
+  }
+
+  private[graft] def tokenizedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  private[graft] def bm25Parts(s: SparkSession, d: String): Bm25Parts = {
+    val docs = tokenizedDocs(s, d)
+    val (tf, df, stats) = lexIndexOf(docs)
     val qt = docs.filter(col("doc_id") < Bm25NQueries)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(col("w"), 1, 4))).as("term"))

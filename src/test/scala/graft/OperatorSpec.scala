@@ -2410,4 +2410,61 @@ class OperatorSpec extends AnyFunSuite {
         docs(doc).count(qTerms(q)), s"tot_tf drift on ($q,$doc)")
     }
   }
+
+  test("q114 mmr: distributed selection rounds reproduce the literal greedy recursion") {
+    import graft.ops.{Retrieval, Similarity, TextOps}
+    // ground truth: run Carbonell-Goldstein greedy MMR directly on the
+    // collected candidate lists (rel) and pairwise sims — the sequential
+    // algorithm the chained rounds claim to distribute
+    val cand = Similarity.cosRanked(spark, sf, TextOps.Bm25NQueries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+    val emb = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id")
+        .isin(cand.map(_._2).distinct: _*)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val res = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(res).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = cand.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      var selected = Vector.empty[(Long, Long)] // (doc, mmr)
+      for (_ <- 1 to 5) {
+        val pool = rel.keySet -- selected.map(_._1)
+        val scored = pool.toSeq.map { doc =>
+          val maxsim = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(emb(doc), emb(s._1))).max
+          doc -> math.floor((rel(doc) - maxsim) * 500000.0).toLong
+        }
+        selected :+= scored.minBy { case (doc, sc) => (-sc, doc) }
+      }
+      selected.zipWithIndex.map { case ((doc, sc), i) => (q, i + 1L, doc, sc) }
+    }.toSet
+    val got = Retrieval.q114MmrDiversified(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("sel_rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("mmr"))).toSet
+    assert(got == expected, s"greedy recursion diverges: " +
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("q115 append algebra: segment-folded index frames are bit-identical to a single-pass rebuild") {
+    import graft.ops.{Retrieval, TextOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexappend_spec").toString
+    val docs = TextOps.tokenizedDocs(spark, sf)
+    val cut = graft.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0) * 4 / 5
+    Retrieval.lexIndexSegment(docs.filter(s"doc_id <= $cut"), dir, "seg0")
+    Retrieval.lexIndexAppend(spark, dir, docs.filter(s"doc_id > $cut"), "seg1")
+    val (tf, df, stats) = Retrieval.lexIndexServe(spark, dir)
+    val (rtf, rdf, rstats) = TextOps.lexIndexOf(docs)
+    assert(tf.collect().toSet == rtf.collect().toSet, "postings union drifts from rebuild")
+    assert(df.collect().toSet == rdf.collect().toSet, "additive df fold drifts from rebuild")
+    val Array(sn, sd) = stats.select("n_docs", "avgdl").head().toSeq.toArray
+    val r = rstats.select("n_docs", "avgdl").head()
+    assert(sn == r.getLong(0) &&
+      java.lang.Double.doubleToLongBits(sd.asInstanceOf[Double]) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      s"merged stats ($sn, $sd) != rebuild (${r.getLong(0)}, ${r.getDouble(1)}) — avgdl must be BIT-identical")
+  }
 }

@@ -919,7 +919,34 @@ class PlanSpec extends AnyFunSuite {
     val artifactScans = ns.collect { case f: FileSourceScanExec => f }
       .flatMap(_.relation.location.rootPaths.map(_.toString))
       .filter(_.contains("lexindex"))
-    assert(Seq("tf", "df", "stats").forall(t => artifactScans.exists(_.endsWith(s"lexindex/$t"))),
-      s"expected parquet scans rooted at lexindex/{tf,df,stats}; got $artifactScans")
+    assert(Seq("tf", "df", "stats").forall(t =>
+      artifactScans.exists(p => p.contains("lexindex") && p.endsWith(s"/$t"))),
+      s"expected parquet scans rooted at lexindex segments' {tf,df,stats}; got $artifactScans")
+  }
+
+  test("q115 lex append: served lineage reads BOTH segments and never re-tokenizes the corpus") {
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Retrieval.q115LexAppend(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val full = ns.map(_.toString).mkString("\n")
+    assert(!full.contains("array_sort"),
+      "served lineage re-runs the sorted-run tf counter — index was rebuilt, not append-served")
+    // the glob union resolves both immutable segments: base postings were
+    // NOT rewritten by the append, and the fold reads seg0 + seg1
+    val segs = ns.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+      .filter(_.contains("lexappend"))
+    Seq("seg0", "seg1").foreach(g => assert(segs.exists(_.contains(g)),
+      s"expected a scan over lexappend/$g; got $segs"))
   }
 }
