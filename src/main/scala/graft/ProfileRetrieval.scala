@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev guard: the retrieval-family serving economics at 50× the sf0.1
+  * document count — `graft.ProfileRetrieval [sfDir] [nFresh]` (default
+  * /tmp/sfbig 1000). Times, on the 100k-doc corpus:
+  *   - `bm25_self`      q95's self-contained build+rank
+  *   - `lex_build`      the one-time segmented-artifact build (seg0)
+  *   - `bm25_served`    rank from the artifact (q113's shape) — only the
+  *                      eval-query tokenize + vocab-sized dictionary fold
+  *                      run outside the parquet scans
+  *   - `lex_append_1pct` folding 1% fresh docs as a new segment (q115's
+  *                      shape) — O(fresh) tokenize+count, base untouched
+  *   - `bm25_served_2seg` rank after the append (two-segment fold)
+  *   - `conjunctive`    q112's boolean-AND pass over the same index
+  *   - `rrf_fusion`     q111's two-arm fusion (BM25 + brute cosine@100k)
+  * The claim the numbers back (BASELINE.md round-13 anchors): build
+  * amortizes — served rank ≪ self-contained, and the 1% append costs
+  * ~1% of a rebuild, so a streaming corpus keeps its lexical index
+  * current without ever re-tokenizing history. */
+object ProfileRetrieval {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/tmp/sfbig")
+    val nFresh = if (args.length > 1) args(1).toInt else 1000
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ops.{Retrieval, TextOps}
+    import spark.implicits._
+    def time(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      val extra = r match { case n: Long => s" rows=$n"; case _ => "" }
+      println(f"$label%-22s $s%8.2f s$extra")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val nDocs = Tables.documents(spark, d).count()
+    println(s"corpus: $nDocs docs at $d; fresh batch: $nFresh")
+
+    time("bm25_self") {
+      val p = TextOps.bm25Parts(spark, d)
+      TextOps.bm25RankedFrom(p.tf, p.df, p.stats, p.qt).count()
+    }
+
+    val path = "/tmp/graft_lex_profile"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    time("lex_build") {
+      Retrieval.lexIndexSegment(TextOps.tokenizedDocs(spark, d), path, "seg0")
+    }
+    time("bm25_served") {
+      val (tf, df, st) = Retrieval.lexIndexServe(spark, path)
+      TextOps.bm25RankedFrom(tf, df, st, TextOps.bm25Parts(spark, d).qt).count()
+    }
+
+    val fresh = spark.range(nDocs, nDocs + nFresh)
+      .map(id => (id, GenCorpus.docText(id, 10000L))).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    time("lex_append_1pct") {
+      Retrieval.lexIndexAppend(spark, path, fresh, "seg1")
+    }
+    time("bm25_served_2seg") {
+      val (tf, df, st) = Retrieval.lexIndexServe(spark, path)
+      TextOps.bm25RankedFrom(tf, df, st, TextOps.bm25Parts(spark, d).qt).count()
+    }
+
+    time("conjunctive") { Retrieval.q112Conjunctive(spark, d).count() }
+    time("rrf_fusion") { Retrieval.q111HybridRrf(spark, d).count() }
+    spark.stop()
+  }
+}
