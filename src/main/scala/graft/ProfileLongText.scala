@@ -49,6 +49,9 @@ object ProfileLongText {
         .select(col("doc_id"), explode(expr(
           "transform(array_distinct(w), t -> struct(t AS term, size(filter(w, x -> x = t)) AS tf))")).as("p"))
         .count())
+    time("positional postings (sorted-run, r14)")(
+      graft.ops.TextOps.positionalPostings(docsW).count())
+    time("q117 phrase search")(graft.ops.Retrieval.q117PhraseSearch(spark, d).count())
     time("q95 bm25")(graft.ops.TextOps.q95Bm25(spark, d).count())
     time("q56 tfidf")(graft.ops.TextOps.q56Tfidf(spark, d).count())
     time("q90 bigram topk")(graft.ops.TextOps.q90BigramTopk(spark, d).count())

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   - `bm25_served_2seg` rank after the append (two-segment fold)
   *   - `conjunctive`    q112's boolean-AND pass over the same index
   *   - `rrf_fusion`     q111's two-arm fusion (BM25 + brute cosine@100k)
-  * The claim the numbers back (BASELINE.md round-13 anchors): build
+  * The claim the numbers back (BASELINE.md round-14 anchors): build
   * amortizes — served rank ≪ self-contained, and the 1% append costs
   * ~1% of a rebuild, so a streaming corpus keeps its lexical index
   * current without ever re-tokenizing history. */
@@ -55,7 +55,7 @@ object ProfileRetrieval {
     }
     time("bm25_served") {
       val (tf, df, st) = Retrieval.lexIndexServe(spark, path)
-      TextOps.bm25RankedFrom(tf, df, st, TextOps.bm25Parts(spark, d).qt).count()
+      TextOps.bm25RankedFrom(tf, df, st, TextOps.queryTerms(spark, d)).count()
     }
 
     val fresh = spark.range(nDocs, nDocs + nFresh)
@@ -66,11 +66,35 @@ object ProfileRetrieval {
     }
     time("bm25_served_2seg") {
       val (tf, df, st) = Retrieval.lexIndexServe(spark, path)
-      TextOps.bm25RankedFrom(tf, df, st, TextOps.bm25Parts(spark, d).qt).count()
+      TextOps.bm25RankedFrom(tf, df, st, TextOps.queryTerms(spark, d)).count()
+    }
+
+    // the LSM tail: 8 more daily-sized appends (10 segments total), serve
+    // cost with a long segment history, then compaction resets it flat
+    (2 to 9).foreach { k =>
+      val b = spark.range(nDocs + k.toLong * nFresh, nDocs + (k + 1).toLong * nFresh)
+        .map(id => (id, GenCorpus.docText(id, 10000L))).toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      Retrieval.lexIndexAppend(spark, path, b, s"seg$k")
+    }
+    time("bm25_served_10seg") {
+      val (tf, df, st) = Retrieval.lexIndexServe(spark, path)
+      TextOps.bm25RankedFrom(tf, df, st, TextOps.queryTerms(spark, d)).count()
+    }
+    val cpath = path + "_compacted"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cpath))
+    time("compact_10seg") { Retrieval.lexIndexCompact(spark, path, cpath) }
+    time("bm25_served_compacted") {
+      val (tf, df, st) = Retrieval.lexIndexServe(spark, cpath)
+      TextOps.bm25RankedFrom(tf, df, st, TextOps.queryTerms(spark, d)).count()
     }
 
     time("conjunctive") { Retrieval.q112Conjunctive(spark, d).count() }
     time("rrf_fusion") { Retrieval.q111HybridRrf(spark, d).count() }
+    time("rrf_fusion_ann") { Retrieval.q116HybridRrfAnn(spark, d).count() }
+    time("phrase_search") { Retrieval.q117PhraseSearch(spark, d).count() }
+    time("query_likelihood") { Retrieval.q119QueryLikelihood(spark, d).count() }
+    time("mmr_diversified") { Retrieval.q114MmrDiversified(spark, d).count() }
     spark.stop()
   }
 }

@@ -45,12 +45,22 @@ object Retrieval {
     * eval-set-sized, never corpus-sized — full-outer on (query_id, doc_id)
     * so a doc found by one arm only still fuses. */
   def q111HybridRrf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = TextOps.bm25Parts(s, d)
     val lex = TextOps.bm25RankedFrom(p.tf, p.df, p.stats, p.qt)
       .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
     val sem = Similarity.cosRanked(s, d, TextOps.Bm25NQueries, SemK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn").as("sem_rnk"))
+    rrfFuse(lex, sem)
+  }
+
+  /** The fusion kernel shared VERBATIM by q111 (exact cosine arm) and q116
+    * (IVF-PQ arm) — the substitution seam the arm-interface claim rests
+    * on: only (query_id, doc_id, rank) crosses it, so the two entries can
+    * never drift on the fusion arithmetic. Eval-set-sized on both inputs
+    * (each arm is its own audited serving plan), full-outer on
+    * (query_id, doc_id) so a doc found by one arm only still fuses. */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def arm(c: String) = coalesce(
       floor(lit(RrfScale) / (lit(RrfK) + col(c))).cast("long"), lit(0L))
     val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
@@ -62,6 +72,27 @@ object Retrieval {
       .orderBy("query_id", "rnk")
   }
 
+  /** SQL mirror of [[rrfFuse]]: expects `lexk(query_id, doc_id, lex_rnk)`
+    * and `semk(query_id, doc_id, sem_rnk)` CTEs in scope; ends with the
+    * ranked `fr` CTE so eval entries (q118) can consume the fused list
+    * without re-stating the arithmetic. */
+  private val rrfFuseCtes: String =
+    s"""fus AS (
+       |  SELECT query_id, doc_id,
+       |         COALESCE(CAST(floor($RrfScale / ($RrfK + lex_rnk)) AS BIGINT), 0)
+       |       + COALESCE(CAST(floor($RrfScale / ($RrfK + sem_rnk)) AS BIGINT), 0) AS rrf,
+       |         lex_rnk, sem_rnk
+       |  FROM lexk FULL JOIN semk USING (query_id, doc_id)),
+       |fr AS (
+       |  SELECT query_id, doc_id, rrf, lex_rnk, sem_rnk,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM fus)""".stripMargin
+
+  private val rrfSelect: String =
+    s"""SELECT query_id, rnk, doc_id, rrf, lex_rnk, sem_rnk FROM fr
+       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+
   val q111Sql: String =
     s"""${TextOps.bm25RankCtes},
        |sem AS (
@@ -70,18 +101,58 @@ object Retrieval {
        |  SELECT query_id, doc_id, rnk AS lex_rnk FROM lexr WHERE rnk <= ${TextOps.Bm25K}),
        |semk AS (
        |  SELECT query_id, neighbor_id AS doc_id, rn AS sem_rnk FROM sem),
-       |fus AS (
-       |  SELECT query_id, doc_id,
-       |         COALESCE(CAST(floor($RrfScale / ($RrfK + lex_rnk)) AS BIGINT), 0)
-       |       + COALESCE(CAST(floor($RrfScale / ($RrfK + sem_rnk)) AS BIGINT), 0) AS rrf,
-       |         lex_rnk, sem_rnk
-       |  FROM lexk FULL JOIN semk USING (query_id, doc_id))
-       |SELECT query_id, rnk, doc_id, rrf, lex_rnk, sem_rnk FROM (
-       |  SELECT query_id, doc_id, rrf, lex_rnk, sem_rnk,
-       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |              ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM fus)
-       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+       |$rrfFuseCtes
+       |$rrfSelect""".stripMargin
+
+  /** q116: the ANN-ARMED hybrid — [[q111HybridRrf]] with the semantic arm
+    * SUBSTITUTED: q74/q110's IVF-PQ artifact-serving plan replaces the
+    * brute cosine scan, proving the arm-substitutability claim the q111
+    * scaladoc makes (only ranks cross [[rrfFuse]]'s interface) as a gated
+    * entry rather than prose. This is the 100 TB serving shape: BOTH arms
+    * now run from persisted-index plans (the lexical arm from q113's
+    * artifact by the same seam), so nothing at serve time is corpus-linear
+    * in float work — the IVF-PQ arm probes cells and sums 8 integer LUT
+    * lookups per candidate where q111's exact arm dots every corpus
+    * vector.
+    *
+    * Hashability: the fused score is the same integer arithmetic; the
+    * IVF-PQ arm's rank list is q74's oracle-certified (adc_fixed ASC,
+    * neighbor_id) order restricted to the fusion's query set
+    * (Bm25NQueries ⊂ AdcQueries, so the oracle filters the shared `adc`
+    * CTE — the candidate pipeline is byte-shared with q74/q86/q110). */
+  def q116HybridRrfAnn(s: SparkSession, d: String): DataFrame = {
+    val p = TextOps.bm25Parts(s, d)
+    val lex = TextOps.bm25RankedFrom(p.tf, p.df, p.stats, p.qt)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val (emb, subs, seedsPq) = Similarity.pqParts(s, d)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    val sem = Similarity.ivfPqSearchFrom(cents, books, codeTable,
+        emb.filter(col("vec_id") < TextOps.Bm25NQueries).select("vec_id", "e"),
+        k = SemK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn").as("sem_rnk"))
+    rrfFuse(lex, sem)
+  }
+
+  /** q116's arm CTEs over the SHARED `adc` candidate chain (Bm25NQueries ⊂
+    * AdcQueries, so the arm is a filter of q74's certified pipeline) —
+    * also consumed by q118's eval. */
+  private val annArmCtes: String =
+    s"""lexk AS (
+       |  SELECT query_id, doc_id, rnk AS lex_rnk FROM lexr WHERE rnk <= ${TextOps.Bm25K}),
+       |semk AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rn AS sem_rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |    FROM adc WHERE query_id < ${TextOps.Bm25NQueries})
+       |  WHERE rn <= $SemK)""".stripMargin
+
+  val q116Sql: String =
+    s"""${TextOps.bm25RankCtes},
+       |${Similarity.ivfPqAdcCtes.stripPrefix("WITH ")},
+       |$annArmCtes,
+       |$rrfFuseCtes
+       |$rrfSelect""".stripMargin
 
   /** q112: CONJUNCTIVE KEYWORD SEARCH — boolean-AND retrieval over the
     * SAME inverted index q95 scores from (q95 is the disjunctive arm; most
@@ -162,15 +233,27 @@ object Retrieval {
     * reason `stats` persists `tot_dl`: Σ of segment long-sums ≡ the
     * single-pass sums, so merged df/avgdl are bit-identical to a full
     * rebuild's). */
-  def lexIndexServe(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
-    // explicit segment enumeration (one driver-side metadata list) rather
-    // than a glob: deterministic order, and no spurious streaming-sink
-    // probe warnings on the unexpanded pattern
+  /** Enumerate the segments of a lexical-index artifact — one driver-side
+    * metadata list rather than a glob: deterministic order, and no
+    * spurious streaming-sink probe warnings on the unexpanded pattern.
+    * Only `seg*` dirs count: an in-flight append's `_temporary` staging
+    * dir (or any other non-segment artifact) must never be read as data —
+    * that's what keeps the appendable-while-serving claim true. Order
+    * note: `.sorted` is lexicographic (seg10 < seg2) — fine because every
+    * consumer folds order-independently (union + additive sums), but
+    * nothing downstream may ever assume numeric segment order here. */
+  private[graft] def lexSegments(s: SparkSession, path: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val segs = fs.listStatus(root).filter(_.isDirectory)
+    val segs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg"))
       .map(_.getPath.toString).sorted.toSeq
     require(segs.nonEmpty, s"no lexical-index segments under $path")
+    segs
+  }
+
+  def lexIndexServe(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    val segs = lexSegments(s, path)
     val tf = s.read.parquet(segs.map(_ + "/tf"): _*)
     val df = s.read.parquet(segs.map(_ + "/df"): _*)
       .groupBy("term").agg(sum(col("df")).as("df"))
@@ -179,6 +262,46 @@ object Retrieval {
       .select(col("n_docs"),
         (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
     (tf, df, stats)
+  }
+
+  /** LSM COMPACTION for the segmented lexical index: merge every segment
+    * under `path` into a single `seg0` at `outPath` (copy-on-write — a new
+    * root, never an in-place rewrite of segments a concurrent serve may be
+    * reading; retiring the old root is the caller's swap step, the
+    * [[graft.streaming.VecStream.graphAppend]] convention). The merge is
+    * EXACT by the same additivity the serve-time fold relies on: postings
+    * are disjoint per-doc rows (concat), df and n_docs/tot_dl are long
+    * sums — so compacted ≡ segmented bit-for-bit (OperatorSpec gates the
+    * ranked output through a 10-segment round trip). This is what makes
+    * the LSM shape honest at a daily append cadence: without it the
+    * serve-time df fold grows linear in segment count; after it the fold
+    * is one segment again, with the artifact's history cost reset to
+    * O(corpus) once instead of O(appends) forever. */
+  def lexIndexCompact(s: SparkSession, path: String, outPath: String): Unit = {
+    require(outPath != path,
+      "compaction is copy-on-write: outPath must be a new artifact root")
+    val segs = lexSegments(s, path)
+    val tf = s.read.parquet(segs.map(_ + "/tf"): _*)
+    val df = s.read.parquet(segs.map(_ + "/df"): _*)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val stats = s.read.parquet(segs.map(_ + "/stats"): _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+      .select(col("n_docs"), col("tot_dl"),
+        (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
+    tf.write.mode("overwrite").parquet(s"$outPath/seg0/tf")
+    df.write.mode("overwrite").parquet(s"$outPath/seg0/df")
+    stats.write.mode("overwrite").parquet(s"$outPath/seg0/stats")
+    // positional postings (optional segment file) survive compaction:
+    // concat-only fold, same disjoint-doc algebra. Mixed artifacts fail
+    // loud — compacting away the inconsistency would hide lost positions.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val withPp = segs.filter(sg => fs.exists(new org.apache.hadoop.fs.Path(s"$sg/pp")))
+    require(withPp.isEmpty || withPp.size == segs.size,
+      s"mixed positional artifact: ${withPp.size}/${segs.size} segments carry pp")
+    if (withPp.nonEmpty)
+      s.read.parquet(segs.map(_ + "/pp"): _*)
+        .write.mode("overwrite").parquet(s"$outPath/seg0/pp")
   }
 
   /** q113: BM25 SERVED FROM THE PERSISTED LEXICAL-INDEX ARTIFACT — q101's
@@ -197,8 +320,8 @@ object Retrieval {
     val path = s"${Similarity.knnGraphServePath(d)}/lexindex"
     lexIndexSegment(TextOps.tokenizedDocs(s, d), path, "seg0")
     val (tf, df, stats) = lexIndexServe(s, path)
-    val qt = TextOps.bm25Parts(s, d).qt
-    TextOps.bm25RankedFrom(tf, df, stats, qt).orderBy("query_id", "rnk")
+    TextOps.bm25RankedFrom(tf, df, stats, TextOps.queryTerms(s, d))
+      .orderBy("query_id", "rnk")
   }
 
   /** q115: LEXICAL-INDEX APPEND — q106's freeze-and-fold contract applied
@@ -220,7 +343,7 @@ object Retrieval {
     lexIndexSegment(docs.filter(col("doc_id") <= cut), path, "seg0")
     lexIndexAppend(s, path, docs.filter(col("doc_id") > cut), "seg1")
     val (tf, df, stats) = lexIndexServe(s, path)
-    TextOps.bm25RankedFrom(tf, df, stats, TextOps.bm25Parts(s, d).qt)
+    TextOps.bm25RankedFrom(tf, df, stats, TextOps.queryTerms(s, d))
       .orderBy("query_id", "rnk")
   }
 
@@ -229,7 +352,7 @@ object Retrieval {
     * (rel − maxsim)/2, so floor((rel − maxsim)·500000) is the λ-folded
     * 10⁶ fixed-point score. */
   private val MmrCandK = 10
-  private val MmrSelK = 5
+  private[graft] val MmrSelK = 5
 
   /** q114: MMR-DIVERSIFIED RETRIEVAL (Carbonell & Goldstein's maximal
     * marginal relevance) — the reranking pass a RAG stack runs so the k
@@ -259,8 +382,13 @@ object Retrieval {
   def q114MmrDiversified(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
+    // the candidate and pairwise-sim tables are ≤ nq·k² rows — cache them
+    // as ONE partition (repartition, not coalesce: coalesce(1) would
+    // collapse the corpus-scan stage upstream into a single task) so the
+    // per-round jobs over them don't pay 32-task scheduling per stage
     val cand = Similarity.cosRanked(s, d, TextOps.Bm25NQueries, MmrCandK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cos_sim").as("rel"))
+      .repartition(1)
       .cache()
     val emb = Similarity.embWithNorm(s, d).select(col("vec_id"), col("e"), col("nrm"))
     val ce = cand.select("query_id", "doc_id")
@@ -271,6 +399,7 @@ object Retrieval {
     val pairsim = a.join(b, col("query_id") === col("qb") && col("d1") =!= col("d2"))
       .select(col("query_id"), col("d1"), col("d2"),
         round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 6).as("sim"))
+      .repartition(1)
       .cache()
     val wRel = Window.partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
     var sel = cand.withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
@@ -289,7 +418,22 @@ object Retrieval {
         .withColumn("rn", row_number().over(wScore)).filter(col("rn") === 1)
         .select(col("query_id"), col("doc_id"), lit(i.toLong).as("sel_rnk"),
           col("score").as("mmr"))
-      sel = sel.unionByName(pick)
+      // per-round LINEAGE barrier (the q94 rounds convention, hardened):
+      // `pick` references `sel` twice (maxsim join + left_anti), so an
+      // unbarred recursion doubles the plan every round — ~2^(MmrSelK-1)
+      // copies of the round-1 subtree by the end (the round-13 defect:
+      // slowest query in the catalog for 50 eval-sized rows). A plain
+      // .cache() is NOT enough here: caching dedups EXECUTION but the
+      // logical plan keeps the full doubled lineage, so analyzer/optimizer
+      // time still grows 2^round (measured: cache alone left q114 at
+      // ~7 s; the checkpoint cuts it to arm cost + ~0.1 s/round).
+      // localCheckpoint(eager) materializes the ≤ nq·MmrSelK-row frame
+      // and REPLACES its logical plan, so every round plans against a
+      // leaf. Eval-sized data only — the corpus never enters the
+      // recursion — so executor-local blocks are the right durability
+      // trade (PlanSpec pins the final plan's window count as the
+      // exponential-copy detector).
+      sel = sel.unionByName(pick).coalesce(1).localCheckpoint()
     }
     sel.select("query_id", "sel_rnk", "doc_id", "mmr").orderBy("query_id", "sel_rnk")
   }
@@ -337,11 +481,292 @@ object Retrieval {
        |SELECT query_id, sel_rnk, doc_id, mmr FROM s$MmrSelK ORDER BY query_id, sel_rnk""".stripMargin
   }
 
+  /** Phrase length for q117 — the eval phrases are each query document's
+    * first [[PhraseLen]] tokens (deterministic, corpus-derived, the q95
+    * query convention). */
+  private val PhraseLen = 3
+
+  /** q117: PHRASE SEARCH over POSITIONAL postings — the standard retrieval
+    * operator q112's boolean-AND cannot express ("new york times" as a
+    * phrase, not a bag): a document matches iff the phrase's terms occur
+    * at CONSECUTIVE positions, ranked by occurrence count.
+    *
+    * The match is adjacent-position intersection INSIDE the posting
+    * arrays — never a token-stream self-join (which would shuffle the
+    * whole token stream once per phrase term at 100 TB): each phrase
+    * term i's posting row joins the broadcast phrase-term table once,
+    * its position array is shifted by −i map-side, and a per-(query, doc)
+    * fold intersects the shifted arrays — occurrence starts are exactly
+    * the positions surviving every intersection. The only corpus-sized
+    * work is the ONE posting probe q112 already pays; the fold runs on
+    * ≤ |phrase| arrays per (query, doc) pair.
+    *
+    * Integer end-to-end (positions, counts) — nothing to round. The
+    * oracle states the same semantics relationally (per-start-position
+    * COUNT(DISTINCT i) = |phrase| — naive token-level form is fine in
+    * DuckDB at eval scale; the Spark side is the one that must not
+    * self-join). */
+  def q117PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.tokenizedDocs(s, d)
+    phraseRankFrom(TextOps.positionalPostings(docs), phraseTermsOf(docs))
+  }
+
+  /** The eval phrase-term table: (query_id, i, term) for each query doc's
+    * first [[PhraseLen]] tokens — position index i is what the match
+    * shifts by. */
+  private def phraseTermsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < TextOps.Bm25NQueries)
+      .select(col("doc_id").as("query_id"),
+        posexplode(slice(col("w"), 1, PhraseLen)).as(Seq("i", "term")))
+
+  /** The phrase-match kernel over ANY positional-postings frame
+    * (doc_id, term, positions) — freshly built (q117) or served from the
+    * segmented artifact (q120); only postings rows cross this interface,
+    * the [[rrfFuse]] substitution convention. */
+  private def phraseRankFrom(pp: DataFrame, qp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("n_phrase").desc, col("doc_id"))
+    pp.join(broadcast(qp), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("i"),
+        expr("transform(positions, x -> x - i)").as("sp"))
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("i")).as("nterms"),
+        expr("array_sort(collect_list(struct(i, sp)))").as("arr"))
+      .filter(col("nterms") === PhraseLen)
+      .withColumn("n_phrase", expr(
+        "CAST(size(aggregate(slice(arr, 2, size(arr) - 1), element_at(arr, 1).sp, " +
+          "(acc, a) -> filter(acc, x -> array_contains(a.sp, x)))) AS BIGINT)"))
+      .filter(col("n_phrase") >= 1)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= FusedK)
+      .select("query_id", "rnk", "doc_id", "n_phrase")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q117Sql: String =
+    s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |qp AS (
+       |  SELECT doc_id AS query_id, CAST(i AS BIGINT) AS i,
+       |         w[CAST(i + 1 AS INTEGER)] AS term
+       |  FROM dw, LATERAL (SELECT unnest(range(0, $PhraseLen)) AS i)
+       |  WHERE doc_id < ${TextOps.Bm25NQueries}),
+       |tp AS (
+       |  SELECT doc_id, w[CAST(p AS INTEGER)] AS term, CAST(p AS BIGINT) AS p
+       |  FROM dw, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS p)),
+       |st AS (
+       |  SELECT qp.query_id, tp.doc_id, tp.p - qp.i AS strt
+       |  FROM tp JOIN qp USING (term)
+       |  WHERE tp.doc_id <> qp.query_id
+       |  GROUP BY qp.query_id, tp.doc_id, tp.p - qp.i
+       |  HAVING COUNT(DISTINCT qp.i) = $PhraseLen),
+       |ph AS (
+       |  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase
+       |  FROM st GROUP BY query_id, doc_id)
+       |SELECT query_id, rnk, doc_id, n_phrase FROM (
+       |  SELECT query_id, doc_id, n_phrase,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY n_phrase DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM ph)
+       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+
+  /** q118: FUSION QUALITY EVAL — q79's recall recipe applied to the hybrid
+    * chain: for the ANN-armed fused top-k (q116's list — evaluating the
+    * exact-armed q111 would be degenerate, its semantic arm IS the exact
+    * list), per query: how many fused results came from each arm's top
+    * list, and recall against the exact brute-force cosine top-[[FusedK]].
+    * `exact_recall` is THE number a RAG operator tunes RrfK / nprobe
+    * against — what the IVF-PQ approximation plus lexical fusion costs
+    * versus exact dense retrieval.
+    *
+    * Scale shape: the fused list and both arm lists are eval-set-sized and
+    * cached (each arm's plan is its audited serving shape); the exact side
+    * is q28's corpus-linear scan — the eval is an offline audit pass, not
+    * a serving path. Hashability: overlaps are integer flag sums on
+    * oracle-certified rank lists; recall divides by the constant k (q79's
+    * convention). */
+  def q118FusionEval(s: SparkSession, d: String): DataFrame = {
+    val p = TextOps.bm25Parts(s, d)
+    val lex = TextOps.bm25RankedFrom(p.tf, p.df, p.stats, p.qt)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk")).cache()
+    val (emb, subs, seedsPq) = Similarity.pqParts(s, d)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    val sem = Similarity.ivfPqSearchFrom(cents, books, codeTable,
+        emb.filter(col("vec_id") < TextOps.Bm25NQueries).select("vec_id", "e"),
+        k = SemK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn").as("sem_rnk"))
+      .cache()
+    val fused = rrfFuse(lex, sem).select("query_id", "doc_id")
+    val exact = Similarity.cosRanked(s, d, TextOps.Bm25NQueries, FusedK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), lit(1L).as("xh"))
+    fused
+      .join(lex.select(col("query_id"), col("doc_id"), lit(1L).as("lh")),
+        Seq("query_id", "doc_id"), "left")
+      .join(sem.select(col("query_id"), col("doc_id"), lit(1L).as("sh")),
+        Seq("query_id", "doc_id"), "left")
+      .join(exact, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_fused"),
+        sum(coalesce(col("lh"), lit(0L))).as("lex_hits"),
+        sum(coalesce(col("sh"), lit(0L))).as("sem_hits"),
+        sum(coalesce(col("xh"), lit(0L))).as("exact_hits"),
+        (sum(coalesce(col("xh"), lit(0L))).cast("double") / FusedK).as("exact_recall"))
+      .orderBy("query_id")
+  }
+
+  val q118Sql: String =
+    s"""${TextOps.bm25RankCtes},
+       |${Similarity.ivfPqAdcCtes.stripPrefix("WITH ")},
+       |$annArmCtes,
+       |$rrfFuseCtes,
+       |fk AS (SELECT query_id, doc_id FROM fr WHERE rnk <= $FusedK),
+       |exk AS (
+       |  SELECT query_id, neighbor_id AS doc_id FROM (
+       |    ${Similarity.cosRankedSqlBody(TextOps.Bm25NQueries, FusedK)}))
+       |SELECT f.query_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_fused,
+       |       CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lex_hits,
+       |       CAST(SUM(CASE WHEN sk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sem_hits,
+       |       CAST(SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+       |       CAST(SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $FusedK AS exact_recall
+       |FROM fk f
+       |LEFT JOIN lexk l ON f.query_id = l.query_id AND f.doc_id = l.doc_id
+       |LEFT JOIN semk sk ON f.query_id = sk.query_id AND f.doc_id = sk.doc_id
+       |LEFT JOIN exk x ON f.query_id = x.query_id AND f.doc_id = x.doc_id
+       |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
+
+  /** Write a segment WITH positional postings — Lucene's optional
+    * positions level (DOCS_AND_FREQS vs ..._AND_POSITIONS): `pp` is an
+    * extra per-segment file alongside tf/df/stats, written only by
+    * position-aware callers, so BM25-only artifacts (q113/q115 and their
+    * anchors) pay nothing for a capability they don't serve. The pp file
+    * obeys the same segment algebra trivially: per-(doc, term) rows with
+    * disjoint doc_id spaces — the serve-time fold is pure concat, no sums
+    * at all. */
+  def lexIndexSegmentPos(docs: DataFrame, path: String, seg: String): Unit = {
+    lexIndexSegment(docs, path, seg)
+    TextOps.positionalPostings(docs)
+      .write.mode("overwrite").parquet(s"$path/$seg/pp")
+  }
+
+  /** Serve the positional postings of a segmented artifact (union of
+    * per-segment pp scans — concat-only fold). Requires every segment to
+    * carry positions (mixed artifacts would silently lose phrase recall
+    * on the position-less segments — fail loud instead). */
+  def lexIndexServePos(s: SparkSession, path: String): DataFrame = {
+    val segs = lexSegments(s, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val missing = segs.filterNot(sg =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$sg/pp")))
+    require(missing.isEmpty,
+      s"segments without positional postings: $missing — a mixed artifact " +
+        "would silently drop phrase matches; rebuild those segments with " +
+        "lexIndexSegmentPos or compact")
+    s.read.parquet(segs.map(_ + "/pp"): _*)
+  }
+
+  /** q120: PHRASE SEARCH SERVED FROM THE ARTIFACT — q113's recipe for the
+    * positional family: two positional segments (the q115 base/tail split,
+    * proving the append contract extends to positions), postings served by
+    * concat fold, ranked by [[phraseRankFrom]] under EXACTLY q117's
+    * oracle. Only the eval phrase-term table is computed at serve time;
+    * PlanSpec pins that the served lineage contains NO positional-postings
+    * kernel (no array_sort sorted-run counter) and reads both segments.
+    * Eager at construction (writes the artifact), the q113/q115
+    * convention. */
+  def q120PhraseServed(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Similarity.knnGraphServePath(d)}/lexpos"
+    val docs = TextOps.tokenizedDocs(s, d)
+    val cut = Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    lexIndexSegmentPos(docs.filter(col("doc_id") <= cut), path, "seg0")
+    lexIndexSegmentPos(docs.filter(col("doc_id") > cut), path, "seg1")
+    phraseRankFrom(lexIndexServePos(s, path), phraseTermsOf(docs))
+  }
+
+  /** Dirichlet prior for q119 (Zhai & Lafferty's standard μ). */
+  private val QlMu = 2000L
+
+  /** q119: QUERY-LIKELIHOOD RETRIEVAL (Dirichlet-smoothed language-model
+    * ranking, Ponte & Croft / Zhai & Lafferty) — the third scoring family
+    * next to BM25 (q95) and dense cosine (q28): rank docs by
+    * Σ_{t∈q} (tf(t,d) + μ·P(t|C)) / (dl + μ), the SUM form of the QL
+    * score (the standard log-product is replaced by the probability sum —
+    * the documented portable variant, q95's log-drop convention).
+    *
+    * The sum form collapses by linearity:
+    *   score = (Σ_matched tf + μ·Σ_{t∈q} P(t|C)) / (dl + μ)
+    *         = (sum_tf·|C| + μ·sum_cf_q) / ((dl + μ)·|C|)
+    * so smoothing — including every UNSEEN query term's contribution — is
+    * EXACT INTEGER arithmetic (matched-tf sum, collection frequencies,
+    * total token count) up to ONE double division, floored ·10⁹: the most
+    * portable score in the retrieval family (BM25 needs a 6-op float
+    * chain; this needs one correctly-rounded division on two BIGINTs).
+    *
+    * Candidate set = docs matching ≥ 1 query term (the standard inverted-
+    * index approximation — a zero-match doc's rank depends only on dl;
+    * documented variant). Scale shape: identical to q95/q112's audited
+    * one — tf probed once by the broadcast query terms, cf is a
+    * vocab-sized partial+final agg probed by the same broadcast, corpus
+    * totals one row. */
+  def q119QueryLikelihood(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = TextOps.bm25Parts(s, d)
+    val cf = p.tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val qcf = p.qt.join(cf, Seq("term"))
+      .groupBy("query_id").agg(sum(col("cf")).as("sum_cf_q"))
+    val total = p.stats.select(col("tot_dl"))
+    val w = Window.partitionBy("query_id").orderBy(col("ql_scaled").desc, col("doc_id"))
+    p.tf.join(broadcast(p.qt), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tf")).as("sum_tf"), max(col("dl")).as("dl"))
+      .join(broadcast(qcf), Seq("query_id"))
+      .crossJoin(broadcast(total))
+      .withColumn("ql_scaled", expr(
+        s"CAST(floor(CAST(sum_tf * tot_dl + $QlMu * sum_cf_q AS DOUBLE) " +
+          s"/ CAST((dl + $QlMu) * tot_dl AS DOUBLE) * 1000000000.0D) AS BIGINT)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= FusedK)
+      .select("query_id", "rnk", "doc_id", "ql_scaled")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q119Sql: String =
+    s"""${TextOps.bm25BaseCtes},
+       |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+       |qcf AS (
+       |  SELECT query_id, CAST(SUM(cf) AS BIGINT) AS sum_cf_q
+       |  FROM qt JOIN cf USING (term) GROUP BY query_id),
+       |tot AS (SELECT CAST(SUM(len(w)) AS BIGINT) AS tot_dl FROM dw),
+       |m AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         CAST(SUM(tf.tf) AS BIGINT) AS sum_tf, MAX(tf.dl) AS dl
+       |  FROM tf JOIN qt USING (term)
+       |  WHERE tf.doc_id <> qt.query_id
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |sc AS (
+       |  SELECT m.query_id, m.doc_id,
+       |         CAST(floor(CAST(m.sum_tf * tot.tot_dl + $QlMu * qcf.sum_cf_q AS DOUBLE)
+       |              / CAST((m.dl + $QlMu) * tot.tot_dl AS DOUBLE) * 1000000000.0) AS BIGINT) AS ql_scaled
+       |  FROM m JOIN qcf USING (query_id) CROSS JOIN tot)
+       |SELECT query_id, rnk, doc_id, ql_scaled FROM (
+       |  SELECT query_id, doc_id, ql_scaled,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY ql_scaled DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_hybrid_rrf", q111HybridRrf _, Some(q111Sql)),
     ("q112_conjunctive", q112Conjunctive _, Some(q112Sql)),
     ("q113_bm25_served", q113Bm25Served _, Some(TextOps.q95Sql)),
     ("q114_mmr_diversified", q114MmrDiversified _, Some(q114Sql)),
     ("q115_lex_append", q115LexAppend _, Some(TextOps.q95Sql)),
+    ("q116_hybrid_rrf_ann", q116HybridRrfAnn _, Some(q116Sql)),
+    ("q117_phrase_search", q117PhraseSearch _, Some(q117Sql)),
+    ("q118_fusion_eval", q118FusionEval _, Some(q118Sql)),
+    ("q119_query_likelihood", q119QueryLikelihood _, Some(q119Sql)),
+    ("q120_phrase_served", q120PhraseServed _, Some(q117Sql)),
   )
 }

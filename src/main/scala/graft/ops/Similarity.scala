@@ -335,15 +335,32 @@ object Similarity {
     * automatically at any corpus size. */
   private val nlistCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
+  /** Freshness token for the nlist memo: a fold of the embeddings table's
+    * file listing (name, length, mtime). One driver-side metadata listing —
+    * orders of magnitude cheaper than the count job the memo avoids — and
+    * it makes the cache safe against a corpus REGENERATED IN-PLACE within
+    * one JVM (same dir, new files): the token changes, so the entry misses
+    * and the nlist is re-derived instead of silently planning with a stale
+    * √n. */
+  private def embDirToken(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sig =
+      if (!fs.exists(p)) "absent"
+      else fs.listStatus(p).map(st =>
+        (st.getPath.getName, st.getLen, st.getModificationTime).hashCode)
+        .foldLeft(0)(31 * _ + _).toString
+    s"$d@$sig"
+  }
+
   private[graft] def corpusNList(s: SparkSession, d: String): Int =
     sys.env.get("SPARK_GRAFT_NLIST").map(_.toInt)
-      // memoized per dataset dir: every corpus² entry (q82/q83/q84/q94/
-      // q101/q103…) triggers this at PLAN time, so an unmemoized count
-      // would launch the same footer-metadata job once per query in a
-      // bench/verify pass. The count depends only on the files under `d`;
-      // tests that mutate a corpus write to a fresh temp dir, so a
-      // dir-keyed entry can never serve a stale size.
-      .getOrElse(nlistCache.computeIfAbsent(d,
+      // memoized per (dataset dir, file-listing token): every corpus² entry
+      // (q82/q83/q84/q94/q101/q103…) triggers this at PLAN time, so an
+      // unmemoized count would launch the same footer-metadata job once per
+      // query in a bench/verify pass. The token keys out in-place rewrites
+      // (see [[embDirToken]]); distinct corpora already key by dir.
+      .getOrElse(nlistCache.computeIfAbsent(embDirToken(s, d),
         _ => derivedNList(Tables.embeddings(s, d).count())))
 
   /** SQL mirror of [[corpusNList]]: the env literal when the override is
@@ -1616,7 +1633,11 @@ object Similarity {
     val binned = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .select(col("label"), col("embedding").cast("array<double>").as("e"))
       .filter(col("e").isNotNull)
-      .select((col("label") < 5).cast("int").as("coh"),
+      // when/otherwise, NOT (label < 5).cast("int"): the boolean cast maps
+      // NULL labels to NULL (row silently in neither cohort) while the
+      // oracle's CASE ... ELSE 0 puts them in cohort 0 — match the ELSE-0
+      // semantics so a future corpus with null labels can't break the hash
+      .select(when(col("label") < 5, 1).otherwise(0).as("coh"),
         posexplode(col("e")).as(Seq("i", "x")))
       .withColumn("bin",
         expr("LEAST(GREATEST(CAST(floor(x * 1.25D + 5.0D) AS BIGINT), 0L), 9L)"))
@@ -1806,7 +1827,17 @@ object Similarity {
       edges: DataFrame, cents: DataFrame, fresh: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val cc = ccRow(cents)
-    val pre = baseEmb.join(cells, Seq("vec_id"))
+    // LEFT join + raise_error on a missing pcells row: an inner join would
+    // silently drop any base vector whose _cells row is absent (corpus
+    // store and probe-cell table drifted out of lockstep) from both the
+    // existing-side patch and the union index — a silent divergence from
+    // rebuild. coalesce short-circuits, so the error expression only fires
+    // on an actual null, and being inside the consumed `pcells` expression
+    // it can't be pruned away by the optimizer.
+    val pre = baseEmb.join(cells, Seq("vec_id"), "left")
+      .withColumn("pcells", coalesce(col("pcells"), expr(
+        "raise_error('graft: base vec_id missing from the _cells probe table " +
+          "- corpus and cells artifacts are out of lockstep; rebuild the index')")))
     val exA = pre.select(col("vec_id"), col("e"), col("nrm"),
       element_at(col("pcells"), 1).as("cell"))
     val exProbes = pre
@@ -2532,9 +2563,10 @@ object Similarity {
   /** The full IVF-PQ oracle CTE chain (PQ train → codes → LUTs → coarse
     * train → cell assignment → probe cells → ADC candidate distances),
     * ending with `adc(query_id, neighbor_id, adc_fixed)` — shared verbatim
-    * by q74 (rank + n_cand) and q86 (shortlist + exact refine) so the two
-    * gates can never drift on the candidate pipeline. */
-  private lazy val ivfPqAdcCtes: String = {
+    * by q74 (rank + n_cand), q86 (shortlist + exact refine) and q116 (the
+    * ANN-armed hybrid fusion) so the gates can never drift on the
+    * candidate pipeline. */
+  private[graft] lazy val ivfPqAdcCtes: String = {
     val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
     val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

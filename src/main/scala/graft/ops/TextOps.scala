@@ -301,6 +301,29 @@ object TextOps {
           "(a, b) -> struct(a.term AS term, b.i - a.i AS tf))")).as("p"))
       .select(col("doc_id"), col("dl"), col("p.term").as("term"), col("p.tf").cast("long").as("tf"))
 
+  /** POSITIONAL postings in O(L log L), entirely MAP-SIDE — [[termCounts]]'
+    * sorted-run kernel carrying token positions through the sort: pair
+    * each token with its 1-based position, sort the (term, pos) structs
+    * (lexicographic: term, then pos — so each run's positions come out
+    * ascending), mark run starts, and each run's slice IS that term's
+    * position array. Same linearity guarantee as termCounts (the quadratic
+    * alternative — `filter(sequence(...), i -> w[i] = t)` per distinct
+    * term — is O(L·V) per doc), and the token stream still never shuffles.
+    * Input (doc_id, w); output (doc_id, term, positions ASC int array).
+    * Empty docs contribute no postings (matching [[lexIndexOf]]). */
+  private[graft] def positionalPostings(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(col("w")) > 0)
+      .withColumn("ws", expr(
+        "array_sort(zip_with(w, sequence(1, size(w)), (t, p) -> struct(t AS term, p AS pos)))"))
+      .withColumn("st", expr(
+        "filter(transform(ws, (x, i) -> struct(x.term AS term, i AS i)), " +
+          "p -> p.i = 0 OR element_at(ws, p.i).term <> p.term)"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(st, concat(slice(st, 2, size(st)), array(struct('' AS term, size(ws) AS i))), " +
+          "(a, b) -> struct(a.term AS term, transform(slice(ws, a.i + 1, b.i - a.i), x -> x.pos) AS positions))")).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.positions").as("positions"))
+
   def q56Tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = termCounts(Tables.spread(s, Tables.documents(s, d), "doc_id")
@@ -816,13 +839,22 @@ object TextOps {
     Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
 
+  /** Just the eval-query term table from a tokenized frame — the artifact
+    * serve paths (q113/q115/q116) need ONLY `qt`; building full
+    * [[bm25Parts]] there would construct tf/df/stats frames that are then
+    * discarded (lazy, so analyzer-time-only waste, but misleading). */
+  private[graft] def queryTermsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < Bm25NQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("w"), 1, 4))).as("term"))
+
+  private[graft] def queryTerms(s: SparkSession, d: String): DataFrame =
+    queryTermsOf(tokenizedDocs(s, d))
+
   private[graft] def bm25Parts(s: SparkSession, d: String): Bm25Parts = {
     val docs = tokenizedDocs(s, d)
     val (tf, df, stats) = lexIndexOf(docs)
-    val qt = docs.filter(col("doc_id") < Bm25NQueries)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(slice(col("w"), 1, 4))).as("term"))
-    Bm25Parts(docs, tf, df, stats, qt)
+    Bm25Parts(docs, tf, df, stats, queryTermsOf(docs))
   }
 
   /** Disjunctive BM25 ranking from explicit index frames (tf/df/stats may

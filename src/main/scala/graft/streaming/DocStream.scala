@@ -215,4 +215,22 @@ object DocStream {
   def knScoreBatch(batch: DataFrame, model: DataFrame): DataFrame =
     graft.ops.TextOps.knScore(
       batch.select(col("doc_id"), split(col("text"), " ").as("w")), model)
+
+  /** STREAMING LEXICAL-INDEX MAINTENANCE — fold a fresh-document
+    * micro-batch into a persisted segmented lexical index (q113/q115's
+    * artifact): the text analogue of [[graft.streaming.VecStream
+    * .graphAppend]]. Run inside `foreachBatch` with a per-batch segment
+    * name (e.g. `s"seg$batchId"`); delegates to the batch
+    * [[graft.ops.Retrieval.lexIndexAppend]] VERBATIM — tokenize + count
+    * the batch only, base segments untouched — so streamed-segmented serve
+    * ≡ one-shot full-corpus index BIT-FOR-BIT for any batching
+    * (DocStreamSpec): the q115 additivity identity (postings are per-doc
+    * rows, df/n_docs/tot_dl are sums) gives exactness with no
+    * approximation, and each segment is immutable so a concurrent serve
+    * never sees a torn write. Periodic [[graft.ops.Retrieval
+    * .lexIndexCompact]] keeps the serve-time fold flat in segment count —
+    * the LSM cadence: stream appends, compact off-peak, swap roots. */
+  def lexAppendBatch(s: SparkSession, path: String, batch: DataFrame, seg: String): Unit =
+    graft.ops.Retrieval.lexIndexAppend(s, path,
+      batch.select(col("doc_id"), split(col("text"), " ").as("w")), seg)
 }

@@ -2467,4 +2467,117 @@ class OperatorSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1)),
       s"merged stats ($sn, $sd) != rebuild (${r.getLong(0)}, ${r.getDouble(1)}) — avgdl must be BIT-identical")
   }
+
+  test("lexIndexCompact: 6-segment artifact compacts to ONE segment with bit-identical served ranking") {
+    import graft.ops.{Retrieval, TextOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexcompact_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lexcompact_out").toString + "/c"
+    val docs = TextOps.tokenizedDocs(spark, sf)
+    // a many-segment history (the daily-append steady state compaction
+    // exists for): 6 disjoint doc slices, one segment each
+    (0 until 6).foreach { m =>
+      Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 6 === m), dir, s"seg$m")
+    }
+    val qt = TextOps.queryTerms(spark, sf)
+    def ranked(path: String) = {
+      val (tf, df, st) = Retrieval.lexIndexServe(spark, path)
+      TextOps.bm25RankedFrom(tf, df, st, qt).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    val before = ranked(dir)
+    Retrieval.lexIndexCompact(spark, dir, out)
+    assert(Retrieval.lexSegments(spark, out).size == 1,
+      "compaction must produce exactly one segment")
+    val after = ranked(out)
+    assert(before.nonEmpty && after == before,
+      s"compacted serve drifted: ${after.size} vs ${before.size} rows")
+    // and the additive identity closes the triangle: compacted ≡ rebuild
+    val (rtf, rdf, rst) = TextOps.lexIndexOf(docs)
+    val rebuilt = TextOps.bm25RankedFrom(rtf, rdf, rst, qt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(after == rebuilt, "compacted serve drifted from a single-pass rebuild")
+  }
+
+  test("positional postings: sorted-run arrays equal the exploded token stream exactly") {
+    import graft.ops.TextOps
+    val docs = TextOps.tokenizedDocs(spark, sf)
+    val fromRuns = TextOps.positionalPostings(docs)
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val fromStream = docs.select(col("doc_id"), posexplode(col("w")).as(Seq("i", "term")))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(1) + 1)).toSet
+    assert(fromRuns.nonEmpty && fromRuns == fromStream,
+      s"positional postings drift: ${fromRuns.size} vs ${fromStream.size} occurrences")
+  }
+
+  test("positional segments: compaction carries pp through; a mixed artifact fails loud") {
+    import graft.ops.{Retrieval, TextOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexpos_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lexpos_out").toString + "/c"
+    val docs = TextOps.tokenizedDocs(spark, sf)
+    (0 until 3).foreach { m =>
+      Retrieval.lexIndexSegmentPos(docs.filter(col("doc_id") % 3 === m), dir, s"seg$m")
+    }
+    def pos(path: String) = Retrieval.lexIndexServePos(spark, path)
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val before = pos(dir)
+    Retrieval.lexIndexCompact(spark, dir, out)
+    assert(Retrieval.lexSegments(spark, out).size == 1)
+    assert(before.nonEmpty && pos(out) == before,
+      "compaction dropped or mangled positional postings")
+    // mixed artifact (a position-less segment appended): serve-pos and
+    // compact must both refuse rather than silently lose phrase recall
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 3 === 0), dir, "seg_nopos")
+    intercept[IllegalArgumentException] { Retrieval.lexIndexServePos(spark, dir) }
+    intercept[IllegalArgumentException] {
+      Retrieval.lexIndexCompact(spark, dir,
+        java.nio.file.Files.createTempDirectory("graft_lexpos_out2").toString + "/c2")
+    }
+  }
+
+  test("q119 query likelihood: scores match a plain-Scala Dirichlet recompute (sum-form identity)") {
+    import graft.ops.Retrieval
+    val toks = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val total = toks.values.map(_.size.toLong).sum
+    val cf = toks.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val mu = 2000L
+    val expected = (for {
+      q <- 0L until 5L
+      terms = toks(q).take(4).distinct
+      sumCfQ = terms.map(t => cf.getOrElse(t, 0L)).sum
+      (d, w) <- toks.toSeq if d != q
+      sumTf = w.count(terms.contains).toLong if sumTf > 0
+      score = math.floor((sumTf * total + mu * sumCfQ).toDouble /
+        ((w.size + mu) * total).toDouble * 1e9).toLong
+    } yield (q, d, score))
+      .groupBy(_._1).flatMap { case (q, rows) =>
+        rows.sortBy { case (_, d, sc) => (-sc, d) }.take(10).zipWithIndex
+          .map { case ((_, d, sc), i) => (q, i + 1L, d, sc) }
+      }.toSet
+    val got = Retrieval.q119QueryLikelihood(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty && got == expected,
+      s"QL drift: got ${got.size}, expected ${expected.size}")
+  }
+
+  test("q117 phrase search: full output reproduces a plain-Scala sliding-window recompute") {
+    import graft.ops.{Retrieval, TextOps}
+    val toks = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val phrases = (0L until 5L).map(q => q -> toks(q).take(3)).toMap
+    val expected = (for {
+      (q, ph) <- phrases.toSeq if ph.size == 3
+      (d, w) <- toks.toSeq if d != q
+      n = w.sliding(3).count(_ == ph) if n > 0
+    } yield (q, d, n.toLong))
+      .groupBy(_._1).flatMap { case (q, hits) =>
+        hits.sortBy { case (_, d, n) => (-n, d) }.take(10).zipWithIndex
+          .map { case ((_, d, n), i) => (q, i + 1L, d, n) }
+      }.toSet
+    val got = Retrieval.q117PhraseSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"phrase output drift: got ${got.size}, expected ${expected.size}")
+  }
 }

@@ -949,4 +949,61 @@ class PlanSpec extends AnyFunSuite {
     Seq("seg0", "seg1").foreach(g => assert(segs.exists(_.contains(g)),
       s"expected a scan over lexappend/$g; got $segs"))
   }
+
+  test("q120 served phrase: no positional-postings kernel in the match lineage — pp scanned from BOTH artifact segments") {
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Retrieval.q120PhraseServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val full = ns.map(_.toString).mkString("\n")
+    // the positional-postings BUILD kernel's signature is the (term, pos)
+    // pairing — zip_with(w, sequence(...)). (array_sort can't be the
+    // marker here: the match kernel itself sorts the per-i collected
+    // structs.) A zip_with hit means postings were rebuilt, not served.
+    assert(!full.contains("zip_with"),
+      "served lineage re-runs the positional-postings kernel — positions were rebuilt, not served")
+    val segs = ns.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+      .filter(_.contains("lexpos"))
+    Seq("seg0/pp", "seg1/pp").foreach(g => assert(segs.exists(_.contains(g)),
+      s"expected a scan over lexpos/$g; got $segs"))
+  }
+
+  test("q114 mmr: per-round cache barrier — final plan holds ≤ MmrSelK window nodes (exponential-copy detector)") {
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // round-13 defect: `sel` was rebuilt referencing itself twice per round
+    // with no barrier, so the final plan carried ~2^(MmrSelK-1) copies of
+    // the round-1 window subtree (9.96 s for 50 eval-sized rows). The
+    // per-round localCheckpoint replaces each round's lineage with a leaf,
+    // so the FINAL plan must contain at most one live round's worth of
+    // windows (with full truncation: zero — the selection already
+    // materialized) and a bounded node count overall.
+    val df = Retrieval.q114MmrDiversified(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val windows = ns.count(_.isInstanceOf[WindowExec])
+    assert(windows <= Retrieval.MmrSelK,
+      s"q114 final plan has $windows window nodes (> ${Retrieval.MmrSelK}) — " +
+        "the selection recursion is re-deriving earlier rounds instead of reading its barriers")
+    assert(ns.size <= 60,
+      s"q114 final plan has ${ns.size} nodes — exponential lineage is back " +
+        "(the barred plan is a checkpoint scan + final sort, ~10 nodes)")
+  }
 }

@@ -450,4 +450,55 @@ class DocStreamSpec extends AnyFunSuite {
     assert(rebuilt.nonEmpty && streamed == rebuilt,
       s"streamed graph diverged: ${streamed.size} vs ${rebuilt.size} edges")
   }
+
+  test("streamed lexical-index maintenance: micro-batch segments serve bit-for-bit like a one-shot full-corpus index") {
+    val spark = TestSpark.spark
+    import graft.ops.{Retrieval, TextOps}
+    val all = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val static = all.filter(col("doc_id") % 3 === 2)
+    val art = java.nio.file.Files.createTempDirectory("docstream_lex").toString + "/idx"
+
+    // base segment from the static corpus (the one-time build)
+    Retrieval.lexIndexSegment(
+      static.select(col("doc_id"), split(col("text"), " ").as("w")), art, "seg0")
+
+    // two fresh micro-batches, forced to drain separately; each folds in
+    // as its own immutable segment named by batch id
+    val dir = java.nio.file.Files.createTempDirectory("docstream_lex_src").toString
+    Seq(0, 1).foreach { m =>
+      all.filter(col("doc_id") % 3 === m).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    var batches = 0
+    val q = spark.readStream.schema(DocStream.rawSchema)
+      .option("pathGlobFilter", "*.parquet").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          DocStream.lexAppendBatch(spark, art, batch, s"seg_b$id")
+          batches += 1
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected ≥2 micro-batches, got $batches")
+    assert(Retrieval.lexSegments(spark, art).size == batches + 1,
+      "each micro-batch must land as its own immutable segment")
+
+    // the q115 additivity identity, transitively across the batching:
+    // streamed-segmented serve ≡ one-shot full-corpus index, bit-for-bit
+    val qt = TextOps.queryTerms(spark, sf)
+    val (tf, df, st) = Retrieval.lexIndexServe(spark, art)
+    val streamed = TextOps.bm25RankedFrom(tf, df, st, qt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val (rtf, rdf, rst) = TextOps.lexIndexOf(
+      all.select(col("doc_id"), split(col("text"), " ").as("w")))
+    val oneShot = TextOps.bm25RankedFrom(rtf, rdf, rst, qt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(oneShot.nonEmpty && streamed == oneShot,
+      s"streamed lexical serve diverged: ${streamed.size} vs ${oneShot.size} rows")
+  }
 }
