@@ -306,11 +306,22 @@ object TextOps {
     * each token with its 1-based position, sort the (term, pos) structs
     * (lexicographic: term, then pos — so each run's positions come out
     * ascending), mark run starts, and each run's slice IS that term's
-    * position array. Same linearity guarantee as termCounts (the quadratic
-    * alternative — `filter(sequence(...), i -> w[i] = t)` per distinct
-    * term — is O(L·V) per doc), and the token stream still never shuffles.
-    * Input (doc_id, w); output (doc_id, term, positions ASC int array).
-    * Empty docs contribute no postings (matching [[lexIndexOf]]). */
+    * position array. Kernel choice is MEASURED (`graft.ProfilePositional`,
+    * BASELINE.md round-14): steady-state best-of-3 the struct sort is
+    * linear (1.67 → 2.82 s at 2× doc length on the 500-doc 70k/137k-char
+    * corpora) and ~20% faster than a string-encoded
+    * `term ⧺ sep ⧺ padded-pos` sort, which additionally needs a
+    * separator-char contract; single-shot timings mis-rank these kernels
+    * by 3–6× (whole-stage-codegen + JIT warmup lands on whichever heavy
+    * lambda kernel runs FIRST in the JVM — the round-14 note records the
+    * contaminated samples). The posexplode+collect_list alternative is
+    * faster at the 500-doc probe scale but shuffles the whole token
+    * stream — the anti-pattern this kernel exists to avoid at 100 TB.
+    * Same linearity guarantee as termCounts (the quadratic alternative —
+    * `filter(w, x = t)` per distinct term — is O(L·V) per doc), and the
+    * token stream never shuffles. Input (doc_id, w); output (doc_id,
+    * term, positions ASC int array). Empty docs contribute no postings
+    * (matching [[lexIndexOf]]). */
   private[graft] def positionalPostings(docs: DataFrame): DataFrame =
     docs
       .filter(size(col("w")) > 0)
@@ -865,16 +876,26 @@ object TextOps {
       stats: DataFrame, qt: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    bm25ScoredFrom(tf, df, stats, qt)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= Bm25K)
+      .select("query_id", "rnk", "doc_id", "score")
+  }
+
+  /** The pre-rank scored list (query_id, doc_id, score) — the seam the
+    * collapse/rerank entries (q124) need: everything of [[bm25RankedFrom]]
+    * up to but excluding the top-k window, so a caller can interpose a
+    * per-cluster collapse BEFORE ranking without restating the audited
+    * probe/score shape (tf probed once by the broadcast eval-query terms,
+    * one-row stats broadcast, partial+final Σ of the fixed-point part). */
+  private[graft] def bm25ScoredFrom(tf: DataFrame, df: DataFrame,
+      stats: DataFrame, qt: DataFrame): DataFrame =
     tf.join(df, Seq("term"))
       .join(broadcast(qt), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(stats))
       .withColumn("part", expr(bm25PartExpr))
       .groupBy("query_id", "doc_id").agg(sum(col("part")).as("score"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= Bm25K)
-      .select("query_id", "rnk", "doc_id", "score")
-  }
 
   def q95Bm25(s: SparkSession, d: String): DataFrame = {
     val p = bm25Parts(s, d)
@@ -901,26 +922,34 @@ object TextOps {
        |    SELECT doc_id AS query_id, unnest(list_slice(w, 1, 4)) AS term
        |    FROM dw WHERE doc_id < $Bm25NQueries))""".stripMargin
 
-  /** Extends [[bm25BaseCtes]] with the disjunctive scored + ranked CTEs
-    * (`scored`, `lexr`). */
-  private[graft] val bm25RankCtes: String =
-    s"""$bm25BaseCtes,
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
+  /** The scored + ranked CTE pair over ANY query-term CTE — parametrized
+    * on the qt/scored/ranked names so the PRF oracle (q122) can score the
+    * base AND the expanded term set from ONE formula text (the same
+    * no-drift discipline [[bm25ScoredFrom]] gives the Spark side). */
+  private[graft] def bm25ScoreCtes(qtCte: String, scoredName: String,
+      rankedName: String): String =
+    s"""$scoredName AS (
+       |  SELECT $qtCte.query_id, tf.doc_id,
        |         CAST(SUM(CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) *
        |             (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 *
        |             (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) * 1000000.0) AS BIGINT)) AS BIGINT) AS score
        |  FROM tf
        |  JOIN df USING (term)
-       |  JOIN qt USING (term)
+       |  JOIN $qtCte USING (term)
        |  CROSS JOIN stats
-       |  WHERE tf.doc_id <> qt.query_id
-       |  GROUP BY qt.query_id, tf.doc_id),
-       |lexr AS (
+       |  WHERE tf.doc_id <> $qtCte.query_id
+       |  GROUP BY $qtCte.query_id, tf.doc_id),
+       |$rankedName AS (
        |  SELECT query_id, doc_id, score,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |              ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM scored)""".stripMargin
+       |  FROM $scoredName)""".stripMargin
+
+  /** Extends [[bm25BaseCtes]] with the disjunctive scored + ranked CTEs
+    * (`scored`, `lexr`). */
+  private[graft] val bm25RankCtes: String =
+    s"""$bm25BaseCtes,
+       |${bm25ScoreCtes("qt", "scored", "lexr")}""".stripMargin
 
   val q95Sql: String =
     s"""$bm25RankCtes

@@ -950,6 +950,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected a scan over lexappend/$g; got $segs"))
   }
 
+  test("q117 phrase: map-side positional kernel — sorted-run shape, no quadratic per-term filter, no token self-join") {
+    import graft.ops.Retrieval
+    val p = plan(Retrieval.q117PhraseSearch(spark, sf))
+    // the linear kernel's signature: one (term,pos) zip + array_sort per
+    // doc. The quadratic alternative (per-distinct-term `size(filter(`)
+    // and the token-stream self-join (SortMergeJoin over exploded tokens)
+    // are the two regressions the long-doc anchors caught for tf (r12/r13)
+    assert(p.contains("array_sort") && p.contains("zip_with"), p.take(800))
+    assert(!p.contains("size(filter("),
+      "quadratic per-term position filter in the phrase plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q120 served phrase: no positional-postings kernel in the match lineage — pp scanned from BOTH artifact segments") {
     import graft.ops.Retrieval
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
