@@ -740,9 +740,16 @@ object Dedup {
       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
 
+  /** The full shingle→pair→closure chain as a WITH-body (no `WITH
+    * RECURSIVE` prefix), yielding `cl(doc_id, cluster_id)` — shared with
+    * the retrieval-collapse oracle (q124) so the cluster definition the
+    * collapse keys on can never drift from q53's gated one. */
+  private[graft] val clusterCtesBody: String =
+    s"""$jaccardCte,
+       |$clusterCte""".stripMargin
+
   val q53Sql: String =
-    s"""WITH RECURSIVE $jaccardCte,
-       |$clusterCte
+    s"""WITH RECURSIVE $clusterCtesBody
        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
 
   /** q108: LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — the assignment every

@@ -757,6 +757,268 @@ object Retrieval {
        |  FROM sc)
        |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
 
+  /** Slop window for q121 (positions within ±[[ProxSlop]] tokens). */
+  private val ProxSlop = 5
+
+  /** q121: PROXIMITY SEARCH over positional postings — the slop relaxation
+    * of q117's exact phrase ("terms near each other", Lucene's
+    * `"a b"~slop`): each query is its document's first two tokens (kept
+    * only when distinct — a degenerate one-term "pair" is excluded on both
+    * engines), a document matches iff both terms occur with some position
+    * pair within ±[[ProxSlop]], ranked by the NUMBER of such pairs.
+    *
+    * Same kernel discipline as q117: the match is computed INSIDE the two
+    * posting arrays of one (query, doc) row pair — a per-doc
+    * O(tf₁·tf₂) nested array fold, bounded by in-document term frequency,
+    * NEVER a token-stream self-join (the oracle states the same count
+    * relationally at eval scale; the Spark side is the one that must not
+    * shuffle tokens). The only corpus-sized work is the single posting
+    * probe by the broadcast query-pair table. Integer end-to-end. */
+  def q121Proximity(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.tokenizedDocs(s, d)
+    proximityRankFrom(TextOps.positionalPostings(docs), proxTermsOf(docs))
+  }
+
+  /** The eval pair-term table: (query_id, i ∈ {0,1}, term) from each query
+    * doc's first two tokens; queries whose first two tokens are equal (or
+    * that have fewer than two) are excluded — fixed positions, not
+    * array_distinct, so both engines pick the identical pair. */
+  private def proxTermsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < TextOps.Bm25NQueries)
+      .filter(size(col("w")) >= 2 &&
+        element_at(col("w"), 1) =!= element_at(col("w"), 2))
+      .select(col("doc_id").as("query_id"),
+        posexplode(slice(col("w"), 1, 2)).as(Seq("i", "term")))
+
+  /** The proximity-match kernel over ANY positional-postings frame — the
+    * [[phraseRankFrom]] substitution convention (only postings rows cross
+    * the interface, so a served-artifact variant slots in unchanged). */
+  private def proximityRankFrom(pp: DataFrame, qp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("n_prox").desc, col("doc_id"))
+    pp.join(broadcast(qp), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("i")).as("nterms"),
+        expr("array_sort(collect_list(struct(i, positions)))").as("arr"))
+      .filter(col("nterms") === 2)
+      .withColumn("n_prox", expr(
+        s"CAST(aggregate(element_at(arr, 1).positions, 0L, (acc, x) -> " +
+          s"acc + size(filter(element_at(arr, 2).positions, " +
+          s"y -> abs(y - x) <= $ProxSlop))) AS BIGINT)"))
+      .filter(col("n_prox") >= 1)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= FusedK)
+      .select("query_id", "rnk", "doc_id", "n_prox")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q121Sql: String =
+    s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |qp AS (
+       |  SELECT doc_id AS query_id, CAST(i AS BIGINT) AS i,
+       |         w[CAST(i + 1 AS INTEGER)] AS term
+       |  FROM dw, LATERAL (SELECT unnest(range(0, 2)) AS i)
+       |  WHERE doc_id < ${TextOps.Bm25NQueries} AND len(w) >= 2 AND w[1] <> w[2]),
+       |tp AS (
+       |  SELECT doc_id, w[CAST(p AS INTEGER)] AS term, CAST(p AS BIGINT) AS p
+       |  FROM dw, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS p)),
+       |m AS (
+       |  SELECT qp.query_id, tp.doc_id, qp.i, tp.p
+       |  FROM tp JOIN qp USING (term) WHERE tp.doc_id <> qp.query_id),
+       |pr AS (
+       |  SELECT m1.query_id, m1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_prox
+       |  FROM m m1 JOIN m m2
+       |    ON m1.query_id = m2.query_id AND m1.doc_id = m2.doc_id
+       |   AND m1.i = 0 AND m2.i = 1 AND abs(m1.p - m2.p) <= $ProxSlop
+       |  GROUP BY m1.query_id, m1.doc_id)
+       |SELECT query_id, rnk, doc_id, n_prox FROM (
+       |  SELECT query_id, doc_id, n_prox,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY n_prox DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM pr)
+       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+
+  /** Feedback-set size and expansion-term count for q122. */
+  private val PrfFbDocs = 3
+  private val PrfFbTerms = 5
+
+  /** q122: PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Rocchio / RM-style
+    * PRF, the tf-weight variant) — the standard recall lever a retrieval
+    * stack applies when eval queries are short: run BM25, take each
+    * query's top-[[PrfFbDocs]] documents as the feedback set, extract the
+    * top-[[PrfFbTerms]] terms by summed term frequency over that set
+    * (excluding the query's own terms; ties by term ASC), union them into
+    * the query's term set, and re-rank with the SAME scoring kernel.
+    *
+    * Both scoring passes are [[TextOps.bm25RankedFrom]] verbatim (the
+    * Spark side) and one parametrized CTE text instantiated twice (the
+    * oracle, [[TextOps.bm25ScoreCtes]]) — the no-drift seam: PRF adds no
+    * new float arithmetic, only a second eval-set-sized term table.
+    *
+    * Scale shape: the feedback set is nq·[[PrfFbDocs]] rows; the
+    * expansion agg probes the tf table by a broadcast of that set (never
+    * the reverse) and windows nq-grouped term weights; the re-rank is
+    * q95's audited probe shape with a slightly wider broadcast qt. Two
+    * corpus passes total (the two tf probes) — the PRF contract, not an
+    * artifact of the plan. */
+  def q122PrfExpansion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = TextOps.bm25Parts(s, d)
+    val fb = TextOps.bm25RankedFrom(p.tf, p.df, p.stats, p.qt)
+      .filter(col("rnk") <= PrfFbDocs).select("query_id", "doc_id")
+    val wEx = Window.partitionBy("query_id").orderBy(col("w_fb").desc, col("term"))
+    val ex = p.tf.join(broadcast(fb), Seq("doc_id"))
+      .groupBy("query_id", "term").agg(sum(col("tf")).as("w_fb"))
+      .join(p.qt, Seq("query_id", "term"), "left_anti")
+      .withColumn("ern", row_number().over(wEx))
+      .filter(col("ern") <= PrfFbTerms)
+      .select("query_id", "term")
+    val qt2 = p.qt.select("query_id", "term").unionByName(ex)
+    TextOps.bm25RankedFrom(p.tf, p.df, p.stats, qt2).orderBy("query_id", "rnk")
+  }
+
+  val q122Sql: String =
+    s"""${TextOps.bm25RankCtes},
+       |fb AS (SELECT query_id, doc_id FROM lexr WHERE rnk <= $PrfFbDocs),
+       |exw AS (
+       |  SELECT fb.query_id, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS w_fb
+       |  FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM qt
+       |                    WHERE qt.query_id = fb.query_id AND qt.term = tf.term)
+       |  GROUP BY fb.query_id, tf.term),
+       |exq AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                ORDER BY w_fb DESC, term) AS ern
+       |    FROM exw) WHERE ern <= $PrfFbTerms),
+       |qt2 AS (
+       |  SELECT query_id, term FROM qt
+       |  UNION ALL SELECT query_id, term FROM exq),
+       |${TextOps.bm25ScoreCtes("qt2", "scored2", "lexr2")}
+       |SELECT query_id, rnk, doc_id, score FROM lexr2
+       |WHERE rnk <= ${TextOps.Bm25K} ORDER BY query_id, rnk""".stripMargin
+
+  /** Snippet window length (tokens) and per-query candidate count for
+    * q123. */
+  private val SnipW = 8
+  private val SnipDocs = 3
+
+  /** q123: SNIPPET EXTRACTION — the passage-selection step between
+    * retrieval and generation in a RAG stack: for each query's BM25
+    * top-[[SnipDocs]] documents, find the [[SnipW]]-token window covering
+    * the MOST DISTINCT query terms; emit its start position and coverage
+    * (ties → smallest start). Candidate window starts are exactly the
+    * matched positions (the classic pruning: a maximal window can always
+    * be anchored at a match).
+    *
+    * Kernel: per (query, doc) — eval-sized by the candidate join — the
+    * matched postings rows fold ENTIRELY inside array functions: starts =
+    * sorted distinct matched positions, coverage(p) = count of posting
+    * rows with a position in [p, p+W), argmax via array_max over
+    * (n, −start) structs (struct ordering gives n DESC then start ASC).
+    * O(matches²) per candidate doc, never a token shuffle; the corpus
+    * appears only in the audited BM25 arm and the one posting probe. */
+  def q123Snippet(s: SparkSession, d: String): DataFrame = {
+    val p = TextOps.bm25Parts(s, d)
+    val cand = TextOps.bm25RankedFrom(p.tf, p.df, p.stats, p.qt)
+      .filter(col("rnk") <= SnipDocs).select("query_id", "doc_id")
+    val pp = TextOps.positionalPostings(p.docs)
+    pp.join(broadcast(p.qt), Seq("term"))
+      .join(broadcast(cand), Seq("query_id", "doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("term"), col("positions"))).as("arr"))
+      .withColumn("starts", expr(
+        "array_sort(array_distinct(flatten(transform(arr, a -> a.positions))))"))
+      .withColumn("best", expr(
+        s"array_max(transform(starts, p -> struct(" +
+          s"CAST(size(filter(arr, a -> exists(a.positions, " +
+          s"x -> x >= p AND x < p + $SnipW))) AS BIGINT) AS n, -p AS negp)))"))
+      .select(col("query_id"), col("doc_id"), col("best.n").as("n_window"),
+        (-col("best.negp")).cast("long").as("best_start"))
+      .orderBy("query_id", "doc_id")
+  }
+
+  val q123Sql: String =
+    s"""${TextOps.bm25RankCtes},
+       |cand AS (SELECT query_id, doc_id FROM lexr WHERE rnk <= $SnipDocs),
+       |tp AS (
+       |  SELECT doc_id, w[CAST(p AS INTEGER)] AS term, CAST(p AS BIGINT) AS p
+       |  FROM dw, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS p)),
+       |st AS (
+       |  SELECT DISTINCT c.query_id, c.doc_id, tp.term, tp.p
+       |  FROM tp
+       |  JOIN qt ON tp.term = qt.term
+       |  JOIN cand c ON c.query_id = qt.query_id AND c.doc_id = tp.doc_id),
+       |wn AS (
+       |  SELECT s.query_id, s.doc_id, s.p AS strt,
+       |         CAST(COUNT(DISTINCT m.term) AS BIGINT) AS n
+       |  FROM (SELECT DISTINCT query_id, doc_id, p FROM st) s
+       |  JOIN st m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+       |            AND m.p >= s.p AND m.p < s.p + $SnipW
+       |  GROUP BY s.query_id, s.doc_id, s.p)
+       |SELECT query_id, doc_id, n AS n_window, strt AS best_start FROM (
+       |  SELECT query_id, doc_id, strt, n,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+       |              ORDER BY n DESC, strt) AS rn
+       |  FROM wn)
+       |WHERE rn = 1 ORDER BY query_id, doc_id""".stripMargin
+
+  /** q124: CLUSTER-COLLAPSED RETRIEVAL — dedup meets serving: a ranked
+    * list over a near-dup-heavy corpus hands the generator k copies of
+    * one document (the retrieval-time face of the q108 leakage problem),
+    * so collapse the BM25 scored list to ONE document per q53 near-dup
+    * cluster (the gated connected components over the J ≥ 0.6 pair
+    * graph; singletons key by their own doc_id) BEFORE the top-k: keep
+    * each cluster's best (score DESC, doc_id ASC), then rank survivors.
+    * Guarantees diversity by construction where q114's MMR trades it
+    * against relevance.
+    *
+    * Scale shape: the scored list is [[TextOps.bm25ScoredFrom]] — q95's
+    * audited probe — and the cluster map comes from q53's scale-audited
+    * passes; their equi-join on doc_id is left to AQE (broadcast at eval
+    * SF, sort-merge at corpus scale — the cluster map is corpus-sized in
+    * the worst case, so it is NOT force-broadcast). The two windows run
+    * on the matched eval-sized list. Oracle composes q53's closure CTEs
+    * and q95's scoring CTEs verbatim, so neither definition can drift. */
+  def q124ClusterCollapsed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = TextOps.bm25Parts(s, d)
+    val scored = TextOps.bm25ScoredFrom(p.tf, p.df, p.stats, p.qt)
+    val cl = Dedup.q53DedupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id").as("cid"))
+    val wBest = Window.partitionBy("query_id", "ckey").orderBy(col("score").desc, col("doc_id"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.join(cl, Seq("doc_id"), "left")
+      .withColumn("ckey", coalesce(col("cid"), col("doc_id")))
+      .withColumn("brn", row_number().over(wBest)).filter(col("brn") === 1)
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= FusedK)
+      .select("query_id", "rnk", "doc_id", "score", "ckey")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q124Sql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtesBody},
+       |${TextOps.bm25RankCtes.stripPrefix("WITH ")},
+       |coll AS (
+       |  SELECT s.query_id, s.doc_id, s.score,
+       |         COALESCE(cl.cluster_id, s.doc_id) AS ckey
+       |  FROM scored s LEFT JOIN cl ON s.doc_id = cl.doc_id),
+       |best AS (
+       |  SELECT query_id, doc_id, score, ckey,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id, ckey
+       |              ORDER BY score DESC, doc_id) AS brn
+       |  FROM coll),
+       |rr AS (
+       |  SELECT query_id, doc_id, score, ckey,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM best WHERE brn = 1)
+       |SELECT query_id, rnk, doc_id, score, ckey FROM rr
+       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_hybrid_rrf", q111HybridRrf _, Some(q111Sql)),
     ("q112_conjunctive", q112Conjunctive _, Some(q112Sql)),
@@ -768,5 +1030,9 @@ object Retrieval {
     ("q118_fusion_eval", q118FusionEval _, Some(q118Sql)),
     ("q119_query_likelihood", q119QueryLikelihood _, Some(q119Sql)),
     ("q120_phrase_served", q120PhraseServed _, Some(q117Sql)),
+    ("q121_proximity", q121Proximity _, Some(q121Sql)),
+    ("q122_prf_expansion", q122PrfExpansion _, Some(q122Sql)),
+    ("q123_snippet", q123Snippet _, Some(q123Sql)),
+    ("q124_cluster_collapsed", q124ClusterCollapsed _, Some(q124Sql)),
   )
 }

@@ -2580,4 +2580,136 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expected, s"phrase output drift: got ${got.size}, expected ${expected.size}")
   }
+
+  /** Plain-Scala BM25 over tokenized docs — the independent recompute the
+    * PRF/snippet/collapse differentials share (same fixed-point part chain
+    * as TextOps.bm25PartExpr: per-term floor(·10⁶) then Σ). */
+  private def scalaBm25(toks: Map[Long, Seq[String]],
+      qt: Map[Long, Seq[String]]): Map[(Long, Long), Long] = {
+    val n = toks.size.toLong
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    (for {
+      (q, terms) <- qt.toSeq
+      (d, w) <- toks.toSeq if d != q
+      tfm = w.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+      parts = terms.flatMap { t =>
+        tfm.get(t).map { tf =>
+          math.floor(((n - dfm(t)).toDouble + 0.5) / (dfm(t).toDouble + 0.5) *
+            (tf.toDouble * 2.2 / (tf.toDouble + 1.2 *
+              (0.25 + 0.75 * w.size.toDouble / avgdl))) * 1e6).toLong
+        }
+      }
+      if parts.nonEmpty
+    } yield (q, d) -> parts.sum).toMap
+  }
+
+  private def docToks: Map[Long, Seq[String]] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+
+  private def topK[A](rows: Seq[(Long, Long, A)], k: Int)(
+      key: ((Long, Long, A)) => (Long, Long)): Seq[(Long, Long, Long, A)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (q, hits) =>
+      hits.sortBy(key).take(k).zipWithIndex
+        .map { case ((_, d, v), i) => (q, i + 1L, d, v) }
+    }
+
+  test("q121 proximity: pair counts reproduce a plain-Scala within-slop recompute") {
+    import graft.ops.Retrieval
+    val toks = docToks
+    val expected = (for {
+      q <- 0L until 5L
+      w = toks(q) if w.size >= 2 && w(0) != w(1)
+      (t1, t2) = (w(0), w(1))
+      (d, wd) <- toks.toSeq if d != q
+      p1 = wd.zipWithIndex.collect { case (t, i) if t == t1 => i + 1 }
+      p2 = wd.zipWithIndex.collect { case (t, i) if t == t2 => i + 1 }
+      np = (for (a <- p1; b <- p2 if math.abs(a - b) <= 5) yield 1).size.toLong
+      if np > 0
+    } yield (q, d, np)).toSeq
+    val exp = topK(expected, 10) { case (_, d, np) => (-np, d) }.toSet
+    val got = Retrieval.q121Proximity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty && got == exp,
+      s"proximity drift: got ${got.size}, expected ${exp.size}")
+  }
+
+  test("q122 PRF: expansion terms and re-ranked output reproduce a plain-Scala recompute") {
+    import graft.ops.Retrieval
+    val toks = docToks
+    val qt = (0L until 5L).map(q => q -> toks(q).take(4).distinct).toMap
+    val base = scalaBm25(toks, qt)
+    val fb = base.toSeq.map { case ((q, d), sc) => (q, d, sc) }
+      .groupBy(_._1).map { case (q, hits) =>
+        q -> hits.sortBy { case (_, d, sc) => (-sc, d) }.take(3).map(_._2)
+      }
+    val exq = fb.map { case (q, docs) =>
+      val wfb = docs.flatMap(d => toks(d)).groupBy(identity)
+        .map { case (t, o) => t -> o.size.toLong }
+        .filterNot { case (t, _) => qt(q).contains(t) }
+      q -> wfb.toSeq.sortBy { case (t, w) => (-w, t) }.take(5).map(_._1)
+    }
+    val qt2 = qt.map { case (q, ts) => q -> (ts ++ exq.getOrElse(q, Nil)) }
+    val fin = scalaBm25(toks, qt2).toSeq.map { case ((q, d), sc) => (q, d, sc) }
+    val exp = topK(fin, 10) { case (_, d, sc) => (-sc, d) }.toSet
+    val got = Retrieval.q122PrfExpansion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty && got == exp,
+      s"PRF drift: got ${got.size}, expected ${exp.size}")
+  }
+
+  test("q123 snippet: best-window start/coverage reproduce a plain-Scala scan") {
+    import graft.ops.Retrieval
+    val toks = docToks
+    val qt = (0L until 5L).map(q => q -> toks(q).take(4).distinct).toMap
+    val base = scalaBm25(toks, qt)
+    val cand = base.toSeq.map { case ((q, d), sc) => (q, d, sc) }
+      .groupBy(_._1).toSeq.flatMap { case (q, hits) =>
+        hits.sortBy { case (_, d, sc) => (-sc, d) }.take(3).map(t => (q, t._2))
+      }
+    val exp = (for {
+      (q, d) <- cand
+      w = toks(d)
+      matched = w.zipWithIndex.collect {
+        case (t, i) if qt(q).contains(t) => (t, i + 1)
+      }
+      if matched.nonEmpty
+      starts = matched.map(_._2).distinct.sorted
+      scored = starts.map { p =>
+        (matched.collect { case (t, pp) if pp >= p && pp < p + 8 => t }
+          .distinct.size.toLong, p)
+      }
+      (bn, bp) = scored.maxBy { case (nn, p) => (nn, -p) }
+    } yield (q, d, bn, bp.toLong)).toSet
+    val got = Retrieval.q123Snippet(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty && got == exp,
+      s"snippet drift: got ${got.size}, expected ${exp.size}")
+  }
+
+  test("q124 cluster collapse: one doc per near-dup cluster, best score survives, using q53's own labels") {
+    import graft.ops.{Dedup => DD, Retrieval}
+    val toks = docToks
+    val qt = (0L until 5L).map(q => q -> toks(q).take(4).distinct).toMap
+    val scores = scalaBm25(toks, qt)
+    val cl = DD.q53DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val collapsed = scores.toSeq
+      .map { case ((q, d), sc) => (q, cl.getOrElse(d, d), d, sc) }
+      .groupBy { case (q, ck, _, _) => (q, ck) }
+      .map { case (_, rows) => rows.minBy { case (_, _, d, sc) => (-sc, d) } }
+      .toSeq.map { case (q, ck, d, sc) => (q, d, (sc, ck)) }
+    val exp = topK(collapsed, 10) { case (_, d, (sc, _)) => (-sc, d) }
+      .map { case (q, r, d, (sc, ck)) => (q, r, d, sc, ck) }.toSet
+    val got = Retrieval.q124ClusterCollapsed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty && got == exp,
+      s"collapse drift: got ${got.size}, expected ${exp.size}")
+    // and the output never hands the generator two docs of one cluster
+    got.groupBy(t => (t._1, t._5)).foreach { case (k, rows) =>
+      assert(rows.size == 1, s"cluster $k appears ${rows.size} times")
+    }
+  }
 }

@@ -963,6 +963,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q121 proximity: pair fold stays inside the posting arrays — no token-stream self-join") {
+    import graft.ops.Retrieval
+    val p = plan(Retrieval.q121Proximity(spark, sf))
+    // the within-slop pair count is an O(tf₁·tf₂) nested array fold per
+    // (query, doc) row — bounded by in-doc term frequency. What must NOT
+    // appear: a join of the exploded token stream against itself (the
+    // q117 anti-pattern — corpus-sized shuffle per query term)
+    assert(p.contains("aggregate(") && p.contains("array_sort"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q120 served phrase: no positional-postings kernel in the match lineage — pp scanned from BOTH artifact segments") {
     import graft.ops.Retrieval
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
