@@ -276,32 +276,65 @@ object Retrieval {
     * the LSM shape honest at a daily append cadence: without it the
     * serve-time df fold grows linear in segment count; after it the fold
     * is one segment again, with the artifact's history cost reset to
-    * O(corpus) once instead of O(appends) forever. */
+    * O(corpus) once instead of O(appends) forever.
+    *
+    * TOMBSTONES ARE APPLIED PHYSICALLY (the real LSM merge): deleted
+    * docs' tf/pp rows are dropped, df/stats are REBUILT from the
+    * surviving postings (exact — every doc carries ≥ 1 posting row under
+    * the tokenizer, so distinct (doc_id, dl) recovers n_docs/tot_dl, and
+    * per-term doc counts recover df including the drop-at-zero), and the
+    * compacted root carries NO tombstones dir. Merely not copying the
+    * tombstones while concat-folding postings would RESURRECT deleted
+    * docs — the one inconsistency the delete contract cannot survive. */
   def lexIndexCompact(s: SparkSession, path: String, outPath: String): Unit = {
     require(outPath != path,
       "compaction is copy-on-write: outPath must be a new artifact root")
     val segs = lexSegments(s, path)
-    val tf = s.read.parquet(segs.map(_ + "/tf"): _*)
-    val df = s.read.parquet(segs.map(_ + "/df"): _*)
-      .groupBy("term").agg(sum(col("df")).as("df"))
-    val stats = s.read.parquet(segs.map(_ + "/stats"): _*)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
-      .select(col("n_docs"), col("tot_dl"),
-        (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tombRoot = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tombs =
+      if (fs.exists(tombRoot))
+        fs.listStatus(tombRoot).filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+      else Seq.empty
+    val tf0 = s.read.parquet(segs.map(_ + "/tf"): _*)
+    val (tf, df, stats) =
+      if (tombs.isEmpty) {
+        val df = s.read.parquet(segs.map(_ + "/df"): _*)
+          .groupBy("term").agg(sum(col("df")).as("df"))
+        val stats = s.read.parquet(segs.map(_ + "/stats"): _*)
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+          .select(col("n_docs"), col("tot_dl"),
+            (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
+        (tf0, df, stats)
+      } else {
+        val del = s.read.parquet(tombs: _*).select("doc_id").distinct()
+        val tf1 = tf0.join(del, Seq("doc_id"), "left_anti")
+        val df1 = tf1.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats1 = tf1.select("doc_id", "dl").distinct()
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+          .select(col("n_docs"), col("tot_dl"),
+            (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
+        (tf1, df1, stats1)
+      }
     tf.write.mode("overwrite").parquet(s"$outPath/seg0/tf")
     df.write.mode("overwrite").parquet(s"$outPath/seg0/df")
     stats.write.mode("overwrite").parquet(s"$outPath/seg0/stats")
     // positional postings (optional segment file) survive compaction:
-    // concat-only fold, same disjoint-doc algebra. Mixed artifacts fail
-    // loud — compacting away the inconsistency would hide lost positions.
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // concat-only fold (minus tombstoned docs), same disjoint-doc
+    // algebra. Mixed artifacts fail loud — compacting away the
+    // inconsistency would hide lost positions.
     val withPp = segs.filter(sg => fs.exists(new org.apache.hadoop.fs.Path(s"$sg/pp")))
     require(withPp.isEmpty || withPp.size == segs.size,
       s"mixed positional artifact: ${withPp.size}/${segs.size} segments carry pp")
-    if (withPp.nonEmpty)
-      s.read.parquet(segs.map(_ + "/pp"): _*)
-        .write.mode("overwrite").parquet(s"$outPath/seg0/pp")
+    if (withPp.nonEmpty) {
+      val pp0 = s.read.parquet(segs.map(_ + "/pp"): _*)
+      val pp =
+        if (tombs.isEmpty) pp0
+        else pp0.join(s.read.parquet(tombs: _*).select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      pp.write.mode("overwrite").parquet(s"$outPath/seg0/pp")
+    }
   }
 
   /** q113: BM25 SERVED FROM THE PERSISTED LEXICAL-INDEX ARTIFACT — q101's
@@ -1019,6 +1052,167 @@ object Retrieval {
        |SELECT query_id, rnk, doc_id, score, ckey FROM rr
        |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
 
+  /** Edit-distance budget for q125 (classic unit-cost Levenshtein — both
+    * engines' `levenshtein` computes the same integer). */
+  private val FuzzyMaxEd = 1
+
+  /** The radius-1 deletion neighborhood of a string column: the string
+    * itself plus every single-character deletion — the SymSpell key set
+    * (Garbe's symmetric-delete trick): lev(a, b) ≤ 1 ⟹ the two
+    * neighborhoods intersect (substitution: both delete position i;
+    * insertion/deletion: the shorter string is in both), so an equi-join
+    * on deletion keys yields a complete, tiny candidate set and the exact
+    * `levenshtein` verify runs on candidates only — never qterms × vocab. */
+  private def delKeysExpr(c: String): String =
+    s"array_distinct(concat(array($c), transform(sequence(1, length($c)), " +
+      s"i -> concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))))"
+
+  /** q125: FUZZY KEYWORD SEARCH — typo-tolerant retrieval (Lucene's fuzzy
+    * query, ES `fuzziness: 1`): a document matches a query term if it
+    * contains ANY vocabulary term within edit distance [[FuzzyMaxEd]],
+    * ranked by the number of DISTINCT query terms matched (fuzzily or
+    * exactly), ties by doc_id.
+    *
+    * Scale shape — the SymSpell two-phase kernel: (1) candidate
+    * generation is an equi-join of the vocabulary's deletion keys
+    * (generated MAP-SIDE, O(|vocab|·len) rows, never shuffled — the
+    * broadcast is the eval-sized query-side key set) against the query
+    * terms' keys; (2) the exact `levenshtein` verify runs on the
+    * candidate pairs only. The naive alternative — qterms × vocab with a
+    * distance predicate — is a full vocabulary edit-distance scan per
+    * query term (the oracle states it that way, eval-scale only). The
+    * doc probe is then q95's audited shape: tf probed once by the
+    * broadcast (query term, matched term) table. Empty-string tokens are
+    * excluded from both sides (fuzzy-matching a zero-length token is
+    * meaningless; also keeps `sequence(1, length)` well-defined).
+    * Integer end-to-end. */
+  def q125FuzzySearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = TextOps.bm25Parts(s, d)
+    val vdel = p.df.select("term").filter(length(col("term")) > 0)
+      .select(col("term"), explode(expr(delKeysExpr("term"))).as("dk"))
+    val qdel = p.qt.filter(length(col("term")) > 0)
+      .select(col("query_id"), col("term").as("qterm"))
+      .select(col("query_id"), col("qterm"), explode(expr(delKeysExpr("qterm"))).as("dk"))
+    val cand = vdel.join(broadcast(qdel), Seq("dk"))
+      .select("query_id", "qterm", "term").distinct()
+      .filter(levenshtein(col("qterm"), col("term")) <= FuzzyMaxEd)
+    val w = Window.partitionBy("query_id").orderBy(col("n_fuzzy").desc, col("doc_id"))
+    p.tf.join(broadcast(cand), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("qterm")).as("n_fuzzy"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= FusedK)
+      .select("query_id", "rnk", "doc_id", "n_fuzzy")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q125Sql: String =
+    s"""${TextOps.bm25BaseCtes},
+       |qv AS (
+       |  SELECT q.query_id, q.term AS qterm, v.term
+       |  FROM (SELECT query_id, term FROM qt WHERE length(term) > 0) q
+       |  JOIN (SELECT term FROM df WHERE length(term) > 0) v
+       |    ON levenshtein(q.term, v.term) <= $FuzzyMaxEd),
+       |fz AS (
+       |  SELECT qv.query_id, tf.doc_id,
+       |         CAST(COUNT(DISTINCT qv.qterm) AS BIGINT) AS n_fuzzy
+       |  FROM tf JOIN qv ON tf.term = qv.term
+       |  WHERE tf.doc_id <> qv.query_id
+       |  GROUP BY qv.query_id, tf.doc_id)
+       |SELECT query_id, rnk, doc_id, n_fuzzy FROM (
+       |  SELECT query_id, doc_id, n_fuzzy,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY n_fuzzy DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM fz)
+       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+
+  /** Record deleted documents as a TOMBSTONE file under the artifact root
+    * (`tombstones/<name>`, doc_id rows) — Lucene's live-docs shape: the
+    * immutable segments are never rewritten by a delete; the tombstone is
+    * its own tiny immutable write, so deletes compose with concurrent
+    * serves and appends exactly like segments do. */
+  def lexTombstone(ids: DataFrame, path: String, name: String): Unit =
+    ids.select(col("doc_id")).write.mode("overwrite")
+      .parquet(s"$path/tombstones/$name")
+
+  /** Serve a segmented lexical index WITH tombstones applied — and the
+    * reason deletes stay EXACT under the additive algebra: the deleted
+    * docs' own tf rows are still in the segments, so every correction is
+    * computable from the artifact itself: tf' = tf ⟕̸ del (anti join),
+    * df' = df − per-term deleted-doc counts (dropping terms at 0),
+    * stats' = (n_docs − |del|, tot_dl − Σ dl_del) with avgdl re-derived
+    * from the corrected longs — bit-identical to a rebuild over the
+    * remaining corpus (the q126 oracle pins exactly that). No tombstones
+    * dir → the plain [[lexIndexServe]] frames. Tombstone doc_ids need not
+    * all exist in the index (idempotent; duplicates deduped). */
+  def lexIndexServeDel(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    val segs = lexSegments(s, path)
+    val tf0 = s.read.parquet(segs.map(_ + "/tf"): _*)
+    val df0 = s.read.parquet(segs.map(_ + "/df"): _*)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val rawStats = s.read.parquet(segs.map(_ + "/stats"): _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+    val root = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      return (tf0, df0,
+        rawStats.select(col("n_docs"),
+          (col("tot_dl").cast("double") / col("n_docs")).as("avgdl")))
+    val tombs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString).sorted
+    val del = s.read.parquet(tombs.toSeq: _*).select("doc_id").distinct()
+    val tfDel = tf0.join(del, Seq("doc_id"), "left_semi")
+    val tf1 = tf0.join(del, Seq("doc_id"), "left_anti")
+    val dfc = tfDel.groupBy("term").agg(count(lit(1)).as("dcnt"))
+    val df1 = df0.join(dfc, Seq("term"), "left")
+      .select(col("term"), (col("df") - coalesce(col("dcnt"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val dstat = tfDel.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_del"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl_del"))
+    val stats1 = rawStats.crossJoin(broadcast(dstat))
+      .select((col("n_docs") - col("n_del")).as("n_docs"),
+        (col("tot_dl") - col("dl_del")).as("tot_dl"))
+      .select(col("n_docs"),
+        (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
+    (tf1, df1, stats1)
+  }
+
+  /** The q126 delete set: every non-query doc with doc_id ≡ 3 (mod 7) —
+    * deterministic, ~14% of the corpus, never a query doc (so the eval
+    * term table is identical before and after the delete). */
+  private def tombstoneIds(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 === 3 &&
+      col("doc_id") >= TextOps.Bm25NQueries).select("doc_id")
+
+  /** q126: TOMBSTONE DELETES in the lexical LSM — the delete half of the
+    * q115 append contract (an index you can only add to is not an index):
+    * build seg0 over the full corpus, tombstone the delete set, and rank
+    * the eval queries from [[lexIndexServeDel]]'s corrected frames under
+    * the oracle of a FULL REBUILD OVER THE REMAINING CORPUS — any drift
+    * in the anti-join, the df decrement (including the drop-at-zero), or
+    * the recorrected avgdl longs breaks the hash. Segments stay
+    * byte-immutable; the delete is one tiny tombstone write (Lucene's
+    * live-docs discipline). Eager at construction, the q113/q115
+    * convention. */
+  def q126TombstoneServed(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Similarity.knnGraphServePath(d)}/lextomb"
+    val docs = TextOps.tokenizedDocs(s, d)
+    lexIndexSegment(docs, path, "seg0")
+    lexTombstone(tombstoneIds(docs), path, "t0")
+    val (tf, df, stats) = lexIndexServeDel(s, path)
+    TextOps.bm25RankedFrom(tf, df, stats, TextOps.queryTermsOf(docs))
+      .orderBy("query_id", "rnk")
+  }
+
+  val q126Sql: String =
+    s"""${TextOps.bm25BaseCtesFor(
+        s" WHERE NOT (doc_id % 7 = 3 AND doc_id >= ${TextOps.Bm25NQueries})")},
+       |${TextOps.bm25ScoreCtes("qt", "scored", "lexr")}
+       |SELECT query_id, rnk, doc_id, score FROM lexr
+       |WHERE rnk <= ${TextOps.Bm25K} ORDER BY query_id, rnk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_hybrid_rrf", q111HybridRrf _, Some(q111Sql)),
     ("q112_conjunctive", q112Conjunctive _, Some(q112Sql)),
@@ -1034,5 +1228,7 @@ object Retrieval {
     ("q122_prf_expansion", q122PrfExpansion _, Some(q122Sql)),
     ("q123_snippet", q123Snippet _, Some(q123Sql)),
     ("q124_cluster_collapsed", q124ClusterCollapsed _, Some(q124Sql)),
+    ("q125_fuzzy_search", q125FuzzySearch _, Some(q125Sql)),
+    ("q126_tombstone_served", q126TombstoneServed _, Some(q126Sql)),
   )
 }

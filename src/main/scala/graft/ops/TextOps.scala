@@ -902,12 +902,16 @@ object TextOps {
     bm25RankedFrom(p.tf, p.df, p.stats, p.qt).orderBy("query_id", "rnk")
   }
 
-  /** The WITH-chain up to the tokenized/index CTEs (dw, tf, df, stats, qt) —
+  /** The WITH-chain up to the tokenized/index CTEs (dw, tf, df, stats, qt),
     * shared verbatim by q95 and the [[Retrieval]] oracles so the two engines
-    * can never drift on the index definition. */
-  private[graft] val bm25BaseCtes: String =
+    * can never drift on the index definition — parametrized over a filtered
+    * document set: the tombstone-delete
+    * oracle (q126) states "rebuild over the corpus minus the deleted docs"
+    * by interpolating the delete predicate here; the empty-string instance
+    * IS the canonical q95 text, so the two can never drift. */
+  private[graft] def bm25BaseCtesFor(docsWhere: String): String =
     s"""WITH dw AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents$docsWhere),
        |tf AS (
        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
        |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM dw)
@@ -921,6 +925,8 @@ object TextOps {
        |  SELECT DISTINCT query_id, term FROM (
        |    SELECT doc_id AS query_id, unnest(list_slice(w, 1, 4)) AS term
        |    FROM dw WHERE doc_id < $Bm25NQueries))""".stripMargin
+
+  private[graft] val bm25BaseCtes: String = bm25BaseCtesFor("")
 
   /** The scored + ranked CTE pair over ANY query-term CTE — parametrized
     * on the qt/scored/ranked names so the PRF oracle (q122) can score the

@@ -2712,4 +2712,72 @@ class OperatorSpec extends AnyFunSuite {
       assert(rows.size == 1, s"cluster $k appears ${rows.size} times")
     }
   }
+
+  test("q125 fuzzy: SymSpell deletion-join output reproduces a brute-force levenshtein recompute") {
+    import graft.ops.Retrieval
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val toks = docToks
+    val vocab = toks.values.flatten.toSet.filter(_.nonEmpty)
+    val qt = (0L until 5L).map(q => q -> toks(q).take(4).distinct.filter(_.nonEmpty)).toMap
+    val expected = (for {
+      (q, terms) <- qt.toSeq
+      fuzzy = (for (t <- terms; v <- vocab if lev(t, v) <= 1) yield (t, v))
+      (d, w) <- toks.toSeq if d != q
+      ws = w.toSet
+      nf = fuzzy.collect { case (t, v) if ws.contains(v) => t }.distinct.size.toLong
+      if nf > 0
+    } yield (q, d, nf)).toSeq
+    val exp = topK(expected, 10) { case (_, d, nf) => (-nf, d) }.toSet
+    val got = Retrieval.q125FuzzySearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty && got == exp,
+      s"fuzzy drift: got ${got.size}, expected ${exp.size}")
+  }
+
+  test("tombstone deletes: served-with-deletes ≡ rebuild-minus-deleted; compaction applies them physically (no resurrection)") {
+    import graft.ops.{Retrieval, TextOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_lextomb_spec").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lextomb_out").toString + "/c"
+    val docs = TextOps.tokenizedDocs(spark, sf)
+    // two segments (the delete contract must compose with the append one)
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 0), dir, "seg0")
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 1), dir, "seg1")
+    val delPred = col("doc_id") % 7 === 3 && col("doc_id") >= 5
+    // tombstone includes DUPLICATE and NONEXISTENT ids — both must be inert
+    Retrieval.lexTombstone(
+      docs.filter(delPred).select("doc_id")
+        .unionByName(docs.filter(delPred).select("doc_id"))
+        .unionByName(docs.sparkSession.range(900000, 900003).selectExpr("id AS doc_id")),
+      dir, "t0")
+    val qt = TextOps.queryTerms(spark, sf)
+    def rank(tf: org.apache.spark.sql.DataFrame, df: org.apache.spark.sql.DataFrame,
+        st: org.apache.spark.sql.DataFrame) =
+      TextOps.bm25RankedFrom(tf, df, st, qt).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val (stf, sdf, sst) = Retrieval.lexIndexServeDel(spark, dir)
+    val served = rank(stf, sdf, sst)
+    val (rtf, rdf, rst) = TextOps.lexIndexOf(docs.filter(!delPred))
+    val rebuilt = rank(rtf, rdf, rst)
+    assert(served.nonEmpty && served == rebuilt,
+      "tombstoned serve drifted from the rebuild over the remaining corpus")
+    // the deleted docs actually mattered (the delete isn't vacuous)
+    val (ftf, fdf, fst) = Retrieval.lexIndexServe(spark, dir)
+    assert(rank(ftf, fdf, fst) != served,
+      "delete set did not change the ranking — test corpus too small to exercise the contract")
+    // compaction applies tombstones physically: one segment, no
+    // tombstones dir, plain serve (no delete logic) reproduces the ranking
+    Retrieval.lexIndexCompact(spark, dir, out)
+    assert(Retrieval.lexSegments(spark, out).size == 1)
+    assert(!new java.io.File(s"$out/tombstones").exists,
+      "compacted root must not carry tombstones — they were applied")
+    val (ctf, cdf, cst) = Retrieval.lexIndexServe(spark, out)
+    assert(rank(ctf, cdf, cst) == served,
+      "compacted artifact resurrected or lost deleted docs")
+  }
 }

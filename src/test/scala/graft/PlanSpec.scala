@@ -974,6 +974,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q125 fuzzy: SymSpell deletion-key equi-join — no nested-loop vocabulary edit-distance scan") {
+    import graft.ops.Retrieval
+    val p = plan(Retrieval.q125FuzzySearch(spark, sf))
+    // the naive kernel — qterms × vocab with a levenshtein predicate — is
+    // a BroadcastNestedLoopJoin/CartesianProduct over the whole
+    // vocabulary; the SymSpell shape is equi-joins only (deletion keys,
+    // then the tf probe), with levenshtein appearing as a FILTER on the
+    // joined candidates
+    assert(p.contains("levenshtein"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "fuzzy match degenerated to a nested-loop vocabulary scan")
+  }
+
   test("q120 served phrase: no positional-postings kernel in the match lineage — pp scanned from BOTH artifact segments") {
     import graft.ops.Retrieval
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
