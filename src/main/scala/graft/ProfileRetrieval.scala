@@ -95,6 +95,26 @@ object ProfileRetrieval {
     time("phrase_search") { Retrieval.q117PhraseSearch(spark, d).count() }
     time("query_likelihood") { Retrieval.q119QueryLikelihood(spark, d).count() }
     time("mmr_diversified") { Retrieval.q114MmrDiversified(spark, d).count() }
+
+    // round-14 extension: the proximity/PRF/snippet/fuzzy/collapse/delete
+    // family at the same 100k scale (q124 includes q53's clustering passes
+    // — its cost is dominated by the audited near-dup cluster build, the
+    // documented composition)
+    time("proximity") { Retrieval.q121Proximity(spark, d).count() }
+    time("prf_expansion") { Retrieval.q122PrfExpansion(spark, d).count() }
+    time("snippet") { Retrieval.q123Snippet(spark, d).count() }
+    time("fuzzy_search") { Retrieval.q125FuzzySearch(spark, d).count() }
+    time("cluster_collapsed") { Retrieval.q124ClusterCollapsed(spark, d).count() }
+    // tombstone economics on the 10-segment artifact: the delete write is
+    // O(delete set); the served corrections add two doc-keyed joins and a
+    // vocab-sized decrement on top of the plain fold
+    val delIds = Tables.documents(spark, d)
+      .filter(col("doc_id") % 7 === 3 && col("doc_id") >= 5).select("doc_id")
+    time("tombstone_write") { Retrieval.lexTombstone(delIds, path, "t0") }
+    time("bm25_served_tomb") {
+      val (tf, df, st) = Retrieval.lexIndexServeDel(spark, path)
+      TextOps.bm25RankedFrom(tf, df, st, TextOps.queryTerms(spark, d)).count()
+    }
     spark.stop()
   }
 }

@@ -233,4 +233,18 @@ object DocStream {
   def lexAppendBatch(s: SparkSession, path: String, batch: DataFrame, seg: String): Unit =
     graft.ops.Retrieval.lexIndexAppend(s, path,
       batch.select(col("doc_id"), split(col("text"), " ").as("w")), seg)
+
+  /** Fold a DELETE micro-batch into the segmented lexical index — the
+    * streaming half of the q126 tombstone contract, and the same
+    * immutability argument as [[lexAppendBatch]]: each batch of deleted
+    * doc_ids lands as its OWN tiny tombstone file (never a rewrite of
+    * segments or of earlier tombstones), so deletes from the stream
+    * compose with concurrent serves and appends; the serve-time
+    * corrections ([[graft.ops.Retrieval.lexIndexServeDel]]) are additive
+    * over the union of tombstone files, so streamed deletes ≡ one batch
+    * delete bit-for-bit for any batching (DocStreamSpec). Physical
+    * reclamation stays the compaction's job (q126's no-resurrection
+    * contract). */
+  def tombstoneBatch(s: SparkSession, path: String, ids: DataFrame, name: String): Unit =
+    graft.ops.Retrieval.lexTombstone(ids, path, name)
 }

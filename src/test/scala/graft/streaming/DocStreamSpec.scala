@@ -501,4 +501,50 @@ class DocStreamSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty && streamed == oneShot,
       s"streamed lexical serve diverged: ${streamed.size} vs ${oneShot.size} rows")
   }
+
+  test("streamed tombstones: per-batch delete files serve bit-for-bit like one batch delete — and like a rebuild without the deleted docs") {
+    val spark = TestSpark.spark
+    import graft.ops.{Retrieval, TextOps}
+    val all = Tables.documents(spark, sf)
+    val art = java.nio.file.Files.createTempDirectory("docstream_tomb").toString + "/idx"
+    Retrieval.lexIndexSegment(
+      all.select(col("doc_id"), split(col("text"), " ").as("w")), art, "seg0")
+
+    // the delete stream: ids arriving in micro-batches (forced separate)
+    val delPred = col("doc_id") % 7 === 3 && col("doc_id") >= 5
+    val dir = java.nio.file.Files.createTempDirectory("docstream_tomb_src").toString
+    Seq(0, 1).foreach { m =>
+      all.filter(delPred && col("doc_id") % 2 === m).select("doc_id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    var batches = 0
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("pathGlobFilter", "*.parquet").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          DocStream.tombstoneBatch(spark, art, batch, s"t_b$id")
+          batches += 1
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected ≥2 delete micro-batches, got $batches")
+
+    val qt = TextOps.queryTerms(spark, sf)
+    def rank(t: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)) =
+      TextOps.bm25RankedFrom(t._1, t._2, t._3, qt).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = rank(Retrieval.lexIndexServeDel(spark, art))
+    val rebuilt = rank(TextOps.lexIndexOf(
+      all.filter(!delPred).select(col("doc_id"), split(col("text"), " ").as("w"))))
+    assert(rebuilt.nonEmpty && streamed == rebuilt,
+      s"streamed deletes diverged from rebuild-minus-deleted: ${streamed.size} vs ${rebuilt.size}")
+  }
 }
