@@ -1016,11 +1016,18 @@ object Retrieval {
     * on the matched eval-sized list. Oracle composes q53's closure CTEs
     * and q95's scoring CTEs verbatim, so neither definition can drift. */
   def q124ClusterCollapsed(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = TextOps.bm25Parts(s, d)
-    val scored = TextOps.bm25ScoredFrom(p.tf, p.df, p.stats, p.qt)
-    val cl = Dedup.q53DedupClusters(s, d)
-      .select(col("doc_id"), col("cluster_id").as("cid"))
+    collapseRankFrom(TextOps.bm25ScoredFrom(p.tf, p.df, p.stats, p.qt),
+      Dedup.q53DedupClusters(s, d))
+  }
+
+  /** The collapse kernel over ANY (doc_id, cluster_id) label frame —
+    * freshly clustered (q124) or served from the persisted artifact
+    * (q128); only label rows cross the interface, the [[rrfFuse]]
+    * substitution convention. */
+  private def collapseRankFrom(scored: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusters.select(col("doc_id"), col("cluster_id").as("cid"))
     val wBest = Window.partitionBy("query_id", "ckey").orderBy(col("score").desc, col("doc_id"))
     val wRank = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     scored.join(cl, Seq("doc_id"), "left")
@@ -1030,6 +1037,24 @@ object Retrieval {
       .filter(col("rnk") <= FusedK)
       .select("query_id", "rnk", "doc_id", "score", "ckey")
       .orderBy("query_id", "rnk")
+  }
+
+  /** q128: CLUSTER COLLAPSE SERVED FROM THE PERSISTED LABEL ARTIFACT —
+    * the gate behind BASELINE.md round-14's q124 marginal-cost claim ("at
+    * steady state the cluster map is an artifact"): q53's labels are
+    * written once (the q108 split already persists the same map in
+    * practice), and the collapse reads them back — the q101/q105/q113
+    * recipe for the dedup family. Serve-time cost is the q95 scored pass
+    * + one doc-keyed join: the cluster fixpoint runs at BUILD time only,
+    * and PlanSpec pins the served lineage roots at the parquet scan with
+    * NO RDD-backed cluster kernel. Under EXACTLY q124's oracle. Eager at
+    * construction (writes the artifact), the q113/q115 convention. */
+  def q128CollapseServed(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Similarity.knnGraphServePath(d)}/clusters"
+    Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(path)
+    val p = TextOps.bm25Parts(s, d)
+    collapseRankFrom(TextOps.bm25ScoredFrom(p.tf, p.df, p.stats, p.qt),
+      s.read.parquet(path))
   }
 
   val q124Sql: String =
@@ -1230,5 +1255,8 @@ object Retrieval {
     ("q124_cluster_collapsed", q124ClusterCollapsed _, Some(q124Sql)),
     ("q125_fuzzy_search", q125FuzzySearch _, Some(q125Sql)),
     ("q126_tombstone_served", q126TombstoneServed _, Some(q126Sql)),
+    // served ≡ self-clustered: gated against q124's own oracle through
+    // the label-artifact round trip
+    ("q128_collapse_served", q128CollapseServed _, Some(q124Sql)),
   )
 }

@@ -2689,6 +2689,58 @@ object Similarity {
        |  WHERE neighbor_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0))
        |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
 
+  /** q127: TOMBSTONE DELETES for the ANN index — the vector half of the
+    * q126 delete contract, and the missing CRUD piece next to the append
+    * family: FAISS `remove_ids` / Lucene live-docs semantics under the
+    * FROZEN quantizer (centroids/codebooks are NEVER retrained by a
+    * delete — the [[ivfPqAppend]] no-retrain contract's mirror; a delete
+    * that retrained would change every existing code). The persisted
+    * artifacts (cents/books/codes) stay byte-immutable; the delete is one
+    * tiny tombstone file under the artifact root, and serving anti-joins
+    * the 9-byte code table against the tombstone union BEFORE candidate
+    * generation — q110's pre-filter seam with a negative predicate, so
+    * k live results come back (not ~k·(1−delete rate)) and `n_cand`
+    * counts live candidates only. Embeddings are never touched at delete
+    * or serve time.
+    *
+    * The oracle pins exactly these semantics: q74's full CTE chain (the
+    * frozen-quantizer train included) with the delete predicate applied
+    * before ranking. Note the contrast with q126: the lexical delete is
+    * rebuild-equivalent (exact additive algebra); the ANN delete is
+    * deliberately NOT (a rebuild would retrain on survivors) — frozen-
+    * quantizer live-docs IS the specified behavior, so the oracle states
+    * it, not a rebuild. Eager at construction (writes the artifacts +
+    * tombstone), the q101/q113 convention. */
+  def q127AnnTombstoneServed(s: SparkSession, d: String): DataFrame = {
+    val root = s"${knnGraphServePath(d)}/ivftomb"
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
+    cents.write.mode("overwrite").parquet(s"$root/cents")
+    books.write.mode("overwrite").parquet(s"$root/books")
+    codeTable.write.mode("overwrite").parquet(s"$root/codes")
+    emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= AdcQueries)
+      .select("vec_id").write.mode("overwrite").parquet(s"$root/tombstones/t0")
+    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
+      .map(_.getPath.toString).sorted.toSeq
+    val del = s.read.parquet(tombs: _*).select("vec_id").distinct()
+    val live = s.read.parquet(s"$root/codes").join(del, Seq("vec_id"), "left_anti")
+    ivfPqSearchFrom(s.read.parquet(s"$root/cents"), s.read.parquet(s"$root/books"),
+      live, emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
+  }
+
+  lazy val q127Sql: String =
+    s"""$ivfPqAdcCtes
+       |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
+       |  SELECT query_id, neighbor_id, adc_fixed,
+       |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |  FROM adc
+       |  WHERE NOT (neighbor_id % 7 = 3 AND neighbor_id >= $AdcQueries))
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
+
   lazy val q86Sql: String =
     s"""$ivfPqAdcCtes,
        |short AS (
@@ -3083,5 +3135,9 @@ object Similarity {
     ("q106_graph_append", q106GraphAppend _, Some(q106Sql)),
     ("q109_embed_drift", q109EmbedDrift _, Some(q109Sql)),
     ("q110_filtered_ann", q110FilteredAnn _, Some(q110Sql)),
+    // live-docs delete under the frozen quantizer: oracle = q74's chain
+    // with the delete predicate applied before ranking (NOT a rebuild —
+    // a rebuild would retrain; frozen-quantizer is the specified contract)
+    ("q127_ann_tombstone", q127AnnTombstoneServed _, Some(q127Sql)),
   )
 }

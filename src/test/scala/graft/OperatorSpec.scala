@@ -2740,6 +2740,33 @@ class OperatorSpec extends AnyFunSuite {
       s"fuzzy drift: got ${got.size}, expected ${exp.size}")
   }
 
+  test("q127 ANN tombstones: pre-filter serve ≡ post-filtering the FULL unfiltered candidate list; no deleted id served; delete non-vacuous") {
+    import graft.ops.Similarity
+    val spark0 = spark
+    val (emb, subs, seedsPq) = Similarity.pqParts(spark0, sf)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    val queries = emb.filter(col("vec_id") < 10).select("vec_id", "e")
+    // the unfiltered candidate universe (k = all): what a post-filter
+    // consumer would start from
+    val full = Similarity.ivfPqSearchFrom(cents, books, codeTable, queries,
+        k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val deleted = (id: Long) => id % 7 == 3 && id >= 10
+    val expected = full.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.filterNot { case (_, n, _) => deleted(n) }
+        .sortBy { case (_, n, adc) => (adc, n) }.take(Similarity.AdcK).zipWithIndex
+        .map { case ((_, n, adc), i) => (q, n, adc, i + 1L) }
+    }.toSet
+    val got = Similarity.q127AnnTombstoneServed(spark0, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Long]("rn"))).toSet
+    assert(got.nonEmpty && got == expected,
+      s"pre-filter serve drifted from post-filtered-all-candidates: got ${got.size}, expected ${expected.size}")
+    got.foreach { case (_, n, _, _) => assert(!deleted(n), s"deleted id $n served") }
+    // the contract is only exercised if some deleted id was a candidate
+    assert(full.exists { case (_, n, _) => deleted(n) },
+      "no deleted id ever appeared as a candidate — delete set vacuous at this SF")
+  }
+
   test("tombstone deletes: served-with-deletes ≡ rebuild-minus-deleted; compaction applies them physically (no resurrection)") {
     import graft.ops.{Retrieval, TextOps}
     val dir = java.nio.file.Files.createTempDirectory("graft_lextomb_spec").toString

@@ -974,6 +974,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q128 served collapse: no RDD-backed cluster kernel in the lineage — labels come from the parquet artifact") {
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.execution.{ExternalRDDScanExec, FileSourceScanExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    def rddScans(ns: Seq[SparkPlan]) = ns.collect {
+      case r: RDDScanExec => r: SparkPlan
+      case r: ExternalRDDScanExec[_] => r: SparkPlan
+    }
+    // q124 runs the q53 star-contraction fixpoint (an RDD kernel — an
+    // (External)RDDScanExec leaf); the served variant must NOT: its labels root at
+    // the persisted artifact scan, so serve-time cost is the scored pass
+    // + one doc-keyed join
+    val sdf = Retrieval.q128CollapseServed(spark, sf)
+    sdf.collect()
+    val sNodes = nodes(sdf.queryExecution.executedPlan)
+    assert(rddScans(sNodes).isEmpty,
+      "served collapse lineage still contains the RDD cluster kernel")
+    assert(sNodes.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+      .exists(_.contains("clusters")),
+      "served collapse does not scan the persisted cluster artifact")
+    val fdf = Retrieval.q124ClusterCollapsed(spark, sf)
+    fdf.collect()
+    assert(rddScans(nodes(fdf.queryExecution.executedPlan)).nonEmpty,
+      "detector stale: q124's fresh clustering no longer shows an RDD scan")
+  }
+
   test("q125 fuzzy: SymSpell deletion-key equi-join — no nested-loop vocabulary edit-distance scan") {
     import graft.ops.Retrieval
     val p = plan(Retrieval.q125FuzzySearch(spark, sf))
