@@ -46,6 +46,24 @@ object Profile24 {
       graft.ops.Dedup.incrementalJaccardPairs(
         graft.ops.Dedup.shingleDocs(docs),
         docs.filter(col("doc_id") > cut).select("doc_id"), 0.6).count())
+
+    // q129 economics: full recluster vs the label-edge FOLD alone (base
+    // labels pre-built, as a real pipeline reads them from the artifact)
+    time("full recluster (q53)")(
+      graft.ops.Dedup.clusterPairs(
+        graft.ops.Dedup.jaccardPairs(shingled, 0.6).select("a_id", "b_id")).count())
+    val baseLabels = graft.ops.Dedup.clusterPairs(
+      graft.ops.Dedup.jaccardPairs(
+        graft.ops.Dedup.shingleDocs(docs.filter(col("doc_id") <= cut)), 0.6)
+        .select("a_id", "b_id"))
+    baseLabels.count() // materialize the artifact side outside the timer
+    time(s"cluster fold (10% fresh)")(
+      graft.ops.Dedup.clusterPairs(
+        baseLabels.select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
+          .unionByName(graft.ops.Dedup.incrementalJaccardPairs(
+            graft.ops.Dedup.shingleDocs(docs),
+            docs.filter(col("doc_id") > cut).select("doc_id"), 0.6)
+            .select("a_id", "b_id"))).count())
     spark.stop()
   }
 }

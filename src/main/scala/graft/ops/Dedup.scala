@@ -721,6 +721,51 @@ object Dedup {
   def q53DedupClusters(s: SparkSession, d: String): DataFrame =
     clusterPairs(exactJaccardPairs(s, d, 0.6).select("a_id", "b_id"))
 
+  /** q129: INCREMENTAL CLUSTER MAINTENANCE — fold a fresh document batch
+    * into existing near-dup cluster labels WITHOUT regenerating a single
+    * existing×existing candidate pair: the dedup-family member of the
+    * append family (q106 patches the kNN graph, q115 folds lexical
+    * segments; this folds the cluster labeling every leakage-safe split
+    * and collapse consumer keys on — q108/q124 go stale on every ingest
+    * batch otherwise).
+    *
+    * The fold is EXACT by a connectivity argument, not an approximation:
+    * base labels (member → root) are a star SUBGRAPH of the base pair
+    * graph with identical components and component-minimum roots; the
+    * one-sided probe ([[incrementalJaccardPairs]] — fresh prefixes
+    * against corpus ∪ fresh, never existing×existing) supplies EVERY
+    * J ≥ t pair with ≥ 1 fresh member; so components of
+    * (label edges ∪ fresh pairs) = components of the full pair graph,
+    * and the min-label fixpoint returns min(doc_id) per merged component
+    * — bit-for-bit q53 over the union, including the hard case where one
+    * fresh doc BRIDGES two existing clusters (their roots merge to the
+    * smaller). The oracle pins exactly that: q53's own recursive-closure
+    * SQL over the full corpus.
+    *
+    * Scale shape: the existing×existing candidate join — the dominant
+    * cost of a full recluster (prefix join over 99% of the corpus at a
+    * 1% batch) — is GONE; what remains is the one-sided probe (O(fresh)
+    * probe rows against the shared index, q70's audited shape) plus a
+    * label-edge contraction that starts from an almost-star graph (base
+    * edges already point at roots), so rounds ≈ 1 + bridge depth instead
+    * of component diameter. The entry recomputes the base labeling so it
+    * stands alone (every catalog entry must); a real pipeline reads the
+    * persisted label artifact (q128's build side) and runs ONLY the fold. */
+  def q129ClusterAppend(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
+    val cut = Tables.documents(s, d)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) * 4 / 5
+    val baseLabels = clusterPairs(
+      jaccardPairs(shingleDocs(docs.filter(col("doc_id") <= cut)), 0.6)
+        .select("a_id", "b_id"))
+    val freshPairs = incrementalJaccardPairs(shingleDocs(docs),
+      docs.select("doc_id").filter(col("doc_id") > cut), 0.6)
+      .select("a_id", "b_id")
+    clusterPairs(
+      baseLabels.select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
+        .unionByName(freshPairs))
+  }
+
   /** Recursive-closure cluster CTE shared by q53 (report) and q61 (apply):
     * yields `cl(doc_id, cluster_id)`. */
   private val clusterCte: String =
@@ -1108,6 +1153,9 @@ object Dedup {
     ("q27_dedup_embed", q27DedupEmbed _, Some(q27Sql)),
     ("q42_dedup_collapsed", q42DedupCollapsed _, Some(q42Sql)),
     ("q53_dedup_clusters", q53DedupClusters _, Some(q53Sql)),
+    // incremental fold ≡ full recluster: gated against q53's own oracle
+    // (the q106 append convention for the dedup family)
+    ("q129_cluster_append", q129ClusterAppend _, Some(q53Sql)),
     ("q108_leak_safe_split", q108LeakSafeSplit _, Some(q108Sql)),
     ("q57_substr_spans", q57SubstrSpans _, Some(q57Sql)),
     ("q59_edit_dedup", q59EditDedup _, Some(q59Sql)),

@@ -2740,6 +2740,25 @@ class OperatorSpec extends AnyFunSuite {
       s"fuzzy drift: got ${got.size}, expected ${exp.size}")
   }
 
+  test("q129 cluster append: label-edge fold ≡ full recluster bit-for-bit; fresh docs actually mix into base clusters") {
+    import graft.ops.{Dedup => DD}
+    val full = DD.q53DedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = DD.q129ClusterAppend(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.nonEmpty && inc == full,
+      s"incremental fold drifted from the full recluster: " +
+        s"missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+    // non-vacuity: the fold only exercises the merge path if some cluster
+    // spans the base/fresh cut
+    val cut = graft.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0) * 4 / 5
+    val byCluster = full.groupBy(_._2)
+    assert(byCluster.exists { case (_, m) =>
+      m.exists(_._1 <= cut) && m.exists(_._1 > cut)
+    }, "no cluster spans the base/fresh cut — the fold was never exercised")
+  }
+
   test("q127 ANN tombstones: pre-filter serve ≡ post-filtering the FULL unfiltered candidate list; no deleted id served; delete non-vacuous") {
     import graft.ops.Similarity
     val spark0 = spark
