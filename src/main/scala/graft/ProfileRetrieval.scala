@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   *   - `bm25_served_2seg` rank after the append (two-segment fold)
   *   - `conjunctive`    q112's boolean-AND pass over the same index
   *   - `rrf_fusion`     q111's two-arm fusion (BM25 + brute cosine@100k)
+  * plus the round-14 extension rows: `proximity`/`prf_expansion`/
+  * `snippet`/`fuzzy_search`/`cluster_collapsed` (q121–q125 at the same
+  * 100k scale) and the tombstone economics (`tombstone_write` — one tiny
+  * immutable file — and `bm25_served_tomb`, the corrected serve, vs the
+  * plain fold; q126).
   * The claim the numbers back (BASELINE.md round-14 anchors): build
   * amortizes — served rank ≪ self-contained, and the 1% append costs
   * ~1% of a rebuild, so a streaming corpus keeps its lexical index

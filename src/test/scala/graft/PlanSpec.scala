@@ -924,6 +924,32 @@ class PlanSpec extends AnyFunSuite {
       s"expected parquet scans rooted at lexindex segments' {tf,df,stats}; got $artifactScans")
   }
 
+  test("q126 tombstone serve: corrections stay in the artifact — no re-tokenize; tombstone file scanned") {
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Retrieval.q126TombstoneServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val full = ns.map(_.toString).mkString("\n")
+    // the delete corrections (tf semi/anti joins, df decrement, stats
+    // longs) must be computed FROM the artifact, never by re-tokenizing
+    // the corpus: no sorted-run tf counter in the lineage (q113's pin)
+    assert(!full.contains("array_sort"),
+      "tombstoned serve re-runs the tf counter — corrections were rebuilt, not derived from the artifact")
+    val scans = ns.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scans.exists(p => p.contains("lextomb") && p.contains("tombstones")),
+      s"expected a scan over the tombstone file; got ${scans.filter(_.contains("lextomb"))}")
+  }
+
   test("q115 lex append: served lineage reads BOTH segments and never re-tokenizes the corpus") {
     import graft.ops.Retrieval
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
