@@ -2730,6 +2730,35 @@ object Similarity {
       live, emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
   }
 
+  /** Physical reclamation for a tombstoned IVF-PQ artifact — the vector
+    * analogue of [[graft.ops.Retrieval.lexIndexCompact]]'s delete
+    * handling: copy-on-write to a NEW root with deleted rows dropped from
+    * the code table and NO tombstones dir (cents/books copy unchanged —
+    * the frozen-quantizer contract means compaction never retrains
+    * either). After compaction a plain serve (no delete logic) is
+    * identical to the tombstoned serve of the old root: the anti-join was
+    * the only thing the tombstone changed. Merely copying segments while
+    * dropping the tombstones would RESURRECT deleted vectors — same
+    * failure mode the lexical compactor guards. */
+  def ivfCodesCompact(s: SparkSession, root: String, outRoot: String): Unit = {
+    require(outRoot != root,
+      "compaction is copy-on-write: outRoot must be a new artifact root")
+    s.read.parquet(s"$root/cents").write.mode("overwrite").parquet(s"$outRoot/cents")
+    s.read.parquet(s"$root/books").write.mode("overwrite").parquet(s"$outRoot/books")
+    val codes = s.read.parquet(s"$root/codes")
+    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live =
+      if (!fs.exists(tombRoot)) codes
+      else {
+        val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
+          .map(_.getPath.toString).sorted.toSeq
+        codes.join(s.read.parquet(tombs: _*).select("vec_id").distinct(),
+          Seq("vec_id"), "left_anti")
+      }
+    live.write.mode("overwrite").parquet(s"$outRoot/codes")
+  }
+
   lazy val q127Sql: String =
     s"""$ivfPqAdcCtes
        |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (

@@ -173,4 +173,16 @@ object VecStream {
     cells.unionByName(graft.ops.Similarity.probeCellRows(fr, cents))
       .write.mode("overwrite").parquet(s"${outPath}_cells")
   }
+
+  /** Fold a vector DELETE micro-batch into the persisted IVF-PQ artifact —
+    * the streaming half of the q127 live-docs contract, mirroring
+    * [[graft.streaming.DocStream.tombstoneBatch]]: each batch of deleted
+    * vec_ids lands as its own tiny immutable tombstone file under the
+    * artifact root (cents/books/codes never rewritten, the frozen-
+    * quantizer contract), the serve-side anti-join folds over the
+    * tombstone-file union, and physical reclamation stays
+    * [[graft.ops.Similarity.ivfCodesCompact]]'s job. */
+  def tombstoneBatch(ids: DataFrame, root: String, name: String): Unit =
+    ids.select(col("vec_id")).write.mode("overwrite")
+      .parquet(s"$root/tombstones/$name")
 }

@@ -2786,6 +2786,48 @@ class OperatorSpec extends AnyFunSuite {
       "no deleted id ever appeared as a candidate — delete set vacuous at this SF")
   }
 
+  test("ANN tombstone compaction: multi-batch tombstones fold; compacted plain serve ≡ tombstoned serve; no resurrection") {
+    import graft.ops.Similarity
+    // q127's entry builds the artifact + first tombstone (t0)
+    Similarity.q127AnnTombstoneServed(spark, sf).collect()
+    val root = s"${Similarity.knnGraphServePath(sf)}/ivftomb"
+    val (emb, _, _) = Similarity.pqParts(spark, sf)
+    // a second delete batch lands through the streaming surface
+    graft.streaming.VecStream.tombstoneBatch(
+      emb.filter(col("vec_id") % 7 === 5 && col("vec_id") >= 10).select("vec_id"),
+      root, "t1")
+    val cents = spark.read.parquet(s"$root/cents")
+    val books = spark.read.parquet(s"$root/books")
+    val codes = spark.read.parquet(s"$root/codes")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/tombstones"))
+      .filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+    assert(tombs.size == 2, s"expected 2 tombstone files, got $tombs")
+    val del = spark.read.parquet(tombs: _*).select("vec_id").distinct()
+    val queries = emb.filter(col("vec_id") < 10).select("vec_id", "e")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Long]("rn"))).toSet
+    val tombstoned = key(Similarity.ivfPqSearchFrom(cents, books,
+      codes.join(del, Seq("vec_id"), "left_anti"), queries).collect())
+    val out = java.nio.file.Files.createTempDirectory("graft_ivfcompact").toString + "/c"
+    Similarity.ivfCodesCompact(spark, root, out)
+    assert(!new java.io.File(s"$out/tombstones").exists,
+      "compacted root must not carry tombstones — they were applied")
+    val compacted = key(Similarity.ivfPqSearchFrom(
+      spark.read.parquet(s"$out/cents"), spark.read.parquet(s"$out/books"),
+      spark.read.parquet(s"$out/codes"), queries).collect())
+    assert(tombstoned.nonEmpty && compacted == tombstoned,
+      "compacted artifact resurrected or lost deleted vectors")
+    val nDel = codes.join(del, Seq("vec_id"), "left_semi").count()
+    assert(nDel > 0 && spark.read.parquet(s"$out/codes").count() == codes.count() - nDel,
+      "compacted code table row count drifted from codes minus deleted")
+    // hygiene: drop the extra batch so a later q127 run in this JVM sees
+    // only the delete set its oracle states (the artifact root is shared
+    // per-dataset within the JVM)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones/t1"), true)
+  }
+
   test("tombstone deletes: served-with-deletes ≡ rebuild-minus-deleted; compaction applies them physically (no resurrection)") {
     import graft.ops.{Retrieval, TextOps}
     val dir = java.nio.file.Files.createTempDirectory("graft_lextomb_spec").toString
