@@ -1186,6 +1186,10 @@ object Retrieval {
         rawStats.select(col("n_docs"),
           (col("tot_dl").cast("double") / col("n_docs")).as("avgdl")))
     val tombs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString).sorted
+    if (tombs.isEmpty)
+      return (tf0, df0,
+        rawStats.select(col("n_docs"),
+          (col("tot_dl").cast("double") / col("n_docs")).as("avgdl")))
     val del = s.read.parquet(tombs.toSeq: _*).select("doc_id").distinct()
     val tfDel = tf0.join(del, Seq("doc_id"), "left_semi")
     val tf1 = tf0.join(del, Seq("doc_id"), "left_anti")

@@ -2753,7 +2753,8 @@ object Similarity {
       else {
         val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
           .map(_.getPath.toString).sorted.toSeq
-        codes.join(s.read.parquet(tombs: _*).select("vec_id").distinct(),
+        if (tombs.isEmpty) codes
+        else codes.join(s.read.parquet(tombs: _*).select("vec_id").distinct(),
           Seq("vec_id"), "left_anti")
       }
     live.write.mode("overwrite").parquet(s"$outRoot/codes")
