@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * collapsed 14.1 s (35,475 pairs both), incremental with a 10% fresh batch
   * 4.9 s (7,064 batch-touching pairs) — the steady-state ingest path costs
   * ~1/5 of a full re-dedup at 10% batch size.
+  *
+  * Round-14 rows (q129 economics, BASELINE.md round-14): full recluster
+  * 31.2 s vs the label-edge fold 7.62 s at 10% fresh — 4.1×, identical
+  * 28,660 labels. Caveat: the FIRST row in the JVM carries codegen/JIT
+  * warmup (the ProfilePositional lesson — one session printed 209 s for
+  * plain pairs); compare adjacent rows, not the leadoff.
   */
 object Profile24 {
   def main(args: Array[String]): Unit = {
