@@ -247,4 +247,38 @@ object DocStream {
     * contract). */
   def tombstoneBatch(s: SparkSession, path: String, ids: DataFrame, name: String): Unit =
     graft.ops.Retrieval.lexTombstone(ids, path, name)
+
+  /** Fold a fresh-document micro-batch into the persisted near-dup CLUSTER
+    * LABELS — the streaming half of the q129 contract, keeping the split
+    * key (q108) and collapse key (q124/q128) current on a live ingest
+    * stream without ever re-comparing existing×existing documents. Two
+    * copy-on-write artifacts roll forward per batch (the
+    * [[graft.streaming.VecStream.graphAppend]] convention — new version
+    * dirs, the retire/swap is the caller's step):
+    *   - the RANKED-CORPUS probe side (df-ranked hash arrays, the
+    *     [[graft.ops.Dedup.corpusArtifact]] shape, ranked once under the
+    *     frozen broadcast rank table — rank CONSISTENCY is all All-Pairs
+    *     prefix containment needs, the `incrementalFrom` argument), grown
+    *     by the batch's rows so the NEXT batch probes corpus ∪ history;
+    *   - the LABELS, refolded by q129's kernel: label edges ∪ the batch's
+    *     one-sided-probe pairs → min-label fixpoint.
+    * Streamed ≡ one-shot full recluster bit-for-bit by induction on the
+    * per-step q129 identity (DocStreamSpec). */
+  def clusterAppendBatch(s: SparkSession, rankedIn: String, labelsIn: String,
+      btable: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
+      batch: DataFrame, threshold: Double,
+      rankedOut: String, labelsOut: String): Unit = {
+    import graft.ops.Dedup
+    val corpusRanked = s.read.parquet(rankedIn)
+    val labels = s.read.parquet(labelsIn)
+    val freshPairs = Dedup.incrementalFrom(corpusRanked, btable, batch, threshold)
+      .select("a_id", "b_id")
+    Dedup.clusterPairs(
+      labels.select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
+        .unionByName(freshPairs))
+      .write.mode("overwrite").parquet(labelsOut)
+    corpusRanked
+      .unionByName(Dedup.rankDocs(Dedup.hashShingles(batch), btable))
+      .write.mode("overwrite").parquet(rankedOut)
+  }
 }

@@ -547,4 +547,49 @@ class DocStreamSpec extends AnyFunSuite {
     assert(rebuilt.nonEmpty && streamed == rebuilt,
       s"streamed deletes diverged from rebuild-minus-deleted: ${streamed.size} vs ${rebuilt.size}")
   }
+
+  test("streamed cluster maintenance: micro-batch label folds ≡ one-shot full recluster bit-for-bit") {
+    val spark = TestSpark.spark
+    import graft.ops.{Dedup => DD}
+    val all = Tables.documents(spark, sf)
+    val static = all.filter(col("doc_id") % 3 === 2)
+    val root = java.nio.file.Files.createTempDirectory("docstream_cluster").toString
+    // build-time artifacts: the ranked probe side + base labels
+    val (ranked, btable) = DD.corpusArtifact(static)
+    ranked.write.mode("overwrite").parquet(s"$root/ranked_v0")
+    DD.clusterPairs(DD.jaccardPairs(DD.shingleDocs(static), threshold)
+        .select("a_id", "b_id"))
+      .write.mode("overwrite").parquet(s"$root/labels_v0")
+    // the remaining docs arrive as forced separate micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("docstream_cluster_src").toString
+    Seq(0, 1).foreach { m =>
+      all.filter(col("doc_id") % 3 === m).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    var ver = 0
+    val q = spark.readStream.schema(DocStream.rawSchema)
+      .option("pathGlobFilter", "*.parquet").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          DocStream.clusterAppendBatch(spark,
+            s"$root/ranked_v$ver", s"$root/labels_v$ver", btable,
+            batch, threshold,
+            s"$root/ranked_v${ver + 1}", s"$root/labels_v${ver + 1}")
+          ver += 1
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(ver >= 2, s"expected ≥2 micro-batches, got $ver")
+    val streamed = spark.read.parquet(s"$root/labels_v$ver").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    val oneShot = DD.q53DedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneShot.nonEmpty && streamed == oneShot,
+      s"streamed labels diverged from the one-shot recluster: " +
+        s"missing=${(oneShot -- streamed).take(3)} extra=${(streamed -- oneShot).take(3)}")
+  }
 }
