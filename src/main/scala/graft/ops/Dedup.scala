@@ -843,6 +843,67 @@ object Dedup {
        |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** q130: DEDUP YIELD ACCOUNTING — the per-source curation report every
+    * training-data run publishes after near-dup collapse: how many
+    * documents and tokens each source contributed, how many survive
+    * keeping one canonical per q53 cluster (canonical = the min-id member,
+    * the q42/q124 collapse convention — a doc is kept iff its doc_id IS
+    * its group label; singletons label themselves via the q108 coalesce),
+    * and the token yield percentage. This is the number that decides
+    * whether a source is worth its crawl cost: a source can be large in
+    * raw tokens and small in KEPT tokens when its content is mostly
+    * near-duplicate boilerplate. Cross-source duplicates are charged to
+    * the non-canonical source by construction (its copy is the one
+    * dropped), which is exactly the accounting a dedup-aware mixture
+    * (q55) should consume.
+    *
+    * Everything is integer (counts, long token sums); the single double —
+    * yield_pct — is one division of exact longs rounded 6dp, the repo's
+    * portable-double convention.
+    *
+    * Scale shape: cluster labels come from the scale-audited q53 kernel
+    * (All-Pairs prefix-filtered pair gen + min-label propagation with the
+    * star-contraction fallback); the label attach is the same one
+    * doc-keyed left equi join q108 rides; the per-source rollup is a
+    * partial+final agg with |sources| groups. Nothing shuffles beyond
+    * q53's own audited passes plus one tiny agg. */
+  def q130DedupYield(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterPairs(exactJaccardPairs(s, d, 0.6).select("a_id", "b_id"))
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_total"),
+        sum(col("n_words")).as("tokens_total"),
+        sum(col("keep").cast("long")).as("docs_kept"),
+        sum(when(col("keep"), col("n_words")).otherwise(lit(0L))).as("tokens_kept"))
+      .withColumn("tokens_dropped", col("tokens_total") - col("tokens_kept"))
+      .withColumn("yield_pct",
+        round(col("tokens_kept") * lit(100.0) / col("tokens_total"), 6))
+      .select("source", "docs_total", "tokens_total", "docs_kept",
+        "tokens_kept", "tokens_dropped", "yield_pct")
+      .orderBy("source")
+  }
+
+  val q130Sql: String =
+    s"""WITH RECURSIVE $clusterCtesBody,
+       |g AS (
+       |  SELECT d.source,
+       |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       |         COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS keep
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+       |SELECT source,
+       |       CAST(COUNT(*) AS BIGINT) AS docs_total,
+       |       CAST(SUM(n_words) AS BIGINT) AS tokens_total,
+       |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       |       CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS tokens_kept,
+       |       CAST(SUM(CASE WHEN keep THEN 0 ELSE n_words END) AS BIGINT) AS tokens_dropped,
+       |       round(CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS DOUBLE) * 100.0
+       |             / CAST(SUM(n_words) AS DOUBLE), 6) AS yield_pct
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   /** Cross-document repeated-substring spans — the distributed form of
     * exact-substring dedup (the "remove any ≥N-token run that appears in
     * more than one document" rule; the reference-free analogue of suffix-
@@ -1157,6 +1218,7 @@ object Dedup {
     // (the q106 append convention for the dedup family)
     ("q129_cluster_append", q129ClusterAppend _, Some(q53Sql)),
     ("q108_leak_safe_split", q108LeakSafeSplit _, Some(q108Sql)),
+    ("q130_dedup_yield", q130DedupYield _, Some(q130Sql)),
     ("q57_substr_spans", q57SubstrSpans _, Some(q57Sql)),
     ("q59_edit_dedup", q59EditDedup _, Some(q59Sql)),
     ("q60_substr_clean", q60SubstrClean _, Some(q60Sql)),

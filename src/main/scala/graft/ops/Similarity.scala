@@ -3132,6 +3132,95 @@ object Similarity {
        |       COUNT(*) AS n
        |FROM x GROUP BY label, i ORDER BY label, i""".stripMargin
 
+  /** q131: TRIANGLE COUNT + LOCAL CLUSTERING COEFFICIENT over the MUTUAL
+    * kNN graph — the graph-density audit that tells a curation pipeline
+    * whether its semantic neighborhoods are tight communities (high
+    * coefficient → SemDeDup/label-prop operate on real clusters) or hub
+    * noise (low → the k in q82 is reaching past the data's natural
+    * neighborhood size). Graph: undirected edge {a,b} iff EACH is in the
+    * OTHER's top-k (mutual-kNN — the symmetrization that drops asymmetric
+    * hub edges), canonicalized a < b. Per node: degree, triangle count,
+    * and clust_coef = 2·T / (deg·(deg−1)) (rounded 6dp; 0 when deg < 2).
+    * Nodes with no mutual edge have no neighborhood to audit and are
+    * absent by construction.
+    *
+    * Scale shape: the expensive subtree is q82's audited candidate kernel
+    * + bounded top-k — everything after runs on n·k-bounded integer edge
+    * rows. Mutual degree is ≤ k BY CONSTRUCTION (each mutual edge spends
+    * one of its endpoint's k top-k slots), so the classic triangle-count
+    * skew problem — wedge fan-out quadratic in hub degree, the reason
+    * general-graph implementations degree-order their orientation — is
+    * structurally absent: the id-ordered orientation (x < y < z, each
+    * triangle emitted once) bounds per-node wedges at k²/2 ≈ 12 rows.
+    * Both joins are equi-joins on node keys over the k-bounded edge list;
+    * the edge frame is cached once (referenced four times: two wedge
+    * sides, the closing semi-join, and degree). */
+  def q131TriangleCount(s: SparkSession, d: String): DataFrame = {
+    val tk = knnEdges(s, d).select("query_id", "neighbor_id")
+    val und = tk.as("f").join(tk.as("r"),
+        col("f.query_id") === col("r.neighbor_id") &&
+          col("f.neighbor_id") === col("r.query_id"), "left_semi")
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+      .cache()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tri = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"), "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val pern = tri.select(col("x").as("v"))
+      .unionAll(tri.select(col("y").as("v")))
+      .unionAll(tri.select(col("z").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(pern, Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clust_coef",
+        when(col("deg") >= 2,
+          round(col("n_tri") * lit(2.0) / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("vec_id")
+  }
+
+  lazy val q131Sql: String =
+    s"""$knnCandCtes,
+       |tke AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM cand)
+       |  WHERE rn <= $AdcK),
+       |und AS (
+       |  SELECT f.query_id AS a, f.neighbor_id AS b
+       |  FROM tke f JOIN tke r
+       |    ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
+       |  WHERE f.query_id < f.neighbor_id),
+       |deg AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+       |  GROUP BY v),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+       |  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |pern AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri
+       |  FROM (SELECT x AS v FROM tri UNION ALL
+       |        SELECT y AS v FROM tri UNION ALL
+       |        SELECT z AS v FROM tri)
+       |  GROUP BY v)
+       |SELECT deg.v AS vec_id, deg.deg,
+       |       COALESCE(pern.n_tri, 0) AS n_tri,
+       |       CASE WHEN deg.deg >= 2
+       |            THEN round(CAST(COALESCE(pern.n_tri, 0) AS DOUBLE) * 2.0
+       |                       / (deg.deg * (deg.deg - 1)), 6)
+       |            ELSE 0.0 END AS clust_coef
+       |FROM deg LEFT JOIN pern ON deg.v = pern.v
+       |ORDER BY vec_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q28_ann_topk", q28AnnTopk _, Some(q28Sql)),
     ("q29_ann_lsh", q29AnnLsh _, Some(q29Sql)),
@@ -3169,5 +3258,6 @@ object Similarity {
     // with the delete predicate applied before ranking (NOT a rebuild —
     // a rebuild would retrain; frozen-quantizer is the specified contract)
     ("q127_ann_tombstone", q127AnnTombstoneServed _, Some(q127Sql)),
+    ("q131_triangle_count", q131TriangleCount _, Some(q131Sql)),
   )
 }

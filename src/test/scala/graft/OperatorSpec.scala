@@ -2868,4 +2868,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(rank(ctf, cdf, cst) == served,
       "compacted artifact resurrected or lost deleted docs")
   }
+
+  test("q130: yield accounting reconciles with the q108 group labels and raw corpus totals") {
+    val rows = Dedup.q130DedupYield(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ", -1).length.toLong))
+    val bySrc = docs.groupBy(_._2)
+    assert(rows.map(_.getAs[String]("source")).toSet == bySrc.keySet)
+    // group labels from the q108 gate (same cluster definition by construction)
+    val grp = Dedup.q108LeakSafeSplit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("grp")).toMap
+    rows.foreach { r =>
+      val d = bySrc(r.getAs[String]("source"))
+      val kept = d.filter { case (id, _, _) => grp(id) == id }
+      assert(r.getAs[Long]("docs_total") == d.length)
+      assert(r.getAs[Long]("tokens_total") == d.map(_._3).sum)
+      assert(r.getAs[Long]("docs_kept") == kept.length)
+      assert(r.getAs[Long]("tokens_kept") == kept.map(_._3).sum)
+      assert(r.getAs[Long]("tokens_dropped") == d.map(_._3).sum - kept.map(_._3).sum)
+      val pct = r.getAs[Double]("yield_pct")
+      assert(pct > 0.0 && pct <= 100.0, s"yield_pct out of range: $pct")
+    }
+    assert(rows.map(_.getAs[Long]("tokens_dropped")).sum > 0,
+      "vacuous: dedup dropped nothing at sf0.001")
+  }
+
+  test("q131: triangles match a plain-Scala recompute over the mutual q82 graph; mutual degree ≤ k") {
+    val edges = Similarity.q82KnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val und = edges.filter { case (a, b) => a < b && edges.contains((b, a)) }
+    assert(und.nonEmpty, "vacuous: no mutual edges at sf0.001")
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    und.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val got = Similarity.q131TriangleCount(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == adj.keySet,
+      "node set is not exactly the mutual-edge endpoints")
+    got.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val nb = adj(v)
+      assert(r.getAs[Long]("deg") == nb.size, s"deg mismatch at $v")
+      // the scale claim the scaladoc makes: mutual degree is bounded by k
+      assert(nb.size <= Similarity.AdcK, s"mutual degree ${nb.size} > k at $v")
+      val tris = nb.toSeq.sorted.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      assert(r.getAs[Long]("n_tri") == tris.toLong, s"triangle count mismatch at $v")
+      val cc = r.getAs[Double]("clust_coef")
+      assert(cc >= 0.0 && cc <= 1.0, s"clust_coef out of range at $v: $cc")
+      if (nb.size < 2) assert(cc == 0.0, s"deg<2 node must report 0 coefficient: $v")
+    }
+    assert(got.exists(_.getAs[Long]("n_tri") > 0),
+      "vacuous: no triangles anywhere at sf0.001")
+  }
 }
