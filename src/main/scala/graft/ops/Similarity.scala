@@ -3156,12 +3156,21 @@ object Similarity {
     * the edge frame is cached once (referenced four times: two wedge
     * sides, the closing semi-join, and degree). */
   def q131TriangleCount(s: SparkSession, d: String): DataFrame = {
+    // Mutuality as COUNTING, not a self-join: canonicalize each directed
+    // edge to (lo, hi) and keep pairs seen twice — (a→b) AND (b→a) both
+    // collapse onto the same canonical key, and per-query neighbor lists
+    // are distinct so count=2 ⇔ mutual. One shuffle of the n·k edge rows
+    // on the canonical key, and the edge list is referenced ONCE, so the
+    // Σ|cell| kNN kernel structurally cannot execute twice (the mirrored
+    // self-join formulation re-ran it per side — measured 13.3 s vs
+    // 10.4 s at 100k vectors, BASELINE.md round-14 anchors).
     val tk = knnEdges(s, d).select("query_id", "neighbor_id")
-    val und = tk.as("f").join(tk.as("r"),
-        col("f.query_id") === col("r.neighbor_id") &&
-          col("f.neighbor_id") === col("r.query_id"), "left_semi")
-      .filter(col("query_id") < col("neighbor_id"))
-      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    val und = tk
+      .select(least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 2)
+      .select("a", "b")
       .cache()
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
