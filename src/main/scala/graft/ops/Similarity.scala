@@ -2978,7 +2978,10 @@ object Similarity {
 
   // lazy: interpolates CentFixedScale, declared further down the object
   // body — a strict val here would capture its pre-init 0
-  lazy val q69Sql: String =
+  /** The q69 trained-IVF CTE chain through the final assignment (`a1`) —
+    * shared verbatim with [[q132Sql]] so the balance audit can never
+    * quantize differently from the gated index it audits. */
+  private[graft] lazy val ivfTrainCtes: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |seed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $IvfNList),
        |a0 AS (
@@ -3005,7 +3008,10 @@ object Similarity {
        |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
        |           list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce)
        |             + list_inner_product(c.ce, c.ce), c.cent_id) AS rn
-       |  FROM e x CROSS JOIN cents c),
+       |  FROM e x CROSS JOIN cents c)""".stripMargin
+
+  lazy val q69Sql: String =
+    s"""$ivfTrainCtes,
        |idx AS (SELECT vec_id AS neighbor_id, e AS en,
        |               sqrt(list_inner_product(e, e)) AS nn, cent_id AS cell
        |        FROM a1 WHERE rn = 1),
@@ -3230,6 +3236,62 @@ object Similarity {
        |FROM deg LEFT JOIN pern ON deg.v = pern.v
        |ORDER BY vec_id""".stripMargin
 
+  /** q132: IVF CELL-BALANCE AUDIT — the index-health report that closes
+    * the serving-ops triple (q79 recall, q109 distribution drift, and now
+    * occupancy): per cell of q69's trained inverted index, the member
+    * count, its parts-per-million share of the corpus, and its size rank.
+    * This is the number an IVF operator actually pages on: probe latency
+    * is driven by the LARGEST probed cells (a cell holding 10× its fair
+    * share makes every query probing it 10× slower than budgeted), and
+    * empty cells silently waste nlist — both are invisible in recall
+    * numbers alone. Empty cells are REPORTED (count 0 via the left join
+    * from the centroid set), not dropped — they are the audit's point.
+    *
+    * Training and assignment are EXACTLY q69's chain (same seed, same
+    * one fixed-point Lloyd round, shared [[assignCells]] kernel; the
+    * oracle composes the same [[ivfTrainCtes]] prefix as q69Sql), so the
+    * audit can never quantize differently from the gated index it audits.
+    * share_ppm is pure integer (n_vecs·10⁶ div total, the q55
+    * convention); size_rank breaks ties by cell id.
+    *
+    * Scale shape: assignment is the audited map-side broadcast-centroid
+    * pass (no embedding ever shuffles); the rollup is a partial+final agg
+    * with nlist groups; everything after — the empty-cell join, the
+    * share, the rank window — runs on nlist rows (the one global window
+    * is over nlist rows, not the corpus, at any data size). */
+  def q132IvfBalance(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    val seed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val cents = fixedPointUpdate(assignCells(emb, seed), seed)
+    val counts = assignCells(emb, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("total"))
+    val w = Window.orderBy(col("n_vecs").desc, col("cell"))
+    cents.select(col("cent_id").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_vecs * 1000000 div total"))
+      .withColumn("size_rank", row_number().over(w).cast("long"))
+      .select("cell", "n_vecs", "share_ppm", "size_rank")
+      .orderBy("cell")
+  }
+
+  lazy val q132Sql: String =
+    s"""$ivfTrainCtes,
+       |asg AS (SELECT vec_id, cent_id AS cell FROM a1 WHERE rn = 1),
+       |counts AS (
+       |  SELECT c.cent_id AS cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n_vecs
+       |  FROM cents c LEFT JOIN asg a ON a.cell = c.cent_id
+       |  GROUP BY c.cent_id),
+       |tot AS (SELECT SUM(n_vecs) AS total FROM counts)
+       |SELECT cell, n_vecs,
+       |       CAST(n_vecs * 1000000 // total AS BIGINT) AS share_ppm,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cell) AS BIGINT) AS size_rank
+       |FROM counts CROSS JOIN tot
+       |ORDER BY cell""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q28_ann_topk", q28AnnTopk _, Some(q28Sql)),
     ("q29_ann_lsh", q29AnnLsh _, Some(q29Sql)),
@@ -3268,5 +3330,6 @@ object Similarity {
     // a rebuild would retrain; frozen-quantizer is the specified contract)
     ("q127_ann_tombstone", q127AnnTombstoneServed _, Some(q127Sql)),
     ("q131_triangle_count", q131TriangleCount _, Some(q131Sql)),
+    ("q132_ivf_balance", q132IvfBalance _, Some(q132Sql)),
   )
 }

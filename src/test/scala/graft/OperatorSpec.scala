@@ -2920,4 +2920,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.exists(_.getAs[Long]("n_tri") > 0),
       "vacuous: no triangles anywhere at sf0.001")
   }
+
+  test("q132: cell balance covers every trained cell exactly once and reconciles with corpus totals") {
+    val rows = Similarity.q132IvfBalance(spark, sf).collect()
+    // one row per seed centroid — cells are exactly the seed vec_ids, and
+    // empty cells must be REPORTED, not dropped
+    assert(rows.map(_.getAs[Long]("cell")).sorted.toSeq ==
+      (0L until Similarity.IvfNList.toLong))
+    val n = Tables.embeddings(spark, sf).count()
+    val counts = rows.map(_.getAs[Long]("n_vecs"))
+    assert(counts.sum == n, s"cell counts sum ${counts.sum} != corpus $n")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_ppm") == r.getAs[Long]("n_vecs") * 1000000L / n)
+    }
+    // size_rank is a permutation of 1..nlist consistent with (n_vecs desc, cell)
+    val byRank = rows.sortBy(_.getAs[Long]("size_rank"))
+    assert(byRank.map(_.getAs[Long]("size_rank")).toSeq ==
+      (1L to Similarity.IvfNList.toLong))
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        val (na, nb) = (a.getAs[Long]("n_vecs"), b.getAs[Long]("n_vecs"))
+        assert(na > nb || (na == nb && a.getAs[Long]("cell") < b.getAs[Long]("cell")))
+      case _ =>
+    }
+    // the audit is non-degenerate on the testdata: the index is imbalanced
+    assert(counts.max > counts.min, "vacuous: perfectly uniform cells at sf0.001")
+  }
 }
