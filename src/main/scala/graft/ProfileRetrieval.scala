@@ -120,6 +120,24 @@ object ProfileRetrieval {
       val (tf, df, st) = Retrieval.lexIndexServeDel(spark, path)
       TextOps.bm25RankedFrom(tf, df, st, TextOps.queryTerms(spark, d)).count()
     }
+    // round-15: the fully artifact-served entry's economics (q133's shape).
+    // labels_build is the ONE-TIME cluster-artifact cost (the corpus-linear
+    // piece q124 pays in-query, measured here as the amortized build);
+    // retrieval_served_full is the steady-state serve — scored pass from
+    // the segmented artifact + tombstone corrections + the collapse join
+    // against the persisted label map, NO tokenize/cluster kernel.
+    val lpath = path + "_labels"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lpath))
+    time("labels_build") {
+      graft.ops.Dedup.q53DedupClusters(spark, d)
+        .write.mode("overwrite").parquet(lpath)
+    }
+    time("retrieval_served_full") {
+      val (tf, df, st) = Retrieval.lexIndexServeDel(spark, path)
+      Retrieval.collapseRankFrom(
+        TextOps.bm25ScoredFrom(tf, df, st, TextOps.queryTerms(spark, d)),
+        spark.read.parquet(lpath)).count()
+    }
     spark.stop()
   }
 }

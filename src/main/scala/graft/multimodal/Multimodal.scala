@@ -190,6 +190,64 @@ object Multimodal {
       }(enc).toDF()
   }
 
+  /** 64-bit aHash perceptual fingerprint of a REAL image payload (the
+    * content-level multimodal-dedup primitive): decode via `javax.imageio`,
+    * integer-downsample the luma raster to an 8×8 grid (mean Rec. 601 luma
+    * per cell — plain box averaging, no DCT, portable), threshold each cell
+    * at the grid mean. Bit i (row-major) is set iff cell i's luma sum
+    * strictly exceeds its share of the grid total — the compare is held in
+    * integer cross-multiplied form (sum·64 > total·cellArea-normalized)
+    * so no float rounding can flip a bit between platforms. Two
+    * re-encodes/resizes of the same picture land within a few bits
+    * (hamming ≤ ~10 of 64); unrelated pictures differ by ~32 — the spec
+    * plants exactly that. Pairs at corpus scale come from the q134 banding
+    * machinery (16-bit bands, equi-join candidates, exact hamming verify
+    * on candidates only — never all-pairs). */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "no registered ImageIO reader accepts this payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 8 && h >= 8, s"image too small for an 8x8 grid: ${w}x$h")
+    // integer luma accumulators per cell: sum of (299R + 587G + 114B) and
+    // pixel counts — exact integer math end-to-end
+    val sums = Array.ofDim[Long](64)
+    val cnts = Array.ofDim[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        val c = gy * 8 + gx
+        sums(c) += luma
+        cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // threshold each cell's MEAN luma against the grand mean. Means are
+    // held as ·1000-scaled integer divisions (deterministic on every
+    // platform, and overflow-safe where the cross-multiplied form
+    // sum_c·cnt_all would wrap past Long on large rasters): per-cell
+    // numerators cap at 255000·1000, the grand mean at 64× that.
+    val sumAll = sums.sum
+    val cntAll = cnts.sum
+    val meanAll = sumAll * 1000L / cntAll
+    var fp = 0L
+    var c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c) * 1000L / cnts(c) > meanAll) fp |= (1L << c)
+      c += 1
+    }
+    fp
+  }
+
+  /** Hamming distance between two [[aHash64]] fingerprints. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
   /** Frame-sampling stage shape: one row per sampled frame index — the
     * explode pattern a video pipeline uses between decode and per-frame
     * embedding. */
@@ -221,8 +279,106 @@ object MultimodalOps {
       |       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS fake_h
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Hamming budget for q134 near-dup pairs and the band split (4 bands of
+    * 16 bits — the q26 SimHash banding convention). */
+  private val PhashMaxHam = 8
+
+  /** q134: PERCEPTUAL-HASH NEAR-DUP PAIRS over the multimodal payload —
+    * content-level multimodal dedup (the aHash/dHash family: integer
+    * downsample + threshold, no DCT), the operator an image-heavy corpus
+    * runs where text dedup runs MinHash. The fingerprint is a 64-bit aHash
+    * over the stub decoder's "luma grid": 64 payload samples at positions
+    * ⌊i·L/64⌋+1 (the deterministic decode of the text-standing-in-for-media
+    * payload — [[Multimodal.FakeDecoder]]'s convention; [[Multimodal
+    * .aHash64]] is the REAL-codec binding of the identical grid+threshold
+    * recipe, spec-gated on synthesized PNGs), each cell thresholded at the
+    * grid mean in exact integer cross-multiplied form (v·64 > Σv — no
+    * division, no float, bit-identical cross-engine).
+    *
+    * Pairing is q26's SimHash BANDING machinery verbatim: the 64 bits
+    * split into 4 × 16-bit bands; candidates share ≥ 1 exact band
+    * (equi-join on (band, value) — never all-pairs); the exact hamming
+    * verify (Σ bit_count(xor) over the 4 band words) runs on candidates
+    * only, kept at ≤ [[PhashMaxHam]]. The gated semantics are the banded
+    * LSH contract itself (share-a-band AND hamming ≤ H — the oracle
+    * states the same two-phase rule), the standard recall trade: a pair
+    * with ≤ 8 scattered bit flips may miss banding, exactly like SimHash.
+    *
+    * Scale shape: fingerprints are map-side (one pass over the payload,
+    * 4 longs out — 32 bytes/doc at 100 TB); the band join shuffles n·4
+    * 16-byte rows on (band, value); hamming is map-side on matched pairs;
+    * the only corpus-sized exchange is the banded candidate join, the
+    * exact shape q26 runs. Byte-identical duplicates hash identically, so
+    * hamming-0 pairs are guaranteed recall (the q23 set). */
+  def q134PhashNearDup(s: SparkSession, d: String): DataFrame =
+    phashPairs(Tables.spread(s, Tables.documents(s, d), "doc_id"))
+
+  /** The fingerprint + banding + verify kernel over ANY (doc_id, text)
+    * payload frame — the catalog table for q134, a planted near-dup frame
+    * for the recall spec; only payload rows cross the interface. */
+  private[graft] def phashPairs(docs: DataFrame): DataFrame = {
+    val fps = docs
+      .filter(length(col("text")) > 0)
+      .withColumn("g", expr(
+        "transform(sequence(0, 63), i -> CAST(ascii(substring(" +
+          "text, CAST((i * length(text)) DIV 64 AS INT) + 1, 1)) AS BIGINT))"))
+      .withColumn("sm", expr("aggregate(g, 0L, (acc, x) -> acc + x)"))
+      .withColumn("fp", expr(
+        "transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0L, " +
+          "(acc, j) -> acc + IF(element_at(g, b * 16 + j + 1) * 64 > sm, " +
+          "shiftleft(1L, j), 0L)))"))
+      .select(col("doc_id"), col("fp"))
+    val bands = fps.select(col("doc_id"), col("fp"),
+      posexplode(col("fp")).as(Seq("b", "bv")))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .dropDuplicates(Seq("a_id", "b_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(fa, fb, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), " +
+          "0L, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= PhashMaxHam)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q134Sql: String =
+    s"""WITH cells AS (
+       |  SELECT doc_id, i,
+       |         CAST(ascii(substring(text,
+       |              CAST((i * length(text)) // 64 AS INTEGER) + 1, 1)) AS BIGINT) AS v
+       |  FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS i)
+       |  WHERE length(text) > 0),
+       |tot AS (SELECT doc_id, SUM(v) AS s FROM cells GROUP BY doc_id),
+       |bands AS (
+       |  SELECT c.doc_id, CAST(c.i // 16 AS BIGINT) AS b,
+       |         CAST(SUM(CASE WHEN c.v * 64 > t.s
+       |              THEN (CAST(1 AS BIGINT) << CAST(c.i % 16 AS INTEGER))
+       |              ELSE 0 END) AS BIGINT) AS bv
+       |  FROM cells c JOIN tot t USING (doc_id)
+       |  GROUP BY c.doc_id, c.i // 16),
+       |fp AS (SELECT doc_id, list(bv ORDER BY b) AS fp FROM bands GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+       |                           AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM (
+       |  SELECT c.a_id, c.b_id,
+       |         CAST(bit_count(xor(fa.fp[1], fb.fp[1]))
+       |            + bit_count(xor(fa.fp[2], fb.fp[2]))
+       |            + bit_count(xor(fa.fp[3], fb.fp[3]))
+       |            + bit_count(xor(fa.fp[4], fb.fp[4])) AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN fp fa ON c.a_id = fa.doc_id
+       |  JOIN fp fb ON c.b_id = fb.doc_id)
+       |WHERE hamming <= $PhashMaxHam
+       |ORDER BY a_id, b_id""".stripMargin
+
   import org.apache.spark.sql.DataFrame
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_multimodal_meta", q30MultimodalMeta _, Some(q30Sql)),
+    ("q134_phash_neardup", q134PhashNearDup _, Some(q134Sql)),
   )
 }

@@ -253,13 +253,20 @@ object Retrieval {
   }
 
   def lexIndexServe(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    // A root that carries tombstones MUST be served with the delete
+    // corrections: silently ignoring the tombstones dir would RESURRECT
+    // deleted docs — the one inconsistency the delete contract cannot
+    // survive (the compactor's no-resurrection guard, applied to serving).
+    val tombRoot = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tfs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tombRoot)) return lexIndexServeDel(s, path)
     val segs = lexSegments(s, path)
     val tf = s.read.parquet(segs.map(_ + "/tf"): _*)
     val df = s.read.parquet(segs.map(_ + "/df"): _*)
       .groupBy("term").agg(sum(col("df")).as("df"))
     val stats = s.read.parquet(segs.map(_ + "/stats"): _*)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
-      .select(col("n_docs"),
+      .select(col("n_docs"), col("tot_dl"),
         (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
     (tf, df, stats)
   }
@@ -297,6 +304,13 @@ object Retrieval {
       if (fs.exists(tombRoot))
         fs.listStatus(tombRoot).filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
       else Seq.empty
+    // validate the mixed-positional invariant BEFORE the first write: a
+    // rejected compaction must leave NO artifact at outPath — a partial
+    // seg0 (tf/df/stats but no pp) would be served position-less by
+    // lexSegments/lexIndexServe with no error
+    val withPp = segs.filter(sg => fs.exists(new org.apache.hadoop.fs.Path(s"$sg/pp")))
+    require(withPp.isEmpty || withPp.size == segs.size,
+      s"mixed positional artifact: ${withPp.size}/${segs.size} segments carry pp")
     val tf0 = s.read.parquet(segs.map(_ + "/tf"): _*)
     val (tf, df, stats) =
       if (tombs.isEmpty) {
@@ -322,11 +336,7 @@ object Retrieval {
     stats.write.mode("overwrite").parquet(s"$outPath/seg0/stats")
     // positional postings (optional segment file) survive compaction:
     // concat-only fold (minus tombstoned docs), same disjoint-doc
-    // algebra. Mixed artifacts fail loud — compacting away the
-    // inconsistency would hide lost positions.
-    val withPp = segs.filter(sg => fs.exists(new org.apache.hadoop.fs.Path(s"$sg/pp")))
-    require(withPp.isEmpty || withPp.size == segs.size,
-      s"mixed positional artifact: ${withPp.size}/${segs.size} segments carry pp")
+    // algebra. Mixed artifacts failed loud above, before any write.
     if (withPp.nonEmpty) {
       val pp0 = s.read.parquet(segs.map(_ + "/pp"): _*)
       val pp =
@@ -335,6 +345,57 @@ object Retrieval {
           Seq("doc_id"), "left_anti")
       pp.write.mode("overwrite").parquet(s"$outPath/seg0/pp")
     }
+  }
+
+  /** Segment count of a lexical-index artifact (0 when the root doesn't
+    * exist yet) — the size-tier input to [[maybeCompactLex]]. */
+  def lexSegmentCount(s: SparkSession, path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("seg"))
+  }
+
+  /** SIZE-TIERED COMPACTION POLICY — the trigger [[lexIndexCompact]]
+    * deliberately lacks: the kernel is a manual call, so without a policy a
+    * long-running ingest degrades until an operator intervenes (the
+    * measured cost: +75% serve latency at 10 segments, BASELINE.md
+    * round-13/14 rows — this threshold check is that row turned into
+    * code). Counts `seg*` dirs under `path`; at ≤ `maxSegments` it is a
+    * metadata-only no-op (one driver-side listing per batch — the steady-
+    * state cost of self-maintenance). Past the threshold it compacts
+    * copy-on-write into a scratch root under the artifact (`__compacting`,
+    * invisible to [[lexSegments]]' `seg*` filter), then SWAPS: old
+    * segments and the physically-applied tombstones are retired and the
+    * merged seg0 is renamed in. The swap is the SINGLE-WRITER maintenance
+    * step of the LSM cadence (call between micro-batches, the
+    * [[graft.streaming.DocStream.lexAppendBatch]] wiring) — frames served
+    * BEFORE the swap keep reading the old segment files they resolved;
+    * serve-after ≡ serve-before bit-for-bit by the compactor's exact
+    * additive merge (gated in DocStreamSpec through a forced multi-batch
+    * drain). A crashed prior attempt (stale scratch dir) is cleaned and
+    * redone — the compaction is idempotent from the immutable inputs.
+    * Returns true iff a compaction ran. */
+  def maybeCompactLex(s: SparkSession, path: String, maxSegments: Int): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    if (lexSegmentCount(s, path) <= maxSegments) return false
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scratch = s"$path/__compacting"
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
+    lexIndexCompact(s, path, scratch)
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg"))
+      .foreach(st => fs.delete(st.getPath, true))
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (fs.exists(tomb)) fs.delete(tomb, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/seg0"),
+      new org.apache.hadoop.fs.Path(s"$path/seg0")),
+      s"compaction swap failed: could not promote $scratch/seg0 into $path")
+    fs.delete(scratchPath, true)
+    true
   }
 
   /** q113: BM25 SERVED FROM THE PERSISTED LEXICAL-INDEX ARTIFACT — q101's
@@ -547,7 +608,7 @@ object Retrieval {
   /** The eval phrase-term table: (query_id, i, term) for each query doc's
     * first [[PhraseLen]] tokens — position index i is what the match
     * shifts by. */
-  private def phraseTermsOf(docs: DataFrame): DataFrame =
+  private[graft] def phraseTermsOf(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") < TextOps.Bm25NQueries)
       .select(col("doc_id").as("query_id"),
         posexplode(slice(col("w"), 1, PhraseLen)).as(Seq("i", "term")))
@@ -556,7 +617,7 @@ object Retrieval {
     * (doc_id, term, positions) — freshly built (q117) or served from the
     * segmented artifact (q120); only postings rows cross this interface,
     * the [[rrfFuse]] substitution convention. */
-  private def phraseRankFrom(pp: DataFrame, qp: DataFrame): DataFrame = {
+  private[graft] def phraseRankFrom(pp: DataFrame, qp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("n_phrase").desc, col("doc_id"))
     pp.join(broadcast(qp), Seq("term"))
@@ -1025,7 +1086,7 @@ object Retrieval {
     * freshly clustered (q124) or served from the persisted artifact
     * (q128); only label rows cross the interface, the [[rrfFuse]]
     * substitution convention. */
-  private def collapseRankFrom(scored: DataFrame, clusters: DataFrame): DataFrame = {
+  private[graft] def collapseRankFrom(scored: DataFrame, clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cl = clusters.select(col("doc_id"), col("cluster_id").as("cid"))
     val wBest = Window.partitionBy("query_id", "ckey").orderBy(col("score").desc, col("doc_id"))
@@ -1181,14 +1242,17 @@ object Retrieval {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
     val root = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // all three return paths carry (n_docs, tot_dl, avgdl) — the same stats
+    // schema as [[lexIndexServe]], so callers can substitute the del-served
+    // frames wherever the additive tot_dl contract is consumed
     if (!fs.exists(root))
       return (tf0, df0,
-        rawStats.select(col("n_docs"),
+        rawStats.select(col("n_docs"), col("tot_dl"),
           (col("tot_dl").cast("double") / col("n_docs")).as("avgdl")))
     val tombs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString).sorted
     if (tombs.isEmpty)
       return (tf0, df0,
-        rawStats.select(col("n_docs"),
+        rawStats.select(col("n_docs"), col("tot_dl"),
           (col("tot_dl").cast("double") / col("n_docs")).as("avgdl")))
     val del = s.read.parquet(tombs.toSeq: _*).select("doc_id").distinct()
     val tfDel = tf0.join(del, Seq("doc_id"), "left_semi")
@@ -1203,7 +1267,7 @@ object Retrieval {
     val stats1 = rawStats.crossJoin(broadcast(dstat))
       .select((col("n_docs") - col("n_del")).as("n_docs"),
         (col("tot_dl") - col("dl_del")).as("tot_dl"))
-      .select(col("n_docs"),
+      .select(col("n_docs"), col("tot_dl"),
         (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
     (tf1, df1, stats1)
   }
@@ -1242,6 +1306,66 @@ object Retrieval {
        |SELECT query_id, rnk, doc_id, score FROM lexr
        |WHERE rnk <= ${TextOps.Bm25K} ORDER BY query_id, rnk""".stripMargin
 
+  /** q133: THE FULLY ARTIFACT-SERVED RETRIEVAL ENTRY — the serving loop
+    * closed in ONE query where every seam was previously gated separately
+    * (lexical q113, deletes q126, clusters q128): scoring, delete
+    * corrections, AND the near-dup collapse all run from persisted
+    * artifacts, with NO corpus-linear kernel at serve time. Build phase
+    * (eager, the q113/q115 convention): one lexical segment over the full
+    * corpus, the q126 tombstone set, and the q53 cluster-label artifact.
+    * Serve phase: [[lexIndexServeDel]]'s corrected tf/df/stats →
+    * [[TextOps.bm25ScoredFrom]] → [[collapseRankFrom]] over the
+    * round-tripped label rows. This is the steady-state RAG shape q128
+    * still fell short of (its scoring arm re-tokenized the corpus — the
+    * round-14 finding #1): here the ONLY serve-time work besides artifact
+    * scans is the eval-query term table (eval-set-sized by construction)
+    * and the delete-correction joins, all computed FROM the artifact.
+    *
+    * Oracle: q124's collapse semantics with the scoring arm rebuilt over
+    * the corpus MINUS the deleted docs (the q126 rebuild identity), and
+    * the cluster map over the FULL corpus — labels are a build-time
+    * artifact, so a delete does not re-cluster (a surviving near-dup of a
+    * deleted doc still collapses under its original cluster key); the
+    * delete set never includes query docs, so qt is unchanged. PlanSpec
+    * pins the served lineage: no sorted-run tf counter (q113's pin), no
+    * RDD-backed cluster kernel (q128's pin), scans rooted at the lexical
+    * segments, the tombstone file, and the label artifact. */
+  def q133RetrievalServed(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Similarity.knnGraphServePath(d)}/servedfull"
+    val clPath = s"${Similarity.knnGraphServePath(d)}/servedfull_clusters"
+    val docs = TextOps.tokenizedDocs(s, d)
+    lexIndexSegment(docs, path, "seg0")
+    lexTombstone(tombstoneIds(docs), path, "t0")
+    Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(clPath)
+    val (tf, df, stats) = lexIndexServeDel(s, path)
+    collapseRankFrom(
+      TextOps.bm25ScoredFrom(tf, df, stats, TextOps.queryTermsOf(docs)),
+      s.read.parquet(clPath))
+  }
+
+  val q133Sql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtesBody},
+       |${TextOps.bm25BaseCtesFor(
+        s" WHERE NOT (doc_id % 7 = 3 AND doc_id >= ${TextOps.Bm25NQueries})")
+        .stripPrefix("WITH ")},
+       |${TextOps.bm25ScoreCtes("qt", "scored", "lexr")},
+       |coll AS (
+       |  SELECT s.query_id, s.doc_id, s.score,
+       |         COALESCE(cl.cluster_id, s.doc_id) AS ckey
+       |  FROM scored s LEFT JOIN cl ON s.doc_id = cl.doc_id),
+       |best AS (
+       |  SELECT query_id, doc_id, score, ckey,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id, ckey
+       |              ORDER BY score DESC, doc_id) AS brn
+       |  FROM coll),
+       |rr AS (
+       |  SELECT query_id, doc_id, score, ckey,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM best WHERE brn = 1)
+       |SELECT query_id, rnk, doc_id, score, ckey FROM rr
+       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_hybrid_rrf", q111HybridRrf _, Some(q111Sql)),
     ("q112_conjunctive", q112Conjunctive _, Some(q112Sql)),
@@ -1262,5 +1386,6 @@ object Retrieval {
     // served ≡ self-clustered: gated against q124's own oracle through
     // the label-artifact round trip
     ("q128_collapse_served", q128CollapseServed _, Some(q124Sql)),
+    ("q133_retrieval_served", q133RetrievalServed _, Some(q133Sql)),
   )
 }

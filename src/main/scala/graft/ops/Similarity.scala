@@ -345,11 +345,16 @@ object Similarity {
   private def embDirToken(s: SparkSession, d: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // statuses sorted by name (listing order is not contractually stable —
+    // unsorted folding caused spurious cache misses) and the token is the
+    // concatenated (name,len,mtime) strings, not a folded Int hashCode: a
+    // 32-bit collision between two corpus states would silently serve a
+    // stale nlist
     val sig =
       if (!fs.exists(p)) "absent"
-      else fs.listStatus(p).map(st =>
-        (st.getPath.getName, st.getLen, st.getModificationTime).hashCode)
-        .foldLeft(0)(31 * _ + _).toString
+      else fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString("|")
     s"$d@$sig"
   }
 
@@ -2760,6 +2765,47 @@ object Similarity {
     live.write.mode("overwrite").parquet(s"$outRoot/codes")
   }
 
+  /** Tombstone-file count under an IVF-PQ artifact root (0 when none) —
+    * the size-tier input to [[maybeCompactIvf]]. */
+  def ivfTombstoneCount(s: SparkSession, root: String): Int = {
+    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombRoot)) 0
+    else fs.listStatus(tombRoot).count(_.isDirectory)
+  }
+
+  /** SIZE-TIERED RECLAMATION POLICY for the IVF-PQ artifact — the vector
+    * mirror of [[graft.ops.Retrieval.maybeCompactLex]]: [[ivfCodesCompact]]
+    * runs only when called, so a long-running delete stream grows one
+    * tombstone file per batch forever (the serve-side anti-join unions all
+    * of them) until an operator intervenes. Counts tombstone files; at
+    * ≤ `maxTombstones` it is a metadata-only no-op. Past the threshold it
+    * compacts copy-on-write into a scratch root under the artifact, then
+    * SWAPS: the live code table replaces `codes` and the tombstones dir is
+    * retired (cents/books are untouched — the frozen-quantizer contract
+    * means compaction never rewrites either). Single-writer maintenance
+    * step, run between micro-batches ([[graft.streaming.VecStream
+    * .tombstoneBatch]]'s wiring); serve-after ≡ tombstoned-serve-before by
+    * the compactor's contract (the anti-join was the only thing the
+    * tombstones changed). Returns true iff a compaction ran. */
+  def maybeCompactIvf(s: SparkSession, root: String, maxTombstones: Int): Boolean = {
+    require(maxTombstones >= 1, s"maxTombstones must be >= 1, got $maxTombstones")
+    if (ivfTombstoneCount(s, root) <= maxTombstones) return false
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scratch = s"$root/__compacting"
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
+    ivfCodesCompact(s, root, scratch)
+    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    fs.delete(codesPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
+      s"compaction swap failed: could not promote $scratch/codes into $root")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+    fs.delete(scratchPath, true)
+    true
+  }
+
   lazy val q127Sql: String =
     s"""$ivfPqAdcCtes
        |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
@@ -3161,7 +3207,15 @@ object Similarity {
     * Both joins are equi-joins on node keys over the k-bounded edge list;
     * the edge frame is cached once (referenced four times: two wedge
     * sides, the closing semi-join, and degree). */
-  def q131TriangleCount(s: SparkSession, d: String): DataFrame = {
+  def q131TriangleCount(s: SparkSession, d: String): DataFrame =
+    triangleCountFrom(knnEdges(s, d).select("query_id", "neighbor_id"))
+
+  /** The mutual-kNN triangle/clustering kernel over ANY directed top-k
+    * edge frame (query_id, neighbor_id) — freshly built (q131) or served
+    * from the persisted edge artifact (q135); only integer edge rows cross
+    * the interface, the [[q94PageRankFrom]]/[[q84LabelPropFrom]]
+    * substitution convention. */
+  private def triangleCountFrom(tk: DataFrame): DataFrame = {
     // Mutuality as COUNTING, not a self-join: canonicalize each directed
     // edge to (lo, hi) and keep pairs seen twice — (a→b) AND (b→a) both
     // collapse onto the same canonical key, and per-query neighbor lists
@@ -3170,7 +3224,6 @@ object Similarity {
     // Σ|cell| kNN kernel structurally cannot execute twice (the mirrored
     // self-join formulation re-ran it per side — measured 13.3 s vs
     // 10.4 s at 100k vectors, BASELINE.md round-14 anchors).
-    val tk = knnEdges(s, d).select("query_id", "neighbor_id")
     val und = tk
       .select(least(col("query_id"), col("neighbor_id")).as("a"),
         greatest(col("query_id"), col("neighbor_id")).as("b"))
@@ -3292,6 +3345,74 @@ object Similarity {
        |FROM counts CROSS JOIN tot
        |ORDER BY cell""".stripMargin
 
+  /** q135: TRIANGLES SERVED FROM THE PERSISTED GRAPH ARTIFACT — the
+    * q101/q105 recipe applied to the third graph analytic, closing the
+    * round-14 gap (q131 rebuilt the kNN kernel in-query): build the edge
+    * artifact once via [[knnGraphArtifact]], read the n·k integer rows
+    * back, and run [[triangleCountFrom]] — mutual-edge counting, wedge
+    * join, closing semi-join — over the ROUND-TRIPPED frame under EXACTLY
+    * q131's oracle. Serve-time cost is the k-bounded integer-edge passes
+    * only (~2 s marginal at 100k per the ProfileTriangles seam
+    * decomposition); PlanSpec pins the no-kernel lineage like q101's.
+    * Eager at construction (writes the artifact), the q101/q113
+    * convention. */
+  def q135TriangleServed(s: SparkSession, d: String): DataFrame = {
+    val path = s"${knnGraphServePath(d)}/edges_tri"
+    knnGraphArtifact(s, d, path, withCells = false)
+    triangleCountFrom(s.read.parquet(path).select("query_id", "neighbor_id"))
+  }
+
+  /** q136: PREDICATE + TOMBSTONE ANN SERVE — the two pre-filters a real
+    * RAG serve applies AT ONCE: q110 gates the metadata predicate and
+    * q127 the delete predicate separately, but a production query is
+    * "top-k most similar LIVE documents matching the filter". Both land
+    * on the 9-byte code-table rows BEFORE candidate generation — the
+    * predicate as a left-semi join (q110's seam), the tombstone union as
+    * a left-anti join (q127's) — so k results come back that are both
+    * live and matching (a post-filter of an unfiltered top-k would return
+    * ~k·selectivity·(1−delete rate)), and n_cand counts live matching
+    * candidates only. Order of the two joins is irrelevant (both are
+    * row-subset filters on the same key); OperatorSpec asserts the
+    * pre-filter ≡ post-filtering the FULL unfiltered candidate list under
+    * both predicates — the identity that makes the composition exact.
+    * Artifacts stay byte-immutable under the frozen quantizer; eager at
+    * construction (writes artifacts + tombstone), the q127 convention.
+    * Oracle: q74's chain with BOTH predicates applied before ranking. */
+  def q136FilteredTombstoneAnn(s: SparkSession, d: String): DataFrame = {
+    val root = s"${knnGraphServePath(d)}/ivffiltomb"
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
+    cents.write.mode("overwrite").parquet(s"$root/cents")
+    books.write.mode("overwrite").parquet(s"$root/books")
+    codeTable.write.mode("overwrite").parquet(s"$root/codes")
+    emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= AdcQueries)
+      .select("vec_id").write.mode("overwrite").parquet(s"$root/tombstones/t0")
+    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
+      .map(_.getPath.toString).sorted.toSeq
+    val del = s.read.parquet(tombs: _*).select("vec_id").distinct()
+    val keep = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
+      .filter(col("label") % 3 === 0).select("vec_id")
+    val live = s.read.parquet(s"$root/codes")
+      .join(del, Seq("vec_id"), "left_anti")
+      .join(keep, Seq("vec_id"), "left_semi")
+    ivfPqSearchFrom(s.read.parquet(s"$root/cents"), s.read.parquet(s"$root/books"),
+      live, emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
+  }
+
+  lazy val q136Sql: String =
+    s"""$ivfPqAdcCtes
+       |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
+       |  SELECT query_id, neighbor_id, adc_fixed,
+       |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |  FROM adc
+       |  WHERE neighbor_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)
+       |    AND NOT (neighbor_id % 7 = 3 AND neighbor_id >= $AdcQueries))
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q28_ann_topk", q28AnnTopk _, Some(q28Sql)),
     ("q29_ann_lsh", q29AnnLsh _, Some(q29Sql)),
@@ -3331,5 +3452,9 @@ object Similarity {
     ("q127_ann_tombstone", q127AnnTombstoneServed _, Some(q127Sql)),
     ("q131_triangle_count", q131TriangleCount _, Some(q131Sql)),
     ("q132_ivf_balance", q132IvfBalance _, Some(q132Sql)),
+    // served ≡ self-contained for the third graph analytic: gated against
+    // q131's own oracle through the edge-artifact round trip
+    ("q135_triangle_served", q135TriangleServed _, Some(q131Sql)),
+    ("q136_filtered_tombstone_ann", q136FilteredTombstoneAnn _, Some(q136Sql)),
   )
 }

@@ -1079,6 +1079,113 @@ object TextOps {
       .replace("HV1", hv(1)).replace("HV2", hv(2)).replace("HV3", hv(3))
   }
 
+  /** The COMMITTED subword vocabulary for q137 — a fixed multi-char unit
+    * table (no BPE training, just greedy application; the single-char
+    * fallback is implicit, so every word always tokenizes). Deliberately
+    * small and corpus-plausible: what matters for budget accounting is a
+    * DETERMINISTIC, sub-word-granular count both engines compute
+    * identically, not a trained merge table. */
+  private[graft] val SubwordVocab: Seq[String] = Seq(
+    "omer", "cust", "wind", "quer", "filt",
+    "str", "eam", "ble", "val", "tch", "ark", "agg", "key", "row",
+    "ta", "ue", "ow", "er", "or", "an", "in", "da", "jo", "gr",
+    "sm", "co", "pa", "ba", "sp", "th")
+
+  /** Greedy longest-match subword count of one word column, as a pure
+    * Spark SQL expression: iterate at most length(word) steps (each step
+    * consumes ≥ 1 char so the bound is exact); at each position the match
+    * is the FIRST entry of the length-DESC-sorted vocab literal whose
+    * substring equals it (= the longest match; ties are equal-length), or
+    * a single char. Entirely map-side — the budget counter adds zero
+    * shuffles to whatever plan consumes it. */
+  private[graft] def subwordCountExpr(wordCol: String): String = {
+    val arr = SubwordVocab.sortBy(v => (-v.length, v))
+      .map(v => s"'$v'").mkString(", ")
+    s"aggregate(sequence(1, length($wordCol)), named_struct('pos', 1, 'cnt', 0L), " +
+      s"(acc, i) -> IF(acc.pos > length($wordCol), acc, named_struct(" +
+      s"'pos', acc.pos + coalesce(length(try_element_at(filter(array($arr), " +
+      s"v -> substring($wordCol, acc.pos, length(v)) = v), 1)), 1), " +
+      s"'cnt', acc.cnt + 1L)), acc -> acc.cnt)"
+  }
+
+  /** q137: DETERMINISTIC SUBWORD TOKEN COUNTS — the budget-accounting
+    * counter the round-14 verdict called out: mixture weights (q55) and
+    * packing budgets (q62) run on whitespace-word counts (the q20
+    * convention), but a real pipeline budgets in SUBWORD tokens; this is
+    * that counter as a gated entry — a greedy longest-match vocab
+    * tokenizer ([[SubwordVocab]], committed table, integer end-to-end; no
+    * BPE training, just application — the tokenize step of any
+    * sentencepiece-style scheme once the merge table is frozen). Output:
+    * per doc, the whitespace word count and the subword token count
+    * (n_words ≤ n_subwords ≤ n_chars by construction — OperatorSpec pins
+    * the greedy algebra and the q55-variant mixture consistency).
+    *
+    * Oracle: DuckDB recomputes the SAME greedy match as a recursive CTE
+    * over DISTINCT words (the match is a pure function of the word string,
+    * so the recursion runs |vocab(corpus)| × ≤ maxlen rows, not
+    * corpus-token rows) with MAX(length) as the longest-match rule —
+    * equal-length ties make the two formulations identical.
+    *
+    * Scale shape: the Spark side is ONE map-side pass (per-word bounded
+    * fold inside the token array — the token stream never shuffles, q56's
+    * discipline); the only exchange is the output sort. At 100 TB the
+    * counter composes into q55/q62 as a drop-in replacement for
+    * size(split(...)) with zero extra shuffles. */
+  def q137SubwordTokens(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        expr(s"aggregate(transform(w, wd -> ${subwordCountExpr("wd")}), 0L, " +
+          "(acc, x) -> acc + x)").as("n_subwords"))
+      .orderBy("doc_id")
+
+  val q137Sql: String = {
+    val arr = SubwordVocab.map(v => s"'$v'").mkString(", ")
+    s"""WITH RECURSIVE vocab(v) AS (SELECT unnest([$arr])),
+       |wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |vw AS (SELECT DISTINCT wd FROM wrd),
+       |step(wd, pos, cnt) AS (
+       |  SELECT wd, 1, CAST(0 AS BIGINT) FROM vw
+       |  UNION ALL
+       |  SELECT wd,
+       |         pos + COALESCE((SELECT MAX(length(v)) FROM vocab
+       |                         WHERE substring(wd, pos, length(v)) = v), 1),
+       |         cnt + 1
+       |  FROM step WHERE pos <= length(wd)),
+       |wc AS (SELECT wd, MAX(cnt) AS n_sub FROM step GROUP BY wd)
+       |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(wc.n_sub) AS BIGINT) AS n_subwords
+       |FROM wrd w JOIN wc ON w.wd = wc.wd
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+  }
+
+  /** The q55 mixture boundary computed from SUBWORD token counts — the
+    * drop-in budget-unit swap the q137 scaladoc promises (same
+    * deterministic md5-bucket machinery, same integer cross-multiplied
+    * boundary; only the token counter changes). Not separately gated (the
+    * formula is q55's gated one verbatim); OperatorSpec pins consistency:
+    * deterministic reselection and the per-doc boundary identity. */
+  def sourceMixSubword(s: SparkSession, d: String): DataFrame = {
+    val docs = q137SubwordTokens(s, d)
+      .join(Tables.spread(s, Tables.documents(s, d), "doc_id")
+        .select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_subwords").as("n_tok"))
+    val per = docs.groupBy("source")
+      .agg(sum("n_tok").as("tok_s"), count(lit(1)).as("docs_s"))
+      .withColumn("ws_int",
+        floor(sqrt(col("tok_s").cast("double")) * 1e6).cast("long"))
+      .select("source", "docs_s", "ws_int")
+    val tot = per.agg(sum(col("ws_int")).as("denom"),
+      sum(col("docs_s")).as("total_docs"))
+    docs.join(broadcast(per), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .filter(expr(
+        "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 17, 8), 16, 10) AS BIGINT) % 10000 AS DECIMAL(38,0))" +
+          " * denom * docs_s < CAST(10000 AS DECIMAL(38,0)) * ((total_docs * 400) div 1000) * ws_int"))
+      .select("doc_id", "source", "n_tok")
+      .orderBy("doc_id")
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
@@ -1097,5 +1204,6 @@ object TextOps {
     ("q102_kneser_ney", q102KneserNey _, Some(q102Sql)),
     ("q104_kneser_ney3", q104KneserNey3 _, Some(q104Sql)),
     ("q107_kn_doc_score", q107KnDocScore _, Some(q107Sql)),
+    ("q137_subword_tokens", q137SubwordTokens _, Some(q137Sql)),
   )
 }

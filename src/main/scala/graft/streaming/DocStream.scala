@@ -227,12 +227,22 @@ object DocStream {
     * (DocStreamSpec): the q115 additivity identity (postings are per-doc
     * rows, df/n_docs/tot_dl are sums) gives exactness with no
     * approximation, and each segment is immutable so a concurrent serve
-    * never sees a torn write. Periodic [[graft.ops.Retrieval
-    * .lexIndexCompact]] keeps the serve-time fold flat in segment count —
-    * the LSM cadence: stream appends, compact off-peak, swap roots. */
-  def lexAppendBatch(s: SparkSession, path: String, batch: DataFrame, seg: String): Unit =
+    * never sees a torn write. `maxSegments > 0` makes the fold
+    * SELF-MAINTAINING: after each append the size-tiered policy
+    * ([[graft.ops.Retrieval.maybeCompactLex]]) counts segments and — past
+    * the threshold — compacts and swaps in place, so a long-running ingest
+    * never degrades toward the measured +75%-at-10-segments serve cost
+    * without an operator in the loop. The check is one driver-side
+    * listing per batch; the swap runs inside this foreachBatch call, i.e.
+    * between micro-batches — exactly the single-writer window the policy's
+    * contract requires. Default 0 keeps the manual cadence (stream
+    * appends, compact off-peak). */
+  def lexAppendBatch(s: SparkSession, path: String, batch: DataFrame, seg: String,
+      maxSegments: Int = 0): Unit = {
     graft.ops.Retrieval.lexIndexAppend(s, path,
       batch.select(col("doc_id"), split(col("text"), " ").as("w")), seg)
+    if (maxSegments > 0) graft.ops.Retrieval.maybeCompactLex(s, path, maxSegments)
+  }
 
   /** Fold a DELETE micro-batch into the segmented lexical index — the
     * streaming half of the q126 tombstone contract, and the same
@@ -269,6 +279,13 @@ object DocStream {
       batch: DataFrame, threshold: Double,
       rankedOut: String, labelsOut: String): Unit = {
     import graft.ops.Dedup
+    // copy-on-write guard (the lexIndexCompact/ivfCodesCompact contract):
+    // the labels write goes through an RDD-backed lineage (clusterPairs)
+    // where Spark's self-overwrite detection may not trip, so an in-place
+    // outPath could CORRUPT the artifact instead of failing fast
+    require(rankedOut != rankedIn && labelsOut != labelsIn,
+      "copy-on-write: outputs must be new artifact roots " +
+        s"(rankedIn=$rankedIn, labelsIn=$labelsIn)")
     val corpusRanked = s.read.parquet(rankedIn)
     val labels = s.read.parquet(labelsIn)
     val freshPairs = Dedup.incrementalFrom(corpusRanked, btable, batch, threshold)

@@ -182,7 +182,17 @@ object VecStream {
     * quantizer contract), the serve-side anti-join folds over the
     * tombstone-file union, and physical reclamation stays
     * [[graft.ops.Similarity.ivfCodesCompact]]'s job. */
-  def tombstoneBatch(ids: DataFrame, root: String, name: String): Unit =
+  /** `maxTombstones > 0` wires in the size-tiered reclamation policy
+    * ([[graft.ops.Similarity.maybeCompactIvf]]) so a long-running delete
+    * stream self-maintains — the serve-side anti-join's tombstone union
+    * stays bounded instead of growing one file per batch forever; the
+    * swap runs inside this foreachBatch call (the single-writer window),
+    * mirroring [[graft.streaming.DocStream.lexAppendBatch]]'s wiring. */
+  def tombstoneBatch(ids: DataFrame, root: String, name: String,
+      maxTombstones: Int = 0): Unit = {
     ids.select(col("vec_id")).write.mode("overwrite")
       .parquet(s"$root/tombstones/$name")
+    if (maxTombstones > 0)
+      graft.ops.Similarity.maybeCompactIvf(ids.sparkSession, root, maxTombstones)
+  }
 }

@@ -2854,10 +2854,17 @@ class OperatorSpec extends AnyFunSuite {
     val rebuilt = rank(rtf, rdf, rst)
     assert(served.nonEmpty && served == rebuilt,
       "tombstoned serve drifted from the rebuild over the remaining corpus")
-    // the deleted docs actually mattered (the delete isn't vacuous)
-    val (ftf, fdf, fst) = Retrieval.lexIndexServe(spark, dir)
+    // the deleted docs actually mattered (the delete isn't vacuous) — the
+    // undeleted ranking comes from a full rebuild, because the plain serve
+    // entry now REFUSES to ignore a tombstones dir (the round-15 ADVICE
+    // hardening: it delegates to the corrected serve instead of silently
+    // resurrecting deleted docs)
+    val (ftf, fdf, fst) = TextOps.lexIndexOf(docs)
     assert(rank(ftf, fdf, fst) != served,
       "delete set did not change the ranking — test corpus too small to exercise the contract")
+    val (dtf, ddf, dst) = Retrieval.lexIndexServe(spark, dir)
+    assert(rank(dtf, ddf, dst) == served,
+      "plain serve of a tombstoned root must delegate to the corrected serve — resurrection is the one inconsistency the delete contract cannot survive")
     // compaction applies tombstones physically: one segment, no
     // tombstones dir, plain serve (no delete logic) reproduces the ranking
     Retrieval.lexIndexCompact(spark, dir, out)
@@ -2945,5 +2952,174 @@ class OperatorSpec extends AnyFunSuite {
     }
     // the audit is non-degenerate on the testdata: the index is imbalanced
     assert(counts.max > counts.min, "vacuous: perfectly uniform cells at sf0.001")
+  }
+
+  test("q136: pre-filtering ≡ post-filtering the full unfiltered candidate list under both predicates") {
+    val s = spark
+    // the composition identity q136 rests on: because both predicates are
+    // row subsets of the SAME candidate space, filtering the code table
+    // BEFORE candidate generation equals filtering the complete unfiltered
+    // candidate list after — verified here against an independent
+    // driver-side re-rank of the full list
+    val (emb, subs, seedsPq) = Similarity.pqParts(s, sf)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    val queries = emb.filter(col("vec_id") < 10).select("vec_id", "e")
+    val full = Similarity.ivfPqSearchFrom(cents, books, codeTable, queries,
+        k = Int.MaxValue)
+      .select("query_id", "neighbor_id", "adc_fixed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keep = Tables.spread(s, Tables.embeddings(s, sf), "vec_id")
+      .filter(col("label") % 3 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = full
+      .filter { case (_, nid, _) => keep(nid) && !(nid % 7 == 3 && nid >= 10) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        sorted.take(5).zipWithIndex.map { case ((_, nid, adc), i) =>
+          (q, nid, adc, sorted.length.toLong, (i + 1).toLong)
+        }
+      }.toSet
+    val got = Similarity.q136FilteredTombstoneAnn(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"pre-filter diverged from post-filter: ${got.size} vs ${expected.size} rows")
+  }
+
+  test("q137 greedy tokenizer: longest-match algebra on planted words, budget bounds on the corpus") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TextOps
+    // greedy longest-match against the committed vocab: 'cust'+'omer',
+    // 'ta'+'ble', whole-word 'key', multi-fallback 'zzz', empty word 0
+    val unit = Seq("table", "customer", "key", "windower", "zzz", "")
+      .toDF("wd")
+      .withColumn("cnt", expr(TextOps.subwordCountExpr("wd")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unit == Map("table" -> 2L, "customer" -> 2L, "key" -> 1L,
+      "windower" -> 3L, "zzz" -> 3L, "" -> 0L), unit.toString)
+    // corpus bounds: each nonempty word costs between 1 token and its
+    // char count, so Σ is bracketed per doc
+    val rows = TextOps.q137SubwordTokens(s, sf)
+      .join(Tables.spread(s, Tables.documents(s, sf), "doc_id")
+        .select(col("doc_id"),
+          expr("size(filter(split(text, ' '), x -> length(x) > 0))")
+            .cast("long").as("n_nonempty"),
+          expr("aggregate(split(text, ' '), 0L, (a, x) -> a + length(x))")
+            .as("n_chars")), Seq("doc_id"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sub, ne, ch) = (r.getAs[Long]("n_subwords"),
+        r.getAs[Long]("n_nonempty"), r.getAs[Long]("n_chars"))
+      assert(sub >= ne && sub <= ch, s"doc ${r.getAs[Long]("doc_id")}: $r")
+    }
+  }
+
+  test("q55-variant: the subword-budget mixture reselects deterministically and honors the integer boundary") {
+    val s = spark
+    import graft.ops.TextOps
+    val sel1 = TextOps.sourceMixSubword(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sel2 = TextOps.sourceMixSubword(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sel1.nonEmpty && sel1.toSeq == sel2.toSeq,
+      "mixture selection must be reproducible (auditability, the q91 rule)")
+    // independent BigInt re-derivation of the q55 boundary from the
+    // subword counts: membership is exactly the cross-multiplied integer
+    // inequality — no doc may flip on a float ulp
+    val docs = TextOps.q137SubwordTokens(s, sf)
+      .join(Tables.spread(s, Tables.documents(s, sf), "doc_id")
+        .select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "n_subwords").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val per = docs.groupBy(_._2).map { case (src, rs) =>
+      src -> (BigInt(math.floor(math.sqrt(rs.map(_._3).sum.toDouble) * 1e6).toLong),
+        BigInt(rs.length))
+    }
+    val denom = per.values.map(_._1).sum
+    val totalDocs = per.values.map(_._2).sum
+    val budget = (totalDocs * 400) / 1000
+    val expected = docs.filter { case (id, src, _) =>
+      val (ws, ds) = per(src)
+      val bucket = BigInt(new java.math.BigInteger(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(16, 24), 16).longValue()) % 10000
+      bucket * denom * ds < BigInt(10000) * budget * ws
+    }.map(_._1).toSet
+    assert(sel1.map(_._1).toSet == expected,
+      s"boundary mismatch: ${sel1.length} selected vs ${expected.size} expected")
+  }
+
+  test("q134 planted near-dups: a one-char mutation and an exact copy are recovered; hamming-0 for the copy") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val near = base.replace('q', 'x')
+    val far = "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"
+    val docs = Seq((0L, base), (1L, near), (2L, far), (3L, base))
+      .toDF("doc_id", "text")
+    val pairs = graft.multimodal.MultimodalOps.phashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) == 0L,
+      s"exact copy must fingerprint identically: $pairs")
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) <= 8L,
+      s"planted one-char near-dup missed: $pairs")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      s"unrelated payload matched: $pairs")
+  }
+
+  test("real-image aHash: re-encode/resize lands within a few bits, unrelated content far") {
+    // the content-level multimodal dedup primitive on REAL decoded rasters:
+    // a structured gradient, its bilinear downscale, and its inversion
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val grad = png(64, 48, (x, _) => x * 4)
+    val gradSmall = png(32, 24, (x, _) => x * 8) // the same picture at half size
+    val inverted = png(64, 48, (x, _) => 255 - x * 4)
+    val h0 = Multimodal.aHash64(grad)
+    assert(Multimodal.hamming64(h0, Multimodal.aHash64(gradSmall)) <= 10,
+      "downscaled re-render of the same picture must stay within a few bits")
+    assert(Multimodal.hamming64(h0, Multimodal.aHash64(inverted)) >= 16,
+      "inverted content must land far in hamming space")
+    // the threshold mass splits the gradient: the fingerprint is non-trivial
+    val bits = java.lang.Long.bitCount(h0)
+    assert(bits >= 8 && bits <= 56, s"degenerate fingerprint: $bits bits set")
+  }
+
+  test("maybeCompactIvf: tombstone tier triggers the swap; plain serve after ≡ tombstoned serve before") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivf_policy").toString + "/art"
+    // minimal artifact: the policy swaps codes and retires tombstones; it
+    // must never interpret cents/books (frozen-quantizer contract)
+    Seq((0L, Seq(0.0))).toDF("cent_id", "ce").write.parquet(s"$root/cents")
+    Seq((0, 0L, Seq(0.0))).toDF("m", "cent_id", "ce").write.parquet(s"$root/books")
+    (0L to 19L).map(i => (i, 0L, Seq(1, 2))).toDF("vec_id", "cell", "codes")
+      .write.parquet(s"$root/codes")
+    import graft.streaming.VecStream
+    VecStream.tombstoneBatch(Seq(1L).toDF("vec_id"), root, "t0", maxTombstones = 2)
+    VecStream.tombstoneBatch(Seq(3L).toDF("vec_id"), root, "t1", maxTombstones = 2)
+    assert(Similarity.ivfTombstoneCount(s, root) == 2, "below tier: no compaction yet")
+    VecStream.tombstoneBatch(Seq(5L).toDF("vec_id"), root, "t2", maxTombstones = 2)
+    // third batch crossed the tier: tombstones physically applied + retired
+    assert(Similarity.ivfTombstoneCount(s, root) == 0,
+      "compaction must retire the tombstones dir")
+    val live = s.read.parquet(s"$root/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(live == (0L to 19L).toSet -- Set(1L, 3L, 5L),
+      s"plain serve after the swap must equal the tombstoned serve before: $live")
+    // cents/books byte-untouched by the swap (frozen quantizer)
+    assert(s.read.parquet(s"$root/cents").count() == 1 &&
+      s.read.parquet(s"$root/books").count() == 1)
   }
 }

@@ -1103,4 +1103,65 @@ class PlanSpec extends AnyFunSuite {
       s"q114 final plan has ${ns.size} nodes — exponential lineage is back " +
         "(the barred plan is a checkpoint scan + final sort, ~10 nodes)")
   }
+
+  test("q133 fully served retrieval: no tokenize kernel AND no cluster kernel — every arm reads its artifact") {
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.execution.{ExternalRDDScanExec, FileSourceScanExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Retrieval.q133RetrievalServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val full = ns.map(_.toString).mkString("\n")
+    // q113's pin: the sorted-run tf counter (array_sort over the token
+    // array) must be absent — the served plan tokenizes ONLY the
+    // eval-query side (split + slice)
+    assert(!full.contains("array_sort"),
+      "served lineage re-runs the sorted-run tf counter — lexical index was rebuilt, not served")
+    // q128's pin: no RDD-backed cluster fixpoint in the served lineage
+    val rdd = ns.collect {
+      case r: RDDScanExec => r: SparkPlan
+      case r: ExternalRDDScanExec[_] => r: SparkPlan
+    }
+    assert(rdd.isEmpty,
+      "served lineage still contains the RDD cluster kernel — labels were rebuilt, not served")
+    val scans = ns.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    Seq("tf", "df", "stats").foreach(t => assert(
+      scans.exists(p => p.contains("servedfull/") && p.endsWith(s"/$t")),
+      s"expected a scan at the servedfull lexical segment's /$t; got $scans"))
+    assert(scans.exists(p => p.contains("servedfull/") && p.contains("tombstones")),
+      s"expected a scan over the tombstone file; got $scans")
+    assert(scans.exists(_.contains("servedfull_clusters")),
+      s"expected a scan over the cluster-label artifact; got $scans")
+  }
+
+  test("q135 served triangles: zero rebuild — no kNN kernel in the served lineage, edges scanned from the artifact") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Similarity.q135TriangleServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val full = ns.map(_.toString).mkString("\n")
+    assert(!full.contains("graft_near_cells"),
+      "served lineage re-runs the coarse argmin — the build cost the artifact exists to amortize")
+    assert(!full.contains("graft_topk"), "served lineage re-runs the bounded top-k")
+    assert(ns.collect { case f: FileSourceScanExec => f }
+      .exists(_.relation.location.rootPaths.exists(_.toString.contains("edges_tri"))),
+      "expected a parquet scan rooted at the served edge artifact")
+  }
 }

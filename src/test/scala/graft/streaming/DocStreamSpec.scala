@@ -502,6 +502,58 @@ class DocStreamSpec extends AnyFunSuite {
       s"streamed lexical serve diverged: ${streamed.size} vs ${oneShot.size} rows")
   }
 
+  test("self-maintaining LSM: a forced 12-batch drain under the compaction policy ends ≤ tier segments, serve ≡ one-shot bit-for-bit") {
+    val spark = TestSpark.spark
+    import graft.ops.{Retrieval, TextOps}
+    val all = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val art = java.nio.file.Files.createTempDirectory("docstream_policy").toString + "/idx"
+    val maxSegs = 4
+    // base segment, then 12 forced micro-batches folding in under the
+    // size-tiered policy — the long-running-ingest shape the round-14
+    // verdict flagged (without the trigger, this drain ends at 13 segments
+    // and the serve-time df fold pays the measured +75%)
+    Retrieval.lexIndexSegment(
+      all.filter(col("doc_id") % 13 === 12)
+        .select(col("doc_id"), split(col("text"), " ").as("w")), art, "seg0")
+    val dir = java.nio.file.Files.createTempDirectory("docstream_policy_src").toString
+    (0 to 11).foreach { m =>
+      all.filter(col("doc_id") % 13 === m).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    var batches = 0
+    val q = spark.readStream.schema(DocStream.rawSchema)
+      .option("pathGlobFilter", "*.parquet").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          DocStream.lexAppendBatch(spark, art, batch, s"seg_b$id", maxSegments = maxSegs)
+          batches += 1
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches == 12, s"expected 12 forced micro-batches, got $batches")
+    val endSegs = Retrieval.lexSegmentCount(spark, art)
+    assert(endSegs <= maxSegs,
+      s"policy failed to hold the tier: $endSegs segments after the drain")
+    assert(endSegs < batches + 1, "no compaction ever ran — the trigger is dead code")
+    // the whole point of the exact additive merge: the self-maintained
+    // artifact serves bit-for-bit like a one-shot full-corpus index
+    val qt = TextOps.queryTerms(spark, sf)
+    val (tf, df, st) = Retrieval.lexIndexServe(spark, art)
+    val maintained = TextOps.bm25RankedFrom(tf, df, st, qt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val (rtf, rdf, rst) = TextOps.lexIndexOf(
+      all.select(col("doc_id"), split(col("text"), " ").as("w")))
+    val oneShot = TextOps.bm25RankedFrom(rtf, rdf, rst, qt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(oneShot.nonEmpty && maintained == oneShot,
+      s"self-maintained serve diverged: ${maintained.size} vs ${oneShot.size} rows")
+  }
+
   test("streamed tombstones: per-batch delete files serve bit-for-bit like one batch delete — and like a rebuild without the deleted docs") {
     val spark = TestSpark.spark
     import graft.ops.{Retrieval, TextOps}
