@@ -316,30 +316,50 @@ object MultimodalOps {
   /** The fingerprint + banding + verify kernel over ANY (doc_id, text)
     * payload frame — the catalog table for q134, a planted near-dup frame
     * for the recall spec; only payload rows cross the interface. */
+  /** The whole fingerprint as ONE expression with the grid and its sum
+    * bound as LAMBDA VARIABLES (the single-element-array transform trick:
+    * a lambda argument is evaluated exactly once). Spelling them as
+    * separate withColumn steps reads better but CollapseProject INLINES
+    * the grid into every one of the 64 bit comparisons AND into the sum
+    * inside each — higher-order functions are interpreted (no codegen, no
+    * common-subexpression elimination), so the inlined form re-ran the
+    * 64-substring grid ~128× per row: measured as multi-minute straggler
+    * tasks at 100k docs where this form is one pass. */
+  private[graft] val phashFpExpr: String =
+    "element_at(transform(array(" +
+      "transform(sequence(0, 63), i -> CAST(ascii(substring(" +
+      "text, CAST((i * length(text)) DIV 64 AS INT) + 1, 1)) AS BIGINT))" +
+      "), garr -> element_at(transform(array(" +
+      "aggregate(garr, 0L, (acc, x) -> acc + x)" +
+      "), sm -> transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0L, " +
+      "(acc, j) -> acc + IF(element_at(garr, b * 16 + j + 1) * 64 > sm, " +
+      "shiftleft(1L, j), 0L)))), 1)), 1)"
+
   private[graft] def phashPairs(docs: DataFrame): DataFrame = {
     val fps = docs
       .filter(length(col("text")) > 0)
-      .withColumn("g", expr(
-        "transform(sequence(0, 63), i -> CAST(ascii(substring(" +
-          "text, CAST((i * length(text)) DIV 64 AS INT) + 1, 1)) AS BIGINT))"))
-      .withColumn("sm", expr("aggregate(g, 0L, (acc, x) -> acc + x)"))
-      .withColumn("fp", expr(
-        "transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0L, " +
-          "(acc, j) -> acc + IF(element_at(g, b * 16 + j + 1) * 64 > sm, " +
-          "shiftleft(1L, j), 0L)))"))
+      .withColumn("fp", expr(phashFpExpr))
       .select(col("doc_id"), col("fp"))
     val bands = fps.select(col("doc_id"), col("fp"),
       posexplode(col("fp")).as(Seq("b", "bv")))
+    // VERIFY BEFORE DEDUP: the hamming check runs MAP-SIDE in the join
+    // stage, so the ≥ 1-shared-band candidate fan-out (band skew can make
+    // it 100×+ the survivor count — measured 31M candidates → 118k
+    // survivors at 100k docs on the adversarial corpus) is filtered where
+    // it is produced; only survivors reach the dedup shuffle. Deduping
+    // first would shuffle every candidate row with both fingerprint
+    // arrays attached — the ordering, not the banding, was the measured
+    // bottleneck.
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         col("x.fp").as("fa"), col("y.fp").as("fb"))
-      .dropDuplicates(Seq("a_id", "b_id"))
       .withColumn("hamming", expr(
         "aggregate(zip_with(fa, fb, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), " +
           "0L, (acc, v) -> acc + v)"))
       .filter(col("hamming") <= PhashMaxHam)
+      .dropDuplicates(Seq("a_id", "b_id"))
       .select("a_id", "b_id", "hamming")
       .orderBy("a_id", "b_id")
   }
