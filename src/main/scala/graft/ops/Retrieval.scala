@@ -379,12 +379,26 @@ object Retrieval {
     * Returns true iff a compaction ran. */
   def maybeCompactLex(s: SparkSession, path: String, maxSegments: Int): Boolean = {
     require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
-    if (lexSegmentCount(s, path) <= maxSegments) return false
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val scratch = s"$path/__compacting"
     val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
+    // crash recovery BEFORE the tier check: a crash in a previous swap's
+    // retire-then-promote window leaves the scratch seg0 as the ONLY copy
+    // (old segments already retired) — finish that swap; a crash earlier
+    // (segments still present) leaves a stale partial scratch — discard it.
+    // Distinguished by whether any seg* dir survives under the root.
+    if (fs.exists(scratchPath)) {
+      val scratchSeg = new org.apache.hadoop.fs.Path(s"$scratch/seg0")
+      if (lexSegmentCount(s, path) == 0 && fs.exists(scratchSeg)) {
+        require(fs.rename(scratchSeg, new org.apache.hadoop.fs.Path(s"$path/seg0")),
+          s"compaction recovery failed: could not promote $scratch/seg0 into $path")
+        fs.delete(scratchPath, true)
+        return true
+      }
+      fs.delete(scratchPath, true)
+    }
+    if (lexSegmentCount(s, path) <= maxSegments) return false
     lexIndexCompact(s, path, scratch)
     fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg"))

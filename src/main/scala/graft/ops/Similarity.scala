@@ -2790,14 +2790,28 @@ object Similarity {
     * tombstones changed). Returns true iff a compaction ran. */
   def maybeCompactIvf(s: SparkSession, root: String, maxTombstones: Int): Boolean = {
     require(maxTombstones >= 1, s"maxTombstones must be >= 1, got $maxTombstones")
-    if (ivfTombstoneCount(s, root) <= maxTombstones) return false
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val scratch = s"$root/__compacting"
     val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
-    ivfCodesCompact(s, root, scratch)
     val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    // crash recovery BEFORE the tier check (the maybeCompactLex contract):
+    // a crash in the retire-then-promote window leaves the scratch codes
+    // as the ONLY live copy — finish that swap; an earlier crash leaves a
+    // stale partial scratch beside intact codes — discard it.
+    if (fs.exists(scratchPath)) {
+      val scratchCodes = new org.apache.hadoop.fs.Path(s"$scratch/codes")
+      if (!fs.exists(codesPath) && fs.exists(scratchCodes)) {
+        require(fs.rename(scratchCodes, codesPath),
+          s"compaction recovery failed: could not promote $scratch/codes into $root")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+        fs.delete(scratchPath, true)
+        return true
+      }
+      fs.delete(scratchPath, true)
+    }
+    if (ivfTombstoneCount(s, root) <= maxTombstones) return false
+    ivfCodesCompact(s, root, scratch)
     fs.delete(codesPath, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
       s"compaction swap failed: could not promote $scratch/codes into $root")

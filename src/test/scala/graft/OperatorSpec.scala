@@ -3096,6 +3096,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(bits >= 8 && bits <= 56, s"degenerate fingerprint: $bits bits set")
   }
 
+  test("compaction swap crash recovery: an interrupted retire-then-promote window is finished, a stale scratch is discarded") {
+    val s = spark
+    import graft.ops.{Retrieval, TextOps}
+    val docs = TextOps.tokenizedDocs(s, sf)
+    val qt = TextOps.queryTerms(s, sf)
+    def rank(path: String) = {
+      val (tf, df, st) = Retrieval.lexIndexServe(s, path)
+      TextOps.bm25RankedFrom(tf, df, st, qt).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    // CASE 1 — crash AFTER retiring old segments, BEFORE promoting seg0:
+    // the scratch holds the only copy; the next policy call must finish
+    // the swap, not delete it (the failure the naive stale-scratch
+    // cleanup would cause: data loss)
+    val art = java.nio.file.Files.createTempDirectory("lex_crash").toString + "/idx"
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 0), art, "seg0")
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 1), art, "seg1")
+    val expected = rank(art)
+    val fs = new org.apache.hadoop.fs.Path(art)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Retrieval.lexIndexCompact(s, art, s"$art/__compacting")
+    Seq("seg0", "seg1").foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$art/$g"), true))
+    assert(Retrieval.maybeCompactLex(s, art, 4),
+      "recovery path must report a completed compaction")
+    assert(Retrieval.lexSegmentCount(s, art) == 1 &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$art/__compacting")))
+    assert(rank(art) == expected, "recovered artifact must serve bit-for-bit")
+    // CASE 2 — crash BEFORE retiring (segments intact, partial scratch):
+    // the stale scratch is discarded and the tier check proceeds normally
+    val art2 = java.nio.file.Files.createTempDirectory("lex_crash2").toString + "/idx"
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 0), art2, "seg0")
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 1), art2, "seg1")
+    val fs2 = new org.apache.hadoop.fs.Path(art2)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs2.mkdirs(new org.apache.hadoop.fs.Path(s"$art2/__compacting/seg0"))
+    assert(!Retrieval.maybeCompactLex(s, art2, 4),
+      "below tier with intact segments: stale scratch discarded, no compaction")
+    assert(Retrieval.lexSegmentCount(s, art2) == 2 &&
+      !fs2.exists(new org.apache.hadoop.fs.Path(s"$art2/__compacting")))
+    assert(rank(art2) == expected, "intact artifact untouched by the cleanup")
+  }
+
   test("maybeCompactIvf: tombstone tier triggers the swap; plain serve after ≡ tombstoned serve before") {
     val s = spark
     import s.implicits._
