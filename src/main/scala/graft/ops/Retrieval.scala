@@ -61,15 +61,23 @@ object Retrieval {
     * (query_id, doc_id) so a doc found by one arm only still fuses. */
   private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def arm(c: String) = coalesce(
-      floor(lit(RrfScale) / (lit(RrfK) + col(c))).cast("long"), lit(0L))
     val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
-    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf", arm("lex_rnk") + arm("sem_rnk"))
+    rrfScores(lex, sem)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= FusedK)
       .select("query_id", "rnk", "doc_id", "rrf", "lex_rnk", "sem_rnk")
       .orderBy("query_id", "rnk")
+  }
+
+  /** The PRE-RANK fused score table (every (query, doc) either arm
+    * surfaced, with its integer RRF sum) — [[rrfFuse]] minus the top-k
+    * window: the seam a post-fusion collapse (q138) interposes on,
+    * mirroring what [[TextOps.bm25ScoredFrom]] is to `bm25RankedFrom`. */
+  private def rrfScores(lex: DataFrame, sem: DataFrame): DataFrame = {
+    def arm(c: String) = coalesce(
+      floor(lit(RrfScale) / (lit(RrfK) + col(c))).cast("long"), lit(0L))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", arm("lex_rnk") + arm("sem_rnk"))
   }
 
   /** SQL mirror of [[rrfFuse]]: expects `lexk(query_id, doc_id, lex_rnk)`
@@ -1380,6 +1388,106 @@ object Retrieval {
        |SELECT query_id, rnk, doc_id, score, ckey FROM rr
        |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
 
+  /** q138: THE END-TO-END RAG SERVE — every serving seam this engine has,
+    * composed in ONE entry the way a production retrieval stack actually
+    * runs: BOTH fusion arms artifact-served (lexical from the q113
+    * segments WITH q126 tombstone corrections; semantic from the q74
+    * IVF-PQ artifacts WITH q127 live-docs anti-join under the frozen
+    * quantizer), reciprocal-rank fused (q111's integer kernel), and the
+    * fused candidate list near-dup-collapsed against the persisted q53
+    * label artifact (q124's semantics on the PRE-RANK fused scores — one
+    * document per cluster BEFORE the final top-k). q133 closed the
+    * lexical serving loop; this closes the hybrid one: at serve time
+    * nothing is corpus-linear in float work and nothing re-tokenizes,
+    * re-trains, or re-clusters — the eval-query term table, the query
+    * LUTs, the delete-correction joins, and the collapse join are the
+    * whole marginal cost.
+    *
+    * One ENTITY-level delete set (id ≡ 3 mod 7, id ≥ AdcQueries — never
+    * a query) drives both surfaces: the lexical side serves rebuild-
+    * equivalent corrections (the q126 exact-additive identity), the
+    * vector side frozen-quantizer live-docs (the q127 contract — the
+    * quantizer trained on the full corpus is NOT retrained by a delete),
+    * and the oracle states exactly that asymmetry: bm25 CTEs over the
+    * corpus minus the delete set, the adc chain over the FULL corpus
+    * with the delete predicate applied before ranking.
+    *
+    * Scale shape: each arm is its audited serving plan; fusion and
+    * collapse run on eval-sized frames except the one doc-keyed label
+    * join (AQE-planned, the q124 convention). Eager at construction
+    * (writes all three artifact families), the q113/q127/q128
+    * convention — the bench prices the build; the serve marginal is the
+    * BASELINE.md round-15 economics rows. */
+  def q138RagServed(s: SparkSession, d: String): DataFrame = {
+    val root = s"${Similarity.knnGraphServePath(d)}/ragserve"
+    val docs = TextOps.tokenizedDocs(s, d)
+    lexIndexSegment(docs, s"$root/lex", "seg0")
+    lexTombstone(docs.filter(col("doc_id") % 7 === 3 &&
+      col("doc_id") >= Similarity.AdcQueries).select("doc_id"), s"$root/lex", "t0")
+    val (emb, subs, seedsPq) = Similarity.pqParts(s, d)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    cents.write.mode("overwrite").parquet(s"$root/ivf/cents")
+    books.write.mode("overwrite").parquet(s"$root/ivf/books")
+    codeTable.write.mode("overwrite").parquet(s"$root/ivf/codes")
+    emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= Similarity.AdcQueries)
+      .select("vec_id").write.mode("overwrite").parquet(s"$root/ivf/tombstones/t0")
+    Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(s"$root/clusters")
+    val (tf, df, stats) = lexIndexServeDel(s, s"$root/lex")
+    val lex = TextOps.bm25RankedFrom(tf, df, stats, TextOps.queryTermsOf(docs))
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val live = s.read.parquet(s"$root/ivf/codes")
+      .join(s.read.parquet(s"$root/ivf/tombstones/t0").select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+    val sem = Similarity.ivfPqSearchFrom(s.read.parquet(s"$root/ivf/cents"),
+        s.read.parquet(s"$root/ivf/books"), live,
+        emb.filter(col("vec_id") < TextOps.Bm25NQueries).select("vec_id", "e"),
+        k = SemK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn").as("sem_rnk"))
+    collapseRankFrom(
+      rrfScores(lex, sem).select(col("query_id"), col("doc_id"),
+        col("rrf").as("score")),
+      s.read.parquet(s"$root/clusters"))
+  }
+
+  lazy val q138Sql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtesBody},
+       |${TextOps.bm25BaseCtesFor(
+        s" WHERE NOT (doc_id % 7 = 3 AND doc_id >= ${Similarity.AdcQueries})")
+        .stripPrefix("WITH ")},
+       |${TextOps.bm25ScoreCtes("qt", "scored", "lexr")},
+       |${Similarity.ivfPqAdcCtes.stripPrefix("WITH ")},
+       |lexk AS (
+       |  SELECT query_id, doc_id, rnk AS lex_rnk FROM lexr WHERE rnk <= ${TextOps.Bm25K}),
+       |semk AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rn AS sem_rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |    FROM adc WHERE query_id < ${TextOps.Bm25NQueries}
+       |      AND NOT (neighbor_id % 7 = 3 AND neighbor_id >= ${Similarity.AdcQueries}))
+       |  WHERE rn <= $SemK),
+       |fus AS (
+       |  SELECT query_id, doc_id,
+       |         COALESCE(CAST(floor($RrfScale / ($RrfK + lex_rnk)) AS BIGINT), 0)
+       |       + COALESCE(CAST(floor($RrfScale / ($RrfK + sem_rnk)) AS BIGINT), 0) AS score
+       |  FROM lexk FULL JOIN semk USING (query_id, doc_id)),
+       |coll AS (
+       |  SELECT f.query_id, f.doc_id, f.score,
+       |         COALESCE(cl.cluster_id, f.doc_id) AS ckey
+       |  FROM fus f LEFT JOIN cl ON f.doc_id = cl.doc_id),
+       |best AS (
+       |  SELECT query_id, doc_id, score, ckey,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id, ckey
+       |              ORDER BY score DESC, doc_id) AS brn
+       |  FROM coll),
+       |rr AS (
+       |  SELECT query_id, doc_id, score, ckey,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM best WHERE brn = 1)
+       |SELECT query_id, rnk, doc_id, score, ckey FROM rr
+       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_hybrid_rrf", q111HybridRrf _, Some(q111Sql)),
     ("q112_conjunctive", q112Conjunctive _, Some(q112Sql)),
@@ -1401,5 +1509,6 @@ object Retrieval {
     // the label-artifact round trip
     ("q128_collapse_served", q128CollapseServed _, Some(q124Sql)),
     ("q133_retrieval_served", q133RetrievalServed _, Some(q133Sql)),
+    ("q138_rag_served", q138RagServed _, Some(q138Sql)),
   )
 }

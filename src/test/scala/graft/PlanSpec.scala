@@ -1142,6 +1142,45 @@ class PlanSpec extends AnyFunSuite {
       s"expected a scan over the cluster-label artifact; got $scans")
   }
 
+  test("q138 end-to-end RAG serve: no tokenize / no cluster kernel; lex, ivf, and label artifacts all scanned") {
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.execution.{ExternalRDDScanExec, FileSourceScanExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Retrieval.q138RagServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val full = ns.map(_.toString).mkString("\n")
+    assert(!full.contains("array_sort"),
+      "served lineage re-runs the sorted-run tf counter — lexical index was rebuilt, not served")
+    val rdd = ns.collect {
+      case r: RDDScanExec => r: SparkPlan
+      case r: ExternalRDDScanExec[_] => r: SparkPlan
+    }
+    assert(rdd.isEmpty,
+      "served lineage still contains the RDD cluster kernel — labels were rebuilt, not served")
+    val scans = ns.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    Seq("tf", "df", "stats").foreach(t => assert(
+      scans.exists(p => p.contains("ragserve/lex") && p.endsWith(s"/$t")),
+      s"expected a scan at ragserve/lex/.../$t; got $scans"))
+    assert(scans.exists(p => p.contains("ragserve/lex") && p.contains("tombstones")),
+      "expected a scan over the lexical tombstone file")
+    Seq("cents", "books", "codes").foreach(t => assert(
+      scans.exists(p => p.contains("ragserve/ivf") && p.endsWith(s"/$t")),
+      s"expected a scan at ragserve/ivf/$t; got $scans"))
+    assert(scans.exists(p => p.contains("ragserve/ivf") && p.contains("tombstones")),
+      "expected a scan over the vector tombstone file")
+    assert(scans.exists(_.contains("ragserve/clusters")),
+      "expected a scan over the cluster-label artifact")
+  }
+
   test("q135 served triangles: zero rebuild — no kNN kernel in the served lineage, edges scanned from the artifact") {
     import graft.ops.Similarity
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
