@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   *
   * Round-14 rows (q129 economics, BASELINE.md round-14): full recluster
   * 31.2 s vs the label-edge fold 7.62 s at 10% fresh — 4.1×, identical
-  * 28,660 labels. Caveat: the FIRST row in the JVM carries codegen/JIT
-  * warmup (the ProfilePositional lesson — one session printed 209 s for
-  * plain pairs); compare adjacent rows, not the leadoff.
+  * 28,660 labels.
+  *
+  * The first measured row used to carry codegen/JIT warmup (the
+  * ProfilePositional lesson — one session printed 209 s for plain pairs,
+  * a note BASELINE.md had to re-state every round): an UNTIMED throwaway
+  * warmup pass over the same kernel family now runs first, so every
+  * printed row is steady-state.
   */
 object Profile24 {
   def main(args: Array[String]): Unit = {
@@ -38,6 +42,13 @@ object Profile24 {
     }
     val shingled = graft.ops.Dedup.shingleDocs(
       Tables.spread(spark, Tables.documents(spark, d), "doc_id"))
+    // throwaway JVM warmup: same lambda-heavy shingle/hash kernels on a
+    // 2k-doc slice, result discarded — absorbs whole-stage-codegen + JIT
+    // so the first TIMED row is steady-state like the rest
+    graft.ops.Dedup.jaccardPairs(
+      graft.ops.Dedup.shingleDocs(
+        Tables.spread(spark, Tables.documents(spark, d), "doc_id")
+          .filter(col("doc_id") % 50 === 0)), 0.6).count()
     time("plain verified pairs")(
       graft.ops.Dedup.jaccardPairs(shingled, 0.6).count())
     time("collapsed verified pairs")(

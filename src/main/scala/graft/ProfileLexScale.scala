@@ -80,6 +80,16 @@ object ProfileLexScale {
       Retrieval.phraseRankFrom(Retrieval.lexIndexServePos(spark, ppath),
         Retrieval.phraseTermsOf(TextOps.tokenizedDocs(spark, d))).count()
     }
+    // delete economics at 1M (the q126 contract at 10× its 100k anchors):
+    // the tombstone write is O(delete set); the corrected serve adds the
+    // semi/anti posting passes on top of the plain fold
+    val delIds = Tables.documents(spark, d)
+      .filter(col("doc_id") % 7 === 3 && col("doc_id") >= 5).select("doc_id")
+    time("tombstone_write") { Retrieval.lexTombstone(delIds, cpath, "t0") }
+    time("bm25_served_tomb") {
+      val (tf, df, st) = Retrieval.lexIndexServeDel(spark, cpath)
+      TextOps.bm25RankedFrom(tf, df, st, TextOps.queryTerms(spark, d)).count()
+    }
     spark.stop()
   }
 }

@@ -335,7 +335,29 @@ object MultimodalOps {
       "(acc, j) -> acc + IF(element_at(garr, b * 16 + j + 1) * 64 > sm, " +
       "shiftleft(1L, j), 0L)))), 1)), 1)"
 
-  private[graft] def phashPairs(docs: DataFrame): DataFrame = {
+  /** Banding observability: candidates scored vs survivor pairs, counted
+    * by the SAME tasks that serve the query (`Dataset.observe` — zero
+    * extra passes, the [[graft.ops.Similarity]] observedServeMetrics
+    * pattern). THE number a dedup operator watches at 100 TB: the
+    * candidate/survivor ratio is the banding-skew health signal (measured
+    * 31M → 118k at 100k docs on the adversarial corpus), and a blowing-up
+    * ratio says the band width no longer fits the corpus's fingerprint
+    * entropy — caught per batch here instead of as a stuck stage. */
+  def observedPhashMetrics(s: SparkSession, d: String): Map[String, Long] = {
+    import org.apache.spark.sql.Observation
+    val cand = Observation()
+    val served = Observation()
+    val out = phashPairs(Tables.spread(s, Tables.documents(s, d), "doc_id"),
+        candTap = _.observe(cand, count(lit(1)).as("cands")))
+      .observe(served, count(lit(1)).as("pairs"))
+    out.write.format("noop").mode("overwrite").save()
+    Map(
+      "band_candidates" -> cand.get("cands").asInstanceOf[Long],
+      "survivor_pairs" -> served.get("pairs").asInstanceOf[Long])
+  }
+
+  private[graft] def phashPairs(docs: DataFrame,
+      candTap: DataFrame => DataFrame = identity): DataFrame = {
     val fps = docs
       .filter(length(col("text")) > 0)
       .withColumn("fp", expr(phashFpExpr))
@@ -350,11 +372,11 @@ object MultimodalOps {
     // first would shuffle every candidate row with both fingerprint
     // arrays attached — the ordering, not the banding, was the measured
     // bottleneck.
-    bands.as("x").join(bands.as("y"),
+    candTap(bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.fp").as("fa"), col("y.fp").as("fb"))
+        col("x.fp").as("fa"), col("y.fp").as("fb")))
       .withColumn("hamming", expr(
         "aggregate(zip_with(fa, fb, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), " +
           "0L, (acc, v) -> acc + v)"))

@@ -3069,6 +3069,17 @@ class OperatorSpec extends AnyFunSuite {
       s"unrelated payload matched: $pairs")
   }
 
+  test("phash observability: candidate/survivor counters ride the serving pass and reconcile with q134's output") {
+    val m = graft.multimodal.MultimodalOps.observedPhashMetrics(spark, sf)
+    val pairs = graft.multimodal.MultimodalOps.q134PhashNearDup(spark, sf).count()
+    assert(m("band_candidates") >= m("survivor_pairs"),
+      s"candidates must dominate survivors: $m")
+    // the survivor counter rides the final served frame (post filter +
+    // dedup), so it equals the gated entry's distinct pair count exactly
+    assert(m("survivor_pairs") == pairs && pairs > 0,
+      s"survivor counter ${m("survivor_pairs")} != the $pairs distinct pairs")
+  }
+
   test("real-image aHash: re-encode/resize lands within a few bits, unrelated content far") {
     // the content-level multimodal dedup primitive on REAL decoded rasters:
     // a structured gradient, its bilinear downscale, and its inversion
