@@ -1142,6 +1142,42 @@ class PlanSpec extends AnyFunSuite {
       s"expected a scan over the cluster-label artifact; got $scans")
   }
 
+  test("q137 subword tokenizer: the greedy fold is map-side — zero engine-introduced hash shuffles") {
+    import graft.ops.TextOps
+    val p = plan(TextOps.q137SubwordTokens(spark, sf))
+    // the budget counter's whole point is composing into q55/q62 for free:
+    // per-word greedy matching runs inside the token array (one projection),
+    // so the only exchange is the final output sort — any hash shuffle
+    // means the tokenizer grew a join or agg it doesn't need
+    assert(shuffleKeys(p).isEmpty,
+      s"q137 plan has engine hash shuffles on ${shuffleKeys(p)} — the greedy fold must stay map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q134 phash: banded candidates come from an equi join; hamming verify sits under the dedup") {
+    import graft.multimodal.MultimodalOps
+    val p = plan(MultimodalOps.q134PhashNearDup(spark, sf))
+    // candidates = equi join on (band, value) — never an all-pairs scan
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "phash candidate generation degenerated to all-pairs")
+    // the verify-before-dedup ordering (the round-15 measured fix): the
+    // hamming filter must appear in the plan BELOW the pair-dedup
+    // aggregate, i.e. the first hamming mention comes after (deeper than)
+    // the dedup's HashAggregate in formatted bottom-up order — assert the
+    // cheap proxy: a Filter on the hamming expression exists and the
+    // dedup aggregate keys (a_id, b_id)
+    assert(p.contains("bit_count"), p.take(600))
+    // the hamming cut must run where candidates are PRODUCED — Catalyst
+    // pushes it all the way into the join condition (`Join condition:
+    // aggregate(zip_with(...bit_count...)) <= 8`); accept a plain Filter
+    // condition too — what must NOT happen is the cut surfacing only
+    // above the pair-dedup aggregate (the measured 31M-row shuffle bug)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("Condition") || l.contains("Join condition")) &&
+        l.contains("bit_count") && l.contains("<= 8")),
+      "hamming cut is not applied at candidate production")
+  }
+
   test("q138 end-to-end RAG serve: no tokenize / no cluster kernel; lex, ivf, and label artifacts all scanned") {
     import graft.ops.Retrieval
     import org.apache.spark.sql.execution.{ExternalRDDScanExec, FileSourceScanExec, RDDScanExec, SparkPlan}
