@@ -426,8 +426,10 @@ object Corpus {
     * doc_id within it — 100 TB packs as thousands of independent shards,
     * each one partition's worth of window state (PlanSpec asserts the
     * partitioned windowspec). Everything else is map-side arithmetic. */
-  private val PackBudget = 512L
-  private val PackShards = 8
+  // shared with TextOps.q140PackSubword (the subword-unit packing variant):
+  // same budget, same shard key — only the token counter changes
+  private[graft] val PackBudget = 512L
+  private[graft] val PackShards = 8
 
   def q62PackSequences(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

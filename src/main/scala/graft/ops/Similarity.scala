@@ -3427,6 +3427,150 @@ object Similarity {
        |    AND NOT (neighbor_id % 7 = 3 AND neighbor_id >= $AdcQueries))
        |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
 
+  /** How many of the largest cells q141 splits. A top-m rule rather than a
+    * share threshold: maintenance jobs run "split the k hottest lists"
+    * (deterministic, always exercises the machinery), and the audit output
+    * shows whether the split actually helped. */
+  private val SplitHotCells = 2
+
+  /** q141: HOT-CELL SPLIT — the maintenance ACTION the q132 balance audit
+    * motivates, closing the audit→maintain loop for the IVF serving
+    * family: take the [[SplitHotCells]] largest cells of the q132-audited
+    * index (same train/assign chain, shared CTEs — the split can never
+    * quantize differently from the audit), run a LOCAL fixed-point 2-means
+    * inside each (seeds = the cell's min/max-vec_id members; one
+    * assign→update→assign round of exactly the gated Lloyd arithmetic —
+    * [[fixedPointUpdate]] on a composite (cell,sub) key), and re-emit the
+    * balance audit over the post-split cell set. Sub-cell 0 keeps the
+    * parent's id; sub-cell 1 gets id nlist−1+rank — `parent` makes the
+    * lineage auditable. Untouched cells keep their assignment UNCHANGED
+    * (the FAISS-style invariant: splitting list c moves only list c's
+    * vectors, so the rest of the index — codes, postings, graph edges —
+    * stays byte-immutable and serving needs no pause).
+    *
+    * Scale shape: hotness is a window over nlist rows; the 2-means touches
+    * ONLY hot-cell members (≈ m·n/nlist vectors, map-side against ≤ 2m
+    * broadcast sub-centroids — no embedding ever shuffles except the
+    * (cell,sub,dim) fixed-point partial agg, which is 2m·dim rows out);
+    * the final audit is the q132 rollup over nlist+m rows. At 100 TB a
+    * nightly split pass costs one scan of the hot lists, not a retrain. */
+  def q141CellSplit(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    val seed = emb.filter(col("vec_id") < IvfNList)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val cents = fixedPointUpdate(assignCells(emb, seed), seed)
+    val asg = assignCells(emb, cents).select("vec_id", "e", "cell")
+    val counts = asg.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val wHot = Window.orderBy(col("n_vecs").desc, col("cell"))
+    val hot = counts.withColumn("hrk", row_number().over(wHot).cast("long"))
+      .filter(col("hrk") <= SplitHotCells).select("cell", "hrk")
+    val members = asg.join(broadcast(hot.select("cell")), Seq("cell"))
+    // seeds = min/max vec_id member per hot cell (single-member cell → one
+    // seed, sub 1 stays empty; both sides emit it with n_vecs = 0)
+    val seedIds = members.groupBy("cell")
+      .agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
+    val s2 = members.join(broadcast(seedIds), Seq("cell"))
+      .filter(col("vec_id") === col("lo") || col("vec_id") === col("hi"))
+      .select(col("cell"),
+        when(col("vec_id") === col("lo"), lit(0L)).otherwise(lit(1L)).as("sub"),
+        col("e").as("ce"))
+    // local argmin against the per-cell seed pair — the same gated
+    // graft_near_cells kernel as assignCells, tie-break (dist, sub)
+    def localAssign(sa: DataFrame): DataFrame =
+      members.join(broadcast(sa), Seq("cell"))
+        .withColumn("m2", expr("element_at(graft_near_cells(e, cs, 1), 1)"))
+        .select(col("cell"), col("vec_id"), col("e"), col("m2.cent_id").as("sub"))
+    val sArr = s2.groupBy("cell")
+      .agg(collect_list(struct(col("sub").as("cent_id"), col("ce"))).as("cs"))
+    // one fixed-point Lloyd round on the composite (cell,sub) key — the
+    // bijective relabel cell*2+sub reuses fixedPointUpdate verbatim
+    val asg0 = localAssign(sArr)
+      .select((col("cell") * 2 + col("sub")).as("cell"), col("e"))
+    val subCents = s2.select((col("cell") * 2 + col("sub")).as("cent_id"), col("ce"))
+    val upd = fixedPointUpdate(asg0, subCents)
+    val sArr2 = upd
+      .select(expr("cent_id div 2").as("cell"),
+        struct((col("cent_id") % 2).as("cent_id"), col("ce")).as("sc"))
+      .groupBy("cell").agg(collect_list(col("sc")).as("cs"))
+    val finalLocal = localAssign(sArr2)
+    val mapped = finalLocal.join(broadcast(hot), Seq("cell"))
+      .select(col("vec_id"),
+        when(col("sub") === 0, col("cell"))
+          .otherwise(lit(IvfNList - 1L) + col("hrk")).as("cell"))
+    val untouched = asg.join(broadcast(hot.select("cell")), Seq("cell"), "left_anti")
+      .select("vec_id", "cell")
+    val finalAsg = untouched.unionByName(mapped)
+    // post-split cell universe (empties included, the q132 convention)
+    val allCells = cents.select(col("cent_id").as("cell"))
+      .join(broadcast(hot.select("cell")), Seq("cell"), "left_anti")
+      .select(col("cell"), col("cell").as("parent"))
+      .unionByName(hot.select(col("cell"), col("cell").as("parent")))
+      .unionByName(hot.select(
+        (lit(IvfNList - 1L) + col("hrk")).as("cell"), col("cell").as("parent")))
+    val counts2 = finalAsg.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = counts2.agg(sum(col("n_vecs")).as("total"))
+    val w = Window.orderBy(col("n_vecs").desc, col("cell"))
+    allCells.join(counts2, Seq("cell"), "left")
+      .select(col("cell"), col("parent"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_vecs * 1000000 div total"))
+      .withColumn("size_rank", row_number().over(w).cast("long"))
+      .select("cell", "parent", "n_vecs", "share_ppm", "size_rank")
+      .orderBy("cell")
+  }
+
+  lazy val q141Sql: String =
+    s"""$ivfTrainCtes,
+       |asg AS (SELECT vec_id, e, cent_id AS cell FROM a1 WHERE rn = 1),
+       |cnt AS (SELECT cell, COUNT(*) AS n_vecs FROM asg GROUP BY cell),
+       |hot AS (SELECT cell, hrk FROM (
+       |  SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cell) AS BIGINT) AS hrk
+       |  FROM cnt) WHERE hrk <= $SplitHotCells),
+       |mem AS (SELECT a.vec_id, a.e, a.cell FROM asg a JOIN hot h USING (cell)),
+       |sid AS (SELECT cell, MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM mem GROUP BY cell),
+       |s2 AS (SELECT m.cell, CASE WHEN m.vec_id = s.lo THEN 0 ELSE 1 END AS sub, m.e AS ce
+       |       FROM mem m JOIN sid s USING (cell)
+       |       WHERE m.vec_id = s.lo OR m.vec_id = s.hi),
+       |b0 AS (SELECT m.vec_id, m.e, m.cell, s.sub,
+       |         ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+       |           list_inner_product(m.e, m.e) - 2 * list_inner_product(m.e, s.ce)
+       |             + list_inner_product(s.ce, s.ce), s.sub) AS rn
+       |       FROM mem m JOIN s2 s USING (cell)),
+       |asgb AS (SELECT vec_id, e, cell, sub FROM b0 WHERE rn = 1),
+       |mxb AS (SELECT cell, sub, i,
+       |          SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |          COUNT(*) AS fn
+       |        FROM (SELECT cell, sub, unnest(range(0, len(e))) AS i, e FROM asgb)
+       |        GROUP BY cell, sub, i),
+       |meanb AS (SELECT cell, sub, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |          FROM mxb GROUP BY cell, sub),
+       |cb AS (SELECT s.cell, s.sub, COALESCE(m.ce_new, s.ce) AS ce
+       |       FROM s2 s LEFT JOIN meanb m ON s.cell = m.cell AND s.sub = m.sub),
+       |b1 AS (SELECT m.vec_id, m.cell, c.sub,
+       |         ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+       |           list_inner_product(m.e, m.e) - 2 * list_inner_product(m.e, c.ce)
+       |             + list_inner_product(c.ce, c.ce), c.sub) AS rn
+       |       FROM mem m JOIN cb c USING (cell)),
+       |fin AS (
+       |  SELECT a.vec_id, a.cell FROM asg a LEFT JOIN hot h USING (cell)
+       |  WHERE h.cell IS NULL
+       |  UNION ALL
+       |  SELECT b.vec_id,
+       |         CASE WHEN b.sub = 0 THEN b.cell ELSE $IvfNList - 1 + h.hrk END AS cell
+       |  FROM (SELECT vec_id, cell, sub FROM b1 WHERE rn = 1) b JOIN hot h USING (cell)),
+       |cells AS (
+       |  SELECT c.cent_id AS cell, c.cent_id AS parent FROM cents c
+       |  LEFT JOIN hot h ON c.cent_id = h.cell WHERE h.cell IS NULL
+       |  UNION ALL SELECT cell, cell FROM hot
+       |  UNION ALL SELECT $IvfNList - 1 + hrk AS cell, cell AS parent FROM hot),
+       |cnt2 AS (SELECT cell, COUNT(*) AS n FROM fin GROUP BY cell),
+       |tot AS (SELECT SUM(n) AS total FROM cnt2)
+       |SELECT cl.cell, cl.parent, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_vecs,
+       |       CAST(COALESCE(c.n, 0) * 1000000 // total AS BIGINT) AS share_ppm,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(c.n, 0) DESC, cl.cell) AS BIGINT) AS size_rank
+       |FROM cells cl LEFT JOIN cnt2 c USING (cell) CROSS JOIN tot
+       |ORDER BY cl.cell""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q28_ann_topk", q28AnnTopk _, Some(q28Sql)),
     ("q29_ann_lsh", q29AnnLsh _, Some(q29Sql)),
@@ -3470,5 +3614,6 @@ object Similarity {
     // q131's own oracle through the edge-artifact round trip
     ("q135_triangle_served", q135TriangleServed _, Some(q131Sql)),
     ("q136_filtered_tombstone_ann", q136FilteredTombstoneAnn _, Some(q136Sql)),
+    ("q141_cell_split", q141CellSplit _, Some(q141Sql)),
   )
 }

@@ -1132,14 +1132,23 @@ object TextOps {
     * counter composes into q55/q62 as a drop-in replacement for
     * size(split(...)) with zero extra shuffles. */
   def q137SubwordTokens(s: SparkSession, d: String): DataFrame =
+    subwordTokenCounts(s, d).orderBy("doc_id")
+
+  /** The un-ordered q137 core — composition surface for the mixture (q139)
+    * and packing (q140) variants, which add their own exchanges; the gated
+    * q137 entry is this plus its output sort. */
+  private[graft] def subwordTokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
         expr(s"aggregate(transform(w, wd -> ${subwordCountExpr("wd")}), 0L, " +
           "(acc, x) -> acc + x)").as("n_subwords"))
-      .orderBy("doc_id")
 
-  val q137Sql: String = {
+  /** Shared oracle fragment: the q137 greedy subword count as a recursive
+    * CTE over DISTINCT words (the match is a pure function of the word
+    * string), ending in `dt(doc_id, n_words, n_subwords)`. q137/q139/q140
+    * all compose it, so the three entries can never count differently. */
+  private def subwordCtes: String = {
     val arr = SubwordVocab.map(v => s"'$v'").mkString(", ")
     s"""WITH RECURSIVE vocab(v) AS (SELECT unnest([$arr])),
        |wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
@@ -1152,21 +1161,31 @@ object TextOps {
        |                         WHERE substring(wd, pos, length(v)) = v), 1),
        |         cnt + 1
        |  FROM step WHERE pos <= length(wd)),
-       |wc AS (SELECT wd, MAX(cnt) AS n_sub FROM step GROUP BY wd)
-       |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       |       CAST(SUM(wc.n_sub) AS BIGINT) AS n_subwords
-       |FROM wrd w JOIN wc ON w.wd = wc.wd
-       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+       |wc AS (SELECT wd, MAX(cnt) AS n_sub FROM step GROUP BY wd),
+       |dt AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |              CAST(SUM(wc.n_sub) AS BIGINT) AS n_subwords
+       |       FROM wrd w JOIN wc ON w.wd = wc.wd GROUP BY w.doc_id)""".stripMargin
   }
 
-  /** The q55 mixture boundary computed from SUBWORD token counts — the
-    * drop-in budget-unit swap the q137 scaladoc promises (same
+  val q137Sql: String =
+    s"""$subwordCtes
+       |SELECT doc_id, n_words, n_subwords FROM dt ORDER BY doc_id""".stripMargin
+
+  /** q139: the q55 mixture boundary computed from SUBWORD token counts —
+    * the drop-in budget-unit swap the q137 scaladoc promises (same
     * deterministic md5-bucket machinery, same integer cross-multiplied
-    * boundary; only the token counter changes). Not separately gated (the
-    * formula is q55's gated one verbatim); OperatorSpec pins consistency:
-    * deterministic reselection and the per-doc boundary identity. */
+    * boundary; only the token counter changes), promoted to the
+    * correctness gate this round: the oracle composes [[subwordCtes]]
+    * (q137's counter, shared fragment) with q55's integer-boundary SQL
+    * verbatim, so a drift in EITHER the counter or the mixture algebra
+    * breaks the hash. OperatorSpec additionally pins deterministic
+    * reselection and the per-doc BigInt boundary identity.
+    *
+    * Scale shape = q55's: the counter is map-side (zero added shuffles —
+    * PlanSpec pins it), per-source stats are a tiny partial+final agg
+    * broadcast back, and the sampling pass is map-side. */
   def sourceMixSubword(s: SparkSession, d: String): DataFrame = {
-    val docs = q137SubwordTokens(s, d)
+    val docs = subwordTokenCounts(s, d)
       .join(Tables.spread(s, Tables.documents(s, d), "doc_id")
         .select("doc_id", "source"), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_subwords").as("n_tok"))
@@ -1185,6 +1204,68 @@ object TextOps {
       .select("doc_id", "source", "n_tok")
       .orderBy("doc_id")
   }
+
+  lazy val q139Sql: String =
+    s"""$subwordCtes,
+       |d AS (SELECT dt.doc_id, doc.source, dt.n_subwords AS n_tok
+       |      FROM dt JOIN documents doc USING (doc_id)),
+       |pw AS (
+       |  SELECT source, COUNT(*) AS docs_s,
+       |         CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1000000) AS BIGINT) AS ws_int
+       |  FROM d GROUP BY source),
+       |tot AS (SELECT SUM(ws_int) AS denom, SUM(docs_s) AS total_docs FROM pw)
+       |SELECT d.doc_id, d.source, d.n_tok
+       |FROM d JOIN pw USING (source) CROSS JOIN tot
+       |WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 17, 8)) AS BIGINT) % 10000 AS HUGEINT)
+       |        * denom * docs_s
+       |      < CAST(10000 AS HUGEINT) * ((total_docs * 400) // 1000) * ws_int
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q140: SEQUENCE PACKING IN SUBWORD UNITS — q62's packer (same budget,
+    * same deterministic shard key, same straddle bookkeeping) with the
+    * token counter swapped from the whitespace/regex convention to q137's
+    * greedy subword count: the pack boundaries a loader actually needs
+    * once budgets are in tokenizer units. The oracle composes
+    * [[subwordCtes]] with q62's shard-windowed cumulative sum verbatim —
+    * counter drift or window drift both break the hash.
+    *
+    * Scale shape = q62's: the counter is map-side, and the only stateful
+    * step is the PER-SHARD running offset (window partitioned by the
+    * deterministic shard key, never a global one-partition window —
+    * PlanSpec pins the partitioned windowspec; 100 TB packs as thousands
+    * of independent shards). */
+  def q140PackSubword(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    subwordTokenCounts(s, d)
+      .select(col("doc_id"), (col("doc_id") % Corpus.PackShards).as("shard"),
+        col("n_subwords").as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_first", expr(s"tok_start div ${Corpus.PackBudget}"))
+      .withColumn("pack_last",
+        expr(s"(tok_start + greatest(n_tokens, 1) - 1) div ${Corpus.PackBudget}"))
+      .withColumn("n_packs", col("pack_last") - col("pack_first") + 1)
+      .select("doc_id", "shard", "n_tokens", "tok_start",
+        "pack_first", "pack_last", "n_packs")
+      .orderBy("doc_id")
+  }
+
+  lazy val q140Sql: String =
+    s"""$subwordCtes,
+       |t AS (SELECT doc_id, doc_id % ${Corpus.PackShards} AS shard,
+       |             n_subwords AS n_tokens FROM dt),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens, tok_start,
+       |       tok_start // ${Corpus.PackBudget} AS pack_first,
+       |       (tok_start + greatest(n_tokens, 1) - 1) // ${Corpus.PackBudget} AS pack_last,
+       |       (tok_start + greatest(n_tokens, 1) - 1) // ${Corpus.PackBudget}
+       |         - tok_start // ${Corpus.PackBudget} + 1 AS n_packs
+       |FROM c ORDER BY doc_id""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
@@ -1205,5 +1286,7 @@ object TextOps {
     ("q104_kneser_ney3", q104KneserNey3 _, Some(q104Sql)),
     ("q107_kn_doc_score", q107KnDocScore _, Some(q107Sql)),
     ("q137_subword_tokens", q137SubwordTokens _, Some(q137Sql)),
+    ("q139_mix_subword", sourceMixSubword _, Some(q139Sql)),
+    ("q140_pack_subword", q140PackSubword _, Some(q140Sql)),
   )
 }

@@ -2954,6 +2954,73 @@ class OperatorSpec extends AnyFunSuite {
     assert(counts.max > counts.min, "vacuous: perfectly uniform cells at sf0.001")
   }
 
+  test("q140: subword packing equals the shard-window formula recomputed from q137 counts") {
+    val s = spark
+    import graft.ops.{Corpus, TextOps}
+    val got = TextOps.q140PackSubword(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("shard"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("pack_first"), r.getAs[Long]("pack_last"),
+        r.getAs[Long]("n_packs")))).toMap
+    val counts = TextOps.q137SubwordTokens(s, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_subwords")))
+    assert(got.size == counts.length && counts.nonEmpty)
+    // driver-side recompute: per-shard running offsets in doc_id order —
+    // the q62 straddle algebra, subword units
+    counts.groupBy(_._1 % Corpus.PackShards).foreach { case (shard, ds) =>
+      var off = 0L
+      ds.sortBy(_._1).foreach { case (id, n) =>
+        val (gs, gn, gstart, gpf, gpl, gnp) = got(id)
+        assert(gs == shard && gn == n && gstart == off, s"doc $id")
+        val pf = off / Corpus.PackBudget
+        val pl = (off + math.max(n, 1L) - 1) / Corpus.PackBudget
+        assert(gpf == pf && gpl == pl && gnp == pl - pf + 1, s"doc $id")
+        off += n
+      }
+    }
+  }
+
+  test("q141: splitting the hot cells reduces their load and leaves every other cell untouched") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    // planted skew: 8 seed vectors on a line, then 292 more with ~80%
+    // jittered around seed 0 — cell 0 is the over-full list by construction
+    val dir = java.nio.file.Files.createTempDirectory("cellsplit_syn").toString
+    s.range(300).selectExpr("id AS vec_id",
+      """CASE WHEN id < 8 THEN array(CAST(id * 10 AS FLOAT), CAST(id * 10 AS FLOAT))
+              WHEN id % 5 < 4 THEN array(CAST((id % 97) / 100.0 AS FLOAT), CAST((id % 89) / 100.0 AS FLOAT))
+              ELSE array(CAST((id % 8) * 10 + (id % 7) / 100.0 AS FLOAT), CAST((id % 8) * 10 AS FLOAT)) END AS embedding""",
+      "CAST(id % 3 AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pre = Similarity.q132IvfBalance(s, dir).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_vecs")).toMap
+    val post = Similarity.q141CellSplit(s, dir).collect()
+    val postMap = post.map(r => r.getAs[Long]("cell") ->
+      ((r.getAs[Long]("parent"), r.getAs[Long]("n_vecs")))).toMap
+    // universe: the 8 trained cells + one new sub-cell per split
+    assert(post.length == Similarity.IvfNList + 2)
+    val newCells = post.filter(_.getAs[Long]("cell") >= Similarity.IvfNList)
+    val hotParents = newCells.map(_.getAs[Long]("parent")).toSet
+    // hot parents are exactly the 2 largest pre-split cells (desc, id tiebreak)
+    val expectedHot = pre.toSeq.sortBy { case (c, n) => (-n, c) }.take(2).map(_._1).toSet
+    assert(hotParents == expectedHot, s"split $hotParents, expected $expectedHot")
+    // mass conservation: overall, and parent + child = the pre-split count
+    assert(post.map(_.getAs[Long]("n_vecs")).sum == 300L)
+    newCells.foreach { r =>
+      val parent = r.getAs[Long]("parent")
+      assert(postMap(parent)._2 + r.getAs[Long]("n_vecs") == pre(parent), s"cell $parent")
+      // the split is real on the planted skew: both halves non-empty
+      assert(r.getAs[Long]("n_vecs") > 0 && postMap(parent)._2 > 0, s"degenerate split of $parent")
+    }
+    // the FAISS-style invariant: untouched cells keep their counts exactly
+    pre.keys.filterNot(expectedHot.contains).foreach { c =>
+      assert(postMap(c)._2 == pre(c), s"untouched cell $c moved")
+      assert(postMap(c)._1 == c, "untouched cells are their own parent")
+    }
+    // the headline: no post-split list is as hot as the pre-split max
+    assert(post.map(_.getAs[Long]("n_vecs")).max < pre.values.max)
+  }
+
   test("q136: pre-filtering ≡ post-filtering the full unfiltered candidate list under both predicates") {
     val s = spark
     // the composition identity q136 rests on: because both predicates are

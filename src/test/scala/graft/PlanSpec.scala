@@ -1154,6 +1154,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("q140 subword pack: the running offset stays a SHARD-partitioned window under the subword counter") {
+    import graft.ops.TextOps
+    val p = plan(TextOps.q140PackSubword(spark, sf))
+    // the counter swap must not cost the packer its scale shape: the q62
+    // pin verbatim — shard in the window spec, never a global window
+    assert("windowspecdefinition\\(shard#".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q141 cell split: the local 2-means touches only hot-cell members, broadcast sub-centroids") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q141CellSplit(spark, sf))
+    // every join in the maintenance pass is either a broadcast of tiny
+    // frames (hot set, seed pair arrays, totals) or a key-local op — an
+    // embedding-carrying SortMergeJoin or a cross join of the corpus
+    // against itself would mean the split lost its locality
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findFirstIn(p).isDefined,
+      "hot set / sub-centroids must broadcast")
+  }
+
   test("q134 phash: banded candidates come from an equi join; hamming verify sits under the dedup") {
     import graft.multimodal.MultimodalOps
     val p = plan(MultimodalOps.q134PhashNearDup(spark, sf))
