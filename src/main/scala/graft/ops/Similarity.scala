@@ -2820,6 +2820,159 @@ object Similarity {
     true
   }
 
+  /** ARTIFACT-LEVEL HOT-CELL SPLIT — q141's maintenance action applied to
+    * the persisted q74-family index (cents/books/codes under `root`),
+    * copy-on-write into `outRoot`: the `splitCells` largest cells split by
+    * the SAME local fixed-point 2-means ([[localTwoMeans]], shared kernel),
+    * the codes' `cell` routing updated for MOVED rows only (the `codes`
+    * payload column is byte-identical), books byte-identical. The plain
+    * IVF-PQ artifact is split-SAFE because its PQ codes quantize raw
+    * vectors, independent of cell routing; the residual variant (q75)
+    * encodes relative to its cell centroid, so splitting it would
+    * invalidate codes — split before encode, or re-encode the hot cells.
+    *
+    * The split needs the hot cells' RAW vectors (codes are lossy): `emb`
+    * supplies them via one semi-join against the hot routing rows — only
+    * hot-cell members are ever read, ≈ splitCells·n/nlist vectors.
+    *
+    * New cell ids start at max(cent_id)+1. Sub-cell 0 keeps the parent id
+    * with its UPDATED centroid (routing quality for future appends); a
+    * single-member hot cell yields no sub-cell 1 (no empty cell is
+    * written). Tombstones, if present, transfer as their deduplicated
+    * union (delete semantics are routing-independent — vec_id keyed).
+    *
+    * WRITE ORDER CONTRACT: cents is written to `outRoot` BEFORE codes —
+    * [[maybeSplitIvf]]'s crash recovery depends on it (a complete scratch
+    * codes with missing scratch cents can only mean the cents rename
+    * already happened).
+    *
+    * The exactness gate (OperatorSpec): FULL-PROBE serving from the split
+    * artifact ≡ full-probe serving pre-split bit-for-bit — a split changes
+    * only WHERE rows are routed, never what the index contains — plus
+    * per-split mass conservation and untouched-row byte-identity. At
+    * normal nprobe the split is the standard IVF approximation trade:
+    * finer cells, smaller probed candidate sets. */
+  def ivfCellSplitArtifact(s: SparkSession, root: String, outRoot: String,
+      emb: DataFrame, splitCells: Int = SplitHotCells): Unit = {
+    require(outRoot != root,
+      "cell split is copy-on-write: outRoot must be a new artifact root")
+    import s.implicits._
+    val cents = s.read.parquet(s"$root/cents")
+    val codes = s.read.parquet(s"$root/codes")
+    // occupancy + centroid set are index metadata (nlist rows) — driver
+    val occ = codes.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hotCells = occ.sortBy { case (c, n) => (-n, c) }
+      .take(splitCells).map(_._1).toSeq
+    val centIds = cents.select("cent_id").collect().map(_.getLong(0))
+    val maxId = centIds.max
+    val newIdOf = hotCells.zipWithIndex
+      .map { case (c, i) => c -> (maxId + 1 + i) }.toMap
+    val members = codes.filter(col("cell").isin(hotCells: _*))
+      .select("vec_id", "cell")
+      .join(emb.select("vec_id", "e"), Seq("vec_id"))
+      .select("cell", "vec_id", "e").cache()
+    val (finalLocal, updCs) = localTwoMeans(members, hotCells)
+    val newIdExpr = hotCells.foldLeft(lit(-1L)) { (acc, c) =>
+      when(col("cell") === c, lit(newIdOf(c))).otherwise(acc) }
+    val moved = finalLocal.select(col("vec_id"),
+      when(col("sub") === 0, col("cell")).otherwise(newIdExpr).as("cell"))
+    // cents': untouched rows byte-identical; parent id ← sub-0 centroid,
+    // new id ← sub-1 centroid (absent for single-member cells)
+    val updRows: Seq[(Long, Seq[Double])] = hotCells.flatMap { c =>
+      updCs(c).map { case (sub, ce) => (if (sub == 0L) c else newIdOf(c), ce) } }
+    val centsOut = cents.filter(!col("cent_id").isin(hotCells: _*))
+      .unionByName(updRows.toDF("cent_id", "ce"))
+    // codes': untouched rows byte-identical; hot rows re-routed only
+    val codesOut = codes.filter(!col("cell").isin(hotCells: _*))
+      .unionByName(codes.filter(col("cell").isin(hotCells: _*))
+        .drop("cell").join(moved, Seq("vec_id")))
+    centsOut.write.mode("overwrite").parquet(s"$outRoot/cents") // FIRST (contract)
+    codesOut.write.mode("overwrite").parquet(s"$outRoot/codes")
+    s.read.parquet(s"$root/books").write.mode("overwrite").parquet(s"$outRoot/books")
+    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombRoot)) {
+      val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
+        .map(_.getPath.toString).sorted.toSeq
+      if (tombs.nonEmpty)
+        s.read.parquet(tombs: _*).select("vec_id").distinct()
+          .write.mode("overwrite").parquet(s"$outRoot/tombstones/t0")
+    }
+    members.unpersist(false)
+  }
+
+  /** SHARE-TIERED SPLIT POLICY for the IVF-PQ artifact — the q132→q141
+    * audit→maintain loop wired the way [[maybeCompactIvf]] wires
+    * reclamation: the occupancy check is one nlist-row agg; at max cell
+    * share ≤ `maxSharePpm` (ppm of corpus rows, the q132 unit) it is a
+    * no-op. Past the tier it splits copy-on-write into a scratch root and
+    * SWAPS — cents first, then codes. The ORDER is the crash-safety
+    * argument: new cents + old codes serve consistently (every old cell id
+    * still exists; the new sub-cell is merely empty until codes promote),
+    * whereas new codes + old cents would route rows to a centroid that
+    * doesn't exist — rows silently unreachable. Combined with
+    * [[ivfCellSplitArtifact]]'s scratch write order (cents before codes),
+    * every crash window recovers unambiguously:
+    *  - scratch codes complete + live cents missing → finish both renames;
+    *  - scratch codes complete + scratch cents GONE → the cents rename
+    *    already happened → finish the codes half (covers both the
+    *    codes-retired and codes-not-yet-retired windows);
+    *  - anything else → stale partial scratch beside an intact artifact —
+    *    discard it.
+    * A crash between the cents and codes promotes that recovery resolves
+    * by discarding leaves new cents + old codes: consistent and servable;
+    * the next policy call re-evaluates the (unchanged) occupancy and
+    * re-splits. Occupancy counts PHYSICAL code rows — compact tombstones
+    * first ([[maybeCompactIvf]]) if deletes are in flight. Single-writer
+    * maintenance, run between micro-batches. Returns true iff a split (or
+    * a crash recovery) ran. */
+  def maybeSplitIvf(s: SparkSession, root: String, emb: DataFrame,
+      maxSharePpm: Long, splitCells: Int = SplitHotCells): Boolean = {
+    require(maxSharePpm >= 1 && maxSharePpm <= 1000000,
+      s"maxSharePpm must be in [1, 1000000], got $maxSharePpm")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scratch = s"$root/__splitting"
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val centsPath = new org.apache.hadoop.fs.Path(s"$root/cents")
+    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    if (fs.exists(scratchPath)) {
+      val scOk = fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/cents/_SUCCESS"))
+      val sdOk = fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/codes/_SUCCESS"))
+      if (sdOk && scOk && !fs.exists(centsPath)) {
+        require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/cents"), centsPath),
+          s"split recovery failed: could not promote $scratch/cents into $root")
+        fs.delete(codesPath, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
+          s"split recovery failed: could not promote $scratch/codes into $root")
+        fs.delete(scratchPath, true)
+        return true
+      }
+      if (sdOk && !scOk) {
+        fs.delete(codesPath, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
+          s"split recovery failed: could not promote $scratch/codes into $root")
+        fs.delete(scratchPath, true)
+        return true
+      }
+      fs.delete(scratchPath, true)
+    }
+    val occ = s.read.parquet(s"$root/codes").groupBy("cell")
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+    val total = occ.sum
+    if (total == 0L || occ.max * 1000000L / total <= maxSharePpm) return false
+    ivfCellSplitArtifact(s, root, scratch, emb, splitCells)
+    fs.delete(centsPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/cents"), centsPath),
+      s"split swap failed: could not promote $scratch/cents into $root")
+    fs.delete(codesPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
+      s"split swap failed: could not promote $scratch/codes into $root")
+    fs.delete(scratchPath, true)
+    true
+  }
+
   lazy val q127Sql: String =
     s"""$ivfPqAdcCtes
        |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
@@ -3454,66 +3607,122 @@ object Similarity {
     * (cell,sub,dim) fixed-point partial agg, which is 2m·dim rows out);
     * the final audit is the q132 rollup over nlist+m rows. At 100 TB a
     * nightly split pass costs one scan of the hot lists, not a retrain. */
+  /** Local fixed-point 2-means inside each hot cell — q141's kernel,
+    * shared with [[ivfCellSplitArtifact]] so the gated entry and the
+    * artifact maintenance can never split differently. `members` must
+    * carry (cell, vec_id, e) for hot-cell rows only, cached by the caller
+    * (scanned three times: seed agg, update agg, final assign). Returns
+    * the final per-vector assignment (cell, vec_id, e, sub) and the
+    * updated sub-centroids per cell (sub 0 = the min-vec_id seed's half).
+    *
+    * Seeds are each cell's min/max-vec_id members (single-member cell →
+    * one seed, sub 1 stays empty), fetched in ONE min_by/max_by agg
+    * (vec_id unique — deterministic). The 2-means STATE is ≤ 2m vectors —
+    * index metadata — so it lives on the driver and rides into each
+    * assignment pass as a literal centroid array: both local assigns are
+    * pure map-side projections via the gated graft_near_cells kernel
+    * (identical dot(e,e)−2dot(e,ce)+dot(ce,ce) IEEE chain, tie-break
+    * (dist, sub)); the mean update sums floor(v·10⁶) longs per
+    * (cell, sub, dim) in one distributed agg (order-independent,
+    * bit-identical on any layout), the ≤ 2m·dim result rows come to the
+    * driver, and the division is the same two correctly-rounded IEEE ops
+    * as fixedPointUpdate's. An earlier formulation ran collect_list +
+    * broadcast-join per assign and a distributed mean update — five AQE
+    * stage materializations for ≤ 2m·dim values (BASELINE.md round-15
+    * continuation records the 8.1 → 3.56 s iteration). */
+  private[graft] def localTwoMeans(members: DataFrame, hotCells: Seq[Long])
+      : (DataFrame, Map[Long, Seq[(Long, Seq[Double])]]) = {
+    val seedVecs: Seq[(Long, Long, Seq[Double])] =
+      members.groupBy("cell")
+        .agg(min("vec_id").as("lo"), max("vec_id").as("hi"),
+          expr("min_by(e, vec_id)").as("loe"), expr("max_by(e, vec_id)").as("hie"))
+        .collect().flatMap { r =>
+          val c = r.getLong(0)
+          if (r.getLong(1) == r.getLong(2)) Seq((c, 0L, r.getSeq[Double](3)))
+          else Seq((c, 0L, r.getSeq[Double](3)), (c, 1L, r.getSeq[Double](4)))
+        }.toSeq
+    def csLiteral(entries: Seq[(Long, Seq[Double])]): Column =
+      array(entries.map { case (id, v) =>
+        struct(lit(id).as("cent_id"), array(v.map(lit): _*).as("ce"))
+      }: _*)
+    def localAssign(csOf: Map[Long, Seq[(Long, Seq[Double])]]): DataFrame = {
+      val csCol = hotCells.foldLeft(lit(null).cast(
+        "array<struct<cent_id: bigint, ce: array<double>>>")) { (acc, c) =>
+        when(col("cell") === c, csLiteral(csOf(c))).otherwise(acc) }
+      members.withColumn("cs", csCol)
+        .withColumn("m2", expr("element_at(graft_near_cells(e, cs, 1), 1)"))
+        .select(col("cell"), col("vec_id"), col("e"), col("m2.cent_id").as("sub"))
+    }
+    val seedCs: Map[Long, Seq[(Long, Seq[Double])]] =
+      seedVecs.groupBy(_._1).map { case (c, rs) =>
+        c -> rs.sortBy(_._2).map(t => (t._2, t._3)) }
+    val asg0 = localAssign(seedCs)
+    val mx = asg0.select(col("cell"), col("sub"), posexplode(col("e")).as(Seq("i", "v")))
+      .groupBy("cell", "sub", "i")
+      .agg(sum(floor(col("v") * lit(CentFixedScale.toDouble)).cast("long")).as("fs"),
+        count(lit(1)).as("fn"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1)
+      .map { case (k, rs) =>
+        k -> rs.map(_._2).sortBy(_._1)
+          .map { case (_, fs, fn) => (fs.toDouble / fn) / CentFixedScale.toDouble }
+          .toSeq }
+    // sub-centroids with no assigned members keep their seed (the
+    // fixedPointUpdate coalesce)
+    val updCs: Map[Long, Seq[(Long, Seq[Double])]] =
+      seedCs.map { case (c, entries) =>
+        c -> entries.map { case (sub, ce) => (sub, mx.getOrElse((c, sub), ce)) } }
+    (localAssign(updCs), updCs)
+  }
+
   def q141CellSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val emb = embWithNorm(s, d).select("vec_id", "e")
     val seed = emb.filter(col("vec_id") < IvfNList)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    val cents = fixedPointUpdate(assignCells(emb, seed), seed)
+    val cents = fixedPointUpdate(assignCells(emb, seed), seed).cache()
     val asg = assignCells(emb, cents).select("vec_id", "e", "cell")
-    val counts = asg.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
-    val wHot = Window.orderBy(col("n_vecs").desc, col("cell"))
-    val hot = counts.withColumn("hrk", row_number().over(wHot).cast("long"))
-      .filter(col("hrk") <= SplitHotCells).select("cell", "hrk")
-    val members = asg.join(broadcast(hot.select("cell")), Seq("cell"))
-    // seeds = min/max vec_id member per hot cell (single-member cell → one
-    // seed, sub 1 stays empty; both sides emit it with n_vecs = 0)
-    val seedIds = members.groupBy("cell")
-      .agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
-    val s2 = members.join(broadcast(seedIds), Seq("cell"))
-      .filter(col("vec_id") === col("lo") || col("vec_id") === col("hi"))
-      .select(col("cell"),
-        when(col("vec_id") === col("lo"), lit(0L)).otherwise(lit(1L)).as("sub"),
-        col("e").as("ce"))
-    // local argmin against the per-cell seed pair — the same gated
-    // graft_near_cells kernel as assignCells, tie-break (dist, sub)
-    def localAssign(sa: DataFrame): DataFrame =
-      members.join(broadcast(sa), Seq("cell"))
-        .withColumn("m2", expr("element_at(graft_near_cells(e, cs, 1), 1)"))
-        .select(col("cell"), col("vec_id"), col("e"), col("m2.cent_id").as("sub"))
-    val sArr = s2.groupBy("cell")
-      .agg(collect_list(struct(col("sub").as("cent_id"), col("ce"))).as("cs"))
-    // one fixed-point Lloyd round on the composite (cell,sub) key — the
-    // bijective relabel cell*2+sub reuses fixedPointUpdate verbatim
-    val asg0 = localAssign(sArr)
-      .select((col("cell") * 2 + col("sub")).as("cell"), col("e"))
-    val subCents = s2.select((col("cell") * 2 + col("sub")).as("cent_id"), col("ce"))
-    val upd = fixedPointUpdate(asg0, subCents)
-    val sArr2 = upd
-      .select(expr("cent_id div 2").as("cell"),
-        struct((col("cent_id") % 2).as("cent_id"), col("ce")).as("sc"))
-      .groupBy("cell").agg(collect_list(col("sc")).as("cs"))
-    val finalLocal = localAssign(sArr2)
-    val mapped = finalLocal.join(broadcast(hot), Seq("cell"))
-      .select(col("vec_id"),
-        when(col("sub") === 0, col("cell"))
-          .otherwise(lit(IvfNList - 1L) + col("hrk")).as("cell"))
-    val untouched = asg.join(broadcast(hot.select("cell")), Seq("cell"), "left_anti")
-      .select("vec_id", "cell")
+    // hot pick: the occupancy table is nlist rows — index METADATA, not
+    // data — so it comes to the driver (the q63 cut-point convention) and
+    // every downstream use is a literal filter/map instead of a join (the
+    // first formulation broadcast-joined the hot set five times: six AQE
+    // stage materializations for frames of ≤ nlist rows). The same pass
+    // fills the cents cache.
+    // slim (vec_id, cell) assignment cached once: the occupancy agg fills
+    // it, the untouched arm re-reads it — the corpus argmin runs twice in
+    // total (here and the members fill), never per-arm
+    val asgSlim = asg.select("vec_id", "cell").cache()
+    val occ = asgSlim.groupBy("cell").agg(count(lit(1)).as("n_vecs")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hotCells: Seq[Long] = occ.sortBy { case (c, n) => (-n, c) }
+      .take(SplitHotCells).map(_._1).toSeq
+    val newIdOf: Map[Long, Long] =
+      hotCells.zipWithIndex.map { case (c, i) => c -> (IvfNList + i.toLong) }.toMap
+    val newIdExpr = hotCells.foldLeft(lit(-1L)) { (acc, c) =>
+      when(col("cell") === c, lit(newIdOf(c))).otherwise(acc) }
+    // the hot-cell member subset (≈ m·n/nlist rows) is consumed by three
+    // arms (seed pick, both local assigns) — cache it so the corpus-wide
+    // argmin pass behind it runs once, the standard move for an iterative
+    // maintenance job
+    val members = asg.filter(col("cell").isin(hotCells: _*)).cache()
+    val (finalLocal, _) = localTwoMeans(members, hotCells)
+    val mapped = finalLocal.select(col("vec_id"),
+      when(col("sub") === 0, col("cell")).otherwise(newIdExpr).as("cell"))
+    val untouched = asgSlim.filter(!col("cell").isin(hotCells: _*))
     val finalAsg = untouched.unionByName(mapped)
-    // post-split cell universe (empties included, the q132 convention)
-    val allCells = cents.select(col("cent_id").as("cell"))
-      .join(broadcast(hot.select("cell")), Seq("cell"), "left_anti")
-      .select(col("cell"), col("cell").as("parent"))
-      .unionByName(hot.select(col("cell"), col("cell").as("parent")))
-      .unionByName(hot.select(
-        (lit(IvfNList - 1L) + col("hrk")).as("cell"), col("cell").as("parent")))
+    // post-split cell universe (empties included, the q132 convention):
+    // trained cell ids (from the cached nlist-row centroid frame) plus one
+    // new id per split — a driver-built literal table
+    val cellIds = cents.select("cent_id").collect().map(_.getLong(0)).toSeq.sorted
+    val allCells = (cellIds.map(c => (c, c)) ++
+      hotCells.map(c => (newIdOf(c), c))).toDF("cell", "parent")
+    val total = occ.map(_._2).sum // mass is conserved: Σ post-split ≡ Σ occ
     val counts2 = finalAsg.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
-    val tot = counts2.agg(sum(col("n_vecs")).as("total"))
     val w = Window.orderBy(col("n_vecs").desc, col("cell"))
-    allCells.join(counts2, Seq("cell"), "left")
+    allCells.join(broadcast(counts2), Seq("cell"), "left")
       .select(col("cell"), col("parent"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
-      .crossJoin(broadcast(tot))
-      .withColumn("share_ppm", expr("n_vecs * 1000000 div total"))
+      .withColumn("share_ppm", expr(s"n_vecs * 1000000 div ${total}L"))
       .withColumn("size_rank", row_number().over(w).cast("long"))
       .select("cell", "parent", "n_vecs", "share_ppm", "size_rank")
       .orderBy("cell")

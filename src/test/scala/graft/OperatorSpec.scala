@@ -3217,6 +3217,114 @@ class OperatorSpec extends AnyFunSuite {
     assert(rank(art2) == expected, "intact artifact untouched by the cleanup")
   }
 
+  test("ivfCellSplitArtifact: full-probe serve bit-identical, mass conserved, untouched rows byte-equal") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    val base = java.nio.file.Files.createTempDirectory("ivf_split").toString
+    val root = s"$base/art"; val out = s"$base/art2"
+    val (emb, subs, seedsPq) = Similarity.pqParts(s, sf)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    cents.write.parquet(s"$root/cents")
+    books.write.parquet(s"$root/books")
+    codeTable.write.parquet(s"$root/codes")
+    Similarity.ivfCellSplitArtifact(s, root, out, emb.select("vec_id", "e"))
+    // a split changes only WHERE rows are routed, never what the index
+    // contains: probing every cell on both sides must return identical rows
+    val queries = emb.filter(col("vec_id") < 10).select("vec_id", "e")
+    def serve(r: String, nprobe: Int): Seq[String] = Similarity.ivfPqSearchFrom(
+      s.read.parquet(s"$r/cents"), s.read.parquet(s"$r/books"),
+      s.read.parquet(s"$r/codes"), queries, nprobe = nprobe)
+      .collect().map(_.toString).toSeq
+    val nPre = s.read.parquet(s"$root/cents").count().toInt
+    val nPost = s.read.parquet(s"$out/cents").count().toInt
+    assert(nPost > nPre, "split must add sub-cells")
+    val pre = serve(root, nPre)
+    val post = serve(out, nPost)
+    assert(pre.nonEmpty && pre == post,
+      "full-probe serving must be bit-identical across the split")
+    // row set preserved, codes payload byte-identical, untouched rows unmoved
+    val cPre = s.read.parquet(s"$root/codes").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Any](2)))).toMap
+    val cPost = s.read.parquet(s"$out/codes").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Any](2)))).toMap
+    assert(cPre.keySet == cPost.keySet, "split must not add or drop rows")
+    val occ = cPre.values.groupBy(_._1).map { case (c, g) => c -> g.size.toLong }
+    val hot = occ.toSeq.sortBy { case (c, n) => (-n, c) }.take(2).map(_._1).toSet
+    val maxPre = cPre.values.map(_._1).max
+    cPre.foreach { case (id, (cell, payload)) =>
+      val (cell2, payload2) = cPost(id)
+      assert(payload2 == payload, s"codes payload changed for vec $id")
+      if (hot(cell)) assert(cell2 == cell || cell2 > maxPre, s"hot row $id routed to $cell2")
+      else assert(cell2 == cell, s"untouched row $id moved to $cell2")
+    }
+    val newIds = cPost.values.map(_._1).toSet -- cPre.values.map(_._1).toSet
+    assert(newIds.nonEmpty && newIds.forall(_ > maxPre), s"new cell ids $newIds")
+    // cents: untouched rows byte-equal; books byte-equal
+    val cenPre = s.read.parquet(s"$root/cents").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cenPost = s.read.parquet(s"$out/cents").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (cenPre.keySet -- hot).foreach { c =>
+      assert(cenPost(c) == cenPre(c), s"untouched centroid $c changed") }
+    assert(s.read.parquet(s"$out/books").collect().map(_.toString).sorted.toSeq ==
+      s.read.parquet(s"$root/books").collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("maybeSplitIvf: share tier gates the swap; both crash windows recover to a consistent artifact") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ivf_split_policy").toString
+    // skewed synthetic: cell 0 holds 80 of 100 rows; raw vectors spread so
+    // the local 2-means produces two real halves
+    val emb = s.range(100).selectExpr("id AS vec_id",
+      """CASE WHEN id < 80 THEN array(CAST(id % 13 AS DOUBLE) * 0.1, CAST(id % 7 AS DOUBLE) * 0.1)
+              ELSE array(CAST((1 + id % 3) * 10 AS DOUBLE), CAST((1 + id % 3) * 10 AS DOUBLE)) END AS e""")
+    def writeArt(root: String): Unit = {
+      Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), (2L, Seq(20.0, 20.0)),
+        (3L, Seq(30.0, 30.0))).toDF("cent_id", "ce").write.parquet(s"$root/cents")
+      Seq((0, 0L, Seq(0.0))).toDF("m", "cent_id", "ce").write.parquet(s"$root/books")
+      s.range(100).selectExpr("id AS vec_id",
+        "CAST(CASE WHEN id < 80 THEN 0 ELSE 1 + id % 3 END AS BIGINT) AS cell",
+        "array(1, 2) AS codes").write.parquet(s"$root/codes")
+    }
+    def consistent(root: String): Unit = {
+      val occ = s.read.parquet(s"$root/codes").groupBy("cell").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(occ.values.sum == 100L, s"mass lost: $occ")
+      assert(occ.values.max < 80L, s"hot cell not lighter: $occ")
+      val centIds = s.read.parquet(s"$root/cents").select("cent_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(occ.keySet.subsetOf(centIds),
+        s"code rows route to missing centroids: ${occ.keySet -- centIds}")
+    }
+    // tier gate: 800000 ppm max share is under a 900000 tier → no-op
+    val root1 = s"$base/a1"; writeArt(root1)
+    assert(!Similarity.maybeSplitIvf(s, root1, emb, maxSharePpm = 900000))
+    assert(s.read.parquet(s"$root1/cents").count() == 4, "no-op below tier")
+    // past the tier: split runs, swapped artifact is consistent
+    assert(Similarity.maybeSplitIvf(s, root1, emb, maxSharePpm = 500000))
+    consistent(root1)
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // crash window 1: scratch complete, live cents retired, nothing promoted
+    val root2 = s"$base/a2"; writeArt(root2)
+    Similarity.ivfCellSplitArtifact(s, root2, s"$root2/__splitting", emb)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root2/cents"), true)
+    assert(Similarity.maybeSplitIvf(s, root2, emb, maxSharePpm = 500000),
+      "recovery must finish the interrupted swap")
+    consistent(root2)
+    // crash window 2: cents promoted, codes half pending (scratch cents gone)
+    val root3 = s"$base/a3"; writeArt(root3)
+    Similarity.ivfCellSplitArtifact(s, root3, s"$root3/__splitting", emb)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root3/cents"), true)
+    assert(hfs.rename(new org.apache.hadoop.fs.Path(s"$root3/__splitting/cents"),
+      new org.apache.hadoop.fs.Path(s"$root3/cents")))
+    assert(Similarity.maybeSplitIvf(s, root3, emb, maxSharePpm = 500000),
+      "recovery must finish the codes half")
+    consistent(root3)
+  }
+
   test("maybeCompactIvf: tombstone tier triggers the swap; plain serve after ≡ tombstoned serve before") {
     val s = spark
     import s.implicits._

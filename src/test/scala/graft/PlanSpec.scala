@@ -1163,17 +1163,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(600))
   }
 
-  test("q141 cell split: the local 2-means touches only hot-cell members, broadcast sub-centroids") {
+  test("q141 cell split: the local 2-means touches only hot-cell members, literal driver-side state") {
     import graft.ops.Similarity
     val p = plan(Similarity.q141CellSplit(spark, sf))
-    // every join in the maintenance pass is either a broadcast of tiny
-    // frames (hot set, seed pair arrays, totals) or a key-local op — an
-    // embedding-carrying SortMergeJoin or a cross join of the corpus
-    // against itself would mean the split lost its locality
+    // the maintenance state (hot set, seed/sub-centroid vectors — index
+    // METADATA, ≤ 2m·dim values) rides as literal filters/arrays, so the
+    // corpus side never joins anything corpus-sized: an embedding-carrying
+    // SortMergeJoin or a cross join of the corpus against itself would
+    // mean the split lost its locality; the one join left is the nlist+m
+    // row audit attach, broadcast
     assert(!p.contains("SortMergeJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findFirstIn(p).isDefined,
-      "hot set / sub-centroids must broadcast")
+      "the audit-attach join must broadcast")
   }
 
   test("q134 phash: banded candidates come from an equi join; hamming verify sits under the dedup") {
