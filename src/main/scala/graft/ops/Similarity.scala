@@ -706,8 +706,12 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame) = {
     val coarseSeed = emb.filter(col("vec_id") < IvfNList)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    val cents = fixedPointUpdate(assignCells(emb, coarseSeed), coarseSeed)
-    val books = pqTrain(subs, seedsPq)
+    // cache the two tiny trained frames (nlist·dim + M·k rows): every
+    // artifact-writing caller (q127/q133/q136/q138/q142) consumes cents
+    // and books once directly AND once through codeTable's encode lineage
+    // — uncached, the coarse train and the PQ train each ran twice
+    val cents = fixedPointUpdate(assignCells(emb, coarseSeed), coarseSeed).cache()
+    val books = pqTrain(subs, seedsPq).cache()
     (cents, books, ivfPqAppend(cents, books, emb))
   }
 
@@ -2973,6 +2977,38 @@ object Similarity {
     true
   }
 
+  /** q142: THE SPLIT ARTIFACT SERVED, ORACLE-GATED — the catalog face of
+    * [[ivfCellSplitArtifact]]: build the q74-family artifacts, split the
+    * hot cells copy-on-write, then serve top-k from the SPLIT artifact at
+    * FULL PROBE (nprobe = post-split cell count). Full-probe IVF serving
+    * degenerates to the flat ADC scan by construction — every cell's rows
+    * are candidates — so the entry closes under EXACTLY q73's oracle, and
+    * the gate catches any corruption the split could introduce anywhere in
+    * the rewrite (a moved row routed to a missing cell never becomes a
+    * candidate; a mutated codes payload or codebook changes adc_fixed; a
+    * dropped/duplicated row changes the top-k) while staying DuckDB-
+    * expressible without re-deriving the 2-means in SQL. Normal-nprobe
+    * serving from the split index is the production path (finer cells →
+    * smaller probed candidate sets — the point of splitting); its
+    * approximation shift is the standard IVF trade and is exercised by the
+    * OperatorSpec full-probe/mass/byte-identity gates. Eager writes, the
+    * q127 convention; the probe side is the eval-sized query batch. */
+  def q142SplitServed(s: SparkSession, d: String): DataFrame = {
+    val root = s"${knnGraphServePath(d)}/ivfsplit"
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
+    cents.write.mode("overwrite").parquet(s"$root/cents")
+    books.write.mode("overwrite").parquet(s"$root/books")
+    codeTable.write.mode("overwrite").parquet(s"$root/codes")
+    ivfCellSplitArtifact(s, root, s"$root/split", emb.select("vec_id", "e"))
+    val sc = s.read.parquet(s"$root/split/cents")
+    ivfPqSearchFrom(sc, s.read.parquet(s"$root/split/books"),
+      s.read.parquet(s"$root/split/codes"),
+      emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"),
+      nprobe = sc.count().toInt)
+      .select("query_id", "neighbor_id", "adc_fixed", "rn")
+  }
+
   lazy val q127Sql: String =
     s"""$ivfPqAdcCtes
        |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
@@ -3824,5 +3860,8 @@ object Similarity {
     ("q135_triangle_served", q135TriangleServed _, Some(q131Sql)),
     ("q136_filtered_tombstone_ann", q136FilteredTombstoneAnn _, Some(q136Sql)),
     ("q141_cell_split", q141CellSplit _, Some(q141Sql)),
+    // served ≡ flat: full-probe serving from the SPLIT artifact closes
+    // under q73's own oracle (routing changes where, never what)
+    ("q142_split_served", q142SplitServed _, Some(q73Sql)),
   )
 }

@@ -1142,6 +1142,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected a scan over the cluster-label artifact; got $scans")
   }
 
+  test("q142 split served: the serve reads the SPLIT artifact (cents/books/codes all post-split)") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Similarity.q142SplitServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val scans = nodes(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    Seq("cents", "books", "codes").foreach(t => assert(
+      scans.exists(p => p.contains("ivfsplit/split/") && p.endsWith(s"/$t")),
+      s"expected a scan at the split artifact's /$t; got $scans"))
+    // the serve must NOT read the PRE-split artifacts (that would unsplit
+    // the gate); the only non-split scans are the eval query batch
+    assert(!scans.exists(p => p.contains("ivfsplit/") && !p.contains("/split/")),
+      s"serve read a pre-split artifact: $scans")
+  }
+
   test("q137 subword tokenizer: the greedy fold is map-side — zero engine-introduced hash shuffles") {
     import graft.ops.TextOps
     val p = plan(TextOps.q137SubwordTokens(spark, sf))
