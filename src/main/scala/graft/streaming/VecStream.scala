@@ -195,4 +195,33 @@ object VecStream {
     if (maxTombstones > 0)
       graft.ops.Similarity.maybeCompactIvf(ids.sparkSession, root, maxTombstones)
   }
+
+  /** foreachBatch INGEST for the persisted IVF-PQ artifact: assign+encode
+    * the fresh batch under the frozen cents/books (read back from the
+    * artifact root per batch — KBs, never a training lineage) and APPEND
+    * the code rows to `root/codes`. `maxSharePpm > 0` wires in the
+    * share-tiered split policy ([[graft.ops.Similarity.maybeSplitIvf]]) so
+    * a long-running SKEWED ingest self-maintains — the hottest list splits
+    * before it dominates probe latency — completing the artifact
+    * lifecycle's streaming surfaces (append here, delete/compact in
+    * [[tombstoneBatch]]). The split's copy-on-write swap runs inside this
+    * foreachBatch call (the single-writer window), mirroring the
+    * compaction wiring; `embAll` supplies the raw vectors the local
+    * 2-means needs for hot-cell members (9-byte codes are lossy — they
+    * can't re-cluster), so it must cover every vec_id routed to a hot
+    * cell: the original corpus plus all appended batches. Because a split
+    * is routing-only (full-probe serving is bit-identical before and
+    * after — the q142 gate), ANY interleaving of appends and splits serves
+    * the same results as policy-free appends. */
+  def indexAppendBatch(freshVecs: DataFrame, root: String,
+      embAll: DataFrame, maxSharePpm: Long = 0L): Unit = {
+    val s = freshVecs.sparkSession
+    val pc = s.read.parquet(s"$root/cents")
+    val pb = s.read.parquet(s"$root/books")
+    Similarity.ivfPqAppend(pc, pb,
+      freshVecs.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+      .write.mode("append").parquet(s"$root/codes")
+    if (maxSharePpm > 0)
+      graft.ops.Similarity.maybeSplitIvf(s, root, embAll, maxSharePpm)
+  }
 }

@@ -644,4 +644,70 @@ class DocStreamSpec extends AnyFunSuite {
       s"streamed labels diverged from the one-shot recluster: " +
         s"missing=${(oneShot -- streamed).take(3)} extra=${(streamed -- oneShot).take(3)}")
   }
+
+  test("self-maintaining ANN ingest: a skewed append drain under the split policy splits the hot list; full-probe serve ≡ policy-free appends") {
+    val spark = TestSpark.spark
+    import graft.ops.Similarity
+    graft.functions.VectorFunctions.register(spark)
+    val all = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+    val static = all.filter(col("vec_id") % 5 =!= 0)
+    // train on the full corpus (dense 0..k-1 seed ids — the LUT decode
+    // assumes them), encode the static subset as the initial code table;
+    // two identical roots: one drained under the policy, one policy-free
+    val (subs, seeds) = Similarity.subSplit(all)
+    val (cents, books, _) = Similarity.ivfPqIndex(all, subs, seeds)
+    val codes0 = Similarity.ivfPqAppend(cents, books, static)
+    val base = java.nio.file.Files.createTempDirectory("vecstream_split").toString
+    Seq(s"$base/pol", s"$base/ctl").foreach { r =>
+      cents.write.parquet(s"$r/cents")
+      books.write.parquet(s"$r/books")
+      codes0.write.parquet(s"$r/codes")
+    }
+    // skewed ingest: three batches of near-clones of one static vector —
+    // every appended row routes to that vector's cell, which becomes the
+    // hot list by construction
+    val v0 = static.orderBy("vec_id").select("e").head().getSeq[Double](0)
+    import spark.implicits._
+    val batches = (0 until 3).map { b =>
+      (0 until 20).map { i =>
+        (100000L + b * 20 + i,
+          v0.zipWithIndex.map { case (x, j) =>
+            (x * (1.0 + (b * 20 + i + j) * 1e-4)).toFloat })
+      }.toDF("vec_id", "embedding")
+    }
+    val embAll = all.unionByName(batches.reduce(_ unionByName _)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e"))
+    batches.foreach { b =>
+      VecStream.indexAppendBatch(b, s"$base/pol", embAll, maxSharePpm = 180000)
+      VecStream.indexAppendBatch(b, s"$base/ctl", embAll, maxSharePpm = 0)
+    }
+    // the policy fired: the maintained root carries more cells, every
+    // routed cell has a centroid, and no list holds what the hot one would
+    val nPol = spark.read.parquet(s"$base/pol/cents").count().toInt
+    val nCtl = spark.read.parquet(s"$base/ctl/cents").count().toInt
+    assert(nPol > nCtl, s"split policy never fired: $nPol vs $nCtl cells")
+    val occ = spark.read.parquet(s"$base/pol/codes").groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centIds = spark.read.parquet(s"$base/pol/cents").select("cent_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(occ.keySet.subsetOf(centIds),
+      s"rows route to missing centroids: ${occ.keySet -- centIds}")
+    val ctlOcc = spark.read.parquet(s"$base/ctl/codes").groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    assert(occ.values.sum == ctlOcc.sum, "append mass diverged across roots")
+    assert(occ.values.max < ctlOcc.max,
+      s"hot list not lighter under the policy: ${occ.values.max} vs ${ctlOcc.max}")
+    // routing-only: full-probe serving is bit-identical across the two
+    // drains — ANY interleaving of appends and splits serves the same rows
+    val queries = static.filter(col("vec_id") < 10).select("vec_id", "e")
+    def serve(r: String, np: Int) = Similarity.ivfPqSearchFrom(
+      spark.read.parquet(s"$r/cents"), spark.read.parquet(s"$r/books"),
+      spark.read.parquet(s"$r/codes"), queries, nprobe = np)
+      .collect().map(_.toString).toSeq
+    val pol = serve(s"$base/pol", nPol)
+    val ctl = serve(s"$base/ctl", nCtl)
+    assert(pol.nonEmpty && pol == ctl,
+      "full-probe serve diverged between the self-maintained and policy-free roots")
+  }
 }
