@@ -3009,6 +3009,21 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc_fixed", "rn")
   }
 
+  /** The COMBINED maintenance pass a long-running index actually runs:
+    * reclamation BEFORE rebalance — compaction first, so the split's
+    * occupancy counts LIVE rows (uncompacted tombstones inflate a cell's
+    * physical share and could trigger a split of a list that is mostly
+    * dead). One call per quiet window (between micro-batches); each half
+    * is individually crash-safe, and their composition adds no new crash
+    * window because compaction's swap completes before the split's
+    * occupancy read. Returns (compacted, split). */
+  def maybeMaintainIvf(s: SparkSession, root: String, emb: DataFrame,
+      maxTombstones: Int, maxSharePpm: Long): (Boolean, Boolean) = {
+    val compacted = maybeCompactIvf(s, root, maxTombstones)
+    val split = maybeSplitIvf(s, root, emb, maxSharePpm)
+    (compacted, split)
+  }
+
   lazy val q127Sql: String =
     s"""$ivfPqAdcCtes
        |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (

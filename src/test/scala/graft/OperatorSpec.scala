@@ -3325,6 +3325,36 @@ class OperatorSpec extends AnyFunSuite {
     consistent(root3)
   }
 
+  test("maybeMaintainIvf: compaction runs before the split, so occupancy counts live rows") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ivf_maintain").toString
+    val root = s"$base/art"
+    // cell 0 carries 60 physical rows but 40 are TOMBSTONED — live shares
+    // are 20/20/20/20 (uniform). A split keyed on physical rows would split
+    // the mostly-dead cell 0; maintenance must compact first and then find
+    // no cell over the tier.
+    Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), (2L, Seq(20.0, 20.0)),
+      (3L, Seq(30.0, 30.0))).toDF("cent_id", "ce").write.parquet(s"$root/cents")
+    Seq((0, 0L, Seq(0.0))).toDF("m", "cent_id", "ce").write.parquet(s"$root/books")
+    s.range(120).selectExpr("id AS vec_id",
+      "CAST(CASE WHEN id < 60 THEN 0 ELSE 1 + id % 3 END AS BIGINT) AS cell",
+      "array(1, 2) AS codes").write.parquet(s"$root/codes")
+    s.range(20).select(col("id").as("vec_id")).write
+      .parquet(s"$root/tombstones/t0")
+    s.range(20, 40).select(col("id").as("vec_id")).write
+      .parquet(s"$root/tombstones/t1")
+    val emb = s.range(120).selectExpr("id AS vec_id", "array(0.0, 0.0) AS e")
+    val (compacted, split) = Similarity.maybeMaintainIvf(s, root, emb,
+      maxTombstones = 1, maxSharePpm = 400000)
+    assert(compacted, "the tombstone tier must trigger compaction")
+    assert(!split, "live shares are uniform at 250000 ppm — no split past a 400000 tier")
+    assert(s.read.parquet(s"$root/codes").count() == 80L, "deleted rows reclaimed")
+    assert(s.read.parquet(s"$root/cents").count() == 4L, "no cell split")
+    assert(Similarity.ivfTombstoneCount(s, root) == 0)
+  }
+
   test("maybeCompactIvf: tombstone tier triggers the swap; plain serve after ≡ tombstoned serve before") {
     val s = spark
     import s.implicits._
