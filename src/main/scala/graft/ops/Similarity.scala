@@ -2729,11 +2729,7 @@ object Similarity {
     codeTable.write.mode("overwrite").parquet(s"$root/codes")
     emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= AdcQueries)
       .select("vec_id").write.mode("overwrite").parquet(s"$root/tombstones/t0")
-    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
-    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
-      .map(_.getPath.toString).sorted.toSeq
-    val del = s.read.parquet(tombs: _*).select("vec_id").distinct()
+    val del = tombstoneUnion(s, root).get
     val live = s.read.parquet(s"$root/codes").join(del, Seq("vec_id"), "left_anti")
     ivfPqSearchFrom(s.read.parquet(s"$root/cents"), s.read.parquet(s"$root/books"),
       live, emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
@@ -2755,17 +2751,10 @@ object Similarity {
     s.read.parquet(s"$root/cents").write.mode("overwrite").parquet(s"$outRoot/cents")
     s.read.parquet(s"$root/books").write.mode("overwrite").parquet(s"$outRoot/books")
     val codes = s.read.parquet(s"$root/codes")
-    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
-    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val live =
-      if (!fs.exists(tombRoot)) codes
-      else {
-        val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
-          .map(_.getPath.toString).sorted.toSeq
-        if (tombs.isEmpty) codes
-        else codes.join(s.read.parquet(tombs: _*).select("vec_id").distinct(),
-          Seq("vec_id"), "left_anti")
-      }
+    val live = tombstoneUnion(s, root) match {
+      case Some(del) => codes.join(del, Seq("vec_id"), "left_anti")
+      case None => codes
+    }
     live.write.mode("overwrite").parquet(s"$outRoot/codes")
   }
 
@@ -2776,6 +2765,89 @@ object Similarity {
     val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombRoot)) 0
     else fs.listStatus(tombRoot).count(_.isDirectory)
+  }
+
+  /** The deduplicated union of an IVF-PQ root's tombstone files as a
+    * (vec_id) frame, or None when the root carries no tombstones — the
+    * ONE definition of "the delete set" shared by serving (q127/q136),
+    * compaction, and the split (previously four copy-pasted list/sort/
+    * distinct blocks — a tombstone-layout change now lands in one place). */
+  private[graft] def tombstoneUnion(s: SparkSession, root: String): Option[DataFrame] = {
+    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombRoot)) None
+    else {
+      val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
+        .map(_.getPath.toString).sorted.toSeq
+      if (tombs.isEmpty) None
+      else Some(s.read.parquet(tombs: _*).select("vec_id").distinct())
+    }
+  }
+
+  /** Finish or discard an interrupted COMPACTION swap (the recovery half
+    * of [[maybeCompactIvf]], callable on its own): a crash in the
+    * retire-then-promote window leaves the scratch codes as the ONLY live
+    * copy — finish that swap; an earlier crash leaves a stale partial
+    * scratch beside intact codes — discard it. Any artifact writer
+    * (appends included) must run this BEFORE touching `codes`: an
+    * append into the missing-codes window would both recreate the dir a
+    * later recovery deletes (losing the batch) and shadow the recovery
+    * condition. Returns true iff an interrupted swap was finished. */
+  private[graft] def recoverCompactIvf(s: SparkSession, root: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scratch = s"$root/__compacting"
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    if (!fs.exists(scratchPath)) return false
+    val scratchCodes = new org.apache.hadoop.fs.Path(s"$scratch/codes")
+    if (!fs.exists(codesPath) && fs.exists(scratchCodes)) {
+      require(fs.rename(scratchCodes, codesPath),
+        s"compaction recovery failed: could not promote $scratch/codes into $root")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+      fs.delete(scratchPath, true)
+      true
+    } else {
+      fs.delete(scratchPath, true)
+      false
+    }
+  }
+
+  /** Finish or discard an interrupted SPLIT swap (the recovery half of
+    * [[maybeSplitIvf]], callable on its own — see that scaladoc for the
+    * window-by-window argument). Returns true iff an interrupted swap was
+    * finished. */
+  private[graft] def recoverSplitIvf(s: SparkSession, root: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scratch = s"$root/__splitting"
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val centsPath = new org.apache.hadoop.fs.Path(s"$root/cents")
+    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    if (!fs.exists(scratchPath)) return false
+    val scOk = fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/cents/_SUCCESS"))
+    val sdOk = fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/codes/_SUCCESS"))
+    if (sdOk && scOk && !fs.exists(centsPath)) {
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/cents"), centsPath),
+        s"split recovery failed: could not promote $scratch/cents into $root")
+      fs.delete(codesPath, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
+        s"split recovery failed: could not promote $scratch/codes into $root")
+      fs.delete(scratchPath, true)
+      true
+    } else if (sdOk && !scOk) {
+      // scratch writes cents BEFORE codes, so complete scratch codes with
+      // missing scratch cents can only mean the cents rename happened —
+      // finish the codes half
+      fs.delete(codesPath, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
+        s"split recovery failed: could not promote $scratch/codes into $root")
+      fs.delete(scratchPath, true)
+      true
+    } else {
+      fs.delete(scratchPath, true)
+      false
+    }
   }
 
   /** SIZE-TIERED RECLAMATION POLICY for the IVF-PQ artifact — the vector
@@ -2797,30 +2869,21 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val scratch = s"$root/__compacting"
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
     val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
-    // crash recovery BEFORE the tier check (the maybeCompactLex contract):
-    // a crash in the retire-then-promote window leaves the scratch codes
-    // as the ONLY live copy — finish that swap; an earlier crash leaves a
-    // stale partial scratch beside intact codes — discard it.
-    if (fs.exists(scratchPath)) {
-      val scratchCodes = new org.apache.hadoop.fs.Path(s"$scratch/codes")
-      if (!fs.exists(codesPath) && fs.exists(scratchCodes)) {
-        require(fs.rename(scratchCodes, codesPath),
-          s"compaction recovery failed: could not promote $scratch/codes into $root")
-        fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
-        fs.delete(scratchPath, true)
-        return true
-      }
-      fs.delete(scratchPath, true)
-    }
+    // crash recovery BEFORE the tier check (the maybeCompactLex contract)
+    // — BOTH policies' recoveries, because each only recognizes its own
+    // scratch: an interrupted SPLIT swap leaves codes missing, and this
+    // policy's own compactor would throw PATH_NOT_FOUND on every retry
+    // before a later maybeSplitIvf call could ever heal it.
+    recoverSplitIvf(s, root)
+    if (recoverCompactIvf(s, root)) return true
     if (ivfTombstoneCount(s, root) <= maxTombstones) return false
     ivfCodesCompact(s, root, scratch)
     fs.delete(codesPath, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
       s"compaction swap failed: could not promote $scratch/codes into $root")
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
-    fs.delete(scratchPath, true)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
     true
   }
 
@@ -2858,16 +2921,28 @@ object Similarity {
     * finer cells, smaller probed candidate sets. */
   def ivfCellSplitArtifact(s: SparkSession, root: String, outRoot: String,
       emb: DataFrame, splitCells: Int = SplitHotCells): Unit = {
+    val occ = s.read.parquet(s"$root/codes").groupBy("cell")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    splitCore(s, root, outRoot, emb, splitCells, occ, copyAux = true)
+  }
+
+  /** The split body, parameterized for the policy path: `occ` is the
+    * occupancy the caller already computed (the policy's tier check reads
+    * it anyway — recomputing would scan the corpus-sized codes table
+    * twice), and `copyAux = false` skips the books/tombstones copies the
+    * policy swap would delete unread (it promotes only cents and codes;
+    * books/tombstones stay in place at `root`). */
+  private def splitCore(s: SparkSession, root: String, outRoot: String,
+      emb: DataFrame, splitCells: Int, occ: Seq[(Long, Long)],
+      copyAux: Boolean): Unit = {
     require(outRoot != root,
       "cell split is copy-on-write: outRoot must be a new artifact root")
     import s.implicits._
     val cents = s.read.parquet(s"$root/cents")
     val codes = s.read.parquet(s"$root/codes")
-    // occupancy + centroid set are index metadata (nlist rows) — driver
-    val occ = codes.groupBy("cell").agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
     val hotCells = occ.sortBy { case (c, n) => (-n, c) }
-      .take(splitCells).map(_._1).toSeq
+      .take(splitCells).map(_._1)
     val centIds = cents.select("cent_id").collect().map(_.getLong(0))
     val maxId = centIds.max
     val newIdOf = hotCells.zipWithIndex
@@ -2876,6 +2951,14 @@ object Similarity {
       .select("vec_id", "cell")
       .join(emb.select("vec_id", "e"), Seq("vec_id"))
       .select("cell", "vec_id", "e").cache()
+    // LOUD coverage check: the 2-means needs the raw vector of EVERY
+    // hot-cell row — an emb missing appended vec_ids would silently DROP
+    // their code rows from the rewritten artifact (the inner join above),
+    // and an emb with duplicate vec_ids would duplicate them
+    val hotRows = occ.collect { case (c, n) if hotCells.contains(c) => n }.sum
+    val got = members.count()
+    require(got == hotRows,
+      s"emb must cover every hot-cell vec_id exactly once: joined $got of $hotRows hot rows")
     val (finalLocal, updCs) = localTwoMeans(members, hotCells)
     val newIdExpr = hotCells.foldLeft(lit(-1L)) { (acc, c) =>
       when(col("cell") === c, lit(newIdOf(c))).otherwise(acc) }
@@ -2893,15 +2976,10 @@ object Similarity {
         .drop("cell").join(moved, Seq("vec_id")))
     centsOut.write.mode("overwrite").parquet(s"$outRoot/cents") // FIRST (contract)
     codesOut.write.mode("overwrite").parquet(s"$outRoot/codes")
-    s.read.parquet(s"$root/books").write.mode("overwrite").parquet(s"$outRoot/books")
-    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
-    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(tombRoot)) {
-      val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
-        .map(_.getPath.toString).sorted.toSeq
-      if (tombs.nonEmpty)
-        s.read.parquet(tombs: _*).select("vec_id").distinct()
-          .write.mode("overwrite").parquet(s"$outRoot/tombstones/t0")
+    if (copyAux) {
+      s.read.parquet(s"$root/books").write.mode("overwrite").parquet(s"$outRoot/books")
+      tombstoneUnion(s, root).foreach(
+        _.write.mode("overwrite").parquet(s"$outRoot/tombstones/t0"))
     }
     members.unpersist(false)
   }
@@ -2941,32 +3019,30 @@ object Similarity {
     val scratchPath = new org.apache.hadoop.fs.Path(scratch)
     val centsPath = new org.apache.hadoop.fs.Path(s"$root/cents")
     val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
-    if (fs.exists(scratchPath)) {
-      val scOk = fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/cents/_SUCCESS"))
-      val sdOk = fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/codes/_SUCCESS"))
-      if (sdOk && scOk && !fs.exists(centsPath)) {
-        require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/cents"), centsPath),
-          s"split recovery failed: could not promote $scratch/cents into $root")
-        fs.delete(codesPath, true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
-          s"split recovery failed: could not promote $scratch/codes into $root")
-        fs.delete(scratchPath, true)
-        return true
-      }
-      if (sdOk && !scOk) {
-        fs.delete(codesPath, true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
-          s"split recovery failed: could not promote $scratch/codes into $root")
-        fs.delete(scratchPath, true)
-        return true
-      }
-      fs.delete(scratchPath, true)
-    }
+    // BOTH recoveries first — the other policy's interrupted swap leaves
+    // codes missing, which would wedge this one's occupancy read forever
+    recoverCompactIvf(s, root)
+    if (recoverSplitIvf(s, root)) return true
     val occ = s.read.parquet(s"$root/codes").groupBy("cell")
-      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
-    val total = occ.sum
-    if (total == 0L || occ.max * 1000000L / total <= maxSharePpm) return false
-    ivfCellSplitArtifact(s, root, scratch, emb, splitCells)
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val total = occ.map(_._2).sum
+    if (total == 0L) return false
+    val preMax = occ.map(_._2).max
+    if (preMax * 1000000L / total <= maxSharePpm) return false
+    splitCore(s, root, scratch, emb, splitCells, occ, copyAux = false)
+    // NO-PROGRESS GUARD: a degenerate 2-means (e.g. a hot list of
+    // identical vectors whose min/max-id seeds coincide) keeps every
+    // member in sub 0 — swapping would change nothing, the tier would
+    // re-fire on the NEXT call, and the corpus-sized codes table would be
+    // rewritten (plus one duplicate centroid appended) on every batch
+    // forever. Splits must strictly reduce the hottest list to land.
+    val postMax = s.read.parquet(s"$scratch/codes").groupBy("cell")
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1)).max
+    if (postMax >= preMax) {
+      fs.delete(scratchPath, true)
+      return false // irreducible hot list: the tier is the wrong lever here
+    }
     fs.delete(centsPath, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/cents"), centsPath),
       s"split swap failed: could not promote $scratch/cents into $root")
@@ -3014,14 +3090,23 @@ object Similarity {
     * occupancy counts LIVE rows (uncompacted tombstones inflate a cell's
     * physical share and could trigger a split of a list that is mostly
     * dead). One call per quiet window (between micro-batches); each half
-    * is individually crash-safe, and their composition adds no new crash
-    * window because compaction's swap completes before the split's
-    * occupancy read. Returns (compacted, split). */
+    * is individually crash-safe, and because each policy's entry ALSO runs
+    * the other's recovery (a split crash leaves codes missing — an
+    * unhealed compactor would throw PATH_NOT_FOUND on every retry and the
+    * artifact would be wedged until a split call happened to run), any
+    * crash inside either half is healed by the next call to anything.
+    * Returns (compacted, split — true also when an interrupted split swap
+    * was finished). */
   def maybeMaintainIvf(s: SparkSession, root: String, emb: DataFrame,
       maxTombstones: Int, maxSharePpm: Long): (Boolean, Boolean) = {
+    // heal any interrupted SPLIT swap before the compactor reads codes —
+    // each policy's internal recovery handles the other's scratch too, but
+    // running it explicitly first makes the composition's first artifact
+    // read safe regardless of which policy crashed last time
+    val healedSplit = recoverSplitIvf(s, root)
     val compacted = maybeCompactIvf(s, root, maxTombstones)
     val split = maybeSplitIvf(s, root, emb, maxSharePpm)
-    (compacted, split)
+    (compacted, healedSplit || split)
   }
 
   lazy val q127Sql: String =
@@ -3605,11 +3690,7 @@ object Similarity {
     codeTable.write.mode("overwrite").parquet(s"$root/codes")
     emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= AdcQueries)
       .select("vec_id").write.mode("overwrite").parquet(s"$root/tombstones/t0")
-    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
-    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
-      .map(_.getPath.toString).sorted.toSeq
-    val del = s.read.parquet(tombs: _*).select("vec_id").distinct()
+    val del = tombstoneUnion(s, root).get
     val keep = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .filter(col("label") % 3 === 0).select("vec_id")
     val live = s.read.parquet(s"$root/codes")

@@ -216,6 +216,14 @@ object VecStream {
   def indexAppendBatch(freshVecs: DataFrame, root: String,
       embAll: DataFrame, maxSharePpm: Long = 0L): Unit = {
     val s = freshVecs.sparkSession
+    // heal ANY interrupted maintenance swap BEFORE touching the artifact:
+    // appending into the missing-codes crash window would recreate the
+    // codes dir that recovery then deletes — silently losing this batch —
+    // and the missing-cents window would throw below before recovery ever
+    // ran. Recovery-first also covers roots maintained by tombstoneBatch's
+    // compaction wiring.
+    graft.ops.Similarity.recoverSplitIvf(s, root)
+    graft.ops.Similarity.recoverCompactIvf(s, root)
     val pc = s.read.parquet(s"$root/cents")
     val pb = s.read.parquet(s"$root/books")
     Similarity.ivfPqAppend(pc, pb,

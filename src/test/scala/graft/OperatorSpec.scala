@@ -3325,6 +3325,93 @@ class OperatorSpec extends AnyFunSuite {
     consistent(root3)
   }
 
+  test("split crash windows cannot lose an appended batch, wedge the compactor, or loop a degenerate split") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ivf_split_edges").toString
+    val emb = s.range(100).selectExpr("id AS vec_id",
+      """CASE WHEN id < 80 THEN array(CAST(id % 13 AS DOUBLE) * 0.1, CAST(id % 7 AS DOUBLE) * 0.1)
+              ELSE array(CAST((1 + id % 3) * 10 AS DOUBLE), CAST((1 + id % 3) * 10 AS DOUBLE)) END AS e""")
+    def writeArt(root: String): Unit = {
+      Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), (2L, Seq(20.0, 20.0)),
+        (3L, Seq(30.0, 30.0))).toDF("cent_id", "ce").write.parquet(s"$root/cents")
+      Seq((0, 0L, Seq(0.0))).toDF("m", "cent_id", "ce").write.parquet(s"$root/books")
+      s.range(100).selectExpr("id AS vec_id",
+        "CAST(CASE WHEN id < 80 THEN 0 ELSE 1 + id % 3 END AS BIGINT) AS cell",
+        "array(1, 2) AS codes").write.parquet(s"$root/codes")
+    }
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // (1) the append-after-crash window: split crashed with codes RETIRED
+    // (scratch complete, cents promoted, live codes gone) — the next
+    // ingest batch must recover FIRST, not append into a phantom codes dir
+    // that recovery then deletes (that would silently drop the batch).
+    // Real artifacts here because the append ENCODES under books.
+    val all = Tables.embeddings(s, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+    val (subsA, seedsA) = Similarity.subSplit(all)
+    val (rcents, rbooks, rcodes) = Similarity.ivfPqIndex(all, subsA, seedsA)
+    val root1 = s"$base/a1"
+    rcents.write.parquet(s"$root1/cents")
+    rbooks.write.parquet(s"$root1/books")
+    rcodes.write.parquet(s"$root1/codes")
+    val allIds = all.select("vec_id").collect().map(_.getLong(0)).toSet
+    Similarity.ivfCellSplitArtifact(s, root1, s"$root1/__splitting", all)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root1/cents"), true)
+    assert(hfs.rename(new org.apache.hadoop.fs.Path(s"$root1/__splitting/cents"),
+      new org.apache.hadoop.fs.Path(s"$root1/cents")))
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root1/codes"), true)
+    val v0 = all.orderBy("vec_id").select("e").head().getSeq[Double](0)
+    val freshBatch = Seq(900L, 901L).map(id =>
+      (id, v0.map(x => (x * (1.0 + id * 1e-5)).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.streaming.VecStream.indexAppendBatch(freshBatch, root1,
+      all.unionByName(freshBatch.selectExpr(
+        "vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")))
+    val ids1 = s.read.parquet(s"$root1/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(900L, 901L).subsetOf(ids1), "the fresh batch was lost to split recovery")
+    assert(allIds.subsetOf(ids1), "the recovered split codes were lost")
+    // (2) a split crash must not wedge the COMPACTOR: the real
+    // codes-retired window (cents promoted — scratch cents renamed away —
+    // then codes deleted, crash before the codes rename), then
+    // maybeCompactIvf (which reads codes) must heal via the cross-recovery
+    // and then compact
+    val root2 = s"$base/a2"; writeArt(root2)
+    Similarity.ivfCellSplitArtifact(s, root2, s"$root2/__splitting", emb)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root2/cents"), true)
+    assert(hfs.rename(new org.apache.hadoop.fs.Path(s"$root2/__splitting/cents"),
+      new org.apache.hadoop.fs.Path(s"$root2/cents")))
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root2/codes"), true)
+    s.range(5).select(col("id").as("vec_id")).write.parquet(s"$root2/tombstones/t0")
+    s.range(5, 9).select(col("id").as("vec_id")).write.parquet(s"$root2/tombstones/t1")
+    assert(Similarity.maybeCompactIvf(s, root2, maxTombstones = 1),
+      "compactor must heal the split crash and then compact")
+    assert(s.read.parquet(s"$root2/codes").count() == 91L,
+      "compaction over the healed codes must drop exactly the 9 tombstoned rows")
+    // (3) the no-progress guard: a hot list of IDENTICAL vectors cannot be
+    // reduced by a 2-means (both seeds coincide) — the policy must refuse
+    // the swap instead of rewriting the codes table on every call forever
+    val root3 = s"$base/a3"; writeArt(root3)
+    val embDup = s.range(100).selectExpr("id AS vec_id",
+      """CASE WHEN id < 80 THEN array(0.5, 0.5)
+              ELSE array(CAST((1 + id % 3) * 10 AS DOUBLE), CAST((1 + id % 3) * 10 AS DOUBLE)) END AS e""")
+    assert(!Similarity.maybeSplitIvf(s, root3, embDup, maxSharePpm = 500000),
+      "a degenerate split must not land")
+    assert(s.read.parquet(s"$root3/cents").count() == 4L, "artifact must be untouched")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root3/__splitting")),
+      "the refused scratch must be cleaned up")
+    // (4) loud coverage: emb missing hot-cell members must throw, not
+    // silently drop their rows from the rewritten artifact
+    val root4 = s"$base/a4"; writeArt(root4)
+    val embPartial = emb.filter(col("vec_id") >= 40)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfCellSplitArtifact(s, root4, s"$root4/out", embPartial)
+    }
+    assert(ex.getMessage.contains("cover every hot-cell vec_id"), ex.getMessage)
+  }
+
   test("maybeMaintainIvf: compaction runs before the split, so occupancy counts live rows") {
     val s = spark
     graft.functions.VectorFunctions.register(s)
