@@ -326,9 +326,13 @@ object MultimodalOps {
     * 64-substring grid ~128× per row: measured as multi-minute straggler
     * tasks at 100k docs where this form is one pass. */
   private[graft] val phashFpExpr: String =
+    // the grid position multiplies in BIGINT (CAST(i AS BIGINT) — a 32-bit
+    // i·length wraps negative past ~34M chars, and Spark's negative
+    // substring position counts from the END: garbage grid, oracle
+    // mismatch; the DuckDB mirror was already BIGINT)
     "element_at(transform(array(" +
       "transform(sequence(0, 63), i -> CAST(ascii(substring(" +
-      "text, CAST((i * length(text)) DIV 64 AS INT) + 1, 1)) AS BIGINT))" +
+      "text, CAST((CAST(i AS BIGINT) * length(text)) DIV 64 AS INT) + 1, 1)) AS BIGINT))" +
       "), garr -> element_at(transform(array(" +
       "aggregate(garr, 0L, (acc, x) -> acc + x)" +
       "), sm -> transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0L, " +

@@ -382,42 +382,81 @@ object Retrieval {
     * BEFORE the swap keep reading the old segment files they resolved;
     * serve-after ≡ serve-before bit-for-bit by the compactor's exact
     * additive merge (gated in DocStreamSpec through a forced multi-batch
-    * drain). A crashed prior attempt (stale scratch dir) is cleaned and
-    * redone — the compaction is idempotent from the immutable inputs.
-    * Returns true iff a compaction ran. */
+    * drain). NEW serves must not START mid-swap: the in-place swap assumes
+    * the serving process coordinates with the maintenance window (the
+    * single-writer, single-serving-process deployment this policy
+    * targets); a multi-process serving fleet should roll roots forward
+    * copy-on-write instead (the [[graft.streaming.DocStream
+    * .clusterAppendBatch]] convention). Crash safety is the
+    * [[ArtifactSwap]] commit protocol: the swap is committed by a marker
+    * written only after the scratch is complete, retirement is manifest-
+    * precise (ONLY the segments the compactor merged and ONLY the
+    * tombstones it applied — a segment appended or a tombstone written
+    * after the crash survives recovery), and [[recoverCompactLex]]
+    * finishes a committed swap idempotently or discards an uncommitted
+    * scratch. Returns true iff a compaction ran. */
   def maybeCompactLex(s: SparkSession, path: String, maxSegments: Int): Boolean = {
     require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val scratch = s"$path/__compacting"
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    // crash recovery BEFORE the tier check: a crash in a previous swap's
-    // retire-then-promote window leaves the scratch seg0 as the ONLY copy
-    // (old segments already retired) — finish that swap; a crash earlier
-    // (segments still present) leaves a stale partial scratch — discard it.
-    // Distinguished by whether any seg* dir survives under the root.
-    if (fs.exists(scratchPath)) {
-      val scratchSeg = new org.apache.hadoop.fs.Path(s"$scratch/seg0")
-      if (lexSegmentCount(s, path) == 0 && fs.exists(scratchSeg)) {
-        require(fs.rename(scratchSeg, new org.apache.hadoop.fs.Path(s"$path/seg0")),
-          s"compaction recovery failed: could not promote $scratch/seg0 into $path")
-        fs.delete(scratchPath, true)
-        return true
-      }
-      fs.delete(scratchPath, true)
-    }
+    if (recoverCompactLex(s, path)) return true
     if (lexSegmentCount(s, path) <= maxSegments) return false
+    // manifests BEFORE compacting: segments are single-writer (this call
+    // sits in the append stream's foreachBatch), and tombstones listed now
+    // are a SUBSET of what the compactor applies (append-only between the
+    // listings) — retiring a subset is safe, a superset is not
+    val retireSegs = lexSegments(s, path)
+    val appliedTombs = ArtifactSwap.tombDirs(fs, path)
     lexIndexCompact(s, path, scratch)
-    fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg"))
-      .foreach(st => fs.delete(st.getPath, true))
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (fs.exists(tomb)) fs.delete(tomb, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/seg0"),
-      new org.apache.hadoop.fs.Path(s"$path/seg0")),
-      s"compaction swap failed: could not promote $scratch/seg0 into $path")
-    fs.delete(scratchPath, true)
+    ArtifactSwap.writeManifest(fs, scratch, ArtifactSwap.SegManifest, retireSegs)
+    ArtifactSwap.writeManifest(fs, scratch, ArtifactSwap.TombManifest, appliedTombs)
+    ArtifactSwap.commit(fs, scratch)
+    finishLexSwap(fs, path, scratch)
     true
+  }
+
+  /** Finish a COMMITTED lex compaction swap — idempotent from any crash
+    * point: re-deletes manifest remnants, promotes scratch/seg0 if it is
+    * still in the scratch. */
+  private def finishLexSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, scratch: String): Unit = {
+    val scratchSeg = new org.apache.hadoop.fs.Path(s"$scratch/seg0")
+    // seg retirement ONLY while the promote is still pending: the manifest
+    // contains the OLD "$path/seg0" — after the promote that same name IS
+    // the merged segment, and a recovery re-run that retired it again
+    // would destroy the only copy
+    if (fs.exists(scratchSeg)) {
+      ArtifactSwap.retire(fs,
+        ArtifactSwap.readManifest(fs, scratch, ArtifactSwap.SegManifest))
+      require(fs.rename(scratchSeg, new org.apache.hadoop.fs.Path(s"$path/seg0")),
+        s"compaction swap failed: could not promote $scratch/seg0 into $path")
+    }
+    // tombstone retirement is idempotent on either side of the promote:
+    // the manifest lists only APPLIED tombstones
+    ArtifactSwap.retire(fs,
+      ArtifactSwap.readManifest(fs, scratch, ArtifactSwap.TombManifest))
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+  }
+
+  /** Finish or discard an interrupted lex compaction swap (callable on its
+    * own — [[graft.streaming.DocStream.lexAppendBatch]] runs it BEFORE
+    * appending, so a post-crash batch can never be confused with, or
+    * destroyed by, the unfinished swap's retirement). Returns true iff a
+    * committed swap was finished. */
+  private[graft] def recoverCompactLex(s: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scratch = s"$path/__compacting"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(scratch))) return false
+    if (ArtifactSwap.committed(fs, scratch)) {
+      finishLexSwap(fs, path, scratch)
+      true
+    } else {
+      // uncommitted: the live inputs are untouched by construction
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      false
+    }
   }
 
   /** q113: BM25 SERVED FROM THE PERSISTED LEXICAL-INDEX ARTIFACT — q101's
@@ -1140,13 +1179,15 @@ object Retrieval {
       s.read.parquet(path))
   }
 
-  val q124Sql: String =
-    s"""WITH RECURSIVE ${Dedup.clusterCtesBody},
-       |${TextOps.bm25RankCtes.stripPrefix("WITH ")},
-       |coll AS (
+  /** The collapse CTE tail shared by q124/q133/q138's oracles — ONE
+    * parametrized text (the bm25ScoreCtes discipline: three verbatim
+    * copies invited tie-break/K drift between the gated entries). The
+    * scored CTE must expose (query_id, doc_id, score). */
+  private def collapseCtesTail(scoredName: String): String =
+    s"""coll AS (
        |  SELECT s.query_id, s.doc_id, s.score,
        |         COALESCE(cl.cluster_id, s.doc_id) AS ckey
-       |  FROM scored s LEFT JOIN cl ON s.doc_id = cl.doc_id),
+       |  FROM $scoredName s LEFT JOIN cl ON s.doc_id = cl.doc_id),
        |best AS (
        |  SELECT query_id, doc_id, score, ckey,
        |         ROW_NUMBER() OVER (PARTITION BY query_id, ckey
@@ -1159,6 +1200,11 @@ object Retrieval {
        |  FROM best WHERE brn = 1)
        |SELECT query_id, rnk, doc_id, score, ckey FROM rr
        |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+
+  val q124Sql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtesBody},
+       |${TextOps.bm25RankCtes.stripPrefix("WITH ")},
+       |${collapseCtesTail("scored")}""".stripMargin
 
   /** Edit-distance budget for q125 (classic unit-cost Levenshtein — both
     * engines' `levenshtein` computes the same integer). */
@@ -1371,22 +1417,7 @@ object Retrieval {
         s" WHERE NOT (doc_id % 7 = 3 AND doc_id >= ${TextOps.Bm25NQueries})")
         .stripPrefix("WITH ")},
        |${TextOps.bm25ScoreCtes("qt", "scored", "lexr")},
-       |coll AS (
-       |  SELECT s.query_id, s.doc_id, s.score,
-       |         COALESCE(cl.cluster_id, s.doc_id) AS ckey
-       |  FROM scored s LEFT JOIN cl ON s.doc_id = cl.doc_id),
-       |best AS (
-       |  SELECT query_id, doc_id, score, ckey,
-       |         ROW_NUMBER() OVER (PARTITION BY query_id, ckey
-       |              ORDER BY score DESC, doc_id) AS brn
-       |  FROM coll),
-       |rr AS (
-       |  SELECT query_id, doc_id, score, ckey,
-       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |              ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM best WHERE brn = 1)
-       |SELECT query_id, rnk, doc_id, score, ckey FROM rr
-       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+       |${collapseCtesTail("scored")}""".stripMargin
 
   /** q138: THE END-TO-END RAG SERVE — every serving seam this engine has,
     * composed in ONE entry the way a production retrieval stack actually
@@ -1471,22 +1502,7 @@ object Retrieval {
        |         COALESCE(CAST(floor($RrfScale / ($RrfK + lex_rnk)) AS BIGINT), 0)
        |       + COALESCE(CAST(floor($RrfScale / ($RrfK + sem_rnk)) AS BIGINT), 0) AS score
        |  FROM lexk FULL JOIN semk USING (query_id, doc_id)),
-       |coll AS (
-       |  SELECT f.query_id, f.doc_id, f.score,
-       |         COALESCE(cl.cluster_id, f.doc_id) AS ckey
-       |  FROM fus f LEFT JOIN cl ON f.doc_id = cl.doc_id),
-       |best AS (
-       |  SELECT query_id, doc_id, score, ckey,
-       |         ROW_NUMBER() OVER (PARTITION BY query_id, ckey
-       |              ORDER BY score DESC, doc_id) AS brn
-       |  FROM coll),
-       |rr AS (
-       |  SELECT query_id, doc_id, score, ckey,
-       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |              ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM best WHERE brn = 1)
-       |SELECT query_id, rnk, doc_id, score, ckey FROM rr
-       |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
+       |${collapseCtesTail("fus")}""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_hybrid_rrf", q111HybridRrf _, Some(q111Sql)),

@@ -2784,68 +2784,98 @@ object Similarity {
     }
   }
 
+  /** Finish a COMMITTED ivf compaction swap — idempotent from any crash
+    * point. Codes retirement is gated on the promote still pending (after
+    * the rename, `$root/codes` IS the compacted table — a re-run that
+    * deleted it again would destroy the only copy); the delete also
+    * covers a PARTIALLY-deleted live dir (fs.delete of a parquet dir is
+    * not atomic on a local filesystem — pre-marker recovery treated the
+    * remnant as intact and recompacted from it, silently losing the
+    * already-deleted part files' vectors). Tombstone retirement is
+    * manifest-precise: only the files the compactor applied are deleted,
+    * so a tombstone written concurrently by the delete stream between the
+    * compactor's listing and the retire survives unapplied-but-intact
+    * instead of being destroyed (destroying it would resurrect its docs). */
+  private def finishIvfCompactSwap(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, scratch: String): Unit = {
+    val scratchCodes = new org.apache.hadoop.fs.Path(s"$scratch/codes")
+    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    if (fs.exists(scratchCodes)) {
+      fs.delete(codesPath, true)
+      require(fs.rename(scratchCodes, codesPath),
+        s"compaction swap failed: could not promote $scratch/codes into $root")
+    }
+    ArtifactSwap.retire(fs,
+      ArtifactSwap.readManifest(fs, scratch, ArtifactSwap.TombManifest))
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+  }
+
   /** Finish or discard an interrupted COMPACTION swap (the recovery half
-    * of [[maybeCompactIvf]], callable on its own): a crash in the
-    * retire-then-promote window leaves the scratch codes as the ONLY live
-    * copy — finish that swap; an earlier crash leaves a stale partial
-    * scratch beside intact codes — discard it. Any artifact writer
-    * (appends included) must run this BEFORE touching `codes`: an
-    * append into the missing-codes window would both recreate the dir a
-    * later recovery deletes (losing the batch) and shadow the recovery
-    * condition. Returns true iff an interrupted swap was finished. */
+    * of [[maybeCompactIvf]], callable on its own — the [[ArtifactSwap]]
+    * commit protocol). Any artifact writer (appends included) must run
+    * this BEFORE touching `codes`: an append into the missing-codes
+    * window would both recreate the dir a later recovery replaces (losing
+    * the batch) and shadow the recovery condition. Returns true iff a
+    * committed swap was finished. */
   private[graft] def recoverCompactIvf(s: SparkSession, root: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val scratch = s"$root/__compacting"
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
-    if (!fs.exists(scratchPath)) return false
-    val scratchCodes = new org.apache.hadoop.fs.Path(s"$scratch/codes")
-    if (!fs.exists(codesPath) && fs.exists(scratchCodes)) {
-      require(fs.rename(scratchCodes, codesPath),
-        s"compaction recovery failed: could not promote $scratch/codes into $root")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
-      fs.delete(scratchPath, true)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(scratch))) return false
+    if (ArtifactSwap.committed(fs, scratch)) {
+      finishIvfCompactSwap(fs, root, scratch)
       true
     } else {
-      fs.delete(scratchPath, true)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
       false
     }
   }
 
+  /** Finish a COMMITTED split swap — idempotent from any crash point:
+    * each half (cents, then codes) retires-and-promotes only while its
+    * scratch copy is still present (after a rename, the live name IS the
+    * new artifact — re-deleting it on a recovery re-run would destroy the
+    * only copy), and the delete covers partially-deleted live dirs
+    * (fs.delete is not atomic on a local filesystem). Promote order is
+    * cents first: new cents + old codes serve consistently (every old
+    * cell id still exists; the new sub-cell is merely empty until codes
+    * promote), whereas new codes + old cents would route rows to a
+    * centroid that doesn't exist — rows silently unreachable. */
+  private def finishSplitSwap(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, scratch: String): Unit = {
+    val scratchCents = new org.apache.hadoop.fs.Path(s"$scratch/cents")
+    val centsPath = new org.apache.hadoop.fs.Path(s"$root/cents")
+    if (fs.exists(scratchCents)) {
+      fs.delete(centsPath, true)
+      require(fs.rename(scratchCents, centsPath),
+        s"split swap failed: could not promote $scratch/cents into $root")
+    }
+    val scratchCodes = new org.apache.hadoop.fs.Path(s"$scratch/codes")
+    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    if (fs.exists(scratchCodes)) {
+      fs.delete(codesPath, true)
+      require(fs.rename(scratchCodes, codesPath),
+        s"split swap failed: could not promote $scratch/codes into $root")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+  }
+
   /** Finish or discard an interrupted SPLIT swap (the recovery half of
-    * [[maybeSplitIvf]], callable on its own — see that scaladoc for the
-    * window-by-window argument). Returns true iff an interrupted swap was
-    * finished. */
+    * [[maybeSplitIvf]], callable on its own — the [[ArtifactSwap]] commit
+    * protocol). Returns true iff a committed swap was finished. */
   private[graft] def recoverSplitIvf(s: SparkSession, root: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val scratch = s"$root/__splitting"
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val centsPath = new org.apache.hadoop.fs.Path(s"$root/cents")
-    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
-    if (!fs.exists(scratchPath)) return false
-    val scOk = fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/cents/_SUCCESS"))
-    val sdOk = fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/codes/_SUCCESS"))
-    if (sdOk && scOk && !fs.exists(centsPath)) {
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/cents"), centsPath),
-        s"split recovery failed: could not promote $scratch/cents into $root")
-      fs.delete(codesPath, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
-        s"split recovery failed: could not promote $scratch/codes into $root")
-      fs.delete(scratchPath, true)
-      true
-    } else if (sdOk && !scOk) {
-      // scratch writes cents BEFORE codes, so complete scratch codes with
-      // missing scratch cents can only mean the cents rename happened —
-      // finish the codes half
-      fs.delete(codesPath, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
-        s"split recovery failed: could not promote $scratch/codes into $root")
-      fs.delete(scratchPath, true)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(scratch))) return false
+    if (ArtifactSwap.committed(fs, scratch)) {
+      finishSplitSwap(fs, root, scratch)
       true
     } else {
-      fs.delete(scratchPath, true)
+      // uncommitted: the live artifact is untouched by construction (the
+      // commit marker is written before the first retire) — discard; the
+      // next policy call re-evaluates occupancy and re-splits if needed
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
       false
     }
   }
@@ -2869,7 +2899,6 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val scratch = s"$root/__compacting"
-    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
     // crash recovery BEFORE the tier check (the maybeCompactLex contract)
     // — BOTH policies' recoveries, because each only recognizes its own
     // scratch: an interrupted SPLIT swap leaves codes missing, and this
@@ -2878,12 +2907,15 @@ object Similarity {
     recoverSplitIvf(s, root)
     if (recoverCompactIvf(s, root)) return true
     if (ivfTombstoneCount(s, root) <= maxTombstones) return false
+    // manifest BEFORE compacting: tombstones listed now are a SUBSET of
+    // what the compactor applies (append-only between the listings) —
+    // retiring a subset is safe, a wildcard delete of the tombstones dir
+    // would destroy a concurrently-written UNAPPLIED tombstone
+    val appliedTombs = ArtifactSwap.tombDirs(fs, root)
     ivfCodesCompact(s, root, scratch)
-    fs.delete(codesPath, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
-      s"compaction swap failed: could not promote $scratch/codes into $root")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    ArtifactSwap.writeManifest(fs, scratch, ArtifactSwap.TombManifest, appliedTombs)
+    ArtifactSwap.commit(fs, scratch)
+    finishIvfCompactSwap(fs, root, scratch)
     true
   }
 
@@ -3017,8 +3049,6 @@ object Similarity {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val scratch = s"$root/__splitting"
     val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val centsPath = new org.apache.hadoop.fs.Path(s"$root/cents")
-    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
     // BOTH recoveries first — the other policy's interrupted swap leaves
     // codes missing, which would wedge this one's occupancy read forever
     recoverCompactIvf(s, root)
@@ -3043,13 +3073,8 @@ object Similarity {
       fs.delete(scratchPath, true)
       return false // irreducible hot list: the tier is the wrong lever here
     }
-    fs.delete(centsPath, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/cents"), centsPath),
-      s"split swap failed: could not promote $scratch/cents into $root")
-    fs.delete(codesPath, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"), codesPath),
-      s"split swap failed: could not promote $scratch/codes into $root")
-    fs.delete(scratchPath, true)
+    ArtifactSwap.commit(fs, scratch)
+    finishSplitSwap(fs, root, scratch)
     true
   }
 

@@ -239,6 +239,11 @@ object DocStream {
     * appends, compact off-peak). */
   def lexAppendBatch(s: SparkSession, path: String, batch: DataFrame, seg: String,
       maxSegments: Int = 0): Unit = {
+    // heal any interrupted compaction swap BEFORE appending: with the
+    // manifest-precise retirement a post-crash segment would survive
+    // recovery anyway, but recovering first keeps the invariant simple —
+    // a batch never lands inside a half-finished swap
+    graft.ops.Retrieval.recoverCompactLex(s, path)
     graft.ops.Retrieval.lexIndexAppend(s, path,
       batch.select(col("doc_id"), split(col("text"), " ").as("w")), seg)
     if (maxSegments > 0) graft.ops.Retrieval.maybeCompactLex(s, path, maxSegments)
@@ -282,10 +287,15 @@ object DocStream {
     // copy-on-write guard (the lexIndexCompact/ivfCodesCompact contract):
     // the labels write goes through an RDD-backed lineage (clusterPairs)
     // where Spark's self-overwrite detection may not trip, so an in-place
-    // outPath could CORRUPT the artifact instead of failing fast
-    require(rankedOut != rankedIn && labelsOut != labelsIn,
-      "copy-on-write: outputs must be new artifact roots " +
-        s"(rankedIn=$rankedIn, labelsIn=$labelsIn)")
+    // outPath could CORRUPT the artifact instead of failing fast. All
+    // FOUR roots must be pairwise distinct after path normalization —
+    // cross-aliasing (labelsOut == rankedIn) or a trailing-slash spelling
+    // of the same dir corrupts just as surely as the direct case
+    val norm = Seq(rankedIn, labelsIn, rankedOut, labelsOut)
+      .map(p => new org.apache.hadoop.fs.Path(p).toString)
+    require(norm.distinct.size == 4,
+      "copy-on-write: the four artifact roots must be pairwise distinct " +
+        s"(got rankedIn=$rankedIn labelsIn=$labelsIn rankedOut=$rankedOut labelsOut=$labelsOut)")
     val corpusRanked = s.read.parquet(rankedIn)
     val labels = s.read.parquet(labelsIn)
     val freshPairs = Dedup.incrementalFrom(corpusRanked, btable, batch, threshold)

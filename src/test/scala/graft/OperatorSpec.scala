@@ -3184,10 +3184,18 @@ class OperatorSpec extends AnyFunSuite {
       TextOps.bm25RankedFrom(tf, df, st, qt).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     }
-    // CASE 1 — crash AFTER retiring old segments, BEFORE promoting seg0:
-    // the scratch holds the only copy; the next policy call must finish
-    // the swap, not delete it (the failure the naive stale-scratch
-    // cleanup would cause: data loss)
+    import graft.ops.ArtifactSwap
+    def commitAsPolicy(fs: org.apache.hadoop.fs.FileSystem, art: String): Unit = {
+      // what maybeCompactLex writes between the compactor and the retire
+      ArtifactSwap.writeManifest(fs, s"$art/__compacting", ArtifactSwap.SegManifest,
+        Retrieval.lexSegments(s, art))
+      ArtifactSwap.writeManifest(fs, s"$art/__compacting", ArtifactSwap.TombManifest,
+        ArtifactSwap.tombDirs(fs, art))
+      ArtifactSwap.commit(fs, s"$art/__compacting")
+    }
+    // CASE 1 — crash AFTER the commit, all old segments retired, promote
+    // pending: the scratch holds the only copy; the next policy call must
+    // finish the swap, not delete it
     val art = java.nio.file.Files.createTempDirectory("lex_crash").toString + "/idx"
     Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 0), art, "seg0")
     Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 1), art, "seg1")
@@ -3195,6 +3203,7 @@ class OperatorSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(art)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     Retrieval.lexIndexCompact(s, art, s"$art/__compacting")
+    commitAsPolicy(fs, art)
     Seq("seg0", "seg1").foreach(g =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$art/$g"), true))
     assert(Retrieval.maybeCompactLex(s, art, 4),
@@ -3202,7 +3211,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(Retrieval.lexSegmentCount(s, art) == 1 &&
       !fs.exists(new org.apache.hadoop.fs.Path(s"$art/__compacting")))
     assert(rank(art) == expected, "recovered artifact must serve bit-for-bit")
-    // CASE 2 — crash BEFORE retiring (segments intact, partial scratch):
+    // CASE 1b — crash MID-retire (only seg0 deleted): pre-marker recovery
+    // used a "do any segments survive?" heuristic, saw seg1, discarded the
+    // scratch — the only complete copy — and silently served a partial
+    // corpus; the commit marker makes this window recoverable
+    val art1b = java.nio.file.Files.createTempDirectory("lex_crash1b").toString + "/idx"
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 0), art1b, "seg0")
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 1), art1b, "seg1")
+    val fs1b = new org.apache.hadoop.fs.Path(art1b)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Retrieval.lexIndexCompact(s, art1b, s"$art1b/__compacting")
+    commitAsPolicy(fs1b, art1b)
+    fs1b.delete(new org.apache.hadoop.fs.Path(s"$art1b/seg0"), true)
+    assert(Retrieval.recoverCompactLex(s, art1b),
+      "a committed swap interrupted mid-retire must be finished")
+    assert(Retrieval.lexSegmentCount(s, art1b) == 1)
+    assert(rank(art1b) == expected,
+      "mid-retire recovery must serve the FULL corpus, not the survivor segment")
+    // CASE 1c — a segment appended AFTER the crash survives recovery
+    // (manifest-precise retirement; a delete-all-seg* loop would wipe it)
+    val art1c = java.nio.file.Files.createTempDirectory("lex_crash1c").toString + "/idx"
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 3 === 0), art1c, "seg0")
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 3 === 1), art1c, "seg1")
+    val fs1c = new org.apache.hadoop.fs.Path(art1c)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Retrieval.lexIndexCompact(s, art1c, s"$art1c/__compacting")
+    commitAsPolicy(fs1c, art1c)
+    Seq("seg0", "seg1").foreach(g =>
+      fs1c.delete(new org.apache.hadoop.fs.Path(s"$art1c/$g"), true))
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 3 === 2), art1c, "seg2")
+    assert(Retrieval.recoverCompactLex(s, art1c))
+    assert(Retrieval.lexSegmentCount(s, art1c) == 2,
+      "the post-crash segment must survive recovery beside the promoted merge")
+    assert(rank(art1c) == expected, "all three thirds must serve after recovery")
+    // CASE 2 — crash BEFORE the commit (segments intact, partial scratch):
     // the stale scratch is discarded and the tier check proceeds normally
     val art2 = java.nio.file.Files.createTempDirectory("lex_crash2").toString + "/idx"
     Retrieval.lexIndexSegment(docs.filter(col("doc_id") % 2 === 0), art2, "seg0")
@@ -3307,9 +3349,10 @@ class OperatorSpec extends AnyFunSuite {
     consistent(root1)
     val hfs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    // crash window 1: scratch complete, live cents retired, nothing promoted
+    // crash window 1: committed swap, live cents retired, nothing promoted
     val root2 = s"$base/a2"; writeArt(root2)
     Similarity.ivfCellSplitArtifact(s, root2, s"$root2/__splitting", emb)
+    graft.ops.ArtifactSwap.commit(hfs, s"$root2/__splitting")
     hfs.delete(new org.apache.hadoop.fs.Path(s"$root2/cents"), true)
     assert(Similarity.maybeSplitIvf(s, root2, emb, maxSharePpm = 500000),
       "recovery must finish the interrupted swap")
@@ -3317,6 +3360,7 @@ class OperatorSpec extends AnyFunSuite {
     // crash window 2: cents promoted, codes half pending (scratch cents gone)
     val root3 = s"$base/a3"; writeArt(root3)
     Similarity.ivfCellSplitArtifact(s, root3, s"$root3/__splitting", emb)
+    graft.ops.ArtifactSwap.commit(hfs, s"$root3/__splitting")
     hfs.delete(new org.apache.hadoop.fs.Path(s"$root3/cents"), true)
     assert(hfs.rename(new org.apache.hadoop.fs.Path(s"$root3/__splitting/cents"),
       new org.apache.hadoop.fs.Path(s"$root3/cents")))
@@ -3358,6 +3402,7 @@ class OperatorSpec extends AnyFunSuite {
     rcodes.write.parquet(s"$root1/codes")
     val allIds = all.select("vec_id").collect().map(_.getLong(0)).toSet
     Similarity.ivfCellSplitArtifact(s, root1, s"$root1/__splitting", all)
+    graft.ops.ArtifactSwap.commit(hfs, s"$root1/__splitting")
     hfs.delete(new org.apache.hadoop.fs.Path(s"$root1/cents"), true)
     assert(hfs.rename(new org.apache.hadoop.fs.Path(s"$root1/__splitting/cents"),
       new org.apache.hadoop.fs.Path(s"$root1/cents")))
@@ -3380,6 +3425,7 @@ class OperatorSpec extends AnyFunSuite {
     // and then compact
     val root2 = s"$base/a2"; writeArt(root2)
     Similarity.ivfCellSplitArtifact(s, root2, s"$root2/__splitting", emb)
+    graft.ops.ArtifactSwap.commit(hfs, s"$root2/__splitting")
     hfs.delete(new org.apache.hadoop.fs.Path(s"$root2/cents"), true)
     assert(hfs.rename(new org.apache.hadoop.fs.Path(s"$root2/__splitting/cents"),
       new org.apache.hadoop.fs.Path(s"$root2/cents")))
