@@ -2893,7 +2893,13 @@ object Similarity {
     * step, run between micro-batches ([[graft.streaming.VecStream
     * .tombstoneBatch]]'s wiring); serve-after ≡ tombstoned-serve-before by
     * the compactor's contract (the anti-join was the only thing the
-    * tombstones changed). Returns true iff a compaction ran. */
+    * tombstones changed). Frames served BEFORE the swap keep reading the
+    * files they resolved; NEW serves must not START mid-swap — the
+    * in-place swap assumes a single serving process coordinating the
+    * maintenance window (a multi-process fleet should roll roots forward
+    * copy-on-write instead, the clusterAppendBatch convention). Crash
+    * safety is the [[ArtifactSwap]] commit protocol (see
+    * [[recoverCompactIvf]]). Returns true iff a compaction ran. */
   def maybeCompactIvf(s: SparkSession, root: String, maxTombstones: Int): Boolean = {
     require(maxTombstones >= 1, s"maxTombstones must be >= 1, got $maxTombstones")
     val fs = new org.apache.hadoop.fs.Path(root)
