@@ -452,6 +452,18 @@ object Retrieval {
     if (ArtifactSwap.committed(fs, scratch)) {
       finishLexSwap(fs, path, scratch)
       true
+    } else if (lexSegmentCount(s, path) == 0 &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/seg0"))) {
+      // MIGRATION fallback: a swap crashed under the pre-marker protocol
+      // left the scratch seg0 as the only copy with every live segment
+      // already retired — finish it under the legacy semantics instead of
+      // destroying the sole copy as "uncommitted"
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/seg0"),
+        new org.apache.hadoop.fs.Path(s"$path/seg0")),
+        s"legacy compaction recovery failed: could not promote $scratch/seg0 into $path")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      true
     } else {
       // uncommitted: the live inputs are untouched by construction
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)

@@ -2773,15 +2773,11 @@ object Similarity {
     * compaction, and the split (previously four copy-pasted list/sort/
     * distinct blocks — a tombstone-layout change now lands in one place). */
   private[graft] def tombstoneUnion(s: SparkSession, root: String): Option[DataFrame] = {
-    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
-    val fs = tombRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tombRoot)) None
-    else {
-      val tombs = fs.listStatus(tombRoot).filter(_.isDirectory)
-        .map(_.getPath.toString).sorted.toSeq
-      if (tombs.isEmpty) None
-      else Some(s.read.parquet(tombs: _*).select("vec_id").distinct())
-    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tombs = ArtifactSwap.tombDirs(fs, root)
+    if (tombs.isEmpty) None
+    else Some(s.read.parquet(tombs: _*).select("vec_id").distinct())
   }
 
   /** Finish a COMMITTED ivf compaction swap — idempotent from any crash
@@ -2824,6 +2820,20 @@ object Similarity {
     if (!fs.exists(new org.apache.hadoop.fs.Path(scratch))) return false
     if (ArtifactSwap.committed(fs, scratch)) {
       finishIvfCompactSwap(fs, root, scratch)
+      true
+    } else if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/codes/_SUCCESS"))) {
+      // MIGRATION fallback: a swap crashed under the pre-marker protocol
+      // (no _COMMIT was ever written) can still hold the only copy —
+      // missing live codes + complete scratch codes is that state; finish
+      // it under the legacy semantics (whole-dir tombstone retirement —
+      // the legacy compactor applied everything it listed) instead of
+      // destroying the sole copy as "uncommitted"
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"),
+        new org.apache.hadoop.fs.Path(s"$root/codes")),
+        s"legacy compaction recovery failed: could not promote $scratch/codes into $root")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
       true
     } else {
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -2872,11 +2882,24 @@ object Similarity {
       finishSplitSwap(fs, root, scratch)
       true
     } else {
-      // uncommitted: the live artifact is untouched by construction (the
-      // commit marker is written before the first retire) — discard; the
-      // next policy call re-evaluates occupancy and re-splits if needed
-      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-      false
+      // MIGRATION fallback (pre-marker protocol — no _COMMIT was ever
+      // written): the legacy write order (cents before codes) still
+      // identifies a mid-swap crash — live cents missing with a complete
+      // scratch, or scratch cents already renamed away with complete
+      // scratch codes. Finish those instead of destroying the only copy.
+      val scOk = fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/cents/_SUCCESS"))
+      val sdOk = fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/codes/_SUCCESS"))
+      val centsMissing = !fs.exists(new org.apache.hadoop.fs.Path(s"$root/cents"))
+      if ((sdOk && scOk && centsMissing) || (sdOk && !scOk)) {
+        finishSplitSwap(fs, root, scratch)
+        true
+      } else {
+        // genuinely uncommitted: the live artifact is untouched by
+        // construction — discard; the next policy call re-evaluates
+        // occupancy and re-splits if needed
+        fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+        false
+      }
     }
   }
 
@@ -2962,7 +2985,10 @@ object Similarity {
     val occ = s.read.parquet(s"$root/codes").groupBy("cell")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    splitCore(s, root, outRoot, emb, splitCells, occ, copyAux = true)
+    val hotCells = occ.sortBy { case (c, n) => (-n, c) }
+      .take(splitCells).map(_._1)
+    splitCore(s, root, outRoot, emb, hotCells, occ, copyAux = true)
+    ()
   }
 
   /** The split body, parameterized for the policy path: `occ` is the
@@ -2972,15 +2998,13 @@ object Similarity {
     * policy swap would delete unread (it promotes only cents and codes;
     * books/tombstones stay in place at `root`). */
   private def splitCore(s: SparkSession, root: String, outRoot: String,
-      emb: DataFrame, splitCells: Int, occ: Seq[(Long, Long)],
-      copyAux: Boolean): Unit = {
+      emb: DataFrame, hotCells: Seq[Long], occ: Seq[(Long, Long)],
+      copyAux: Boolean): Map[Long, (Long, Long)] = {
     require(outRoot != root,
       "cell split is copy-on-write: outRoot must be a new artifact root")
     import s.implicits._
     val cents = s.read.parquet(s"$root/cents")
     val codes = s.read.parquet(s"$root/codes")
-    val hotCells = occ.sortBy { case (c, n) => (-n, c) }
-      .take(splitCells).map(_._1)
     val centIds = cents.select("cent_id").collect().map(_.getLong(0))
     val maxId = centIds.max
     val newIdOf = hotCells.zipWithIndex
@@ -2994,9 +3018,14 @@ object Similarity {
     // their code rows from the rewritten artifact (the inner join above),
     // and an emb with duplicate vec_ids would duplicate them
     val hotRows = occ.collect { case (c, n) if hotCells.contains(c) => n }.sum
-    val got = members.count()
-    require(got == hotRows,
-      s"emb must cover every hot-cell vec_id exactly once: joined $got of $hotRows hot rows")
+    val cov = members.agg(count(lit(1)).as("n"),
+      countDistinct(col("vec_id")).as("d")).head()
+    // BOTH counts must match: total-only would let a missing id and a
+    // duplicated id cancel out (offsetting errors — the exact silent
+    // drop/duplication this check exists to prevent)
+    require(cov.getLong(0) == hotRows && cov.getLong(1) == hotRows,
+      s"emb must cover every hot-cell vec_id exactly once: joined ${cov.getLong(0)} " +
+        s"rows / ${cov.getLong(1)} distinct of $hotRows hot rows")
     val (finalLocal, updCs) = localTwoMeans(members, hotCells)
     val newIdExpr = hotCells.foldLeft(lit(-1L)) { (acc, c) =>
       when(col("cell") === c, lit(newIdOf(c))).otherwise(acc) }
@@ -3019,7 +3048,16 @@ object Similarity {
       tombstoneUnion(s, root).foreach(
         _.write.mode("overwrite").parquet(s"$outRoot/tombstones/t0"))
     }
+    // per-hot-cell (kept, moved) counts — a tiny agg over the CACHED hot
+    // members (never the corpus): the policy's progress test reads these
+    // instead of re-scanning the corpus-sized scratch codes table
+    val subCounts = finalLocal.groupBy("cell", "sub").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val out = hotCells.map { c =>
+      c -> ((subCounts.getOrElse((c, 0L), 0L), subCounts.getOrElse((c, 1L), 0L)))
+    }.toMap
     members.unpersist(false)
+    out
   }
 
   /** SHARE-TIERED SPLIT POLICY for the IVF-PQ artifact — the q132→q141
@@ -3064,25 +3102,44 @@ object Similarity {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val total = occ.map(_._2).sum
     if (total == 0L) return false
-    val preMax = occ.map(_._2).max
-    if (preMax * 1000000L / total <= maxSharePpm) return false
-    splitCore(s, root, scratch, emb, splitCells, occ, copyAux = false)
-    // NO-PROGRESS GUARD: a degenerate 2-means (e.g. a hot list of
-    // identical vectors whose min/max-id seeds coincide) keeps every
-    // member in sub 0 — swapping would change nothing, the tier would
-    // re-fire on the NEXT call, and the corpus-sized codes table would be
-    // rewritten (plus one duplicate centroid appended) on every batch
-    // forever. Splits must strictly reduce the hottest list to land.
-    val postMax = s.read.parquet(s"$scratch/codes").groupBy("cell")
-      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1)).max
-    if (postMax >= preMax) {
+    // hot = the top-m cells AMONG THOSE OVER THE TIER (not the global
+    // top-m): the policy exists to shrink over-tier lists — splitting an
+    // under-tier neighbor because the over-tier one is irreducible would
+    // grow the cell count forever without touching the problem
+    val hotCells = occ
+      .filter { case (_, n) => n * 1000000L / total > maxSharePpm }
+      .sortBy { case (c, n) => (-n, c) }.take(splitCells).map(_._1)
+    if (hotCells.isEmpty) return false
+    // REFUSAL MEMO: an irreducible hot set (identical-vector lists — the
+    // 2-means can't separate them) would otherwise re-run the full split
+    // attempt (2-means + corpus-sized codes rewrite into scratch) on EVERY
+    // policy call while the tier stays exceeded. The memo records the
+    // refused (cell, count) signature; while occupancy is unchanged the
+    // attempt is skipped for free, and any append/delete/compaction
+    // changes a count and re-arms the attempt.
+    val sig = hotCells.map(c => s"$c:${occ.toMap.apply(c)}")
+    if (ArtifactSwap.readManifest(fs, root, SplitRefusedMemo) == sig) return false
+    val subCounts = splitCore(s, root, scratch, emb, hotCells, occ, copyAux = false)
+    // NO-PROGRESS GUARD, per split cell: a cell actually split iff BOTH
+    // halves are non-empty (all-in-one-half means the 2-means was
+    // degenerate for that cell — e.g. identical vectors, coinciding
+    // seeds). If NO hot cell split, swapping would change nothing and the
+    // tier would re-fire forever; refuse, memoize, and leave the artifact
+    // untouched. A partial split (some cells real, some degenerate) lands:
+    // occupancy changes, so the next call re-evaluates honestly.
+    if (!subCounts.values.exists { case (keep, move) => keep > 0 && move > 0 }) {
       fs.delete(scratchPath, true)
-      return false // irreducible hot list: the tier is the wrong lever here
+      ArtifactSwap.writeManifest(fs, root, SplitRefusedMemo, sig)
+      return false // irreducible hot set: the tier is the wrong lever here
     }
     ArtifactSwap.commit(fs, scratch)
     finishSplitSwap(fs, root, scratch)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/$SplitRefusedMemo"), true)
     true
   }
+
+  /** Name of the split policy's refusal memo file under the artifact root. */
+  private val SplitRefusedMemo = "__split_refused"
 
   /** q142: THE SPLIT ARTIFACT SERVED, ORACLE-GATED — the catalog face of
     * [[ivfCellSplitArtifact]]: build the q74-family artifacts, split the

@@ -3448,6 +3448,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(s.read.parquet(s"$root3/cents").count() == 4L, "artifact must be untouched")
     assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root3/__splitting")),
       "the refused scratch must be cleaned up")
+    // the refusal is MEMOIZED: while occupancy is unchanged the next call
+    // skips the attempt entirely (no scratch written — a skewed ingest of
+    // identical vectors must not pay a corpus rewrite per batch)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$root3/__split_refused")),
+      "refusal memo must be written")
+    assert(!Similarity.maybeSplitIvf(s, root3, embDup, maxSharePpm = 500000))
+    // (3b) PARTIAL progress lands: hot set = one degenerate list (cell 0,
+    // identical vectors) + one splittable list (cell 1, spread) — the
+    // splittable one's progress must not be discarded because the global
+    // max (degenerate cell 0) is unchanged
+    val root3b = s"$base/a3b"
+    Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), (2L, Seq(20.0, 20.0)),
+      (3L, Seq(30.0, 30.0))).toDF("cent_id", "ce").write.parquet(s"$root3b/cents")
+    Seq((0, 0L, Seq(0.0))).toDF("m", "cent_id", "ce").write.parquet(s"$root3b/books")
+    // cell 0: 45 rows, cell 1: 40 rows, cells 2/3: ~7 each — both 0 and 1
+    // are over a 300000 ppm tier
+    s.range(100).selectExpr("id AS vec_id",
+      "CAST(CASE WHEN id < 45 THEN 0 WHEN id < 85 THEN 1 ELSE 2 + id % 2 END AS BIGINT) AS cell",
+      "array(1, 2) AS codes").write.parquet(s"$root3b/codes")
+    val embMix = s.range(100).selectExpr("id AS vec_id",
+      """CASE WHEN id < 45 THEN array(0.5, 0.5)
+              WHEN id < 85 THEN array(10.0 + CAST(id % 13 AS DOUBLE) * 0.1, 10.0 + CAST(id % 7 AS DOUBLE) * 0.1)
+              ELSE array(CAST((2 + id % 2) * 10 AS DOUBLE), CAST((2 + id % 2) * 10 AS DOUBLE)) END AS e""")
+    assert(Similarity.maybeSplitIvf(s, root3b, embMix, maxSharePpm = 300000),
+      "the splittable hot cell's progress must land despite the degenerate one")
+    val occ3b = s.read.parquet(s"$root3b/codes").groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occ3b.values.sum == 100L)
+    assert(occ3b(0L) == 45L, "the degenerate cell keeps its rows")
+    assert(occ3b(1L) < 40L, "the splittable cell got lighter")
+    // (3c) over-tier-only selection: with ONE cell over the tier, only it
+    // is a split candidate — the under-tier second-largest must not grow
+    // the cell count as collateral
+    val root3c = s"$base/a3c"; writeArt(root3c) // cell 0 = 80, others ~7
+    assert(Similarity.maybeSplitIvf(s, root3c, emb, maxSharePpm = 500000))
+    val cents3c = s.read.parquet(s"$root3c/cents").count()
+    assert(cents3c == 5L,
+      s"only the over-tier cell may split (got $cents3c cells — an under-tier cell split too)")
     // (4) loud coverage: emb missing hot-cell members must throw, not
     // silently drop their rows from the rewritten artifact
     val root4 = s"$base/a4"; writeArt(root4)
@@ -3456,6 +3494,19 @@ class OperatorSpec extends AnyFunSuite {
       Similarity.ivfCellSplitArtifact(s, root4, s"$root4/out", embPartial)
     }
     assert(ex.getMessage.contains("cover every hot-cell vec_id"), ex.getMessage)
+    // (5) MIGRATION: a markerless scratch from the pre-marker protocol
+    // whose live inputs are already retired is finished, not destroyed
+    val root5 = s"$base/a5"; writeArt(root5)
+    Similarity.ivfCellSplitArtifact(s, root5, s"$root5/__splitting", emb)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root5/cents"), true) // no _COMMIT
+    assert(Similarity.maybeSplitIvf(s, root5, emb, maxSharePpm = 500000),
+      "legacy markerless mid-swap scratch must be finished")
+    val occ5 = s.read.parquet(s"$root5/codes").groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centIds5 = s.read.parquet(s"$root5/cents").select("cent_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(occ5.values.sum == 100L && occ5.keySet.subsetOf(centIds5),
+      s"legacy recovery left an inconsistent artifact: $occ5 vs $centIds5")
   }
 
   test("maybeMaintainIvf: compaction runs before the split, so occupancy counts live rows") {
