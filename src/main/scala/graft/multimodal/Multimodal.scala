@@ -325,7 +325,18 @@ object MultimodalOps {
     * common-subexpression elimination), so the inlined form re-ran the
     * 64-substring grid ~128× per row: measured as multi-minute straggler
     * tasks at 100k docs where this form is one pass. */
-  private[graft] val phashFpExpr: String =
+  private[graft] val phashFpExpr: String = phashFpExprFor(4)
+
+  /** The fingerprint expression under an EXPLICIT band layout: the same
+    * 64 thresholded grid cells packed into `nBands` words of 64/nBands
+    * bits each. The BITS are identical across layouts — only the packing
+    * (and therefore the banding collision probability downstream)
+    * changes, which is exactly the q143 lever: wider bands have higher
+    * per-band entropy, so the share-a-band candidate set collapses. */
+  private[graft] def phashFpExprFor(nBands: Int): String = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"band count must divide 64, got $nBands")
+    val bw = 64 / nBands
     // the grid position multiplies in BIGINT (CAST(i AS BIGINT) — a 32-bit
     // i·length wraps negative past ~34M chars, and Spark's negative
     // substring position counts from the END: garbage grid, oracle
@@ -335,9 +346,10 @@ object MultimodalOps {
       "text, CAST((CAST(i AS BIGINT) * length(text)) DIV 64 AS INT) + 1, 1)) AS BIGINT))" +
       "), garr -> element_at(transform(array(" +
       "aggregate(garr, 0L, (acc, x) -> acc + x)" +
-      "), sm -> transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0L, " +
-      "(acc, j) -> acc + IF(element_at(garr, b * 16 + j + 1) * 64 > sm, " +
+      s"), sm -> transform(sequence(0, ${nBands - 1}), b -> aggregate(sequence(0, ${bw - 1}), 0L, " +
+      s"(acc, j) -> acc + IF(element_at(garr, b * $bw + j + 1) * 64 > sm, " +
       "shiftleft(1L, j), 0L)))), 1)), 1)"
+  }
 
   /** Banding observability: candidates scored vs survivor pairs, counted
     * by the SAME tasks that serve the query (`Dataset.observe` — zero
@@ -361,10 +373,11 @@ object MultimodalOps {
   }
 
   private[graft] def phashPairs(docs: DataFrame,
-      candTap: DataFrame => DataFrame = identity): DataFrame = {
+      candTap: DataFrame => DataFrame = identity,
+      nBands: Int = 4): DataFrame = {
     val fps = docs
       .filter(length(col("text")) > 0)
-      .withColumn("fp", expr(phashFpExpr))
+      .withColumn("fp", expr(phashFpExprFor(nBands)))
       .select(col("doc_id"), col("fp"))
     val bands = fps.select(col("doc_id"), col("fp"),
       posexplode(col("fp")).as(Seq("b", "bv")))
@@ -390,21 +403,30 @@ object MultimodalOps {
       .orderBy("a_id", "b_id")
   }
 
-  val q134Sql: String =
+  /** The banding oracle under an EXPLICIT band layout — DuckDB recomputes
+    * the same 64 thresholded cells, packs them into nBands words, and
+    * states the identical two-phase rule (share ≥ 1 exact band AND
+    * hamming ≤ H). One parametrized text serves q134 (4×16) and q143
+    * (2×32), so the two layouts can never drift in anything but the
+    * packing. */
+  private def phashSqlFor(nBands: Int, source: String = "documents"): String = {
+    val bw = 64 / nBands
+    val hamSum = (1 to nBands)
+      .map(k => s"bit_count(xor(fa.fp[$k], fb.fp[$k]))").mkString("\n            + ")
     s"""WITH cells AS (
        |  SELECT doc_id, i,
        |         CAST(ascii(substring(text,
        |              CAST((i * length(text)) // 64 AS INTEGER) + 1, 1)) AS BIGINT) AS v
-       |  FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS i)
+       |  FROM $source, LATERAL (SELECT unnest(range(0, 64)) AS i)
        |  WHERE length(text) > 0),
        |tot AS (SELECT doc_id, SUM(v) AS s FROM cells GROUP BY doc_id),
        |bands AS (
-       |  SELECT c.doc_id, CAST(c.i // 16 AS BIGINT) AS b,
+       |  SELECT c.doc_id, CAST(c.i // $bw AS BIGINT) AS b,
        |         CAST(SUM(CASE WHEN c.v * 64 > t.s
-       |              THEN (CAST(1 AS BIGINT) << CAST(c.i % 16 AS INTEGER))
+       |              THEN (CAST(1 AS BIGINT) << CAST(c.i % $bw AS INTEGER))
        |              ELSE 0 END) AS BIGINT) AS bv
        |  FROM cells c JOIN tot t USING (doc_id)
-       |  GROUP BY c.doc_id, c.i // 16),
+       |  GROUP BY c.doc_id, c.i // $bw),
        |fp AS (SELECT doc_id, list(bv ORDER BY b) AS fp FROM bands GROUP BY doc_id),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -412,19 +434,62 @@ object MultimodalOps {
        |                           AND a.doc_id < b.doc_id)
        |SELECT a_id, b_id, hamming FROM (
        |  SELECT c.a_id, c.b_id,
-       |         CAST(bit_count(xor(fa.fp[1], fb.fp[1]))
-       |            + bit_count(xor(fa.fp[2], fb.fp[2]))
-       |            + bit_count(xor(fa.fp[3], fb.fp[3]))
-       |            + bit_count(xor(fa.fp[4], fb.fp[4])) AS BIGINT) AS hamming
+       |         CAST($hamSum AS BIGINT) AS hamming
        |  FROM cand c
        |  JOIN fp fa ON c.a_id = fa.doc_id
        |  JOIN fp fb ON c.b_id = fb.doc_id)
        |WHERE hamming <= $PhashMaxHam
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  val q134Sql: String = phashSqlFor(4)
+
+  /** q143: WIDE-BAND PERCEPTUAL-HASH NEAR-DUP — the q134 SCALE LEVER as
+    * code (the round-15 measured ceiling: 4×16 banding produced 3.06B band
+    * candidates at 1M docs, quadratic in bucket depth, because 16-bit band
+    * values carry too little entropy on a homogeneous corpus). Identical
+    * fingerprint BITS, identical verify (hamming ≤ [[PhashMaxHam]] over
+    * the 64 bits), identical two-phase machinery — only the band layout
+    * changes: 2 bands × 32 bits. A 32-bit band value has up to 2³² states
+    * vs 2¹⁶, so the expected per-band bucket depth drops by the factor the
+    * collision mass was quadratic in — the standard LSH bands/rows trade
+    * (fewer, wider bands: candidate mass collapses, recall at a given
+    * hamming radius weakens because ≤ 8 scattered flips must now leave one
+    * of 2 (not 4) bands untouched; the planted-pair spec and the 1M
+    * BASELINE row quantify both sides).
+    *
+    * The corpus is probed with [[PhashPlants]] deterministic EXACT-COPY
+    * plants (doc_id + 10⁷ re-keys of the first docs): byte-identical
+    * duplicates fingerprint identically, so every band matches under ANY
+    * layout — the guaranteed-recall floor — which keeps the gate
+    * value-bearing at eval SF (the driver corpus has no byte-identical
+    * dups, and its few scattered-flip near-dups are exactly the pairs the
+    * wide layout trades away — 0 rows would gate nothing). The oracle
+    * states the identical union.
+    *
+    * Same oracle family as q134 ([[phashSqlFor]] — DuckDB recomputes
+    * bands/xor/bit_count under the 2×32 packing). */
+  def q143PhashWideband(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select("doc_id", "text")
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < PhashPlants)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    phashPairs(planted, nBands = 2)
+  }
+
+  /** How many exact-copy probes q143 plants. */
+  private val PhashPlants = 8
+
+  val q143Sql: String = phashSqlFor(2,
+    s"""(SELECT doc_id, text FROM documents
+       |   UNION ALL
+       |   SELECT doc_id + 10000000, text FROM documents WHERE doc_id < $PhashPlants)""".stripMargin)
 
   import org.apache.spark.sql.DataFrame
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_multimodal_meta", q30MultimodalMeta _, Some(q30Sql)),
     ("q134_phash_neardup", q134PhashNearDup _, Some(q134Sql)),
+    ("q143_phash_wideband", q143PhashWideband _, Some(q143Sql)),
   )
 }

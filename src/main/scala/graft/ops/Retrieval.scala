@@ -302,16 +302,25 @@ object Retrieval {
     * tombstones while concat-folding postings would RESURRECT deleted
     * docs — the one inconsistency the delete contract cannot survive. */
   def lexIndexCompact(s: SparkSession, path: String, outPath: String): Unit = {
-    require(outPath != path,
-      "compaction is copy-on-write: outPath must be a new artifact root")
-    val segs = lexSegments(s, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tombRoot = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val tombs =
-      if (fs.exists(tombRoot))
-        fs.listStatus(tombRoot).filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
-      else Seq.empty
+    lexIndexCompactFrom(s, path, outPath,
+      lexSegments(s, path), ArtifactSwap.tombDirs(fs, path))
+  }
+
+  /** [[lexIndexCompact]] under EXPLICIT segment/tombstone listings — the
+    * policy seam: [[maybeCompactLex]] manifests the lists it will retire
+    * and passes THE SAME lists here, so the merged set and the manifested
+    * set are identical by construction (two independent listings relied on
+    * the single-writer contract to agree; a segment or tombstone landing
+    * between them would have been merged but never retired — duplicate
+    * docs served from both the merged seg0 and the surviving old dir). */
+  private[graft] def lexIndexCompactFrom(s: SparkSession, path: String,
+      outPath: String, segs: Seq[String], tombs: Seq[String]): Unit = {
+    require(outPath != path,
+      "compaction is copy-on-write: outPath must be a new artifact root")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     // validate the mixed-positional invariant BEFORE the first write: a
     // rejected compaction must leave NO artifact at outPath — a partial
     // seg0 (tf/df/stats but no pp) would be served position-less by
@@ -408,7 +417,9 @@ object Retrieval {
     // listings) — retiring a subset is safe, a superset is not
     val retireSegs = lexSegments(s, path)
     val appliedTombs = ArtifactSwap.tombDirs(fs, path)
-    lexIndexCompact(s, path, scratch)
+    // the captured lists ARE the compactor's inputs (not re-listed inside)
+    // — manifested set ≡ merged set by construction
+    lexIndexCompactFrom(s, path, scratch, retireSegs, appliedTombs)
     ArtifactSwap.writeManifest(fs, scratch, ArtifactSwap.SegManifest, retireSegs)
     ArtifactSwap.writeManifest(fs, scratch, ArtifactSwap.TombManifest, appliedTombs)
     ArtifactSwap.commit(fs, scratch)

@@ -2965,7 +2965,9 @@ object Similarity {
     *
     * New cell ids start at max(cent_id)+1. Sub-cell 0 keeps the parent id
     * with its UPDATED centroid (routing quality for future appends); a
-    * single-member hot cell yields no sub-cell 1 (no empty cell is
+    * sub-cell that received no members writes no centroid row — covering
+    * both the single-member hot cell and the degenerate multi-member cell
+    * whose 2-means landed everything in one half (no empty cell is ever
     * written). Tombstones, if present, transfer as their deduplicated
     * union (delete semantics are routing-independent — vec_id keyed).
     *
@@ -3027,14 +3029,26 @@ object Similarity {
       s"emb must cover every hot-cell vec_id exactly once: joined ${cov.getLong(0)} " +
         s"rows / ${cov.getLong(1)} distinct of $hotRows hot rows")
     val (finalLocal, updCs) = localTwoMeans(members, hotCells)
+    // per-hot-cell (kept, moved) counts — a tiny agg over the CACHED hot
+    // members (never the corpus): gates which centroid rows are written
+    // below, and the policy's progress test reads them instead of
+    // re-scanning the corpus-sized scratch codes table
+    val subCountRows = finalLocal.groupBy("cell", "sub").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val newIdExpr = hotCells.foldLeft(lit(-1L)) { (acc, c) =>
       when(col("cell") === c, lit(newIdOf(c))).otherwise(acc) }
     val moved = finalLocal.select(col("vec_id"),
       when(col("sub") === 0, col("cell")).otherwise(newIdExpr).as("cell"))
     // cents': untouched rows byte-identical; parent id ← sub-0 centroid,
-    // new id ← sub-1 centroid (absent for single-member cells)
+    // new id ← sub-1 centroid — each written ONLY when that half received
+    // ≥ 1 member. The 2-means can land a degenerate multi-member cell
+    // entirely in one half (identical vectors, coinciding seeds); writing
+    // the other half's centroid anyway would land an EMPTY cell in cents —
+    // harmless for serving but one dead centroid accrued per partial
+    // landing, contradicting the no-empty-cell claim above.
     val updRows: Seq[(Long, Seq[Double])] = hotCells.flatMap { c =>
-      updCs(c).map { case (sub, ce) => (if (sub == 0L) c else newIdOf(c), ce) } }
+      updCs(c).collect { case (sub, ce) if subCountRows.getOrElse((c, sub), 0L) > 0 =>
+        (if (sub == 0L) c else newIdOf(c), ce) } }
     val centsOut = cents.filter(!col("cent_id").isin(hotCells: _*))
       .unionByName(updRows.toDF("cent_id", "ce"))
     // codes': untouched rows byte-identical; hot rows re-routed only
@@ -3048,13 +3062,8 @@ object Similarity {
       tombstoneUnion(s, root).foreach(
         _.write.mode("overwrite").parquet(s"$outRoot/tombstones/t0"))
     }
-    // per-hot-cell (kept, moved) counts — a tiny agg over the CACHED hot
-    // members (never the corpus): the policy's progress test reads these
-    // instead of re-scanning the corpus-sized scratch codes table
-    val subCounts = finalLocal.groupBy("cell", "sub").count().collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val out = hotCells.map { c =>
-      c -> ((subCounts.getOrElse((c, 0L), 0L), subCounts.getOrElse((c, 1L), 0L)))
+      c -> ((subCountRows.getOrElse((c, 0L), 0L), subCountRows.getOrElse((c, 1L), 0L)))
     }.toMap
     members.unpersist(false)
     out
@@ -3115,8 +3124,12 @@ object Similarity {
     // attempt (2-means + corpus-sized codes rewrite into scratch) on EVERY
     // policy call while the tier stays exceeded. The memo records the
     // refused (cell, count) signature; while occupancy is unchanged the
-    // attempt is skipped for free, and any append/delete/compaction
-    // changes a count and re-arms the attempt.
+    // attempt is skipped for free. Appends and compactions change a
+    // PHYSICAL count and re-arm the attempt; a delete alone only writes a
+    // tombstone file (physical occupancy — the memo signature — is
+    // unchanged), so deletes re-arm only once compacted. That staleness
+    // is benign: a tombstoned identical-vector list is still irreducible
+    // until its rows actually leave the codes table.
     val sig = hotCells.map(c => s"$c:${occ.toMap.apply(c)}")
     if (ArtifactSwap.readManifest(fs, root, SplitRefusedMemo) == sig) return false
     val subCounts = splitCore(s, root, scratch, emb, hotCells, occ, copyAux = false)

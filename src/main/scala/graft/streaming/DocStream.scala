@@ -259,9 +259,16 @@ object DocStream {
     * over the union of tombstone files, so streamed deletes ≡ one batch
     * delete bit-for-bit for any batching (DocStreamSpec). Physical
     * reclamation stays the compaction's job (q126's no-resurrection
-    * contract). */
+    * contract).
+    *
+    * Batch tombstone files are written errorifexists (the VecStream
+    * convention): immutable files with provably unique names are what the
+    * compaction's manifest-precise retirement assumes — a reused name in a
+    * committed swap's TombManifest would be deleted by a recovery re-run,
+    * destroying a fresh unapplied tombstone and resurrecting its deletes. */
   def tombstoneBatch(s: SparkSession, path: String, ids: DataFrame, name: String): Unit =
-    graft.ops.Retrieval.lexTombstone(ids, path, name)
+    ids.select(col("doc_id")).write.mode("errorifexists")
+      .parquet(s"$path/tombstones/$name")
 
   /** Fold a fresh-document micro-batch into the persisted near-dup CLUSTER
     * LABELS — the streaming half of the q129 contract, keeping the split

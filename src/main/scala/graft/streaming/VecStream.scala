@@ -190,7 +190,13 @@ object VecStream {
     * mirroring [[graft.streaming.DocStream.lexAppendBatch]]'s wiring. */
   def tombstoneBatch(ids: DataFrame, root: String, name: String,
       maxTombstones: Int = 0): Unit = {
-    ids.select(col("vec_id")).write.mode("overwrite")
+    // errorifexists: tombstone files are IMMUTABLE and names provably
+    // unique — the manifest-precise retirement assumes it. An overwrite
+    // would invite name reuse, and a reused name appearing in a committed
+    // swap's TombManifest would be deleted by a recovery re-run (crash
+    // between tombstone retirement and scratch cleanup), destroying a
+    // fresh unapplied tombstone and resurrecting its deletes.
+    ids.select(col("vec_id")).write.mode("errorifexists")
       .parquet(s"$root/tombstones/$name")
     if (maxTombstones > 0)
       graft.ops.Similarity.maybeCompactIvf(ids.sparkSession, root, maxTombstones)

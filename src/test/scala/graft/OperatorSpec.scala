@@ -3147,6 +3147,80 @@ class OperatorSpec extends AnyFunSuite {
       s"survivor counter ${m("survivor_pairs")} != the $pairs distinct pairs")
   }
 
+  test("q143 wide bands: identical fingerprint bits; candidates and survivors a strict subset family of q134's; exact copies guaranteed") {
+    val s = spark
+    import s.implicits._
+    import graft.multimodal.MultimodalOps
+    // (1) BIT IDENTITY across layouts: the 64 thresholded cells are the
+    // same — only the packing differs. Reassemble both packings into one
+    // 64-bit word per doc and compare.
+    val docs = Tables.spread(s, Tables.documents(s, sf), "doc_id")
+    val both = docs.filter(length(col("text")) > 0)
+      .withColumn("f4", expr(MultimodalOps.phashFpExprFor(4)))
+      .withColumn("f2", expr(MultimodalOps.phashFpExprFor(2)))
+      .withColumn("v4", expr("aggregate(sequence(0, 3), 0L, " +
+        "(a, b) -> a + shiftleft(element_at(f4, b + 1), b * 16))"))
+      .withColumn("v2", expr("aggregate(sequence(0, 1), 0L, " +
+        "(a, b) -> a + shiftleft(element_at(f2, b + 1), b * 32))"))
+    assert(both.filter(col("v4") =!= col("v2")).count() == 0,
+      "the two band layouts must pack the SAME 64 fingerprint bits")
+    // (2) SUBSET IDENTITY (the lever's correctness shape): a shared 32-bit
+    // band implies both of its 16-bit halves are shared, so every q143
+    // candidate — and therefore every survivor — is also a q134 one, with
+    // the same hamming (the verify reads the same 64 bits).
+    def pairsOf(n: Int) = MultimodalOps.phashPairs(docs, nBands = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p4 = pairsOf(4)
+    val p2 = pairsOf(2)
+    assert(p2.keySet.subsetOf(p4.keySet),
+      s"wide-band survivors must be a subset: extra = ${p2.keySet -- p4.keySet}")
+    p2.foreach { case (k, h) => assert(p4(k) == h,
+      s"hamming drifted between layouts on $k: ${p4(k)} vs $h") }
+    // (3) GUARANTEED RECALL FLOOR: byte-identical duplicates fingerprint
+    // identically, so EVERY band matches under any layout — hamming-0
+    // pairs can never be lost by widening bands.
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val planted = Seq((0L, base), (1L, base.replace('q', 'x')),
+      (2L, "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      (3L, base)).toDF("doc_id", "text")
+    val wp = MultimodalOps.phashPairs(planted, nBands = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(wp.contains((0L, 3L)) && wp((0L, 3L)) == 0L,
+      s"exact copy must survive the wide-band layout: $wp")
+    assert(!wp.contains((0L, 2L)) && !wp.contains((1L, 2L)),
+      s"unrelated payload matched under wide bands: $wp")
+  }
+
+  test("q143 recall trade is real: a pair with flips in both 32-bit bands but one clean 16-bit band is q134-only") {
+    val s = spark
+    import s.implicits._
+    import graft.multimodal.MultimodalOps
+    // Construct two 64-cell payloads directly in grid space (one char per
+    // cell: length-64 strings sample every position) whose thresholded
+    // fingerprints differ at exactly two cells, one in EACH 32-bit band,
+    // both inside 16-bit bands 1 and 3: under 4×16 bands 0 and 2 stay
+    // clean → candidate + hamming 2 → survivor; under 2×32 NEITHER band is
+    // clean → never a candidate. This is the planted form of the measured
+    // trade: wider bands buy candidate-mass collapse with recall loss for
+    // scattered low-hamming pairs.
+    val hi = 'z'; val lo = 'a' // far above / below the grid mean
+    val cellsA = Array.fill(64)(lo)
+    // a stable high-bit pattern in every 16-bit band, so fingerprints are
+    // non-degenerate: cells 0–3 of each 16-bit band are high
+    for (b <- 0 to 3; j <- 0 to 3) cellsA(b * 16 + j) = hi
+    val cellsB = cellsA.clone()
+    cellsB(16 + 8) = hi // extra bit inside 16-bit band 1 (32-bit band 0)
+    cellsB(48 + 8) = hi // extra bit inside 16-bit band 3 (32-bit band 1)
+    val frame = Seq((0L, new String(cellsA)), (1L, new String(cellsB)))
+      .toDF("doc_id", "text")
+    val narrow = MultimodalOps.phashPairs(frame, nBands = 4).collect()
+    val wide = MultimodalOps.phashPairs(frame, nBands = 2).collect()
+    assert(narrow.length == 1 && narrow.head.getLong(2) <= 8,
+      s"4x16 must recover the planted pair: ${narrow.mkString(",")}")
+    assert(wide.isEmpty,
+      s"2x32 must MISS the straddling pair (the documented trade): ${wide.mkString(",")}")
+  }
+
   test("real-image aHash: re-encode/resize lands within a few bits, unrelated content far") {
     // the content-level multimodal dedup primitive on REAL decoded rasters:
     // a structured gradient, its bilinear downscale, and its inversion

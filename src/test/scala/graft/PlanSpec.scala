@@ -1225,6 +1225,17 @@ class PlanSpec extends AnyFunSuite {
       "hamming cut is not applied at candidate production")
   }
 
+  test("q143 wide-band phash: same audited plan shape as q134 — equi-join candidates, hamming cut at production") {
+    import graft.multimodal.MultimodalOps
+    val p = plan(MultimodalOps.q143PhashWideband(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "wide-band candidate generation degenerated to all-pairs")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("Condition") || l.contains("Join condition")) &&
+        l.contains("bit_count") && l.contains("<= 8")),
+      "hamming cut is not applied at candidate production")
+  }
+
   test("q138 end-to-end RAG serve: no tokenize / no cluster kernel; lex, ivf, and label artifacts all scanned") {
     import graft.ops.Retrieval
     import org.apache.spark.sql.execution.{ExternalRDDScanExec, FileSourceScanExec, RDDScanExec, SparkPlan}
