@@ -2929,11 +2929,12 @@ object Similarity {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val scratch = s"$root/__compacting"
     // crash recovery BEFORE the tier check (the maybeCompactLex contract)
-    // — BOTH policies' recoveries, because each only recognizes its own
-    // scratch: an interrupted SPLIT swap leaves codes missing, and this
-    // policy's own compactor would throw PATH_NOT_FOUND on every retry
-    // before a later maybeSplitIvf call could ever heal it.
+    // — ALL the policies' recoveries, because each only recognizes its own
+    // scratch: an interrupted SPLIT or MERGE swap leaves codes missing,
+    // and this policy's own compactor would throw PATH_NOT_FOUND on every
+    // retry before a later sibling-policy call could ever heal it.
     recoverSplitIvf(s, root)
+    recoverMergeIvf(s, root)
     if (recoverCompactIvf(s, root)) return true
     if (ivfTombstoneCount(s, root) <= maxTombstones) return false
     // manifest BEFORE compacting: tombstones listed now are a SUBSET of
@@ -3102,9 +3103,10 @@ object Similarity {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val scratch = s"$root/__splitting"
     val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    // BOTH recoveries first — the other policy's interrupted swap leaves
+    // ALL recoveries first — another policy's interrupted swap leaves
     // codes missing, which would wedge this one's occupancy read forever
     recoverCompactIvf(s, root)
+    recoverMergeIvf(s, root)
     if (recoverSplitIvf(s, root)) return true
     val occ = s.read.parquet(s"$root/codes").groupBy("cell")
       .agg(count(lit(1)).as("n")).collect()
@@ -3186,28 +3188,273 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc_fixed", "rn")
   }
 
+  /** How many of the coldest cells q144 merges (the bottom-m mirror of
+    * [[SplitHotCells]] — deterministic, always exercises the machinery;
+    * the production knob is [[maybeMergeIvf]]'s share tier). */
+  private val MergeColdCells = 2
+
+  /** ARTIFACT-LEVEL UNDERFULL-CELL MERGE — the INVERSE of the q141/q142
+    * split, completing the maintenance algebra (split alone grows nlist
+    * monotonically under churn: q132 reports empty/underfull cells, the
+    * split adds ids, nothing reclaimed the tail until this). The
+    * `mergeCells` SMALLEST cells — empty cells first: a centroid with no
+    * code rows is pure dead nlist — fold into their members' NEAREST
+    * SURVIVING centroid, copy-on-write into `outRoot`: one assign pass
+    * ([[assignCells]], the gated q69 kernel) for the MOVED members only,
+    * the moved rows' `cell` column rewrites, codes payload byte-identical,
+    * books byte-identical, untouched cells byte-immutable. Merged
+    * centroids leave `cents` — nlist actually shrinks.
+    *
+    * The merge needs the moved members' RAW vectors (codes are lossy, and
+    * nearest-survivor is a per-MEMBER assignment — routing each vector by
+    * its own geometry, not by its dead cell's centroid): `emb` supplies
+    * them via one equi-join against the cold routing rows — only cold-cell
+    * members are ever read (≈ mergeCells·n/nlist vectors, usually far
+    * fewer: cold cells are cold).
+    *
+    * Like the split, the plain IVF-PQ artifact is merge-SAFE because PQ
+    * codes quantize raw vectors independent of routing; the residual
+    * variant (q75) encodes relative to its cell centroid — re-encode moved
+    * members there. Tombstones transfer as their deduplicated union.
+    *
+    * Exactness gate (the q142 argument in reverse): FULL-PROBE serving
+    * from the merged artifact ≡ full-probe pre-merge bit-for-bit — a merge
+    * changes only WHERE rows are routed, never what the index contains.
+    * At normal nprobe it is the standard coarse-quantization trade in the
+    * opposite direction (coarser where the corpus is thin — exactly where
+    * the probe budget was being wasted on near-empty lists). */
+  def ivfCellMergeArtifact(s: SparkSession, root: String, outRoot: String,
+      emb: DataFrame, mergeCells: Int = MergeColdCells): Seq[Long] = {
+    val occ = mergeOccupancy(s, root)
+    val cold = occ.sortBy { case (c, n) => (n, c) }.take(mergeCells).map(_._1)
+    mergeCore(s, root, outRoot, emb, cold, occ, copyAux = true)
+    cold
+  }
+
+  /** Occupancy over the FULL cell universe (cents left-joined with codes):
+    * a centroid with zero code rows — the q132 "empty cells silently waste
+    * nlist" finding — must appear at count 0 or it could never be
+    * reclaimed. nlist rows, driver-side (index metadata). */
+  private def mergeOccupancy(s: SparkSession, root: String): Seq[(Long, Long)] = {
+    val counts = s.read.parquet(s"$root/codes").groupBy("cell")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    s.read.parquet(s"$root/cents").select("cent_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+      .map(c => (c, counts.getOrElse(c, 0L)))
+  }
+
+  /** The merge body, parameterized for the policy path (the [[splitCore]]
+    * convention): `occ` is the full-universe occupancy the caller already
+    * computed; `copyAux = false` skips the books/tombstones copies the
+    * policy swap leaves in place at `root`. Writes codes BEFORE cents —
+    * the crash-recovery contract is the MIRROR of the split's ([[
+    * finishMergeSwap]]): new codes + old cents serve consistently (every
+    * code row routes to a surviving id that old cents still lists; the
+    * merged-away centroid is merely dead weight until cents promotes),
+    * whereas new cents + old codes would route the cold rows to centroids
+    * that no longer exist — rows silently unreachable. */
+  private def mergeCore(s: SparkSession, root: String, outRoot: String,
+      emb: DataFrame, coldCells: Seq[Long], occ: Seq[(Long, Long)],
+      copyAux: Boolean): Unit = {
+    require(outRoot != root,
+      "cell merge is copy-on-write: outRoot must be a new artifact root")
+    if (coldCells.isEmpty) return
+    val occMap = occ.toMap
+    require(coldCells.forall(occMap.contains),
+      s"unknown cells: ${coldCells.filterNot(occMap.contains)}")
+    val survivorIds = occ.map(_._1).filterNot(coldCells.contains)
+    require(survivorIds.nonEmpty,
+      "cell merge needs >= 1 surviving cell: refusing to fold the whole index")
+    val cents = s.read.parquet(s"$root/cents")
+    val codes = s.read.parquet(s"$root/codes")
+    val survivors = cents.filter(!col("cent_id").isin(coldCells: _*))
+    val coldRows = occ.collect { case (c, n) if coldCells.contains(c) => n }.sum
+    val movedOut =
+      if (coldRows == 0L) {
+        // every cold cell is EMPTY — pure metadata reclamation, no assign
+        codes.filter(col("cell").isin(coldCells: _*)) // empty frame, keeps schema
+      } else {
+        val members = codes.filter(col("cell").isin(coldCells: _*))
+          .select("vec_id")
+          .join(emb.select("vec_id", "e"), Seq("vec_id"))
+          .cache()
+        // the splitCore coverage check, same offsetting-errors argument: a
+        // missing vec_id silently DROPS its code row; a duplicate
+        // duplicates it — both counts must match the physical cold mass
+        val cov = members.agg(count(lit(1)).as("n"),
+          countDistinct(col("vec_id")).as("d")).head()
+        require(cov.getLong(0) == coldRows && cov.getLong(1) == coldRows,
+          s"emb must cover every cold-cell vec_id exactly once: joined ${cov.getLong(0)} " +
+            s"rows / ${cov.getLong(1)} distinct of $coldRows cold rows")
+        val moved = assignCells(members, survivors).select("vec_id", "cell")
+        val out = codes.filter(col("cell").isin(coldCells: _*))
+          .drop("cell").join(moved, Seq("vec_id"))
+          .select(codes.columns.map(col): _*)
+        members.unpersist(false)
+        out
+      }
+    val codesOut = codes.filter(!col("cell").isin(coldCells: _*))
+      .unionByName(movedOut)
+    codesOut.write.mode("overwrite").parquet(s"$outRoot/codes") // FIRST (contract)
+    survivors.write.mode("overwrite").parquet(s"$outRoot/cents")
+    if (copyAux) {
+      s.read.parquet(s"$root/books").write.mode("overwrite").parquet(s"$outRoot/books")
+      tombstoneUnion(s, root).foreach(
+        _.write.mode("overwrite").parquet(s"$outRoot/tombstones/t0"))
+    }
+  }
+
+  /** Finish a COMMITTED merge swap — idempotent from any crash point, each
+    * half gated on its scratch copy still being present (after a rename
+    * the live name IS the new artifact; re-deleting it would destroy the
+    * only copy), deletes covering partially-deleted live dirs. Promote
+    * order is codes first — the MIRROR of [[finishSplitSwap]]'s argument:
+    * new codes + old cents serve consistently (the merged-away centroid is
+    * merely empty until cents promotes; every code row's cell survives in
+    * old cents), whereas new cents + old codes would leave the cold rows
+    * routed to centroids that no longer exist — silently unreachable. */
+  private def finishMergeSwap(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, scratch: String): Unit = {
+    val scratchCodes = new org.apache.hadoop.fs.Path(s"$scratch/codes")
+    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    if (fs.exists(scratchCodes)) {
+      fs.delete(codesPath, true)
+      require(fs.rename(scratchCodes, codesPath),
+        s"merge swap failed: could not promote $scratch/codes into $root")
+    }
+    val scratchCents = new org.apache.hadoop.fs.Path(s"$scratch/cents")
+    val centsPath = new org.apache.hadoop.fs.Path(s"$root/cents")
+    if (fs.exists(scratchCents)) {
+      fs.delete(centsPath, true)
+      require(fs.rename(scratchCents, centsPath),
+        s"merge swap failed: could not promote $scratch/cents into $root")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+  }
+
+  /** Finish or discard an interrupted MERGE swap — the [[ArtifactSwap]]
+    * commit protocol, no legacy fallback (the merge never shipped under
+    * the pre-marker heuristic). Returns true iff a committed swap was
+    * finished. */
+  private[graft] def recoverMergeIvf(s: SparkSession, root: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scratch = s"$root/__merging"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(scratch))) return false
+    if (ArtifactSwap.committed(fs, scratch)) {
+      finishMergeSwap(fs, root, scratch)
+      true
+    } else {
+      // uncommitted: the live artifact is untouched by construction
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      false
+    }
+  }
+
+  /** SHARE-TIERED MERGE POLICY — the reclamation half of the q132→q141
+    * audit→maintain loop the split left open: cells whose LIVE share falls
+    * below `minSharePpm` (ppm of corpus rows, the q132 unit; EMPTY cells
+    * — share 0 — first) fold into their nearest surviving centroids,
+    * coldest-first, at most `mergeCells` per call (bounded maintenance
+    * slices, the SplitHotCells convention). Copy-on-write into a scratch
+    * root, commit marker, then SWAP — codes first, then cents (see
+    * [[finishMergeSwap]] for why the order is the split's mirror). A crash
+    * between the promotes that recovery resolves by finishing leaves new
+    * codes + old cents: consistent and servable. Occupancy counts PHYSICAL
+    * code rows — compact tombstones first ([[maybeCompactIvf]]) if deletes
+    * are in flight, or a mostly-dead list reads hotter than it is. No
+    * refusal memo is needed (the split's degenerate case has no analogue:
+    * a merge of a nonempty cold set always changes occupancy, and an
+    * all-cold index refuses loudly below). Single-writer maintenance, run
+    * between micro-batches. Returns true iff a merge (or an interrupted-
+    * merge recovery) ran. */
+  def maybeMergeIvf(s: SparkSession, root: String, emb: DataFrame,
+      minSharePpm: Long, mergeCells: Int = MergeColdCells): Boolean = {
+    require(minSharePpm >= 1 && minSharePpm <= 1000000,
+      s"minSharePpm must be in [1, 1000000], got $minSharePpm")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scratch = s"$root/__merging"
+    // ALL recoveries first (the cross-policy healing contract): another
+    // policy's interrupted swap leaves codes or cents missing, which would
+    // wedge this one's occupancy read forever
+    recoverCompactIvf(s, root)
+    recoverSplitIvf(s, root)
+    if (recoverMergeIvf(s, root)) return true
+    val occ = mergeOccupancy(s, root)
+    val total = occ.map(_._2).sum
+    if (total == 0L) return false
+    val cold = occ
+      .filter { case (_, n) => n * 1000000L / total < minSharePpm }
+      .sortBy { case (c, n) => (n, c) }.take(mergeCells).map(_._1)
+    if (cold.isEmpty) return false
+    if (cold.size == occ.size) return false // all-cold: merge is the wrong lever
+    mergeCore(s, root, scratch, emb, cold, occ, copyAux = false)
+    ArtifactSwap.commit(fs, scratch)
+    finishMergeSwap(fs, root, scratch)
+    true
+  }
+
+  /** q144: THE MERGE ARTIFACT SERVED, ORACLE-GATED — the catalog face of
+    * [[ivfCellMergeArtifact]], closing the index lifecycle's algebra
+    * (append q70 / delete q127 / compact / split q142 / MERGE): build the
+    * q74-family artifacts, fold the [[MergeColdCells]] coldest cells into
+    * their nearest survivors copy-on-write, then serve top-k from the
+    * MERGED artifact at FULL PROBE. The q142 argument verbatim, in
+    * reverse: full-probe IVF serving degenerates to the flat ADC scan, so
+    * the entry closes under EXACTLY q73's oracle and catches any
+    * corruption the merge could introduce (a moved row routed to a dropped
+    * centroid never becomes a candidate; a dropped/duplicated row or a
+    * mutated payload changes the top-k). Production probing stays
+    * nprobe-bounded over the SHRUNK cell set — the point of merging.
+    * Eager writes, the q127/q142 convention. */
+  def q144MergeServed(s: SparkSession, d: String): DataFrame = {
+    val root = s"${knnGraphServePath(d)}/ivfmerge"
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
+    cents.write.mode("overwrite").parquet(s"$root/cents")
+    books.write.mode("overwrite").parquet(s"$root/books")
+    codeTable.write.mode("overwrite").parquet(s"$root/codes")
+    ivfCellMergeArtifact(s, root, s"$root/merged", emb.select("vec_id", "e"))
+    val mc = s.read.parquet(s"$root/merged/cents")
+    ivfPqSearchFrom(mc, s.read.parquet(s"$root/merged/books"),
+      s.read.parquet(s"$root/merged/codes"),
+      emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"),
+      nprobe = mc.count().toInt)
+      .select("query_id", "neighbor_id", "adc_fixed", "rn")
+  }
+
   /** The COMBINED maintenance pass a long-running index actually runs:
-    * reclamation BEFORE rebalance — compaction first, so the split's
-    * occupancy counts LIVE rows (uncompacted tombstones inflate a cell's
-    * physical share and could trigger a split of a list that is mostly
-    * dead). One call per quiet window (between micro-batches); each half
-    * is individually crash-safe, and because each policy's entry ALSO runs
-    * the other's recovery (a split crash leaves codes missing — an
-    * unhealed compactor would throw PATH_NOT_FOUND on every retry and the
-    * artifact would be wedged until a split call happened to run), any
-    * crash inside either half is healed by the next call to anything.
-    * Returns (compacted, split — true also when an interrupted split swap
-    * was finished). */
+    * reclamation BEFORE rebalance — compaction first, so the split's and
+    * merge's occupancy counts LIVE rows (uncompacted tombstones inflate a
+    * cell's physical share: a hot-looking dead list could split, a
+    * mostly-dead list could dodge its merge). Then split, then merge —
+    * rebalance both ways in one quiet window; a split never produces an
+    * under-floor half the same pass folds back (the 2-means halves a cell
+    * ABOVE the split tier, and policy tiers satisfy floor ≪ ceiling/2 —
+    * the PolicySpec round-trip pins a planted skew surviving the
+    * composition). One call per quiet window (between micro-batches); each
+    * third is individually crash-safe, and because each policy's entry
+    * ALSO runs the others' recoveries (an interrupted swap leaves codes or
+    * cents missing — an unhealed sibling would throw PATH_NOT_FOUND on
+    * every retry and wedge the artifact until the right policy happened to
+    * run), any crash inside any third is healed by the next call to
+    * anything. Returns (compacted, split — true also when an interrupted
+    * split swap was finished, merged). */
   def maybeMaintainIvf(s: SparkSession, root: String, emb: DataFrame,
-      maxTombstones: Int, maxSharePpm: Long): (Boolean, Boolean) = {
-    // heal any interrupted SPLIT swap before the compactor reads codes —
-    // each policy's internal recovery handles the other's scratch too, but
-    // running it explicitly first makes the composition's first artifact
+      maxTombstones: Int, maxSharePpm: Long,
+      minSharePpm: Long = 0L): (Boolean, Boolean, Boolean) = {
+    // heal any interrupted swap before the compactor reads codes — each
+    // policy's internal recovery handles the others' scratches too, but
+    // running them explicitly first makes the composition's first artifact
     // read safe regardless of which policy crashed last time
     val healedSplit = recoverSplitIvf(s, root)
+    recoverMergeIvf(s, root)
     val compacted = maybeCompactIvf(s, root, maxTombstones)
     val split = maybeSplitIvf(s, root, emb, maxSharePpm)
-    (compacted, healedSplit || split)
+    val merged = minSharePpm > 0L && maybeMergeIvf(s, root, emb, minSharePpm)
+    (compacted, healedSplit || split, merged)
   }
 
   lazy val q127Sql: String =
@@ -4060,5 +4307,8 @@ object Similarity {
     // served ≡ flat: full-probe serving from the SPLIT artifact closes
     // under q73's own oracle (routing changes where, never what)
     ("q142_split_served", q142SplitServed _, Some(q73Sql)),
+    // the same argument in reverse for the MERGE: full-probe serving from
+    // the merged artifact degenerates to the flat ADC scan
+    ("q144_merge_served", q144MergeServed _, Some(q73Sql)),
   )
 }

@@ -229,6 +229,7 @@ object VecStream {
     // ran. Recovery-first also covers roots maintained by tombstoneBatch's
     // compaction wiring.
     graft.ops.Similarity.recoverSplitIvf(s, root)
+    graft.ops.Similarity.recoverMergeIvf(s, root)
     graft.ops.Similarity.recoverCompactIvf(s, root)
     val pc = s.read.parquet(s"$root/cents")
     val pb = s.read.parquet(s"$root/books")

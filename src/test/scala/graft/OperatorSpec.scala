@@ -3604,13 +3604,161 @@ class OperatorSpec extends AnyFunSuite {
     s.range(20, 40).select(col("id").as("vec_id")).write
       .parquet(s"$root/tombstones/t1")
     val emb = s.range(120).selectExpr("id AS vec_id", "array(0.0, 0.0) AS e")
-    val (compacted, split) = Similarity.maybeMaintainIvf(s, root, emb,
-      maxTombstones = 1, maxSharePpm = 400000)
+    val (compacted, split, merged) = Similarity.maybeMaintainIvf(s, root, emb,
+      maxTombstones = 1, maxSharePpm = 400000, minSharePpm = 100000)
     assert(compacted, "the tombstone tier must trigger compaction")
     assert(!split, "live shares are uniform at 250000 ppm — no split past a 400000 tier")
+    assert(!merged, "live shares are uniform at 250000 ppm — no merge below a 100000 floor")
     assert(s.read.parquet(s"$root/codes").count() == 80L, "deleted rows reclaimed")
     assert(s.read.parquet(s"$root/cents").count() == 4L, "no cell split")
     assert(Similarity.ivfTombstoneCount(s, root) == 0)
+  }
+
+  test("ivfCellMergeArtifact: full-probe serve bit-identical, mass conserved, cold rows rerouted, merged centroids gone") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    val base = java.nio.file.Files.createTempDirectory("ivf_merge").toString
+    val root = s"$base/art"; val out = s"$base/art2"
+    val (emb, subs, seedsPq) = Similarity.pqParts(s, sf)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    cents.write.parquet(s"$root/cents")
+    books.write.parquet(s"$root/books")
+    codeTable.write.parquet(s"$root/codes")
+    val cold = Similarity.ivfCellMergeArtifact(s, root, out, emb.select("vec_id", "e")).toSet
+    // a merge changes only WHERE rows are routed, never what the index
+    // contains: probing every cell on both sides must return identical rows
+    val queries = emb.filter(col("vec_id") < 10).select("vec_id", "e")
+    def serve(r: String, nprobe: Int): Seq[String] = Similarity.ivfPqSearchFrom(
+      s.read.parquet(s"$r/cents"), s.read.parquet(s"$r/books"),
+      s.read.parquet(s"$r/codes"), queries, nprobe = nprobe)
+      .collect().map(_.toString).toSeq
+    val nPre = s.read.parquet(s"$root/cents").count().toInt
+    val nPost = s.read.parquet(s"$out/cents").count().toInt
+    assert(cold.size == 2 && nPost == nPre - 2, "merge must shrink nlist by the cold count")
+    assert(serve(root, nPre) == serve(out, nPost) && serve(out, nPost).nonEmpty,
+      "full-probe serving must be bit-identical across the merge")
+    // row set preserved, payload byte-identical; cold rows land in
+    // SURVIVING cells, untouched rows unmoved
+    val cPre = s.read.parquet(s"$root/codes").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Any](2)))).toMap
+    val cPost = s.read.parquet(s"$out/codes").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Any](2)))).toMap
+    assert(cPre.keySet == cPost.keySet, "merge must not add or drop rows")
+    val cenPost = s.read.parquet(s"$out/cents").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cold.forall(c => !cenPost.contains(c)), "merged centroids must leave cents")
+    cPre.foreach { case (id, (cell, payload)) =>
+      val (cell2, payload2) = cPost(id)
+      assert(payload2 == payload, s"codes payload changed for vec $id")
+      if (cold(cell)) assert(!cold(cell2) && cenPost.contains(cell2),
+        s"cold row $id routed to $cell2 which is not a survivor")
+      else assert(cell2 == cell, s"untouched row $id moved to $cell2")
+    }
+    // survivors byte-equal; books byte-equal
+    val cenPre = s.read.parquet(s"$root/cents").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    cenPost.foreach { case (c, ce) =>
+      assert(cenPre(c) == ce, s"surviving centroid $c changed") }
+    assert(s.read.parquet(s"$out/books").collect().map(_.toString).sorted.toSeq ==
+      s.read.parquet(s"$root/books").collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("maybeMergeIvf: floor tier gates; empty cells reclaimed; all-cold refused; crash window recovers") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ivf_merge_policy").toString
+    // cell 3 is EMPTY (a centroid with no code rows — the q132 dead-nlist
+    // finding); cells 1/2 small but over the floor; cell 0 hot
+    def writeArt(root: String): Unit = {
+      Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), (2L, Seq(20.0, 20.0)),
+        (3L, Seq(30.0, 30.0))).toDF("cent_id", "ce").write.parquet(s"$root/cents")
+      Seq((0, 0L, Seq(0.0))).toDF("m", "cent_id", "ce").write.parquet(s"$root/books")
+      s.range(100).selectExpr("id AS vec_id",
+        "CAST(CASE WHEN id < 80 THEN 0 WHEN id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS cell",
+        "array(1, 2) AS codes").write.parquet(s"$root/codes")
+    }
+    val emb = s.range(100).selectExpr("id AS vec_id",
+      "array(CAST(id % 13 AS DOUBLE) * 0.1, CAST(id % 7 AS DOUBLE) * 0.1) AS e")
+    // shares: 800000 / 100000 / 100000 / 0 ppm. Floor 50000: only the
+    // empty cell is below → pure metadata reclamation, no row moves.
+    val root1 = s"$base/a1"; writeArt(root1)
+    assert(Similarity.maybeMergeIvf(s, root1, emb, minSharePpm = 50000))
+    assert(s.read.parquet(s"$root1/cents").count() == 3, "empty cell reclaimed")
+    assert(s.read.parquet(s"$root1/codes").count() == 100, "no row touched")
+    // tier no-op now: everything surviving is over the floor
+    assert(!Similarity.maybeMergeIvf(s, root1, emb, minSharePpm = 50000))
+    // floor 150000: cells 1 and 2 fold into survivors; mass conserved and
+    // every row routes to a surviving centroid
+    assert(Similarity.maybeMergeIvf(s, root1, emb, minSharePpm = 150000))
+    val occ = s.read.parquet(s"$root1/codes").groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centIds = s.read.parquet(s"$root1/cents").select("cent_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(occ.values.sum == 100L, s"mass lost: $occ")
+    assert(occ.keySet.subsetOf(centIds) && centIds.size == 1,
+      s"rows must route to the one survivor: $occ vs $centIds")
+    // single-cell index: nothing below a saturating floor (share =
+    // 1000000 is not < 1000000) — no-op, never a self-fold
+    assert(!Similarity.maybeMergeIvf(s, root1, emb, minSharePpm = 1000000,
+      mergeCells = 10))
+    assert(s.read.parquet(s"$root1/cents").count() == 1, "no-op must not touch cents")
+    val root2 = s"$base/a2"; writeArt(root2)
+    // all-cold refusal: every cell under the floor with room in the merge
+    // budget would fold the whole index — refuse, artifact untouched
+    assert(!Similarity.maybeMergeIvf(s, root2, emb, minSharePpm = 900000,
+      mergeCells = 10))
+    assert(s.read.parquet(s"$root2/cents").count() == 4, "refusal must not touch cents")
+    // crash window: committed merge swap, live codes retired, nothing
+    // promoted — the next policy call must finish it, not recompute
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Similarity.ivfCellMergeArtifact(s, root2, s"$root2/__merging", emb)
+    graft.ops.ArtifactSwap.commit(hfs, s"$root2/__merging")
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root2/codes"), true)
+    assert(Similarity.maybeMergeIvf(s, root2, emb, minSharePpm = 50000),
+      "recovery must finish the interrupted merge swap")
+    assert(s.read.parquet(s"$root2/codes").count() == 100L, "mass lost in recovery")
+    assert(s.read.parquet(s"$root2/cents").count() == 2L,
+      "the bottom-2 default merge must have landed through recovery")
+    // an UNcommitted scratch is discarded and the live artifact untouched
+    val root3 = s"$base/a3"; writeArt(root3)
+    Similarity.ivfCellMergeArtifact(s, root3, s"$root3/__merging", emb)
+    assert(!Similarity.recoverMergeIvf(s, root3) &&
+      s.read.parquet(s"$root3/cents").count() == 4L,
+      "uncommitted scratch must be discarded, live artifact intact")
+  }
+
+  test("maintenance composition: planted skew splits and the dead tail merges in one maybeMaintainIvf pass") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ivf_maintain2").toString
+    val root = s"$base/art"
+    // cell 0: 80 rows (hot, separable halves); cells 1/2: 9 rows each;
+    // cell 3: EMPTY — one pass must split the hot cell AND reclaim the
+    // dead one, leaving mass conserved and every row reachable
+    Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), (2L, Seq(20.0, 20.0)),
+      (3L, Seq(30.0, 30.0))).toDF("cent_id", "ce").write.parquet(s"$root/cents")
+    Seq((0, 0L, Seq(0.0))).toDF("m", "cent_id", "ce").write.parquet(s"$root/books")
+    s.range(98).selectExpr("id AS vec_id",
+      "CAST(CASE WHEN id < 80 THEN 0 WHEN id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS cell",
+      "array(1, 2) AS codes").write.parquet(s"$root/codes")
+    val emb = s.range(98).selectExpr("id AS vec_id",
+      """CASE WHEN id < 80 THEN array(CAST(id % 13 AS DOUBLE) * 0.1, CAST(id % 7 AS DOUBLE) * 0.1)
+              ELSE array(CAST((1 + id % 3) * 10 AS DOUBLE), CAST((1 + id % 3) * 10 AS DOUBLE)) END AS e""")
+    val (compacted, split, merged) = Similarity.maybeMaintainIvf(s, root, emb,
+      maxTombstones = 5, maxSharePpm = 500000, minSharePpm = 50000)
+    assert(!compacted && split && merged, s"($compacted, $split, $merged)")
+    val occ = s.read.parquet(s"$root/codes").groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centIds = s.read.parquet(s"$root/cents").select("cent_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(occ.values.sum == 98L, s"mass lost: $occ")
+    assert(occ.values.max < 80L, s"hot cell not lighter: $occ")
+    assert(!centIds.contains(3L), "the dead cell must be reclaimed")
+    assert(occ.keySet.subsetOf(centIds),
+      s"rows route to missing centroids: ${occ.keySet -- centIds}")
   }
 
   test("maybeCompactIvf: tombstone tier triggers the swap; plain serve after ≡ tombstoned serve before") {
