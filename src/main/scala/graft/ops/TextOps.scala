@@ -1273,6 +1273,116 @@ object TextOps {
        |         - tok_start // ${Corpus.PackBudget} + 1 AS n_packs
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** GENERATED subword vocabulary for q145 — deterministic and formula-
+    * expressible in BOTH engines (the committed-table discipline without
+    * committing 1k+ literals): every 2-char combination over a–z (676
+    * entries) plus every 3-char combination over the first `three`
+    * letters (`three`³ entries; 8 → 512, total 1188 ≥ the 1k-entry gate;
+    * 26 → 17576, the plan-size probe). Stands in for a frozen BPE merge
+    * table: what matters for the operator is that the vocab is a TABLE
+    * the plan joins, not a literal the expression inlines. */
+  private[graft] def genVocab(s: SparkSession, three: Int = 8): DataFrame = {
+    require(three >= 1 && three <= 26, s"three must be in [1,26], got $three")
+    val v2 = s.range(676).selectExpr(
+      "char(97 + id DIV 26) || char(97 + id % 26) AS v")
+    val v3 = s.range(three.toLong * three * three).selectExpr(
+      s"char(97 + id DIV ${three * three}) || char(97 + (id DIV $three) % $three) " +
+        s"|| char(97 + id % $three) AS v")
+    v2.unionAll(v3)
+  }
+
+  /** q145: VOCAB-SCALABLE SUBWORD COUNTER — q137's greedy longest-match
+    * semantics reformulated so the vocabulary is DATA, not code: q137's
+    * `subwordCountExpr` inlines the vocab as a literal array scanned
+    * O(|vocab|) per character — honest for its committed 30-entry table,
+    * but a real frozen BPE table (32k–256k entries) would blow up both
+    * codegen (one expression tree node per entry) and per-char cost. Here
+    * the greedy algebra is identical — at each position take the LONGEST
+    * vocab entry matching, else consume one char — but factored into
+    * relational steps whose cost per token is INDEPENDENT of vocab size:
+    *
+    *  1. distinct words (the Zipf dedup: the fold runs once per distinct
+    *     word, never once per corpus token);
+    *  2. candidate substrings — each position emits one candidate per
+    *     DISTINCT VOCAB LENGTH (bounded by max token length, here {2,3}),
+    *     equi-joined against the broadcast vocab TABLE; max(entry length)
+    *     per position = the longest match (q137's tie-free rule);
+    *  3. the per-word greedy walk as the SAME bounded fold as q137's, but
+    *     O(1) per char: the position→match-length map rides along as a
+    *     map column (`element_at(lm, pos)`, single-char fallback 1);
+    *  4. one doc-keyed join + agg attributes counts back to documents.
+    *
+    * Scale shape: the vocab is broadcast (a 256k-entry table is MBs); the
+    * only corpus-sized exchanges are the distinct-word extraction and the
+    * final doc agg — the q56 vocabulary-extraction shape, with partial
+    * aggregation making both ≈ docs-sized. PlanSpec pins that the plan
+    * contains NO vocab literal and that plan size does not grow with the
+    * vocab (built at 1,188 and 18,252 entries); the BASELINE anchor pins
+    * per-token cost independent of vocab size.
+    *
+    * Oracle: q137's recursive-CTE greedy walk verbatim, with the vocab
+    * CTE generated by the same chr() formula — the two engines share the
+    * vocabulary by construction, not by a copied list. */
+  def q145SubwordVocab(s: SparkSession, d: String): DataFrame =
+    subwordVocabCounts(
+      Tables.spread(s, Tables.documents(s, d), "doc_id").select("doc_id", "text"),
+      genVocab(s)).orderBy("doc_id")
+
+  /** The q145 core under EXPLICIT (doc_id, text) and vocab tables — the
+    * seam for the PlanSpec plan-size-vs-vocab-size probe and the planted
+    * greedy-identity specs. */
+  private[graft] def subwordVocabCounts(docsIn: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val vt = vocab.select(col("v"), length(col("v")).as("vlen"))
+    val docs = docsIn
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val words = docs.select(explode(col("w")).as("wd")).distinct().cache()
+    val lenMap = words.filter(length(col("wd")) >= 2)
+      .select(col("wd"), explode(expr("sequence(1, length(wd))")).as("pos"))
+      .select(col("wd"), col("pos"),
+        explode(expr("array(substring(wd, pos, 2), substring(wd, pos, 3))")).as("cand"))
+      .filter(length(col("cand")) >= 2) // truncated tails can't match
+      .join(broadcast(vt), col("cand") === col("v"))
+      .groupBy("wd", "pos").agg(max(col("vlen")).as("mlen"))
+      .groupBy("wd")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("mlen")))).as("lm"))
+    val wc = words.join(lenMap, Seq("wd"), "left")
+      .select(col("wd"), expr(
+        "aggregate(sequence(1, greatest(length(wd), 1)), named_struct('pos', 1, 'cnt', 0L), " +
+          "(acc, i) -> IF(acc.pos > length(wd), acc, named_struct(" +
+          "'pos', acc.pos + CAST(coalesce(element_at(lm, acc.pos), 1) AS INT), " +
+          "'cnt', acc.cnt + 1L)), acc -> acc.cnt)").as("n_sub"))
+    docs.select(col("doc_id"), explode(col("w")).as("wd"))
+      .join(wc, Seq("wd"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_sub")).as("n_subwords"))
+  }
+
+  val q145Sql: String =
+    """WITH RECURSIVE vocab(v) AS (
+      |  SELECT chr(97 + CAST(i // 26 AS INTEGER)) || chr(97 + CAST(i % 26 AS INTEGER))
+      |  FROM (SELECT unnest(range(0, 676)) AS i)
+      |  UNION ALL
+      |  SELECT chr(97 + CAST(i // 64 AS INTEGER)) || chr(97 + CAST((i // 8) % 8 AS INTEGER))
+      |         || chr(97 + CAST(i % 8 AS INTEGER))
+      |  FROM (SELECT unnest(range(0, 512)) AS i)),
+      |wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+      |vw AS (SELECT DISTINCT wd FROM wrd),
+      |step(wd, pos, cnt) AS (
+      |  SELECT wd, 1, CAST(0 AS BIGINT) FROM vw
+      |  UNION ALL
+      |  SELECT wd,
+      |         pos + COALESCE((SELECT MAX(length(v)) FROM vocab
+      |                         WHERE substring(wd, pos, length(v)) = v), 1),
+      |         cnt + 1
+      |  FROM step WHERE pos <= length(wd)),
+      |wc AS (SELECT wd, MAX(cnt) AS n_sub FROM step GROUP BY wd),
+      |dt AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |              CAST(SUM(wc.n_sub) AS BIGINT) AS n_subwords
+      |       FROM wrd w JOIN wc ON w.wd = wc.wd GROUP BY w.doc_id)
+      |SELECT doc_id, n_words, n_subwords FROM dt ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
@@ -1294,5 +1404,6 @@ object TextOps {
     ("q137_subword_tokens", q137SubwordTokens _, Some(q137Sql)),
     ("q139_mix_subword", sourceMixSubword _, Some(q139Sql)),
     ("q140_pack_subword", q140PackSubword _, Some(q140Sql)),
+    ("q145_subword_vocab", q145SubwordVocab _, Some(q145Sql)),
   )
 }

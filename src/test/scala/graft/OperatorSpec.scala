@@ -3118,6 +3118,30 @@ class OperatorSpec extends AnyFunSuite {
       s"boundary mismatch: ${sel1.length} selected vs ${expected.size} expected")
   }
 
+  test("q145 greedy identity on planted words: longest match wins, 3 beats 2, single-char fallback, empty-word safe") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TextOps
+    // vocab: every aa–zz pair + every 3-char combo over a–h. Hand-walked:
+    //   banana → ba|na|na (no 'ban': n ∉ a–h)            = 3
+    //   abc    → abc (3-char beats ab+c)                 = 1
+    //   abcz   → abc|z                                   = 2
+    //   zzz    → zz|z (no 3-char over z)                 = 2
+    //   q      → single-char fallback                    = 1
+    val docs = Seq((0L, "banana abc abcz zzz q"), (1L, "")).toDF("doc_id", "text")
+    val out = TextOps.subwordVocabCounts(docs, TextOps.genVocab(s))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((5L, 9L)), s"doc0: ${out(0L)} != (5 words, 3+1+2+2+1 subwords)")
+    // split("") = [""]: one empty word, zero subwords — the fold must not
+    // loop or go negative on a zero-length word
+    assert(out(1L) == ((1L, 0L)), s"doc1: ${out(1L)}")
+    // vocab-size independence of SEMANTICS where entries exist in both:
+    // under the full a–z 3-char vocab, banana re-tokenizes as ban|ana (2)
+    val big = TextOps.subwordVocabCounts(Seq((0L, "banana")).toDF("doc_id", "text"),
+      TextOps.genVocab(s, 26)).collect()
+    assert(big.head.getLong(2) == 2L, s"banana under the 26^3 vocab: ${big.head}")
+  }
+
   test("q134 planted near-dups: a one-char mutation and an exact copy are recovered; hamming-0 for the copy") {
     val s = spark
     import s.implicits._

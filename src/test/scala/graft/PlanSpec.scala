@@ -1236,6 +1236,26 @@ class PlanSpec extends AnyFunSuite {
       "hamming cut is not applied at candidate production")
   }
 
+  test("q145 subwords: vocab enters as a broadcast TABLE, never a literal — plan size independent of vocab size") {
+    import graft.ops.TextOps
+    val docs = Tables.spread(spark, Tables.documents(spark, sf), "doc_id")
+      .select("doc_id", "text")
+    def opt(three: Int): String =
+      TextOps.subwordVocabCounts(docs, TextOps.genVocab(spark, three))
+        .queryExecution.optimizedPlan.toString
+    // 1,188 entries vs 18,252: the optimized plan may differ only in the
+    // generator's range bound — q137's literal-array formulation would
+    // grow the plan by one node PER ENTRY (the codegen blowup this entry
+    // exists to avoid)
+    val ps = opt(8); val pb = opt(26)
+    assert(math.abs(ps.length - pb.length) <= 100,
+      s"plan size grew with the vocab: ${ps.length} vs ${pb.length} chars")
+    val ep = plan(TextOps.subwordVocabCounts(docs, TextOps.genVocab(spark)))
+    assert(ep.contains("BroadcastExchange") || ep.contains("BroadcastHashJoin"),
+      "the vocab table must reach the candidate join as a broadcast")
+    assert(ep.contains("Range"), "the vocab must be generated, not inlined")
+  }
+
   test("q138 end-to-end RAG serve: no tokenize / no cluster kernel; lex, ivf, and label artifacts all scanned") {
     import graft.ops.Retrieval
     import org.apache.spark.sql.execution.{ExternalRDDScanExec, FileSourceScanExec, RDDScanExec, SparkPlan}
