@@ -427,6 +427,28 @@ object Retrieval {
     true
   }
 
+  /** The FLEET form of [[maybeCompactLex]] — compaction through the
+    * [[RootPointer]] protocol (see [[graft.ops.Similarity
+    * .maybeMaintainIvfVersioned]], the same clone → maintain-unpublished →
+    * publish shape): readers resolve a published, immutable root per
+    * serve and can never observe the swap. Returns true iff a compaction
+    * ran (and therefore a new version published). */
+  def maybeCompactLexVersioned(s: SparkSession, base: String,
+      maxSegments: Int): Boolean = {
+    RootPointer.cleanStaging(s, base)
+    val cur = RootPointer.resolve(s, base)
+    val next = RootPointer.nextVersion(s, base)
+    val staging = s"$base/$next"
+    RootPointer.copyDir(s, cur, staging)
+    new org.apache.hadoop.fs.Path(staging).getFileSystem(
+      s.sparkContext.hadoopConfiguration).delete(
+      new org.apache.hadoop.fs.Path(s"$staging/${RootPointer.Complete}"), true)
+    val acted = maybeCompactLex(s, staging, maxSegments)
+    if (acted) RootPointer.publish(s, base, next)
+    else RootPointer.cleanStaging(s, base)
+    acted
+  }
+
   /** Finish a COMMITTED lex compaction swap — idempotent from any crash
     * point: re-deletes manifest remnants, promotes scratch/seg0 if it is
     * still in the scratch. */

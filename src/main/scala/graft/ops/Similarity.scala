@@ -3442,6 +3442,40 @@ object Similarity {
     * run), any crash inside any third is healed by the next call to
     * anything. Returns (compacted, split — true also when an interrupted
     * split swap was finished, merged). */
+  /** The FLEET form of [[maybeMaintainIvf]] — maintenance through the
+    * [[RootPointer]] versioned-root protocol, so a fleet of readers never
+    * coordinates with (or even notices) a maintenance window: resolve the
+    * current published root, CLONE it into the next version dir, run the
+    * in-place policy composition on the UNPUBLISHED clone (single-writer
+    * by construction — nobody can resolve it before the marker), and
+    * publish the clone iff any policy acted; otherwise delete it. Crashed
+    * stagings (no completeness marker) are cleaned first; published roots
+    * are immutable, so a reader that resolved pre-flip keeps serving
+    * consistent files, and [[RootPointer.retireOld]] reclaims them after
+    * the caller's grace window. The clone costs one artifact copy per
+    * ACTING maintenance window — the documented reader-isolation trade
+    * (object stores copy server-side; the in-place policies remain the
+    * single-process economy path). Returns the policy triple. */
+  def maybeMaintainIvfVersioned(s: SparkSession, base: String, emb: DataFrame,
+      maxTombstones: Int, maxSharePpm: Long,
+      minSharePpm: Long = 0L): (Boolean, Boolean, Boolean) = {
+    RootPointer.cleanStaging(s, base)
+    val cur = RootPointer.resolve(s, base)
+    val next = RootPointer.nextVersion(s, base)
+    val staging = s"$base/$next"
+    RootPointer.copyDir(s, cur, staging)
+    // the clone carries the published root's completeness marker — strip
+    // it so a crash mid-maintenance can never be resolved as published
+    new org.apache.hadoop.fs.Path(staging).getFileSystem(
+      s.sparkContext.hadoopConfiguration).delete(
+      new org.apache.hadoop.fs.Path(s"$staging/${RootPointer.Complete}"), true)
+    val out @ (c, sp, m) = maybeMaintainIvf(s, staging, emb,
+      maxTombstones, maxSharePpm, minSharePpm)
+    if (c || sp || m) RootPointer.publish(s, base, next)
+    else RootPointer.cleanStaging(s, base)
+    out
+  }
+
   def maybeMaintainIvf(s: SparkSession, root: String, emb: DataFrame,
       maxTombstones: Int, maxSharePpm: Long,
       minSharePpm: Long = 0L): (Boolean, Boolean, Boolean) = {

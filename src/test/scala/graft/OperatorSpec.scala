@@ -3785,6 +3785,102 @@ class OperatorSpec extends AnyFunSuite {
       s"rows route to missing centroids: ${occ.keySet -- centIds}")
   }
 
+  test("versioned-root pointer: readers always resolve a complete immutable root; the lex policy publishes through it") {
+    val s = spark
+    import graft.ops.{Retrieval, RootPointer, TextOps}
+    val base = java.nio.file.Files.createTempDirectory("rootptr").toString + "/lex"
+    val docs = TextOps.tokenizedDocs(s, sf)
+    val cut = Tables.documents(s, sf).agg(max(col("doc_id"))).head().getLong(0) / 2
+    // stage v1 (two segments) and publish
+    Retrieval.lexIndexSegment(docs.filter(col("doc_id") <= cut), s"$base/v00001", "seg0")
+    Retrieval.lexIndexAppend(s, s"$base/v00001", docs.filter(col("doc_id") > cut), "seg1")
+    RootPointer.publish(s, base, "v00001")
+    assert(RootPointer.resolve(s, base) == s"$base/v00001")
+    def ranked(root: String): Seq[String] = {
+      val (tf, df, st) = Retrieval.lexIndexServe(s, root)
+      TextOps.bm25RankedFrom(tf, df, st, TextOps.queryTerms(s, sf))
+        .orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+    }
+    val baseline = ranked(RootPointer.resolve(s, base))
+    assert(baseline.nonEmpty)
+    // an incomplete staging dir (a writer mid-publish, or a crash) can
+    // NEVER resolve — the reader's mid-swap guarantee
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/v00002/seg0"))
+    assert(RootPointer.resolve(s, base) == s"$base/v00001",
+      "an unmarked version dir must never resolve")
+    // versioned compaction: acts on a CLONE, publishes the next version;
+    // the old root stays byte-immutable (a pre-flip reader's view)
+    assert(Retrieval.maybeCompactLexVersioned(s, base, maxSegments = 1))
+    val cur = RootPointer.resolve(s, base)
+    assert(cur != s"$base/v00001" && cur.startsWith(s"$base/v0"), cur)
+    assert(Retrieval.lexSegmentCount(s, s"$base/v00001") == 2,
+      "the published old root must stay immutable")
+    assert(Retrieval.lexSegmentCount(s, cur) == 1, "the new root is compacted")
+    assert(ranked(s"$base/v00001") == baseline, "pre-flip reader view changed")
+    assert(ranked(cur) == baseline, "compaction must not change served ranking")
+    // no-op pass: nothing under the tier — no new version, staging cleaned
+    assert(!Retrieval.maybeCompactLexVersioned(s, base, maxSegments = 10))
+    assert(RootPointer.resolve(s, base) == cur)
+    assert(RootPointer.cleanStaging(s, base).isEmpty, "no-op must leave no staging")
+    // grace-window retirement: keep the newest, never the pointer target
+    val retired = RootPointer.retireOld(s, base, keep = 1)
+    assert(retired == Seq("v00001") &&
+      !hfs.exists(new org.apache.hadoop.fs.Path(s"$base/v00001")))
+    assert(RootPointer.resolve(s, base) == cur)
+  }
+
+  test("maybeMaintainIvfVersioned: split+merge land in a new published version; old root byte-immutable; crash staging cleaned") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    import graft.ops.RootPointer
+    val base = java.nio.file.Files.createTempDirectory("rootptr_ivf").toString + "/ivf"
+    val v1 = s"$base/v00001"
+    Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), (2L, Seq(20.0, 20.0)),
+      (3L, Seq(30.0, 30.0))).toDF("cent_id", "ce").write.parquet(s"$v1/cents")
+    Seq((0, 0L, Seq(0.0))).toDF("m", "cent_id", "ce").write.parquet(s"$v1/books")
+    s.range(98).selectExpr("id AS vec_id",
+      "CAST(CASE WHEN id < 80 THEN 0 WHEN id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS cell",
+      "array(1, 2) AS codes").write.parquet(s"$v1/codes")
+    RootPointer.publish(s, base, "v00001")
+    val emb = s.range(98).selectExpr("id AS vec_id",
+      """CASE WHEN id < 80 THEN array(CAST(id % 13 AS DOUBLE) * 0.1, CAST(id % 7 AS DOUBLE) * 0.1)
+              ELSE array(CAST((1 + id % 3) * 10 AS DOUBLE), CAST((1 + id % 3) * 10 AS DOUBLE)) END AS e""")
+    val (c, sp, m) = Similarity.maybeMaintainIvfVersioned(s, base, emb,
+      maxTombstones = 5, maxSharePpm = 500000, minSharePpm = 50000)
+    assert(!c && sp && m, s"($c, $sp, $m)")
+    val cur = RootPointer.resolve(s, base)
+    assert(cur != v1, "maintenance must publish a NEW version")
+    // the old published root is byte-immutable: same cells, same rows
+    assert(s.read.parquet(s"$v1/cents").count() == 4L &&
+      s.read.parquet(s"$v1/codes").count() == 98L, "old root mutated")
+    // the new root is consistent: mass conserved, dead cell gone, every
+    // row routed to an existing centroid
+    val occ = s.read.parquet(s"$cur/codes").groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centIds = s.read.parquet(s"$cur/cents").select("cent_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(occ.values.sum == 98L && !centIds.contains(3L) &&
+      occ.keySet.subsetOf(centIds), s"$occ vs $centIds")
+    // crash remnant: an unmarked staging dir is invisible to readers and
+    // cleaned by the next maintenance call (which then no-ops quietly)
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ghost = RootPointer.nextVersion(s, base)
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/$ghost/codes"))
+    assert(RootPointer.resolve(s, base) == cur)
+    // loose tiers so nothing can fire: the pass must clean the ghost,
+    // stage, act on nothing, and publish nothing
+    val (c2, sp2, m2) = Similarity.maybeMaintainIvfVersioned(s, base, emb,
+      maxTombstones = 5, maxSharePpm = 990000, minSharePpm = 1)
+    assert(!c2 && !sp2 && !m2, s"loose tiers must no-op: ($c2, $sp2, $m2)")
+    assert(RootPointer.resolve(s, base) == cur &&
+      RootPointer.cleanStaging(s, base).isEmpty,
+      "no-op pass must clean the ghost and leave no staging")
+  }
+
   test("maybeCompactIvf: tombstone tier triggers the swap; plain serve after ≡ tombstoned serve before") {
     val s = spark
     import s.implicits._
