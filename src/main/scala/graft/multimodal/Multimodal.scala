@@ -248,6 +248,46 @@ object Multimodal {
   /** Hamming distance between two [[aHash64]] fingerprints. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Deterministic synthetic PNG — the q146 corpus generator (a pure
+    * function of `id`, so the committed-expected oracle can regenerate
+    * the same rasters). Pictures come in groups of 4 (g = id/4):
+    *   id ≡ 0: the group's base gradient at 64×48;
+    *   id ≡ 1: the SAME picture re-rendered at 32×24 (every-other-pixel
+    *           sampling — the downscaled re-render a real dedup must
+    *           recover, ≤ a few aHash bits of drift);
+    *   id ≡ 2: unrelated content (its own id-seeded pattern);
+    *   id ≡ 3: the base INVERTED (far in hamming space).
+    * PNG is lossless and `getRGB` exact, so decode(encode(raster)) ≡
+    * raster and [[aHash64]] over these bytes is integer-deterministic
+    * end-to-end. */
+  private[graft] def synthPng(id: Long): Array[Byte] = {
+    val g = id / 4
+    val kind = (id % 4).toInt
+    def base(x: Int, y: Int): Int =
+      (x * (3 + (g % 5)).toInt + y * (2 + (g % 3)).toInt + (g * 37 % 256).toInt) % 256
+    def vOf(x: Int, y: Int): Int = kind match {
+      case 2 => (x * 7 + y * 11 + (id * 53 % 256).toInt) % 256
+      case 3 => 255 - base(x, y)
+      case _ => base(x, y)
+    }
+    val (w, h, sx) = if (kind == 1) (32, 24, 2) else (64, 48, 1)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = vOf(x * sx, y * sx) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Frame-sampling stage shape: one row per sampled frame index — the
     * explode pattern a video pipeline uses between decode and per-frame
     * embedding. */
@@ -374,11 +414,18 @@ object MultimodalOps {
 
   private[graft] def phashPairs(docs: DataFrame,
       candTap: DataFrame => DataFrame = identity,
-      nBands: Int = 4): DataFrame = {
-    val fps = docs
+      nBands: Int = 4): DataFrame =
+    bandPairs(docs
       .filter(length(col("text")) > 0)
       .withColumn("fp", expr(phashFpExprFor(nBands)))
-      .select(col("doc_id"), col("fp"))
+      .select(col("doc_id"), col("fp")), candTap)
+
+  /** The band→candidate→verify kernel over ANY (doc_id, fp: array<bigint>)
+    * fingerprint frame — stub-decoded text fingerprints (q134/q143) or
+    * REAL-codec aHash words (q146); only fingerprint rows cross the
+    * interface (the rrfFuse substitution convention). */
+  private[graft] def bandPairs(fps: DataFrame,
+      candTap: DataFrame => DataFrame = identity): DataFrame = {
     val bands = fps.select(col("doc_id"), col("fp"),
       posexplode(col("fp")).as(Seq("b", "bv")))
     // VERIFY BEFORE DEDUP: the hamming check runs MAP-SIDE in the join
@@ -486,10 +533,78 @@ object MultimodalOps {
        |   UNION ALL
        |   SELECT doc_id + 10000000, text FROM documents WHERE doc_id < $PhashPlants)""".stripMargin)
 
+  /** q146 corpus size (10 groups of base/re-render/unrelated/inverted). */
+  private[graft] val PhashRealN = 40
+
+  /** q146: REAL-CODEC PERCEPTUAL-HASH NEAR-DUP END-TO-END — q134's
+    * machinery with the fingerprint computed from ACTUAL IMAGE BYTES:
+    * a deterministic synthesized-PNG corpus ([[Multimodal.synthPng]] — 10
+    * groups of base / downscaled-re-render / unrelated / inverted rasters)
+    * flows through the REAL decode ([[Multimodal.aHash64]]: `javax.imageio`
+    * decode → 8×8 integer luma grid → mean threshold) inside the
+    * mapPartitions batch stage (the q30 decoder convention: codec context
+    * per partition, rows streamed through), and the resulting 64-bit
+    * fingerprints split into the 4×16 band words that drive EXACTLY q134's
+    * band→candidate→hamming-verify kernel ([[bandPairs]] — shared code, so
+    * the stub-payload and real-codec paths can never band differently).
+    *
+    * Oracle (the committed-expected convention, generated like q71's):
+    * DuckDB cannot decode PNGs, so the fingerprints are embedded as a
+    * VALUES table COMPUTED AT SQL-GENERATION TIME by the same
+    * synthPng+aHash64 code the executors run — the gate pins distributed
+    * decode ≡ driver-side reference decode bit-for-bit (any codec or
+    * raster drift breaks the hash), while the banding / xor / bit_count /
+    * pair algebra is recomputed independently by DuckDB from those values.
+    *
+    * The corpus is synthesized from ids (not the text tables): real media
+    * bytes cannot come from the driver's text corpus, and determinism at
+    * any SF is exactly what makes the gate portable. OperatorSpec adds the
+    * corpus-level recall claim: every planted re-render pair is recovered
+    * THROUGH BANDING (not just unit-level hamming), inverted pairs never. */
+  def q146PhashReal(s: SparkSession, d: String): DataFrame = {
+    val fps = s.range(PhashRealN).select(col("id").as("doc_id"))
+      .repartition(8, col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val f = Multimodal.aHash64(Multimodal.synthPng(id))
+          (id, Seq.tabulate(4)(b => (f >> (b * 16)) & 0xFFFFL))
+        }
+      }(Encoders.product[(Long, Seq[Long])])
+      .toDF("doc_id", "fp")
+    bandPairs(fps)
+  }
+
+  lazy val q146Sql: String = {
+    val values = (0L until PhashRealN).map { id =>
+      val f = Multimodal.aHash64(Multimodal.synthPng(id))
+      s"(CAST($id AS BIGINT), CAST($f AS BIGINT))"
+    }.mkString(",\n       ")
+    s"""WITH fp(doc_id, f) AS (VALUES
+       |       $values),
+       |bands AS (
+       |  SELECT doc_id, CAST(b AS BIGINT) AS b,
+       |         (f >> CAST(b * 16 AS INTEGER)) & 65535 AS bv
+       |  FROM fp, LATERAL (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+       |                           AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM (
+       |  SELECT c.a_id, c.b_id,
+       |         CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN fp fa ON c.a_id = fa.doc_id
+       |  JOIN fp fb ON c.b_id = fb.doc_id)
+       |WHERE hamming <= $PhashMaxHam
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   import org.apache.spark.sql.DataFrame
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_multimodal_meta", q30MultimodalMeta _, Some(q30Sql)),
     ("q134_phash_neardup", q134PhashNearDup _, Some(q134Sql)),
     ("q143_phash_wideband", q143PhashWideband _, Some(q143Sql)),
+    ("q146_phash_real", q146PhashReal _, Some(q146Sql)),
   )
 }

@@ -3245,6 +3245,38 @@ class OperatorSpec extends AnyFunSuite {
       s"2x32 must MISS the straddling pair (the documented trade): ${wide.mkString(",")}")
   }
 
+  test("q146 real-codec corpus recall: planted re-renders within budget; banding recovers band-sharers; inverted never") {
+    import graft.multimodal.{Multimodal, MultimodalOps}
+    val out = MultimodalOps.q146PhashReal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var recovered = 0
+    for (k <- 0 until 10) {
+      val a = 4L * k
+      val f0 = Multimodal.aHash64(Multimodal.synthPng(a))
+      val f1 = Multimodal.aHash64(Multimodal.synthPng(a + 1))
+      val ham = Multimodal.hamming64(f0, f1).toLong
+      // decode-quality claim: a real downscaled re-render stays within
+      // the hamming budget through the REAL codec path
+      assert(ham <= 8, s"group $k re-render drifted $ham bits")
+      val shared = (0 to 3).count(b =>
+        ((f0 >> (b * 16)) & 0xFFFFL) == ((f1 >> (b * 16)) & 0xFFFFL))
+      if (shared >= 1) {
+        assert(out.get((a, a + 1)).contains(ham),
+          s"group $k shares $shared bands but the pair is missing/wrong: ${out.get((a, a + 1))}")
+        recovered += 1
+      } else
+        // the LSH recall gap, MEASURED on real rasters: within-budget
+        // flips scattered across every band never become a candidate —
+        // the exact trade the q143 wide-band lever dials (group 0 in this
+        // corpus: hamming 5, 0 shared 16-bit bands)
+        assert(!out.contains((a, a + 1)),
+          s"group $k shares no band yet was paired — banding broke")
+      assert(!out.contains((a, a + 3)),
+        s"group $k inverted pair must be far: ${out.get((a, a + 3))}")
+    }
+    assert(recovered >= 9, s"only $recovered/10 planted re-renders recovered")
+  }
+
   test("real-image aHash: re-encode/resize lands within a few bits, unrelated content far") {
     // the content-level multimodal dedup primitive on REAL decoded rasters:
     // a structured gradient, its bilinear downscale, and its inversion
