@@ -73,7 +73,7 @@ object Retrieval {
     * surfaced, with its integer RRF sum) — [[rrfFuse]] minus the top-k
     * window: the seam a post-fusion collapse (q138) interposes on,
     * mirroring what [[TextOps.bm25ScoredFrom]] is to `bm25RankedFrom`. */
-  private def rrfScores(lex: DataFrame, sem: DataFrame): DataFrame = {
+  private[graft] def rrfScores(lex: DataFrame, sem: DataFrame): DataFrame = {
     def arm(c: String) = coalesce(
       floor(lit(RrfScale) / (lit(RrfK) + col(c))).cast("long"), lit(0L))
     lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
@@ -580,19 +580,30 @@ object Retrieval {
     * embeddings (broadcast-sized by construction). The pairwise sim table
     * is nq·k² rows — eval-sized, cached once, reread by every round. */
   def q114MmrDiversified(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
+    mmrSelect(
+      Similarity.cosRanked(s, d, TextOps.Bm25NQueries, MmrCandK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cos_sim").as("rel")),
+      Similarity.embWithNorm(s, d).select(col("vec_id"), col("e"), col("nrm")))
+      .orderBy("query_id", "sel_rnk")
+  }
+
+  /** The greedy MMR selection recursion over ANY (query_id, doc_id,
+    * rel: double) candidate frame and a (vec_id, e, nrm) vector source —
+    * freshly exact (q114: rel = round-6 cosine, corpus embeddings) or
+    * fully served (q147: rel = normalized fused RRF, vectors from the
+    * persisted artifact); only candidate and vector rows cross the
+    * interface, the [[rrfFuse]] substitution convention. Caller registers
+    * the native vector functions. */
+  private[graft] def mmrSelect(cand0: DataFrame, vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the candidate and pairwise-sim tables are ≤ nq·k² rows — cache them
     // as ONE partition (repartition, not coalesce: coalesce(1) would
     // collapse the corpus-scan stage upstream into a single task) so the
     // per-round jobs over them don't pay 32-task scheduling per stage
-    val cand = Similarity.cosRanked(s, d, TextOps.Bm25NQueries, MmrCandK)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cos_sim").as("rel"))
-      .repartition(1)
-      .cache()
-    val emb = Similarity.embWithNorm(s, d).select(col("vec_id"), col("e"), col("nrm"))
+    val cand = cand0.repartition(1).cache()
     val ce = cand.select("query_id", "doc_id")
-      .join(emb, col("doc_id") === col("vec_id"))
+      .join(vecs, col("doc_id") === col("vec_id"))
       .select(col("query_id"), col("doc_id"), col("e"), col("nrm"))
     val a = ce.select(col("query_id"), col("doc_id").as("d1"), col("e").as("e1"), col("nrm").as("n1"))
     val b = ce.select(col("query_id").as("qb"), col("doc_id").as("d2"), col("e").as("e2"), col("nrm").as("n2"))
@@ -635,23 +646,28 @@ object Retrieval {
       // exponential-copy detector).
       sel = sel.unionByName(pick).coalesce(1).localCheckpoint()
     }
-    sel.select("query_id", "sel_rnk", "doc_id", "mmr").orderBy("query_id", "sel_rnk")
+    sel.select("query_id", "sel_rnk", "doc_id", "mmr")
   }
 
-  val q114Sql: String = {
+  /** The MMR recursion as CTE text over ANY `cand(query_id, doc_id, rel)`
+    * CTE — one parametrized formula shared by q114 (rel = exact cosine)
+    * and q147 (rel = normalized fused RRF), so the greedy fixed-point
+    * algebra can never drift between the gated entries. Produces
+    * ce/ps/s1…s[[MmrSelK]]; the selected set is `s$MmrSelK`. */
+  private def mmrCtesSql(candName: String): String = {
     val rounds = (2 to MmrSelK).map { i =>
       val p = i - 1
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          |  SELECT c.query_id, c.doc_id,
          |         CAST(floor((c.rel - ms.maxsim) * 500000.0) AS BIGINT) AS score
-         |  FROM cand c
+         |  FROM $candName c
          |  JOIN (SELECT ps.query_id, ps.d1 AS doc_id, MAX(ps.sim) AS maxsim
          |        FROM ps JOIN s$p ON ps.query_id = s$p.query_id AND ps.d2 = s$p.doc_id
          |        GROUP BY ps.query_id, ps.d1) ms
          |    ON c.query_id = ms.query_id AND c.doc_id = ms.doc_id
          |  WHERE NOT EXISTS (SELECT 1 FROM s$p
          |                    WHERE s$p.query_id = c.query_id AND s$p.doc_id = c.doc_id)),
-         |s$i AS (
+         |s$i AS MATERIALIZED (
          |  SELECT * FROM s$p UNION ALL
          |  SELECT query_id, doc_id, CAST($i AS BIGINT) AS sel_rnk, score AS mmr FROM (
          |    SELECT query_id, doc_id, score,
@@ -659,27 +675,30 @@ object Retrieval {
          |                ORDER BY score DESC, doc_id) AS rn
          |    FROM p$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cand AS (
-       |  SELECT query_id, neighbor_id AS doc_id, cos_sim AS rel FROM (
-       |    ${Similarity.cosRankedSqlBody(TextOps.Bm25NQueries, MmrCandK)})),
-       |ce AS (
-       |  SELECT c.query_id, c.doc_id, e.embedding FROM cand c
+    s"""ce AS MATERIALIZED (
+       |  SELECT c.query_id, c.doc_id, e.embedding FROM $candName c
        |  JOIN embeddings e ON c.doc_id = e.vec_id),
-       |ps AS (
+       |ps AS MATERIALIZED (
        |  SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
        |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
        |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
        |  FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
-       |s1 AS (
+       |s1 AS MATERIALIZED (
        |  SELECT query_id, doc_id, CAST(1 AS BIGINT) AS sel_rnk,
        |         CAST(floor(rel * 500000.0) AS BIGINT) AS mmr FROM (
        |    SELECT query_id, doc_id, rel,
        |           ROW_NUMBER() OVER (PARTITION BY query_id
        |                ORDER BY rel DESC, doc_id) AS rn
-       |    FROM cand) WHERE rn = 1),
-       |$rounds
-       |SELECT query_id, sel_rnk, doc_id, mmr FROM s$MmrSelK ORDER BY query_id, sel_rnk""".stripMargin
+       |    FROM $candName) WHERE rn = 1),
+       |$rounds""".stripMargin
   }
+
+  val q114Sql: String =
+    s"""WITH cand AS (
+       |  SELECT query_id, neighbor_id AS doc_id, cos_sim AS rel FROM (
+       |    ${Similarity.cosRankedSqlBody(TextOps.Bm25NQueries, MmrCandK)})),
+       |${mmrCtesSql("cand")}
+       |SELECT query_id, sel_rnk, doc_id, mmr FROM s$MmrSelK ORDER BY query_id, sel_rnk""".stripMargin
 
   /** Phrase length for q117 — the eval phrases are each query document's
     * first [[PhraseLen]] tokens (deterministic, corpus-derived, the q95
@@ -1124,8 +1143,20 @@ object Retrieval {
     val p = TextOps.bm25Parts(s, d)
     val cand = TextOps.bm25RankedFrom(p.tf, p.df, p.stats, p.qt)
       .filter(col("rnk") <= SnipDocs).select("query_id", "doc_id")
-    val pp = TextOps.positionalPostings(p.docs)
-    pp.join(broadcast(p.qt), Seq("term"))
+    snippetFrom(TextOps.positionalPostings(p.docs), p.qt, cand)
+      .orderBy("query_id", "doc_id")
+  }
+
+  /** The window-selection kernel over ANY positional-postings frame, an
+    * eval-query term table, and a (query_id, doc_id) candidate set —
+    * freshly tokenized (q123) or served from the segmented artifact's pp
+    * (q147); only postings/candidate rows cross the interface. Candidate
+    * docs containing NO query term emit no row — the caller decides the
+    * no-match convention (q123's BM25 candidates always match; q147's
+    * semantic-arm picks may not, and coalesce to an empty window). */
+  private[graft] def snippetFrom(pp: DataFrame, qt: DataFrame,
+      cand: DataFrame): DataFrame =
+    pp.join(broadcast(qt), Seq("term"))
       .join(broadcast(cand), Seq("query_id", "doc_id"))
       .groupBy("query_id", "doc_id")
       .agg(collect_list(struct(col("term"), col("positions"))).as("arr"))
@@ -1137,33 +1168,42 @@ object Retrieval {
           s"x -> x >= p AND x < p + $SnipW))) AS BIGINT) AS n, -p AS negp)))"))
       .select(col("query_id"), col("doc_id"), col("best.n").as("n_window"),
         (-col("best.negp")).cast("long").as("best_start"))
-      .orderBy("query_id", "doc_id")
-  }
 
-  val q123Sql: String =
-    s"""${TextOps.bm25RankCtes},
-       |cand AS (SELECT query_id, doc_id FROM lexr WHERE rnk <= $SnipDocs),
-       |tp AS (
+  /** The snippet-window CTEs over ANY `(query_id, doc_id)` candidate CTE
+    * — tp (token positions from dw), st (matched positions), wn (window
+    * coverage per candidate start), bs (the argmax window per doc). One
+    * parametrized text shared by q123 and q147, the [[mmrCtesSql]]
+    * discipline. */
+  private def snippetCtesSql(candName: String): String =
+    s"""tp AS (
        |  SELECT doc_id, w[CAST(p AS INTEGER)] AS term, CAST(p AS BIGINT) AS p
        |  FROM dw, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS p)),
-       |st AS (
+       |st AS MATERIALIZED (
        |  SELECT DISTINCT c.query_id, c.doc_id, tp.term, tp.p
        |  FROM tp
        |  JOIN qt ON tp.term = qt.term
-       |  JOIN cand c ON c.query_id = qt.query_id AND c.doc_id = tp.doc_id),
+       |  JOIN $candName c ON c.query_id = qt.query_id AND c.doc_id = tp.doc_id),
        |wn AS (
        |  SELECT s.query_id, s.doc_id, s.p AS strt,
        |         CAST(COUNT(DISTINCT m.term) AS BIGINT) AS n
        |  FROM (SELECT DISTINCT query_id, doc_id, p FROM st) s
        |  JOIN st m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
        |            AND m.p >= s.p AND m.p < s.p + $SnipW
-       |  GROUP BY s.query_id, s.doc_id, s.p)
-       |SELECT query_id, doc_id, n AS n_window, strt AS best_start FROM (
-       |  SELECT query_id, doc_id, strt, n,
-       |         ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
-       |              ORDER BY n DESC, strt) AS rn
-       |  FROM wn)
-       |WHERE rn = 1 ORDER BY query_id, doc_id""".stripMargin
+       |  GROUP BY s.query_id, s.doc_id, s.p),
+       |bs AS (
+       |  SELECT query_id, doc_id, n AS n_window, strt AS best_start FROM (
+       |    SELECT query_id, doc_id, strt, n,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+       |                ORDER BY n DESC, strt) AS rn
+       |    FROM wn)
+       |  WHERE rn = 1)""".stripMargin
+
+  val q123Sql: String =
+    s"""${TextOps.bm25RankCtes},
+       |cand AS (SELECT query_id, doc_id FROM lexr WHERE rnk <= $SnipDocs),
+       |${snippetCtesSql("cand")}
+       |SELECT query_id, doc_id, n_window, best_start FROM bs
+       |ORDER BY query_id, doc_id""".stripMargin
 
   /** q124: CLUSTER-COLLAPSED RETRIEVAL — dedup meets serving: a ranked
     * list over a near-dup-heavy corpus hands the generator k copies of
@@ -1228,7 +1268,7 @@ object Retrieval {
     * parametrized text (the bm25ScoreCtes discipline: three verbatim
     * copies invited tie-break/K drift between the gated entries). The
     * scored CTE must expose (query_id, doc_id, score). */
-  private def collapseCtesTail(scoredName: String): String =
+  private def collapseCtesCore(scoredName: String): String =
     s"""coll AS (
        |  SELECT s.query_id, s.doc_id, s.score,
        |         COALESCE(cl.cluster_id, s.doc_id) AS ckey
@@ -1242,7 +1282,10 @@ object Retrieval {
        |  SELECT query_id, doc_id, score, ckey,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |              ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM best WHERE brn = 1)
+       |  FROM best WHERE brn = 1)""".stripMargin
+
+  private def collapseCtesTail(scoredName: String): String =
+    s"""${collapseCtesCore(scoredName)}
        |SELECT query_id, rnk, doc_id, score, ckey FROM rr
        |WHERE rnk <= $FusedK ORDER BY query_id, rnk""".stripMargin
 
@@ -1549,6 +1592,116 @@ object Retrieval {
        |  FROM lexk FULL JOIN semk USING (query_id, doc_id)),
        |${collapseCtesTail("fus")}""".stripMargin
 
+  /** Normalization for q147's fused-score MMR relevance: the maximum
+    * attainable RRF mass (both arms at rank 1 — 2·⌊RrfScale/(RrfK+1)⌋),
+    * so rel lands in (0, 1] and is commensurable with the [−1, 1] cosine
+    * the diversity term subtracts — the λ=0.5 balance q114's raw-cosine
+    * rel gets for free. Integer constant, one exact double division per
+    * candidate; both engines spell the same number. */
+  private[graft] val MmrRelNorm: Long = 2L * (RrfScale / (RrfK + 1)).toLong
+
+  /** q147: THE COMPLETE RAG SERVE — q138's doubly-artifact-served fusion
+    * closed through the LAST two steps a production stack runs before the
+    * generator sees text: MMR diversity re-rank (q114's greedy recursion,
+    * rel = the fused RRF score normalized by [[MmrRelNorm]], pairwise
+    * sims from the PERSISTED vector artifact) and snippet extraction
+    * (q123's window kernel over the PERSISTED positional postings —
+    * q120's artifact). Build phase (eager, the q138 convention): one
+    * POSITIONAL lexical segment + the entity delete set + the q74 IVF-PQ
+    * artifacts + the q53 label artifact + the raw-vector artifact. Serve
+    * phase: every input is an artifact scan — corrected lexical frames,
+    * live-docs ADC, label collapse, vector fetch for the ≤ nq·FusedK
+    * candidates, positional probe for the ≤ nq·MmrSelK selected docs; the
+    * eval-query term table is the only recompute (eval-sized). A selected
+    * doc containing NO query term (a semantic-arm pick) coalesces to the
+    * empty window (0, 0) — stated identically in the oracle.
+    *
+    * Oracle: q138's chain composed with [[mmrCtesSql]] and
+    * [[snippetCtesSql]] — the collapse, the recursion, and the window
+    * argmax are the SAME parametrized texts q124/q114/q123 gate, so no
+    * step of the composition can drift from its standalone entry. */
+  def q147RagFull(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val root = s"${Similarity.knnGraphServePath(d)}/ragfull"
+    val docs = TextOps.tokenizedDocs(s, d)
+    lexIndexSegmentPos(docs, s"$root/lex", "seg0")
+    lexTombstone(docs.filter(col("doc_id") % 7 === 3 &&
+      col("doc_id") >= Similarity.AdcQueries).select("doc_id"), s"$root/lex", "t0")
+    val (emb, subs, seedsPq) = Similarity.pqParts(s, d)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    cents.write.mode("overwrite").parquet(s"$root/ivf/cents")
+    books.write.mode("overwrite").parquet(s"$root/ivf/books")
+    codeTable.write.mode("overwrite").parquet(s"$root/ivf/codes")
+    emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= Similarity.AdcQueries)
+      .select("vec_id").write.mode("overwrite").parquet(s"$root/ivf/tombstones/t0")
+    Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(s"$root/clusters")
+    Similarity.embWithNorm(s, d).select("vec_id", "e", "nrm")
+      .write.mode("overwrite").parquet(s"$root/vecs")
+    // ---- serve: artifact scans + eval-sized marginal work only
+    val (tf, df, stats) = lexIndexServeDel(s, s"$root/lex")
+    val lex = TextOps.bm25RankedFrom(tf, df, stats, TextOps.queryTermsOf(docs))
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val live = s.read.parquet(s"$root/ivf/codes")
+      .join(s.read.parquet(s"$root/ivf/tombstones/t0").select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+    val sem = Similarity.ivfPqSearchFrom(s.read.parquet(s"$root/ivf/cents"),
+        s.read.parquet(s"$root/ivf/books"), live,
+        emb.filter(col("vec_id") < TextOps.Bm25NQueries).select("vec_id", "e"),
+        k = SemK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn").as("sem_rnk"))
+    val fused = collapseRankFrom(
+      rrfScores(lex, sem).select(col("query_id"), col("doc_id"),
+        col("rrf").as("score")),
+      s.read.parquet(s"$root/clusters"))
+    val sel = mmrSelect(
+      fused.select(col("query_id"), col("doc_id"),
+        (col("score").cast("double") / lit(MmrRelNorm.toDouble)).as("rel")),
+      s.read.parquet(s"$root/vecs"))
+    val snip = snippetFrom(lexIndexServePos(s, s"$root/lex"),
+      TextOps.queryTermsOf(docs), sel.select("query_id", "doc_id"))
+    sel.join(snip, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("sel_rnk"), col("doc_id"), col("mmr"),
+        coalesce(col("n_window"), lit(0L)).as("n_window"),
+        coalesce(col("best_start"), lit(0L)).as("best_start"))
+      .orderBy("query_id", "sel_rnk")
+  }
+
+  lazy val q147Sql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtesBody},
+       |${TextOps.bm25BaseCtesFor(
+        s" WHERE NOT (doc_id % 7 = 3 AND doc_id >= ${Similarity.AdcQueries})")
+        .stripPrefix("WITH ")},
+       |${TextOps.bm25ScoreCtes("qt", "scored", "lexr")},
+       |${Similarity.ivfPqAdcCtes.stripPrefix("WITH ")},
+       |lexk AS (
+       |  SELECT query_id, doc_id, rnk AS lex_rnk FROM lexr WHERE rnk <= ${TextOps.Bm25K}),
+       |semk AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rn AS sem_rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |    FROM adc WHERE query_id < ${TextOps.Bm25NQueries}
+       |      AND NOT (neighbor_id % 7 = 3 AND neighbor_id >= ${Similarity.AdcQueries}))
+       |  WHERE rn <= $SemK),
+       |fus AS (
+       |  SELECT query_id, doc_id,
+       |         COALESCE(CAST(floor($RrfScale / ($RrfK + lex_rnk)) AS BIGINT), 0)
+       |       + COALESCE(CAST(floor($RrfScale / ($RrfK + sem_rnk)) AS BIGINT), 0) AS score
+       |  FROM lexk FULL JOIN semk USING (query_id, doc_id)),
+       |${collapseCtesCore("fus")},
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, doc_id, CAST(score AS DOUBLE) / $MmrRelNorm.0 AS rel
+       |  FROM rr WHERE rnk <= $FusedK),
+       |${mmrCtesSql("cand")},
+       |selq AS (SELECT query_id, doc_id FROM s$MmrSelK),
+       |${snippetCtesSql("selq")}
+       |SELECT m.query_id, m.sel_rnk, m.doc_id, m.mmr,
+       |       CAST(COALESCE(b.n_window, 0) AS BIGINT) AS n_window,
+       |       CAST(COALESCE(b.best_start, 0) AS BIGINT) AS best_start
+       |FROM s$MmrSelK m LEFT JOIN bs b
+       |  ON m.query_id = b.query_id AND m.doc_id = b.doc_id
+       |ORDER BY m.query_id, m.sel_rnk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_hybrid_rrf", q111HybridRrf _, Some(q111Sql)),
     ("q112_conjunctive", q112Conjunctive _, Some(q112Sql)),
@@ -1571,5 +1724,6 @@ object Retrieval {
     ("q128_collapse_served", q128CollapseServed _, Some(q124Sql)),
     ("q133_retrieval_served", q133RetrievalServed _, Some(q133Sql)),
     ("q138_rag_served", q138RagServed _, Some(q138Sql)),
+    ("q147_rag_full", q147RagFull _, Some(q147Sql)),
   )
 }
