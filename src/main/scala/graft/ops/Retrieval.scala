@@ -1637,22 +1637,7 @@ object Retrieval {
     Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(s"$root/clusters")
     Similarity.embWithNorm(s, d).select("vec_id", "e", "nrm")
       .write.mode("overwrite").parquet(s"$root/vecs")
-    // ---- serve: artifact scans + eval-sized marginal work only
-    val (tf, df, stats) = lexIndexServeDel(s, s"$root/lex")
-    val lex = TextOps.bm25RankedFrom(tf, df, stats, TextOps.queryTermsOf(docs))
-      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
-    val live = s.read.parquet(s"$root/ivf/codes")
-      .join(s.read.parquet(s"$root/ivf/tombstones/t0").select("vec_id").distinct(),
-        Seq("vec_id"), "left_anti")
-    val sem = Similarity.ivfPqSearchFrom(s.read.parquet(s"$root/ivf/cents"),
-        s.read.parquet(s"$root/ivf/books"), live,
-        emb.filter(col("vec_id") < TextOps.Bm25NQueries).select("vec_id", "e"),
-        k = SemK)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn").as("sem_rnk"))
-    val fused = collapseRankFrom(
-      rrfScores(lex, sem).select(col("query_id"), col("doc_id"),
-        col("rrf").as("score")),
-      s.read.parquet(s"$root/clusters"))
+    val fused = q147Fused(s, d)
     val sel = mmrSelect(
       fused.select(col("query_id"), col("doc_id"),
         (col("score").cast("double") / lit(MmrRelNorm.toDouble)).as("rel")),
@@ -1664,6 +1649,33 @@ object Retrieval {
         coalesce(col("n_window"), lit(0L)).as("n_window"),
         coalesce(col("best_start"), lit(0L)).as("best_start"))
       .orderBy("query_id", "sel_rnk")
+  }
+
+  /** q147's fused+collapsed SERVE frame read from the ALREADY-BUILT
+    * artifacts under the entry's root — split out because the MMR
+    * recursion's localCheckpoint REPLACES lineage with an eval-sized RDD
+    * leaf, so the entry's final plan cannot witness the upstream artifact
+    * walk; PlanSpec asserts it on this frame instead (the entry composes
+    * exactly this value). Callers must have run the build phase first. */
+  private[graft] def q147Fused(s: SparkSession, d: String): DataFrame = {
+    val root = s"${Similarity.knnGraphServePath(d)}/ragfull"
+    val docs = TextOps.tokenizedDocs(s, d)
+    val (tf, df, stats) = lexIndexServeDel(s, s"$root/lex")
+    val lex = TextOps.bm25RankedFrom(tf, df, stats, TextOps.queryTermsOf(docs))
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val live = s.read.parquet(s"$root/ivf/codes")
+      .join(s.read.parquet(s"$root/ivf/tombstones/t0").select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+    val sem = Similarity.ivfPqSearchFrom(s.read.parquet(s"$root/ivf/cents"),
+        s.read.parquet(s"$root/ivf/books"), live,
+        Similarity.embWithNorm(s, d)
+          .filter(col("vec_id") < TextOps.Bm25NQueries).select("vec_id", "e"),
+        k = SemK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn").as("sem_rnk"))
+    collapseRankFrom(
+      rrfScores(lex, sem).select(col("query_id"), col("doc_id"),
+        col("rrf").as("score")),
+      s.read.parquet(s"$root/clusters"))
   }
 
   lazy val q147Sql: String =

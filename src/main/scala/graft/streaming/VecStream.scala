@@ -218,9 +218,18 @@ object VecStream {
     * cell: the original corpus plus all appended batches. Because a split
     * is routing-only (full-probe serving is bit-identical before and
     * after — the q142 gate), ANY interleaving of appends and splits serves
-    * the same results as policy-free appends. */
+    * the same results as policy-free appends.
+    *
+    * `minSharePpm > 0` additionally wires the floor-share MERGE policy
+    * ([[graft.ops.Similarity.maybeMergeIvf]]) after the split, so a
+    * long-running DRIFTING ingest self-maintains in both directions —
+    * lists the corpus has moved away from fold back into their neighbors
+    * instead of wasting nlist forever (the q132 empty-cell finding). Like
+    * the split, a merge is routing-only, so any interleaving with appends
+    * serves the same results as policy-free appends (the q144 gate). */
   def indexAppendBatch(freshVecs: DataFrame, root: String,
-      embAll: DataFrame, maxSharePpm: Long = 0L): Unit = {
+      embAll: DataFrame, maxSharePpm: Long = 0L,
+      minSharePpm: Long = 0L): Unit = {
     val s = freshVecs.sparkSession
     // heal ANY interrupted maintenance swap BEFORE touching the artifact:
     // appending into the missing-codes crash window would recreate the
@@ -238,5 +247,7 @@ object VecStream {
       .write.mode("append").parquet(s"$root/codes")
     if (maxSharePpm > 0)
       graft.ops.Similarity.maybeSplitIvf(s, root, embAll, maxSharePpm)
+    if (minSharePpm > 0)
+      graft.ops.Similarity.maybeMergeIvf(s, root, embAll, minSharePpm)
   }
 }

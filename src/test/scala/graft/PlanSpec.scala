@@ -1295,6 +1295,60 @@ class PlanSpec extends AnyFunSuite {
       "expected a scan over the cluster-label artifact")
   }
 
+  test("q147 complete RAG serve: artifact-only walk incl. positions and vectors; the only RDD leaf is the eval-sized MMR checkpoint") {
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.execution.{ExternalRDDScanExec, FileSourceScanExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the entry builds the artifacts and runs end-to-end
+    val df = Retrieval.q147RagFull(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    // WALK 1 — the fused+collapsed serve frame (the entry composes exactly
+    // this value; the MMR checkpoint truncates it out of the final plan):
+    // both arms + collapse must be artifact-rooted, no tokenize kernel,
+    // no RDD cluster kernel
+    val fusedDf = Retrieval.q147Fused(spark, sf)
+    fusedDf.collect()
+    val fn = nodes(fusedDf.queryExecution.executedPlan)
+    assert(!fn.map(_.toString).mkString("\n").contains("array_sort"),
+      "served lineage re-runs the sorted-run tf counter — lexical index was rebuilt, not served")
+    assert(fn.collect {
+      case r: RDDScanExec => r: SparkPlan
+      case r: ExternalRDDScanExec[_] => r: SparkPlan
+    }.isEmpty, "served fused lineage contains an RDD kernel — something was rebuilt, not served")
+    val fScans = fn.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    Seq("tf", "df", "stats").foreach(t => assert(
+      fScans.exists(p => p.contains("ragfull/lex") && p.endsWith(s"/$t")),
+      s"expected a scan at ragfull/lex/.../$t; got $fScans"))
+    Seq("cents", "books", "codes").foreach(t => assert(
+      fScans.exists(p => p.contains("ragfull/ivf") && p.endsWith(s"/$t")),
+      s"expected a scan at ragfull/ivf/$t; got $fScans"))
+    assert(fScans.exists(_.contains("ragfull/clusters")),
+      "expected a scan over the cluster-label artifact")
+    // WALK 2 — the entry's final plan: the snippet arm reads the PERSISTED
+    // positional postings, and the only RDD leaf is the eval-sized MMR
+    // checkpoint (schema carries sel_rnk — a cluster/kNN kernel leaf would
+    // carry other columns)
+    val ns = nodes(df.queryExecution.executedPlan)
+    val rddBad = ns.collect {
+      case r: RDDScanExec if !r.output.map(_.name).contains("sel_rnk") => r: SparkPlan
+      case r: ExternalRDDScanExec[_] => r: SparkPlan
+    }
+    assert(rddBad.isEmpty,
+      s"non-MMR RDD leaves in the served lineage: ${rddBad.map(_.nodeName)}")
+    val scans = ns.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scans.exists(p => p.contains("ragfull/lex") && p.endsWith("/pp")),
+      s"expected the snippet arm to scan the persisted positional postings; got $scans")
+  }
+
   test("q135 served triangles: zero rebuild — no kNN kernel in the served lineage, edges scanned from the artifact") {
     import graft.ops.Similarity
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
