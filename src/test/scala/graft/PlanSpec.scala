@@ -1165,6 +1165,29 @@ class PlanSpec extends AnyFunSuite {
       s"serve read a pre-split artifact: $scans")
   }
 
+  test("q144 merge served: the serve reads the MERGED artifact (cents/books/codes all post-merge)") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Similarity.q144MergeServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val scans = nodes(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    Seq("cents", "books", "codes").foreach(t => assert(
+      scans.exists(p => p.contains("ivfmerge/merged/") && p.endsWith(s"/$t")),
+      s"expected a scan at the merged artifact's /$t; got $scans"))
+    // the serve must NOT read the PRE-merge artifacts (that would unmerge
+    // the gate); the only non-merged scans are the eval query batch
+    assert(!scans.exists(p => p.contains("ivfmerge/") && !p.contains("/merged/")),
+      s"serve read a pre-merge artifact: $scans")
+  }
+
   test("q137 subword tokenizer: the greedy fold is map-side — zero engine-introduced hash shuffles") {
     import graft.ops.TextOps
     val p = plan(TextOps.q137SubwordTokens(spark, sf))

@@ -710,4 +710,63 @@ class DocStreamSpec extends AnyFunSuite {
     assert(pol.nonEmpty && pol == ctl,
       "full-probe serve diverged between the self-maintained and policy-free roots")
   }
+
+  test("self-maintaining ANN ingest: the merge policy reclaims a dead list during the drain; full-probe serve ≡ policy-free appends") {
+    val spark = TestSpark.spark
+    import graft.ops.Similarity
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val all = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+    val static = all.filter(col("vec_id") % 5 =!= 0)
+    val (subs, seeds) = Similarity.subSplit(all)
+    val (cents0, books, _) = Similarity.ivfPqIndex(all, subs, seeds)
+    // plant a DEAD centroid far from every vector: a list no append will
+    // ever route to — the q132 empty-cell finding, injected
+    val dim = cents0.select("ce").head().getSeq[Double](0).size
+    val cents = cents0.unionByName(
+      Seq((999L, Seq.fill(dim)(1e6))).toDF("cent_id", "ce"))
+    val codes0 = Similarity.ivfPqAppend(cents, books, static)
+    val base = java.nio.file.Files.createTempDirectory("vecstream_merge").toString
+    Seq(s"$base/pol", s"$base/ctl").foreach { r =>
+      cents.write.parquet(s"$r/cents")
+      books.write.parquet(s"$r/books")
+      codes0.write.parquet(s"$r/codes")
+    }
+    val v0 = static.orderBy("vec_id").select("e").head().getSeq[Double](0)
+    val batches = (0 until 2).map { b =>
+      (0 until 10).map { i =>
+        (200000L + b * 10 + i,
+          v0.zipWithIndex.map { case (x, j) =>
+            (x * (1.0 + (b * 10 + i + j) * 1e-4)).toFloat })
+      }.toDF("vec_id", "embedding")
+    }
+    val embAll = all.unionByName(batches.reduce(_ unionByName _)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e"))
+    batches.foreach { b =>
+      VecStream.indexAppendBatch(b, s"$base/pol", embAll, minSharePpm = 1000)
+      VecStream.indexAppendBatch(b, s"$base/ctl", embAll)
+    }
+    // the merge fired: the dead centroid left the maintained root's cents
+    // (pure metadata reclamation — no row ever routed there)
+    val polIds = spark.read.parquet(s"$base/pol/cents").select("cent_id")
+      .collect().map(_.getLong(0)).toSet
+    val ctlIds = spark.read.parquet(s"$base/ctl/cents").select("cent_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ctlIds.contains(999L) && !polIds.contains(999L),
+      s"merge policy never reclaimed the dead list: pol=$polIds")
+    val polN = spark.read.parquet(s"$base/pol/codes").count()
+    assert(polN == spark.read.parquet(s"$base/ctl/codes").count(),
+      "append mass diverged across roots")
+    // routing-only: full-probe serving is bit-identical across the drains
+    val queries = static.filter(col("vec_id") < 10).select("vec_id", "e")
+    def serve(r: String, np: Int) = Similarity.ivfPqSearchFrom(
+      spark.read.parquet(s"$r/cents"), spark.read.parquet(s"$r/books"),
+      spark.read.parquet(s"$r/codes"), queries, nprobe = np)
+      .collect().map(_.toString).toSeq
+    val pol = serve(s"$base/pol", polIds.size)
+    val ctl = serve(s"$base/ctl", ctlIds.size)
+    assert(pol.nonEmpty && pol == ctl,
+      "full-probe serve diverged between the merge-maintained and policy-free roots")
+  }
 }
