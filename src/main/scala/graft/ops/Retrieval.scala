@@ -1651,6 +1651,37 @@ object Retrieval {
       .orderBy("query_id", "sel_rnk")
   }
 
+  /** q148: THE VERSIONED-ROOT SERVE, ORACLE-GATED — the catalog face of
+    * [[RootPointer]]: the whole pointer lifecycle (stage → publish →
+    * versioned maintenance → grace retirement → resolve) under EXACTLY
+    * q95's oracle. Build: a two-segment lexical artifact (q115's 4/5 cut)
+    * staged into the next version dir and published; then
+    * [[maybeCompactLexVersioned]] acts (2 segments > the tier), cloning
+    * into a NEW published version; then the grace window retires all but
+    * the last two roots. Serve: [[RootPointer.resolve]] once, rank from
+    * whatever root the pointer names. The gate composes three identities:
+    * the pointer must name the COMPACTED clone (a stale resolve would
+    * still hash-match only because compaction is exact — so the spec-side
+    * pointer tests pin freshness), compaction ≡ segmented fold ≡ full
+    * rebuild (the q115/compactor identities), and resolution must never
+    * surface an incomplete root. Eager writes, the q113/q115 convention;
+    * re-runs in one session stack further versions and retire the tail —
+    * exactly a maintenance cadence. */
+  def q148VersionedServed(s: SparkSession, d: String): DataFrame = {
+    val base = s"${Similarity.knnGraphServePath(d)}/lexver"
+    val docs = TextOps.tokenizedDocs(s, d)
+    val cut = Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    val v = RootPointer.nextVersion(s, base)
+    lexIndexSegment(docs.filter(col("doc_id") <= cut), s"$base/$v", "seg0")
+    lexIndexAppend(s, s"$base/$v", docs.filter(col("doc_id") > cut), "seg1")
+    RootPointer.publish(s, base, v)
+    maybeCompactLexVersioned(s, base, maxSegments = 1)
+    RootPointer.retireOld(s, base, keep = 2)
+    val (tf, df, stats) = lexIndexServe(s, RootPointer.resolve(s, base))
+    TextOps.bm25RankedFrom(tf, df, stats, TextOps.queryTermsOf(docs))
+      .orderBy("query_id", "rnk")
+  }
+
   /** q147's fused+collapsed SERVE frame read from the ALREADY-BUILT
     * artifacts under the entry's root — split out because the MMR
     * recursion's localCheckpoint REPLACES lineage with an eval-sized RDD
@@ -1737,5 +1768,8 @@ object Retrieval {
     ("q133_retrieval_served", q133RetrievalServed _, Some(q133Sql)),
     ("q138_rag_served", q138RagServed _, Some(q138Sql)),
     ("q147_rag_full", q147RagFull _, Some(q147Sql)),
+    // the pointer lifecycle closes under q95's oracle: the resolved root
+    // is the compacted clone, and compacted ≡ segmented ≡ rebuild
+    ("q148_versioned_served", q148VersionedServed _, Some(TextOps.q95Sql)),
   )
 }
