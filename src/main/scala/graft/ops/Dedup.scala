@@ -88,6 +88,53 @@ object Dedup {
     verifyPairs(docs, candidates, threshold)
   }
 
+  /** CANDIDATE-MASS PROBE over a prefix index: Σ C(n,2) of the per-bucket
+    * counts — an UPPER BOUND on the candidate self-join's row count (the
+    * join adds the length-ratio filter on top), computed by ONE tiny agg
+    * BEFORE any pair ever materializes. THE number that predicts the
+    * blowup the round-16 1M diagnosis hit: the one-shot cluster build
+    * died on >79 GB of candidate-shuffle spill, and this probe would have
+    * priced that run for the cost of a group-count. */
+  private def prefixCandidateMass(prefix: DataFrame): Long =
+    prefix.groupBy("shh").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("m"))
+      .head().getLong(0)
+
+  /** One-shot All-Pairs with a SPILL-BUDGET REFUSAL — the guard the q53
+    * 1M diagnosis prescribed (BASELINE.md round-16 addendum): on a
+    * low-entropy corpus the prefix filter has no token rarity to select
+    * on, the candidate shuffle explodes quadratically, and an unguarded
+    * run dies hours in on disk instead of failing in seconds with a
+    * number. Same semantics as [[jaccardPairs]] when under budget
+    * (OperatorSpec pins row-for-row identity); past the budget it refuses
+    * LOUDLY with the measured mass and the prescriptions (the
+    * maybeSplitIvf refusal discipline applied to the dedup family):
+    * collapse exact dups first (q42), go incremental (q129 — never
+    * regenerates existing×existing), or raise the budget knowingly.
+    * The probe costs one group-count over the prefix index the run was
+    * about to join anyway. */
+  def jaccardPairsBudgeted(shingledDocs: DataFrame, threshold: Double,
+      maxCandidatePairs: Long): DataFrame = {
+    require(maxCandidatePairs >= 1,
+      s"maxCandidatePairs must be >= 1, got $maxCandidatePairs")
+    val (docs, prefix) = rankedDocsAndPrefix(shingledDocs, threshold)
+    val mass = prefixCandidateMass(prefix)
+    require(mass <= maxCandidatePairs,
+      s"All-Pairs candidate mass $mass exceeds the budget $maxCandidatePairs: " +
+        "the prefix filter has too little selectivity on this corpus " +
+        "(low-entropy vocabulary or extreme duplication). Collapse exact " +
+        "duplicates first (collapsedJaccardPairs / q42), fold batches " +
+        "incrementally (incrementalFrom / q129), or raise the budget if " +
+        s"~${mass / 1000000}M candidate verifications are intended.")
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.nsh"), col("b.nsh")).cast("double") >=
+            greatest(col("a.nsh"), col("b.nsh")) * threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyPairs(docs, candidates, threshold)
+  }
+
   /** Shared All-Pairs scaffolding: df-rank-sorted hash arrays (`docs`) and
     * the exploded prefix index (`prefix`) both the symmetric and the
     * incremental entry points join on. */

@@ -3142,6 +3142,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(big.head.getLong(2) == 2L, s"banana under the 26^3 vocab: ${big.head}")
   }
 
+  test("budgeted All-Pairs: under budget identical to the unguarded run; over budget refuses loudly with the measured mass") {
+    val s = spark
+    val sh = Dedup.shingleDocs(Tables.spread(s, Tables.documents(s, sf), "doc_id"))
+    // under budget: semantics identical row-for-row
+    val free = Dedup.jaccardPairsBudgeted(sh, 0.6, maxCandidatePairs = Long.MaxValue)
+      .collect().map(_.toString).toSeq
+    val plain = Dedup.jaccardPairs(sh, 0.6).collect().map(_.toString).toSeq
+    assert(free == plain && plain.nonEmpty,
+      "budgeted run must be the unguarded run when under budget")
+    // over budget: the refusal carries the measured candidate mass and the
+    // prescriptions — it must fire BEFORE any pair shuffle could spill
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsBudgeted(sh, 0.6, maxCandidatePairs = 1)
+    }
+    assert(ex.getMessage.contains("candidate mass") &&
+      ex.getMessage.contains("incrementally"),
+      s"refusal must report mass + prescriptions: ${ex.getMessage}")
+    // the reported mass is an upper bound on the true candidate join:
+    // parse it back and compare against the materialized candidate count
+    val mass = "candidate mass (\\d+)".r.findFirstMatchIn(ex.getMessage).get.group(1).toLong
+    assert(mass >= plain.size,
+      s"probe mass $mass cannot be below the verified pair count ${plain.size}")
+  }
+
   test("q134 planted near-dups: a one-char mutation and an exact copy are recovered; hamming-0 for the copy") {
     val s = spark
     import s.implicits._
