@@ -424,6 +424,41 @@ object MultimodalOps {
     * fingerprint frame — stub-decoded text fingerprints (q134/q143) or
     * REAL-codec aHash words (q146); only fingerprint rows cross the
     * interface (the rrfFuse substitution convention). */
+  /** BAND CANDIDATE-MASS PROBE: Σ C(n,2) over the (band, value) buckets —
+    * an upper bound on the banded self-join's row count, ONE group-count
+    * over the fingerprints before any pair materializes (the
+    * [[graft.ops.Dedup.jaccardPairsBudgeted]] discipline applied to the
+    * phash family — THE number the q134 1M audit computed by hand:
+    * 3.06B at 4×16 vs 1.75M at 2×32). */
+  def bandCandidateMass(fps: DataFrame): Long =
+    fps.select(posexplode(col("fp")).as(Seq("b", "bv")))
+      .groupBy("b", "bv").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("m"))
+      .head().getLong(0)
+
+  /** [[bandPairs]] behind a SPILL-BUDGET REFUSAL: past the budget it
+    * refuses in one group-count's time with the measured mass and the
+    * prescriptions — switch to the 2×32 layout (q143: 1,746× collapse at
+    * 1M, measured recall trade), route through the q27 embedding near-dup
+    * (recall-preserving), or raise the budget knowingly. Under budget it
+    * is row-for-row [[bandPairs]]. The operator-side answer to the q134
+    * banding ceiling: the lever exists (q143), and now the ceiling is
+    * DETECTED per corpus instead of discovered as a stuck stage. */
+  def bandPairsBudgeted(fps: DataFrame, maxCandidatePairs: Long): DataFrame = {
+    require(maxCandidatePairs >= 1,
+      s"maxCandidatePairs must be >= 1, got $maxCandidatePairs")
+    val cached = fps.cache()
+    val mass = bandCandidateMass(cached)
+    require(mass <= maxCandidatePairs,
+      s"banded candidate mass $mass exceeds the budget $maxCandidatePairs: " +
+        "the band layout has too little entropy for this corpus. Switch to " +
+        "the wide-band layout (q143: 2 bands x 32 bits - orders of " +
+        "magnitude fewer candidates, weaker scattered-flip recall), route " +
+        "through the embedding near-dup path (q27), or raise the budget " +
+        s"if ~${mass / 1000000}M hamming verifications are intended.")
+    bandPairs(cached)
+  }
+
   private[graft] def bandPairs(fps: DataFrame,
       candTap: DataFrame => DataFrame = identity): DataFrame = {
     val bands = fps.select(col("doc_id"), col("fp"),

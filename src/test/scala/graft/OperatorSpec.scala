@@ -3166,6 +3166,30 @@ class OperatorSpec extends AnyFunSuite {
       s"probe mass $mass cannot be below the verified pair count ${plain.size}")
   }
 
+  test("budgeted banding: under budget identical to bandPairs; over budget refuses with the measured band mass") {
+    import graft.multimodal.MultimodalOps
+    val fps = Tables.spread(spark, Tables.documents(spark, sf), "doc_id")
+      .filter(length(col("text")) > 0)
+      .withColumn("fp", expr(MultimodalOps.phashFpExprFor(4)))
+      .select(col("doc_id"), col("fp"))
+    val free = MultimodalOps.bandPairsBudgeted(fps, Long.MaxValue)
+      .collect().map(_.toString).toSeq
+    val plain = graft.multimodal.MultimodalOps.phashPairs(
+      Tables.spread(spark, Tables.documents(spark, sf), "doc_id"))
+      .collect().map(_.toString).toSeq
+    assert(free == plain, "budgeted banding must be the unguarded run when under budget")
+    val ex = intercept[IllegalArgumentException] {
+      MultimodalOps.bandPairsBudgeted(fps, 1)
+    }
+    assert(ex.getMessage.contains("banded candidate mass") &&
+      ex.getMessage.contains("q143"),
+      s"refusal must report mass + the lever: ${ex.getMessage}")
+    val mass = "banded candidate mass (\\d+)".r
+      .findFirstMatchIn(ex.getMessage).get.group(1).toLong
+    assert(mass >= plain.size,
+      s"probe mass $mass cannot be below the survivor count ${plain.size}")
+  }
+
   test("q134 planted near-dups: a one-char mutation and an exact copy are recovered; hamming-0 for the copy") {
     val s = spark
     import s.implicits._
