@@ -4294,6 +4294,177 @@ object Similarity {
        |FROM cells cl LEFT JOIN cnt2 c USING (cell) CROSS JOIN tot
        |ORDER BY cl.cell""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** Anchors mined per batch (q149) — the contrastive-training batch is
+    * tiny relative to the corpus; the corpus side streams, the anchors
+    * broadcast. */
+  private val MineAnchors = 8
+  private val HardNegK = 5
+
+  /** q149: CONTRASTIVE PAIR MINING (hard-negative mining) — the
+    * training-data op behind embedding-model fine-tuning (contrastive /
+    * triplet losses need, per anchor, a positive and the HARDEST
+    * negatives — the most similar vectors that are NOT in the anchor's
+    * positive group). Positive groups here are the q69/q83 fixed-point
+    * coarse cells (the label proxy available on this corpus — in
+    * production the group key is supervision or q53's near-dup clusters,
+    * and this entry is agnostic to which). Output per anchor: the top-1
+    * same-cell neighbor (`role='pos'`) and the top-[[HardNegK]]
+    * different-cell neighbors (`role='neg'`), cosine-ranked.
+    *
+    * Scale shape: the ANCHOR side broadcasts (a mining batch is
+    * eval-sized; the corpus side never re-partitions for it), cosine is
+    * map-side over the broadcast pair, and the per-(anchor, role) top-k
+    * is a WindowGroupLimit-pruned window — rank pruning happens before
+    * the window shuffle, so the exchange carries ≤ (k+1)·|anchors| rows
+    * per partition, not the corpus. The cell assignment reuses the
+    * audited q83 broadcast-quantizer pass. At 100 TB: anchors·corpus
+    * map-side work, one anchors-keyed bounded exchange — the same shape
+    * as q95's query-side broadcast. Mirrors the mining loops in
+    * contrastive curation pipelines (reference has no analogue; this is
+    * catalog surface beyond it). */
+  def q149HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+    val coarseSeed = emb.filter(col("vec_id") < corpusNList(s, d))
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val cc = fixedPointUpdate(assignCells(emb.select("vec_id", "e"), coarseSeed), coarseSeed)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    val assigned = emb.crossJoin(broadcast(cc))
+      .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
+      .select("vec_id", "e", "nrm", "cell")
+    val anchors = assigned.filter(col("vec_id") < MineAnchors)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq"), col("cell").as("qcell"))
+    val cands = assigned.select(col("vec_id").as("neighbor_id"),
+      col("e").as("en"), col("nrm").as("nn"), col("cell").as("ncell"))
+    val w = Window.partitionBy("query_id", "role")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cands.join(broadcast(anchors), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(
+        expr("graft_dot(eq, en)") / (col("nq") * col("nn")), 6))
+      .withColumn("role",
+        when(col("qcell") === col("ncell"), lit("pos")).otherwise(lit("neg")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      // conjunct form, not the equivalent (pos∧rn≤1)∨(neg∧rn≤k): the
+      // top-level `rn <= k` bound is what InferWindowGroupLimit extracts
+      // to prune the rank map-side before the window exchange
+      .filter(col("rn") <= HardNegK &&
+        (col("role") === "neg" || col("rn") <= 1))
+      .select("query_id", "role", "rn", "neighbor_id", "cos_sim")
+      .orderBy("query_id", "role", "rn")
+  }
+
+  lazy val q149Sql: String = {
+    val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
+    val sim = "round(list_inner_product(q.e, n.e) / (q.nrm * n.nrm), 6)"
+    s"""WITH e AS (
+       |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |  WHERE sqrt(list_inner_product(e, e)) > 0),
+       |kseed AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $corpusNListSql),
+       |ka0 AS (
+       |  SELECT x.vec_id, x.e, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |  FROM e x CROSS JOIN kseed c),
+       |kmx AS (
+       |  SELECT cell, i,
+       |         SUM(CAST(floor(e[CAST(i + 1 AS INTEGER)] * $CentFixedScale) AS BIGINT)) AS fs,
+       |         COUNT(*) AS fn
+       |  FROM (SELECT cent_id AS cell, unnest(range(0, len(e))) AS i, e FROM ka0 WHERE rn = 1)
+       |  GROUP BY cell, i),
+       |kmean AS (
+       |  SELECT cell, list((CAST(fs AS DOUBLE) / fn) / $CentFixedScale.0 ORDER BY i) AS ce_new
+       |  FROM kmx GROUP BY cell),
+       |kcents AS (
+       |  SELECT s.cent_id, COALESCE(m.ce_new, s.ce) AS ce
+       |  FROM kseed s LEFT JOIN kmean m ON s.cent_id = m.cell),
+       |kassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT x.vec_id, c.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN kcents c)
+       |  WHERE rn = 1)
+       |SELECT query_id, role, rn, neighbor_id, cos_sim FROM (
+       |  SELECT q.vec_id AS query_id,
+       |         CASE WHEN kq.cell = kn.cell THEN 'pos' ELSE 'neg' END AS role,
+       |         n.vec_id AS neighbor_id, $sim AS cos_sim,
+       |         CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY q.vec_id, CASE WHEN kq.cell = kn.cell THEN 'pos' ELSE 'neg' END
+       |           ORDER BY $sim DESC, n.vec_id) AS BIGINT) AS rn
+       |  FROM e q JOIN e n ON q.vec_id <> n.vec_id
+       |  JOIN kassign kq ON kq.vec_id = q.vec_id
+       |  JOIN kassign kn ON kn.vec_id = n.vec_id
+       |  WHERE q.vec_id < $MineAnchors)
+       |WHERE (role = 'pos' AND rn <= 1) OR (role = 'neg' AND rn <= $HardNegK)
+       |ORDER BY query_id, role, rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q151
+  /** q151 threshold: the gate corpus has no planted cross-slice near-dups
+    * (max train×eval cosine is 0.382 at sf0.001 / 0.493 at sf0.01), so
+    * q83's 0.45 would make the sf0.001 spec corpus vacuous; 0.35 keeps
+    * actual flag rows inside the hash gate at BOTH spec scales (2 rows at
+    * sf0.001, 7 at sf0.01 — measured before the threshold was committed). */
+  private val DecontTau = 0.35
+  /** Eval slice: vec_id ≡ 7 (mod 100) — a deterministic ~1% held-out set. */
+  private val DecontEvalMod = 100
+  private val DecontEvalRem = 7
+
+  /** q151: SEMANTIC DECONTAMINATION — the embedding-space analogue of
+    * q54's 8-gram rule (GPT-3/PaLM-style decontamination catches exact
+    * text overlap; paraphrased or translated eval leakage needs the
+    * EMBEDDING test): a train vector is flagged when its cosine against
+    * ANY held-out eval vector reaches [[DecontTau]]. Output per flagged
+    * train doc: the smallest offending eval id, the max similarity, and
+    * how many eval vectors it collides with — the audit row a curation
+    * pipeline quarantines on (q68's find→apply pairing applies verbatim:
+    * an anti-join of the flagged ids is the clean-export half).
+    *
+    * Scale shape = q54's broadcast discipline, in embedding space: the
+    * eval set is tiny BY DEFINITION (benchmarks are thousands of rows,
+    * the train corpus is the 100 TB side), so it collapses to a one-row
+    * collect_list broadcast and the whole flag computation is ONE
+    * map-side higher-order fold over the train scan — zero shuffles
+    * beyond the output sort (PlanSpec pins it). min/max/count over the
+    * hit array are order-free, so the row is hash-stable on any
+    * partition layout. At larger eval sets the q83 cell-bucketed join is
+    * the drop-in replacement (same output contract). */
+  def q151SemanticDecon(s: SparkSession, d: String): DataFrame = {
+    val emb = embWithNorm(s, d).filter(col("nrm") > 0)
+    val ev = emb.filter(col("vec_id") % DecontEvalMod === DecontEvalRem)
+      .agg(collect_list(struct(col("vec_id").as("eid"), col("e").as("ee"),
+        col("nrm").as("en"))).as("ev"))
+    emb.filter(col("vec_id") % DecontEvalMod =!= DecontEvalRem)
+      .crossJoin(broadcast(ev))
+      .withColumn("hits", expr(
+        s"""filter(transform(ev, x -> named_struct(
+           |  'eid', x.eid,
+           |  'sim', round(graft_dot(e, x.ee) / (nrm * x.en), 6))),
+           |h -> h.sim >= $DecontTau)""".stripMargin))
+      .filter(size(col("hits")) > 0)
+      .select(col("vec_id"),
+        expr("array_min(transform(hits, h -> h.eid))").as("witness_eval_id"),
+        expr("array_max(transform(hits, h -> h.sim))").as("max_sim"),
+        size(col("hits")).cast("long").as("n_over"))
+      .orderBy("vec_id")
+  }
+
+  lazy val q151Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |  WHERE sqrt(list_inner_product(e, e)) > 0),
+       |ev AS (SELECT vec_id AS eid, e AS ee, nrm AS en FROM e
+       |       WHERE vec_id % $DecontEvalMod = $DecontEvalRem),
+       |tr AS (SELECT * FROM e WHERE vec_id % $DecontEvalMod <> $DecontEvalRem)
+       |SELECT t.vec_id, MIN(v.eid) AS witness_eval_id,
+       |       MAX(round(list_inner_product(t.e, v.ee) / (t.nrm * v.en), 6)) AS max_sim,
+       |       COUNT(*) AS n_over
+       |FROM tr t JOIN ev v
+       |  ON round(list_inner_product(t.e, v.ee) / (t.nrm * v.en), 6) >= $DecontTau
+       |GROUP BY t.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q28_ann_topk", q28AnnTopk _, Some(q28Sql)),
     ("q29_ann_lsh", q29AnnLsh _, Some(q29Sql)),
@@ -4344,5 +4515,7 @@ object Similarity {
     // the same argument in reverse for the MERGE: full-probe serving from
     // the merged artifact degenerates to the flat ADC scan
     ("q144_merge_served", q144MergeServed _, Some(q73Sql)),
+    ("q149_hard_negatives", q149HardNegatives _, Some(q149Sql)),
+    ("q151_semantic_decon", q151SemanticDecon _, Some(q151Sql)),
   )
 }

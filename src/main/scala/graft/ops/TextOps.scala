@@ -1332,16 +1332,20 @@ object TextOps {
     * seam for the PlanSpec plan-size-vs-vocab-size probe and the planted
     * greedy-identity specs. */
   private[graft] def subwordVocabCounts(docsIn: DataFrame,
-      vocab: DataFrame): DataFrame = {
+      vocab: DataFrame, candLens: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(candLens.nonEmpty && candLens.forall(_ >= 2),
+      s"candidate lengths must be >= 2 (single chars are the fallback): $candLens")
+    val minLen = candLens.min
+    val candArr = candLens.sorted
+      .map(l => s"substring(wd, pos, $l)").mkString("array(", ", ", ")")
     val vt = vocab.select(col("v"), length(col("v")).as("vlen"))
     val docs = docsIn
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val words = docs.select(explode(col("w")).as("wd")).distinct().cache()
-    val lenMap = words.filter(length(col("wd")) >= 2)
+    val lenMap = words.filter(length(col("wd")) >= minLen)
       .select(col("wd"), explode(expr("sequence(1, length(wd))")).as("pos"))
-      .select(col("wd"), col("pos"),
-        explode(expr("array(substring(wd, pos, 2), substring(wd, pos, 3))")).as("cand"))
-      .filter(length(col("cand")) >= 2) // truncated tails can't match
+      .select(col("wd"), col("pos"), explode(expr(candArr)).as("cand"))
+      .filter(length(col("cand")) >= minLen) // truncated tails can't match
       .join(broadcast(vt), col("cand") === col("v"))
       .groupBy("wd", "pos").agg(max(col("vlen")).as("mlen"))
       .groupBy("wd")
@@ -1383,6 +1387,197 @@ object TextOps {
       |       FROM wrd w JOIN wc ON w.wd = wc.wd GROUP BY w.doc_id)
       |SELECT doc_id, n_words, n_subwords FROM dt ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  /** Merge rounds learned by q150 — enough for multi-level composition to
+    * appear (round 6 merges 'm'+'er' at the gate corpus: a learned token
+    * feeding a later merge), small enough that the unrolled oracle CTE
+    * chain stays readable. Production vocabularies run this loop 32k
+    * times; the per-round cost model is what the entry gates. */
+  private val BpeMerges = 6
+
+  /** q150: BPE MERGE-TABLE TRAINING — the learning half of the subword
+    * family (q137/q145 APPLY a frozen vocab; this entry produces one):
+    * classic byte-pair encoding over the corpus word distribution — start
+    * from characters, repeatedly count adjacent symbol pairs weighted by
+    * word frequency and merge the most frequent pair (ties: smallest
+    * (lft, rgt) pair), greedy left-to-right non-overlapping within each
+    * word. Output: the merge table (rank, lft, rgt, merged, pair_count) —
+    * the artifact a sentencepiece-style tokenizer freezes and ships.
+    *
+    * Merge semantics are pinned as the LIST FOLD (merge when the
+    * accumulator's last token is `lft` and the next is `rgt`) — exactly
+    * Sennrich's greedy re-pair applied left-to-right; both engines run
+    * the same fold (Spark: `aggregate` with an array accumulator; DuckDB:
+    * `list_reduce` with the token list encoded as a \\u001e-joined string,
+    * where merging the suffix `lft` into `lft||rgt` is a plain append —
+    * provably the same algebra, OperatorSpec pins it by differential).
+    *
+    * Scale shape: the ONLY corpus-sized pass is the initial distinct-word
+    * count (one map-side-combinable groupBy — at 100 TB this is the q56
+    * term-count shape); every training round then runs on the
+    * vocab-bounded (word, freq, toks) frame — Zipf caps it at millions of
+    * rows regardless of corpus bytes — with one map-side-combinable pair
+    * groupBy + a driver argmax scalar (the adjudicated `.head()`
+    * cut-point) + a map-side rewrite, `localCheckpoint` barriering each
+    * round so the lineage stays O(1) per round (the q114 lesson; 32k
+    * production rounds would otherwise stack 32k plan copies). */
+  def q150BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrainMerges(s, d)
+      .toDF("rank", "lft", "rgt", "merged", "pair_count").orderBy("rank")
+  }
+
+  /** The q150 training loop itself — (rank, lft, rgt, merged, pair_count)
+    * per learned merge. Shared by the gated q150 entry and q152 (which
+    * freezes the learned table and APPLIES it), so the two can never
+    * train differently. */
+  private[graft] def bpeTrainMerges(s: SparkSession,
+      d: String): Seq[(Long, String, String, String, Long)] = {
+    var w = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .select(col("freq"), array_remove(split(col("word"), ""), "").as("toks"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeMerges && !exhausted) {
+      val best = w
+        .select(col("freq"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), " +
+            "(t, i) -> named_struct('lft', t, 'rgt', element_at(toks, i + 2)))")).as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lft").asc, col("rgt").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((k.toLong, l, r, l + r, c))
+        w = w.select(col("freq"), expr(bpeMergeExpr("toks", l, r)).as("toks"))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** One BPE merge round over a token-array column: greedy left-to-right
+    * non-overlapping re-pair of (l, r) → l+r as a bounded array fold —
+    * merge fires when the accumulator's LAST token is `l` and the next
+    * element is `r` (a just-merged token never re-matches as `l` because
+    * it IS l+r, a different string). Map-side; the spec pins the algebra
+    * on planted sequences. */
+  private[graft] def bpeMergeExpr(toksCol: String, l: String, r: String): String = {
+    // tokens are corpus substrings; escape quotes anyway so a stray
+    // apostrophe in a future corpus can't break the generated lambda
+    def q(t: String): String = t.replace("\\", "\\\\").replace("'", "\\'")
+    s"""aggregate(slice($toksCol, 2, size($toksCol) - 1),
+       |  array(element_at($toksCol, 1)),
+       |  (acc, x) -> IF(element_at(acc, -1) = '${q(l)}' AND x = '${q(r)}',
+       |    concat(slice(acc, 1, size(acc) - 1), array('${q(l + r)}')),
+       |    concat(acc, array(x))))""".stripMargin
+  }
+
+  /** Unrolled [[BpeMerges]]-round oracle: per round, the pair count is an
+    * index-zip over the token list, the argmax a LIMIT-1 scalar CTE, and
+    * the rewrite the SAME fold as Spark's via `list_reduce` over the
+    * separator-encoded state (appending `rgt` to a state whose last token
+    * is `lft` IS the merge, because merged = lft || rgt). */
+  /** The [[BpeMerges]]-round training CTE chain (w0, then per round:
+    * pair counts p_k, argmax b_k, rewritten state w_k — the last rewrite
+    * elided, no consumer reads it) — shared by q150's merge-table oracle
+    * and q152's apply oracle. */
+  private def bpeCtes: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""w0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         list_aggregate(string_split(word, ''), 'string_agg', chr(30)) AS state
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0
+       |  GROUP BY word)""".stripMargin
+    for (k <- 1 to BpeMerges) {
+      ctes += s"""p$k AS (
+         |  SELECT toks[CAST(i AS INTEGER)] AS lft, toks[CAST(i + 1 AS INTEGER)] AS rgt,
+         |         SUM(freq) AS cnt
+         |  FROM (SELECT freq, toks, unnest(range(1, len(toks))) AS i
+         |        FROM (SELECT freq, string_split(state, chr(30)) AS toks FROM w${k - 1}))
+         |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""b$k AS (
+         |  SELECT lft, rgt, cnt FROM p$k ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1)""".stripMargin
+      if (k < BpeMerges) ctes += s"""w$k AS (
+         |  SELECT word, freq,
+         |         list_reduce(string_split(w.state, chr(30)),
+         |           (acc, x) -> CASE WHEN (acc = b.lft OR ends_with(acc, chr(30) || b.lft))
+         |                                 AND x = b.rgt
+         |                       THEN acc || x ELSE acc || chr(30) || x END) AS state
+         |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
+    }
+    ctes.result().mkString(",\n")
+  }
+
+  lazy val q150Sql: String = {
+    val finals = (1 to BpeMerges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, lft, rgt, lft || rgt AS merged, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM b$k"
+    }.mkString(" UNION ALL ")
+    s"WITH $bpeCtes\nSELECT * FROM ($finals) ORDER BY rank"
+  }
+
+  // ---------------------------------------------------------------- q152
+  /** q152: TRAIN → FREEZE → APPLY, one gated entry — the tokenizer
+    * lifecycle closed (the serving-loop convention applied to the subword
+    * family): the q150 training loop runs, its merge table is FROZEN as
+    * the subword vocabulary (alphabet ∪ merged tokens — single chars are
+    * the kernel's built-in fallback), and the corpus is re-counted under
+    * that learned vocab through q145's vocab-as-data kernel (the
+    * broadcast-table longest-match walk — candidate lengths are the
+    * DISTINCT learned token lengths, so per-char cost stays O(#lengths),
+    * never O(|vocab|)). Output = q137's (doc_id, n_words, n_subwords)
+    * contract, counted in learned units — the row a budget pipeline
+    * (q139/q140) consumes once the tokenizer is trained on ITS corpus
+    * rather than a committed table.
+    *
+    * Oracle: the q150 training CTE chain composed with q145's recursive
+    * greedy walk, the vocabulary CTE being the learned merges — BOTH
+    * engines train independently and apply independently, so a drift in
+    * either half (or in the freeze between them) breaks the hash.
+    *
+    * Scale shape: training as q150 (one corpus-sized distinct-word pass,
+    * then vocab-bounded rounds); application as q145 (broadcast vocab
+    * table, Zipf-deduped per-word walk, one doc-keyed attach agg). */
+  def q152LearnedSubwords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val learned = bpeTrainMerges(s, d).map(_._4).distinct
+    val lens = learned.map(_.length).distinct.sorted
+    subwordVocabCounts(
+      Tables.spread(s, Tables.documents(s, d), "doc_id").select("doc_id", "text"),
+      learned.toDF("v"), lens).orderBy("doc_id")
+  }
+
+  lazy val q152Sql: String = {
+    val vocabUnion = (1 to BpeMerges)
+      .map(k => s"SELECT lft || rgt AS v FROM b$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $bpeCtes,
+       |vocab(v) AS (SELECT DISTINCT v FROM ($vocabUnion)),
+       |wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |vw AS (SELECT DISTINCT wd FROM wrd),
+       |step(wd, pos, cnt) AS (
+       |  SELECT wd, 1, CAST(0 AS BIGINT) FROM vw
+       |  UNION ALL
+       |  SELECT wd,
+       |         pos + COALESCE((SELECT MAX(length(v)) FROM vocab
+       |                         WHERE substring(wd, pos, length(v)) = v), 1),
+       |         cnt + 1
+       |  FROM step WHERE pos <= length(wd)),
+       |wc AS (SELECT wd, MAX(cnt) AS n_sub FROM step GROUP BY wd),
+       |dt AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |              CAST(SUM(wc.n_sub) AS BIGINT) AS n_subwords
+       |       FROM wrd w JOIN wc ON w.wd = wc.wd GROUP BY w.doc_id)
+       |SELECT doc_id, n_words, n_subwords FROM dt ORDER BY doc_id""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
@@ -1405,5 +1600,7 @@ object TextOps {
     ("q139_mix_subword", sourceMixSubword _, Some(q139Sql)),
     ("q140_pack_subword", q140PackSubword _, Some(q140Sql)),
     ("q145_subword_vocab", q145SubwordVocab _, Some(q145Sql)),
+    ("q150_bpe_train", q150BpeTrain _, Some(q150Sql)),
+    ("q152_learned_subwords", q152LearnedSubwords _, Some(q152Sql)),
   )
 }

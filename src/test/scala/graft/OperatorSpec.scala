@@ -3987,4 +3987,163 @@ class OperatorSpec extends AnyFunSuite {
     assert(s.read.parquet(s"$root/cents").count() == 1 &&
       s.read.parquet(s"$root/books").count() == 1)
   }
+
+  test("q150 BPE trainer: planted fold algebra, and a plain-Scala reference reproduces the merge table") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TextOps
+    // the fold through the SAME generated expression the trainer rewrites
+    // with: greedy left-to-right non-overlap, merged tokens never re-match
+    val folds = Seq(
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("a", "b", "a", "b"), "a", "b", Seq("ab", "ab")),
+      (Seq("x"), "a", "b", Seq("x")),
+      (Seq("a", "a", "b", "a"), "a", "a", Seq("aa", "b", "a")),
+      (Seq("x", "a", "a"), "a", "a", Seq("x", "aa")))
+    folds.foreach { case (toks, l, r, want) =>
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(expr(TextOps.bpeMergeExpr("toks", l, r)).as("m"))
+        .head().getSeq[String](0)
+      assert(got == want, s"$toks merge($l,$r) -> $got, want $want")
+    }
+    // full plain-Scala BPE over the sf0.001 corpus word distribution
+    def foldMerge(toks: Vector[String], l: String, r: String): Vector[String] =
+      toks.tail.foldLeft(Vector(toks.head)) { (acc, x) =>
+        if (acc.last == l && x == r) acc.init :+ (l + r) else acc :+ x
+      }
+    val wordFreq = Tables.spread(s, Tables.documents(s, sf), "doc_id")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var state = wordFreq.map { case (w, f) => (f, w.map(_.toString).toVector) }
+    val expect = (1 to 6).flatMap { k =>
+      val counts = state.flatMap { case (f, toks) =>
+        toks.zip(toks.tail).map(p => p -> f)
+      }.groupBy(_._1).map { case (p, fs) => (p._1, p._2, fs.map(_._2).sum) }
+      if (counts.isEmpty) Seq.empty
+      else {
+        val (l, r, c) = counts.minBy { case (l, r, c) => (-c, l, r) }
+        state = state.map { case (f, toks) => (f, foldMerge(toks, l, r)) }
+        Seq((k.toLong, l, r, l + r, c))
+      }
+    }
+    val got = TextOps.q150BpeTrain(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == expect,
+      s"merge tables diverge:\n got    ${got.toSeq}\n expect $expect")
+    assert(got.length == 6, "gate corpus must sustain all six merge rounds")
+  }
+
+  test("q152 learned subwords: plain-Scala longest-match under the trained vocab reproduces every count") {
+    val s = spark
+    import graft.ops.TextOps
+    // the learned vocabulary, from the gated trainer itself
+    val vocab = TextOps.q150BpeTrain(s, sf).collect().map(_.getString(3)).toSet
+    assert(vocab.nonEmpty && vocab.forall(_.length >= 2))
+    def count(wd: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < wd.length) {
+        val step = vocab.filter(v => wd.regionMatches(pos, v, 0, v.length))
+          .map(_.length).maxOption.getOrElse(1)
+        pos += step; n += 1
+      }
+      n
+    }
+    val docs = Tables.spread(s, Tables.documents(s, sf), "doc_id")
+      .selectExpr("doc_id", "split(text, ' ') AS w").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[String]]("w"))
+    val out = TextOps.q152LearnedSubwords(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords")))).toMap
+    assert(out.keySet == docs.map(_._1).toSet)
+    var compressed = false
+    docs.foreach { case (id, ws) =>
+      val (gw, gs) = out(id)
+      assert(gw == ws.length, s"doc $id word count")
+      val exp = ws.map(count).sum
+      assert(gs == exp, s"doc $id learned-subword count: got $gs want $exp")
+      val chars = ws.map(_.length.toLong).sum
+      assert(gs >= gw && gs <= chars, s"doc $id bounds")
+      if (gs < chars) compressed = true
+    }
+    assert(compressed,
+      "a trained vocab must compress at least one doc below its char count")
+  }
+
+  test("q149 hard negatives: every sim recomputes exactly, roles partition per anchor, negatives full-rank") {
+    graft.functions.VectorFunctions.register(spark)
+    val out = Similarity.q149HardNegatives(spark, sf).collect()
+    assert(out.nonEmpty, "mining gate must not be vacuous at sf0.001")
+    val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Double]]("e")).toMap
+    def cos(a: scala.collection.Seq[Double], b: scala.collection.Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(q != n, "self-pair leaked into the mining output")
+      assert(math.abs(r.getAs[Double]("cos_sim") - cos(emb(q), emb(n))) <= 1e-9,
+        s"cos recompute mismatch for ($q, $n)")
+    }
+    val byAnchor = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byAnchor.keySet == (0L until 8L).toSet, "one mining row set per anchor")
+    byAnchor.foreach { case (q, rows) =>
+      val negs = rows.filter(_.getAs[String]("role") == "neg")
+      val poss = rows.filter(_.getAs[String]("role") == "pos")
+      // the corpus dwarfs the cell count, so the negative pool is never
+      // short; the positive can be absent only for a singleton cell
+      assert(negs.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to 5L), s"anchor $q negs")
+      assert(poss.length <= 1 && poss.forall(_.getAs[Long]("rn") == 1L), s"anchor $q pos")
+      // negatives are cosine-DESC by construction: hardest first
+      val sims = negs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"anchor $q order")
+      val dupes = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(dupes.distinct.length == dupes.length, s"anchor $q duplicate neighbor")
+    }
+    assert(out.exists(_.getAs[String]("role") == "pos"),
+      "at least one anchor must find a positive at sf0.001")
+  }
+
+  test("q151 semantic decon: plain-Scala recompute of the full flag set (witness, max_sim, n_over)") {
+    graft.functions.VectorFunctions.register(spark)
+    val out = Similarity.q151SemanticDecon(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("witness_eval_id"), r.getAs[Double]("max_sim"),
+          r.getAs[Long]("n_over")))).toMap
+    assert(out.nonEmpty, "decon gate must not be vacuous at sf0.001")
+    val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Double]]("e"))
+      .filter { case (_, e) => math.sqrt(e.map(x => x * x).sum) > 0 }
+    def cos(a: scala.collection.Seq[Double], b: scala.collection.Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ev = emb.filter { case (id, _) => id % 100 == 7 }
+    val tr = emb.filter { case (id, _) => id % 100 != 7 }
+    val expect = tr.flatMap { case (tid, te) =>
+      val hits = ev.map { case (eid, ee) => (eid, cos(te, ee)) }
+        .filter(_._2 >= 0.35)
+      if (hits.isEmpty) None
+      else Some(tid -> ((hits.map(_._1).min, hits.map(_._2).max, hits.length.toLong)))
+    }.toMap
+    assert(out.keySet == expect.keySet,
+      s"flag sets diverge: got ${out.keySet} want ${expect.keySet}")
+    expect.foreach { case (tid, (wit, ms, n)) =>
+      val (gw, gm, gn) = out(tid)
+      assert(gw == wit && gn == n, s"witness/count mismatch for $tid")
+      assert(math.abs(gm - ms) <= 1e-9, s"max_sim mismatch for $tid")
+    }
+    // the find→apply pairing: no flagged id may survive a q68-style
+    // anti-join, and every unflagged train doc must
+    assert(expect.keySet.intersect(ev.map(_._1).toSet).isEmpty,
+      "eval docs can never be flagged as train contamination")
+  }
 }

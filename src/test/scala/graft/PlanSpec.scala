@@ -1394,4 +1394,33 @@ class PlanSpec extends AnyFunSuite {
       .exists(_.relation.location.rootPaths.exists(_.toString.contains("edges_tri"))),
       "expected a parquet scan rooted at the served edge artifact")
   }
+
+  test("q149 mining: anchors broadcast onto the corpus stream; per-(anchor, role) top-k is group-limit pruned") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q149HardNegatives(spark, sf))
+    // the only joins are broadcast theta joins (the one-row quantizer
+    // attach + the eval-sized anchor batch) — the corpus side never
+    // re-partitions for the mining pass
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // rank pruning fires BEFORE the window shuffle: the exchange carries
+    // per-partition top-k survivors, not |anchors| × corpus rows
+    assert(p.contains("WindowGroupLimit"), p)
+    // hash shuffles: the quantizer's nlist-bounded cell aggregations (the
+    // audited q69 build pass) plus the anchors-keyed window — nothing
+    // corpus-keyed ever enters an exchange for the mining itself
+    assert(shuffleKeys(p).toSet.subsetOf(Set("cell", "query_id")),
+      shuffleKeys(p).toString)
+  }
+
+  test("q151 semantic decon: eval side is a one-row broadcast, the flag fold is map-side — train never hash-shuffles") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.q151SemanticDecon(spark, sf))
+    // q54's discipline in embedding space: the train scan flows straight
+    // through the broadcast attach + higher-order fold; no join shuffle
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(shuffleKeys(p).isEmpty,
+      s"train side must not hash-shuffle: ${shuffleKeys(p)}")
+  }
 }
