@@ -344,6 +344,95 @@ case class PqNearCells(se: Expression, cs: Expression, m: Expression, k: Express
     copy(se = cs2(0), cs = cs2(1), m = cs2(2), k = cs2(3))
 }
 
+/** `graft_cos_hits(e, nrm, ev, tau)` — the q151 semantic-decontamination
+  * fold as one primitive loop: over `ev: array<struct<eid: long,
+  * ee: array<double>, en: double>>` (the broadcast eval set), compute
+  * per-pair `round(dot(e, ee) / (nrm * en), 6)` and fold the threshold
+  * hits into ONE struct `(witness_eval_id, max_sim, n_over)` — min eid,
+  * max rounded sim, hit count; `n_over = 0` marks a clean row (the caller
+  * filters on it, so no null handling leaks into the gate).
+  *
+  * BIT-IDENTICAL to the HOF chain it replaces
+  * (`filter(transform(ev, …round(graft_dot…)…))` + array_min/array_max/
+  * size): the dot is [[DotProductD]]'s left-to-right min-length loop and
+  * the rounding replicates Spark's `Round(double, 6)` exactly —
+  * `java.math.BigDecimal.valueOf` (= scala `BigDecimal(d)` for doubles:
+  * `Double.toString`-based, never rounds under DECIMAL128) + HALF_UP.
+  * The HOF version materialized a 100-struct array per train row and
+  * walked it four times through interpreted lambdas (measured 40.4 s at
+  * 100k×100); this loop allocates once per row. CodegenFallback is
+  * deliberate — per-row |ev|·dim work dwarfs the call overhead and the
+  * surrounding scan/filter stage still codegens. */
+case class CosineHits(e: Expression, nrm: Expression, ev: Expression,
+    tau: Expression) extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(e, nrm, ev, tau)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult = e.dataType match {
+    case ArrayType(DoubleType, _) => ev.dataType match {
+      case ArrayType(StructType(fs), _)
+        if fs.length == 3 && fs(0).dataType == LongType &&
+          fs(1).dataType.isInstanceOf[ArrayType] &&
+          fs(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+          fs(2).dataType == DoubleType =>
+        if (nrm.dataType == DoubleType && tau.dataType == DoubleType)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("nrm and tau must be DOUBLE")
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"ev must be array<struct<bigint, array<double>, double>>, got $t")
+    }
+    case t => TypeCheckResult.TypeCheckFailure(s"e must be array<double>, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("witness_eval_id", LongType, nullable = false),
+    StructField("max_sim", DoubleType, nullable = false),
+    StructField("n_over", LongType, nullable = false)))
+  override def prettyName: String = "graft_cos_hits"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val eAny = e.eval(input)
+    val nAny = nrm.eval(input)
+    val vAny = ev.eval(input)
+    val tAny = tau.eval(input)
+    if (eAny == null || nAny == null || vAny == null || tAny == null) return null
+    val ea = eAny.asInstanceOf[ArrayData]
+    val en0 = nAny.asInstanceOf[Double]
+    val evs = vAny.asInstanceOf[ArrayData]
+    val t = tAny.asInstanceOf[Double]
+    val dim = ea.numElements()
+    var wit = -1L
+    var ms = Double.NegativeInfinity
+    var n = 0L
+    var i = 0
+    val m = evs.numElements()
+    while (i < m) {
+      val row = evs.getStruct(i, 3)
+      val ee = row.getArray(1)
+      val le = math.min(dim, ee.numElements())
+      var dot = 0.0
+      var j = 0
+      while (j < le) { dot += ea.getDouble(j) * ee.getDouble(j); j += 1 }
+      val sim = java.math.BigDecimal.valueOf(dot / (en0 * row.getDouble(2)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (sim >= t) {
+        val id = row.getLong(0)
+        if (n == 0L || id < wit) wit = id
+        if (sim > ms) ms = sim
+        n += 1L
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](wit, if (n == 0L) 0.0 else ms, n))
+  }
+
+  override protected def withNewChildrenInternal(
+      cs2: IndexedSeq[Expression]): Expression =
+    copy(e = cs2(0), nrm = cs2(1), ev = cs2(2), tau = cs2(3))
+}
+
 /** Session-level registration + Column builders (SQL-name route keeps us on
   * the public API across Spark 4's Column internals). */
 object VectorFunctions {
@@ -358,6 +447,8 @@ object VectorFunctions {
         "graft_near_cells", exprs => NearCells(exprs(0), exprs(1), exprs(2)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_pq_near", exprs => PqNearCells(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_cos_hits", exprs => CosineHits(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     }
 
   /** dot(a, b) — requires register(spark) once per session. */
