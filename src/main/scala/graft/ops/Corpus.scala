@@ -673,6 +673,130 @@ object Corpus {
       |         + dd % 65536 * 2654435761) % 4294967296) * 1000000 // n_chars AS priority
       |FROM h ORDER BY priority, doc_id LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** q154: CURATION FUNNEL — the attrition audit of the full cleaning
+    * pipeline (q34's stages + q54's rule, stage for stage): what a 100 TB
+    * curation run actually reports is not just the kept set but WHERE the
+    * corpus went — per rule, in pipeline order, cumulatively. Five
+    * stages over the q54 train slice: language (q21's `lang_pred='en'`),
+    * quality (q20's keep rule), exact dedup (q34's min-doc_id-per-text),
+    * near-dup (q24's prefix-filtered Jaccard ≥ 0.6 among survivors, drop
+    * the higher id — q34's stage verbatim), decontamination (q54's
+    * 8-gram broadcast rule vs the eval slice). Output: one row per stage
+    * `(stage, rule, n_in, n_dropped, n_out)` with exact chaining
+    * (`n_out(k) = n_in(k+1)`, spec'd) — the audit q34 (kept set) and q68
+    * (clean export) don't surface.
+    *
+    * Every rule is the SAME definition as its standalone gated entry
+    * (shared helpers: `withLangPred`/`withTextStats`/`jaccardPairs`/
+    * `decontGrams`), so the funnel can never drift from the operators it
+    * accounts for; the oracle recomputes the same five stages as a CTE
+    * chain modeled on q34Sql + q54Sql.
+    *
+    * Scale shape: each stage costs what its standalone entry costs (one
+    * pass over the cached survivor frame — survivors only, never the
+    * original corpus again); the near-dup stage is the audited All-Pairs
+    * kernel on the (already much smaller) surviving set; the gram stage
+    * is q54's broadcast discipline; the five counts are driver scalars
+    * and the 5-row audit frame is driver-assembled (q150's convention). */
+  def q154CurationFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select("doc_id", "text")
+    val tr = base.filter(col("doc_id") % 11 =!= 0).cache()
+    val n0 = tr.count()
+    val lng = TextOps.withLangPred(tr).filter(col("lang_pred") === "en")
+      .select("doc_id", "text").cache()
+    val n1 = lng.count()
+    val qual = TextOps.withTextStats(lng).filter(col("quality") === "keep")
+      .select("doc_id", "text").cache()
+    val n2 = qual.count()
+    val uniq = qual.join(
+      qual.groupBy("text").agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi").cache()
+    val n3 = uniq.count()
+    val nearDups = Dedup.jaccardPairs(Dedup.shingleDocs(uniq), 0.6)
+      .select(col("b_id").as("doc_id")).distinct()
+    val sur = uniq.join(nearDups, Seq("doc_id"), "left_anti").cache()
+    val n4 = sur.count()
+    def grams(df: DataFrame): DataFrame = decontGrams(
+      df.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= DecontN))
+    val evalGrams = grams(base.filter(col("doc_id") % 11 === 0))
+      .select("g").distinct()
+    val contam = grams(sur).join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    val n5 = sur.join(broadcast(contam), Seq("doc_id"), "left_anti").count()
+    Seq(
+      (1L, "lang_en", n0, n0 - n1, n1),
+      (2L, "quality", n1, n1 - n2, n2),
+      (3L, "exact_dup", n2, n2 - n3, n3),
+      (4L, "near_dup", n3, n3 - n4, n4),
+      (5L, "decontam", n4, n4 - n5, n5))
+      .toDF("stage", "rule", "n_in", "n_dropped", "n_out")
+      .orderBy("stage")
+  }
+
+  val q154Sql: String =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+       |l1 AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |           len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of'))) AS en_n,
+       |           len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und'))) AS de_n,
+       |           len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les','et'))) AS fr_n,
+       |           len(list_filter(string_split(text, ' '), w -> w IN ('el','los','las','y'))) AS es_n
+       |    FROM tr)
+       |  WHERE en_n >= de_n AND en_n >= fr_n AND en_n >= es_n AND en_n > 0),
+       |l2 AS (
+       |  SELECT doc_id, text FROM l1
+       |  WHERE len(string_split(text, ' ')) >= 20
+       |    AND CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |          / length(text) < 0.05
+       |    AND CAST(len(list_filter(string_split(text, ' '),
+       |          w -> w IN ('the','a','and','of','in','to','is','on'))) AS DOUBLE)
+       |          / len(string_split(text, ' ')) >= 0.01),
+       |l3 AS (
+       |  SELECT doc_id, text FROM l2
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM l2 GROUP BY text)),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM l3)
+       |  WHERE len(w) >= 3),
+       |ex AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh, unnest(shingles) AS sh FROM sh),
+       |dups AS (
+       |  SELECT b.doc_id AS b_id
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+       |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6),
+       |l4 AS (SELECT doc_id, text FROM l3 WHERE doc_id NOT IN (SELECT b_id FROM dups)),
+       |evg AS (
+       |  SELECT DISTINCT md5(array_to_string(
+       |           w[CAST(i AS INTEGER):CAST(i + ${DecontN - 1} AS INTEGER)], ' ')) AS g
+       |  FROM (SELECT w, unnest(range(1, len(w) - ${DecontN - 1} + 1)) AS i
+       |        FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 11 = 0)
+       |        WHERE len(w) >= $DecontN)),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, md5(array_to_string(
+       |             w[CAST(i AS INTEGER):CAST(i + ${DecontN - 1} AS INTEGER)], ' ')) AS g
+       |    FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${DecontN - 1} + 1)) AS i
+       |          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM l4)
+       |          WHERE len(w) >= $DecontN))
+       |  WHERE g IN (SELECT g FROM evg)),
+       |l5 AS (SELECT doc_id FROM l4 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |n AS (SELECT (SELECT COUNT(*) FROM tr) AS n0, (SELECT COUNT(*) FROM l1) AS n1,
+       |             (SELECT COUNT(*) FROM l2) AS n2, (SELECT COUNT(*) FROM l3) AS n3,
+       |             (SELECT COUNT(*) FROM l4) AS n4, (SELECT COUNT(*) FROM l5) AS n5)
+       |SELECT stage, rule, n_in, n_dropped, n_out FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'lang_en' AS rule, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM n
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'quality', n1, n1 - n2, n2 FROM n
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dup', n2, n2 - n3, n3 FROM n
+       |  UNION ALL SELECT CAST(4 AS BIGINT), 'near_dup', n3, n3 - n4, n4 FROM n
+       |  UNION ALL SELECT CAST(5 AS BIGINT), 'decontam', n4, n4 - n5, n5 FROM n)
+       |ORDER BY stage""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
     ("q35_sketch_stats", q35SketchStats _, Some(q35Sql)),
@@ -687,5 +811,6 @@ object Corpus {
     ("q68_decont_clean", q68DecontClean _, Some(q68Sql)),
     ("q89_group_zscore", q89GroupZscore _, Some(q89Sql)),
     ("q91_weighted_sample", q91WeightedSample _, Some(q91Sql)),
+    ("q154_curation_funnel", q154CurationFunnel _, Some(q154Sql)),
   )
 }

@@ -4071,6 +4071,49 @@ class OperatorSpec extends AnyFunSuite {
       "a trained vocab must compress at least one doc below its char count")
   }
 
+  test("q154 curation funnel: every stage drops its planted doc; chaining exact on planted and real corpora") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Corpus
+    // planted corpus: one doc per drop reason, one clean survivor, one
+    // eval doc (id 0 ≡ 0 mod 11) carrying the contaminating 8-gram
+    val gram8 = "g1x g2x g3x g4x g5x g6x g7x g8x".replace("1x", "one")
+      .replace("2x", "two").replace("3x", "three").replace("4x", "four")
+      .replace("5x", "five").replace("6x", "six").replace("7x", "seven")
+      .replace("8x", "eight")
+    val baseWords = (1 to 24).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"eval doc $gram8 padding words here"), // eval slice (0 % 11 == 0)
+      (1L, Seq.fill(6)("der die das und").mkString(" ")), // german -> lang_en
+      (2L, s"the $baseWords"), // the clean survivor (25 words, has 'the')
+      (3L, s"the $baseWords"), // exact copy of 2 -> exact_dup
+      (4L, s"the ${(1 to 23).map(i => s"w$i").mkString(" ")} zz"), // near-dup of 2 -> near_dup
+      (5L, s"the $gram8 ${(1 to 12).map(i => s"y$i").mkString(" ")}") // shares the 8-gram -> decontam
+        ,
+      (6L, "the tiny doc with only ten words in it total")) // < 20 words -> quality
+    val dir = java.nio.file.Files.createTempDirectory("funnel_syn").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Corpus.q154CurationFunnel(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(planted.toSeq == Seq(
+      (1L, "lang_en", 6L, 1L, 5L),
+      (2L, "quality", 5L, 1L, 4L),
+      (3L, "exact_dup", 4L, 1L, 3L),
+      (4L, "near_dup", 3L, 1L, 2L),
+      (5L, "decontam", 2L, 1L, 1L)), planted.mkString("\n"))
+    // real corpus: exact chaining + a populated tail
+    val real = Corpus.q154CurationFunnel(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    real.foreach { case (st, nIn, nDrop, nOut) =>
+      assert(nIn - nDrop == nOut, s"stage $st arithmetic")
+    }
+    real.sliding(2).foreach { case Array((_, _, _, out), (st2, in2, _, _)) =>
+      assert(out == in2, s"stage $st2 must chain from the previous survivors")
+    case _ => }
+    assert(real.last._4 > 0, "the funnel must keep a non-empty corpus")
+  }
+
   test("q149 hard negatives: every sim recomputes exactly, roles partition per anchor, negatives full-rank") {
     graft.functions.VectorFunctions.register(spark)
     val out = Similarity.q149HardNegatives(spark, sf).collect()
