@@ -699,6 +699,10 @@ object Corpus {
     * kernel on the (already much smaller) surviving set; the gram stage
     * is q54's broadcast discipline; the five counts are driver scalars
     * and the 5-row audit frame is driver-assembled (q150's convention). */
+  /** Candidate-pair budget for the funnel's near-dup stage (the
+    * [[graft.ops.Dedup.jaccardPairsBudgeted]] refusal tier). */
+  private val FunnelPairBudget = 200000000L
+
   def q154CurationFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.spread(s, Tables.documents(s, d), "doc_id")
@@ -715,8 +719,14 @@ object Corpus {
       qual.groupBy("text").agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
       Seq("doc_id"), "left_semi").cache()
     val n3 = uniq.count()
-    val nearDups = Dedup.jaccardPairs(Dedup.shingleDocs(uniq), 0.6)
-      .select(col("b_id").as("doc_id")).distinct()
+    // budgeted, not plain jaccardPairs: the funnel is the one-shot whole-
+    // corpus caller the q53-at-1M diagnosis warned about — on a
+    // low-entropy corpus it must refuse in seconds with the measured
+    // candidate mass, not die hours later on shuffle spill (the 200M
+    // default clears every real-vocabulary corpus measured so far; the
+    // pathological 1M GenCorpus run refuses at 3.4B)
+    val nearDups = Dedup.jaccardPairsBudgeted(Dedup.shingleDocs(uniq), 0.6,
+      FunnelPairBudget).select(col("b_id").as("doc_id")).distinct()
     val sur = uniq.join(nearDups, Seq("doc_id"), "left_anti").cache()
     val n4 = sur.count()
     def grams(df: DataFrame): DataFrame = decontGrams(

@@ -51,6 +51,27 @@ object VecStream {
     Similarity.ivfPqAppend(cents, books,
       freshVecs.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
 
+  /** Per-micro-batch SEMANTIC DECONTAMINATION flags — q151's rule at
+    * ingest time (the place a curation pipeline actually wants it: flag
+    * eval leakage as vectors ARRIVE, not in a later full-corpus sweep).
+    * Delegates to the batch [[graft.ops.Similarity.semanticDeconFrom]]
+    * verbatim (the native `graft_cos_hits` fold against the broadcast
+    * eval set), which is exactly why streamed ≡ batch holds bit-for-bit:
+    * the flag is a pure per-row function of (vector, frozen eval set),
+    * so ANY batching yields the same flag rows — no state, no shuffle,
+    * streaming-legal under any trigger, per-batch cost ∝ batch × |eval|.
+    * `ev` must be the (vec_id, e, nrm) eval frame, persisted once (a
+    * benchmark suite is static; re-deriving it per batch would be
+    * harmless but wasteful). */
+  def deconFlags(freshVecs: DataFrame, ev: DataFrame, tau: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(freshVecs.sparkSession)
+    Similarity.semanticDeconFrom(
+      freshVecs.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+        .filter(col("nrm") > 0),
+      ev, tau)
+  }
+
   /** One RAW Gram/second-moment sketch row per micro-batch — the streaming
     * statistics feed for PCA/correlation audits (q99/q100): each batch
     * contributes (Σ floor(x_i·x_j·10⁶) over the batch, batch count). Because the fixed-point floor applies PER ROW and

@@ -769,4 +769,48 @@ class DocStreamSpec extends AnyFunSuite {
     assert(pol.nonEmpty && pol == ctl,
       "full-probe serve diverged between the merge-maintained and policy-free roots")
   }
+
+  test("streamed semantic decon: per-micro-batch flags against the frozen eval set equal the batch sweep exactly") {
+    val spark = TestSpark.spark
+    graft.functions.VectorFunctions.register(spark)
+    val tau = 0.30
+    val emb = Tables.spread(spark, Tables.embeddings(spark, sf), "vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+      .filter(col("nrm") > 0)
+    val ev = emb.filter(col("vec_id") % 100 === 7)
+    val train = Tables.embeddings(spark, sf).filter(col("vec_id") % 100 =!= 7)
+      .select("vec_id", "embedding")
+
+    // stage the train vectors as MULTIPLE stream files so the drain runs
+    // several micro-batches (one file per batch under AvailableNow +
+    // maxFilesPerTrigger); the flag must not depend on the batching
+    val dir = java.nio.file.Files.createTempDirectory("vecstream_decon").toString
+    (0 until 3).foreach { p =>
+      train.filter(col("vec_id") % 3 === p).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("vecstream_decon_out").toString
+    val q = spark.readStream.schema(VecStream.rawSchema)
+      .option("pathGlobFilter", "*.parquet").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        VecStream.deconFlags(batch, ev, tau)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def key(a: Array[org.apache.spark.sql.Row]) = a.map(r =>
+      r.getAs[Long]("vec_id") -> ((r.getAs[Long]("witness_eval_id"),
+        r.getAs[Double]("max_sim"), r.getAs[Long]("n_over")))).toMap
+    val streamed = key(spark.read.parquet(outDir).collect())
+    val batch = key(graft.ops.Similarity.semanticDeconFrom(
+      emb.filter(col("vec_id") % 100 =!= 7), ev, tau).collect())
+    assert(batch.nonEmpty, "vacuous: no flagged vectors at tau=0.30")
+    assert(streamed == batch,
+      s"streamed decon flags diverged: ${streamed.size} vs ${batch.size}")
+  }
 }
