@@ -58,6 +58,22 @@ object ProfileCuration {
     time("mine_negatives") {
       Similarity.q149HardNegatives(spark, d).count()
     }
+    // the q153 decomposition: persist the cell labels once, then time the
+    // serve-only mining pass (artifact join + broadcast-anchor ranking)
+    val cellRoot = java.nio.file.Files.createTempDirectory("cur_cells").toString
+    time("mine_label_build") {
+      Similarity.miningAssigned(spark, d).select("vec_id", "cell")
+        .write.mode("overwrite").parquet(s"$cellRoot/cells")
+    }
+    time("mine_served") {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+        .filter(col("nrm") > 0)
+      Similarity.miningRanked(
+        emb.join(spark.read.parquet(s"$cellRoot/cells"), Seq("vec_id"))
+          .select("vec_id", "e", "nrm", "cell")).count()
+    }
     time("semantic_decon") {
       val emb = spark.read.parquet(s"$d/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))

@@ -4323,15 +4323,26 @@ object Similarity {
     * as q95's query-side broadcast. Mirrors the mining loops in
     * contrastive curation pipelines (reference has no analogue; this is
     * catalog surface beyond it). */
-  def q149HardNegatives(s: SparkSession, d: String): DataFrame = {
+  def q149HardNegatives(s: SparkSession, d: String): DataFrame =
+    miningRanked(miningAssigned(s, d))
+
+  /** q149's quantizer half: the corpus with its coarse cell (the audited
+    * q83 broadcast pass) — the build side the served variant persists. */
+  private[graft] def miningAssigned(s: SparkSession, d: String): DataFrame = {
     val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
     val coarseSeed = emb.filter(col("vec_id") < corpusNList(s, d))
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
     val cc = fixedPointUpdate(assignCells(emb.select("vec_id", "e"), coarseSeed), coarseSeed)
       .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
-    val assigned = emb.crossJoin(broadcast(cc))
+    emb.crossJoin(broadcast(cc))
       .withColumn("cell", expr(s"$coarseArgminExpr.cent_id"))
       .select("vec_id", "e", "nrm", "cell")
+  }
+
+  /** q149's mining half over any `(vec_id, e, nrm, cell)` frame — shared
+    * by the self-contained entry and the artifact-served q153, so the two
+    * can never rank differently. */
+  private[graft] def miningRanked(assigned: DataFrame): DataFrame = {
     val anchors = assigned.filter(col("vec_id") < MineAnchors)
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("nrm").as("nq"), col("cell").as("qcell"))
@@ -4352,6 +4363,29 @@ object Similarity {
         (col("role") === "neg" || col("rn") <= 1))
       .select("query_id", "role", "rn", "neighbor_id", "cos_sim")
       .orderBy("query_id", "role", "rn")
+  }
+
+  /** q153: MINING SERVED FROM THE PERSISTED LABEL ARTIFACT — the serving
+    * decomposition applied to q149 (the q101/q135 convention): the
+    * quantizer pass runs ONCE and persists its (vec_id, cell) assignment
+    * (in production this is the cell column the IVF code table already
+    * carries — the label artifact is free); every subsequent mining batch
+    * joins the raw vectors to the ROUND-TRIPPED cells and runs only the
+    * broadcast-anchor ranking. At 100 TB mining batches arrive
+    * continuously (each training epoch wants fresh hard negatives), so
+    * paying the corpus-sized quantizer per batch is the q133 anti-pattern
+    * this entry closes. Eager artifact write at construction (priced, the
+    * q127 convention); gated under q149's OWN oracle through the
+    * round-trip — the strongest form of the serving contract; PlanSpec
+    * pins that the serve lineage scans the artifact and runs NO quantizer
+    * kernel. */
+  def q153MiningServed(s: SparkSession, d: String): DataFrame = {
+    val path = s"${knnGraphServePath(d)}/cells_mine"
+    miningAssigned(s, d).select("vec_id", "cell")
+      .write.mode("overwrite").parquet(path)
+    val emb = embWithNorm(s, d).filter(col("nrm") > 0).select("vec_id", "e", "nrm")
+    miningRanked(emb.join(s.read.parquet(path), Seq("vec_id"))
+      .select("vec_id", "e", "nrm", "cell"))
   }
 
   lazy val q149Sql: String = {
@@ -4527,5 +4561,8 @@ object Similarity {
     ("q144_merge_served", q144MergeServed _, Some(q73Sql)),
     ("q149_hard_negatives", q149HardNegatives _, Some(q149Sql)),
     ("q151_semantic_decon", q151SemanticDecon _, Some(q151Sql)),
+    // served ≡ self-contained for the mining family: gated against q149's
+    // own oracle through the label-artifact round trip
+    ("q153_mining_served", q153MiningServed _, Some(q149Sql)),
   )
 }

@@ -4035,6 +4035,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.length == 6, "gate corpus must sustain all six merge rounds")
   }
 
+  test("q153 mining served: the label-artifact round trip reproduces q149 row-for-row") {
+    graft.functions.VectorFunctions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[String]("role"), r.getAs[Long]("rn"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSeq
+    val self = rows(Similarity.q149HardNegatives(spark, sf))
+    val served = rows(Similarity.q153MiningServed(spark, sf))
+    assert(self.nonEmpty && served == self,
+      s"served mining diverged from self-contained: ${served.size} vs ${self.size} rows")
+  }
+
   test("q152 learned subwords: plain-Scala longest-match under the trained vocab reproduces every count") {
     val s = spark
     import graft.ops.TextOps

@@ -1395,6 +1395,30 @@ class PlanSpec extends AnyFunSuite {
       "expected a parquet scan rooted at the served edge artifact")
   }
 
+  test("q153 served mining: no quantizer kernel in the serve lineage, cells scanned from the label artifact") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Similarity.q153MiningServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val full = ns.map(_.toString).mkString("\n")
+    assert(!full.contains("graft_near_cells"),
+      "served mining re-runs the coarse argmin — the build cost the label artifact exists to amortize")
+    assert(ns.collect { case f: FileSourceScanExec => f }
+      .exists(_.relation.location.rootPaths.exists(_.toString.contains("cells_mine"))),
+      "expected a parquet scan rooted at the served cell-label artifact")
+    // the ranking half keeps q149's shape through the round trip
+    assert(full.contains("WindowGroupLimit"), "served mining lost the rank pruning")
+  }
+
   test("q149 mining: anchors broadcast onto the corpus stream; per-(anchor, role) top-k is group-limit pruned") {
     import graft.ops.Similarity
     val p = plan(Similarity.q149HardNegatives(spark, sf))
