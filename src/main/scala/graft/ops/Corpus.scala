@@ -269,7 +269,7 @@ object Corpus {
     * stream never shuffles; the only shuffle is the final per-doc count.
     * Grams are md5-hashed so the broadcast carries 32-byte digests, not
     * raw text. */
-  private val DecontN = 8
+  private[graft] val DecontN = 8
 
   /** (doc_id, w) word arrays long enough to carry an n-gram — shared base
     * of the decontamination pair q54 (count) / q68 (clean export). */
@@ -278,7 +278,7 @@ object Corpus {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= DecontN)
 
-  private def decontGrams(df: DataFrame): DataFrame = df.select(
+  private[graft] def decontGrams(df: DataFrame): DataFrame = df.select(
     col("doc_id"),
     explode(expr(s"transform(sequence(1, size(w) - ${DecontN - 1}), " +
       s"i -> md5(concat_ws(' ', slice(w, i, $DecontN))))")).as("g"))

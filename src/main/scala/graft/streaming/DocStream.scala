@@ -136,6 +136,54 @@ object DocStream {
       .select(col("doc_id").as("fresh_id"), col("ex_id"), col("jaccard"))
       .dropDuplicates("fresh_id", "ex_id")
 
+  /** Per-micro-batch CURATION — q154's funnel rules at ingest time, against
+    * a FROZEN accepted-corpus snapshot: each arriving doc gets the full
+    * rule bitmap `(pass_lang, pass_quality, dup_exact, dup_near,
+    * contaminated, kept)` where the language/quality predicates are
+    * q21/q20's shared helpers, exact/near dup are the stream-static gates
+    * above ([[exactDupAgainst]]'s fp semi-join, [[nearDupAgainst]]'s
+    * prefix index), and contamination is q54's gram rule against the
+    * frozen eval set. Every flag is a pure per-row function of (doc,
+    * frozen state), so ANY batching yields the same bitmap — no
+    * cross-batch state, streaming-legal under any trigger (within-stream
+    * dedup is deliberately out of scope: that is the STATEFUL path —
+    * `dropDuplicatesWithinWatermark` for exact, [[clusterAppendBatch]]'s
+    * fold for near-dup — which updates the snapshot between batches).
+    * State arguments are the PREPARED forms (fp set, rank table + prefix
+    * index, distinct eval grams), built once per snapshot by the caller —
+    * rebuilding corpus-sized state per micro-batch is the q133
+    * anti-pattern. */
+  def curateBatch(batch: DataFrame, staticFps: DataFrame,
+      btable: Broadcast[(Array[Long], Array[Long])], index: DataFrame,
+      threshold: Double, evalGrams: DataFrame): DataFrame = {
+    import graft.ops.{Corpus, TextOps}
+    val scored = TextOps.withTextStats(TextOps.withLangPred(
+        batch.select("doc_id", "text")))
+      .select(col("doc_id"), col("text"),
+        (col("lang_pred") === "en").as("pass_lang"),
+        (col("quality") === "keep").as("pass_quality"))
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(staticFps, Seq("fp"), "left_semi")
+      .select("doc_id").distinct().withColumn("dup_exact", lit(true))
+    val near = nearDupAgainst(batch, btable, index, threshold)
+      .select(col("fresh_id").as("doc_id")).distinct()
+      .withColumn("dup_near", lit(true))
+    val contam = Corpus.decontGrams(
+        batch.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= Corpus.DecontN))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct().withColumn("contaminated", lit(true))
+    scored
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .na.fill(false, Seq("dup_exact", "dup_near", "contaminated"))
+      .withColumn("kept", col("pass_lang") && col("pass_quality") &&
+        !col("dup_exact") && !col("dup_near") && !col("contaminated"))
+      .select("doc_id", "pass_lang", "pass_quality", "dup_exact",
+        "dup_near", "contaminated", "kept")
+  }
+
   /** One 4 KiB HLL sketch row per source PER MICRO-BATCH — the continuous
     * cardinality profile of an ingest stream. Run inside `foreachBatch` and
     * append the rows to a sketch table: each batch costs one pass over THAT

@@ -770,6 +770,79 @@ class DocStreamSpec extends AnyFunSuite {
       "full-probe serve diverged between the merge-maintained and policy-free roots")
   }
 
+  test("streamed curation: per-batch rule bitmaps against a frozen snapshot equal the one-shot pass; every planted doc flags its rule") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ops.Corpus
+    val gram8 = (1 to 8).map(i => s"g$i").mkString(" ")
+    val base = s"the ${(1 to 24).map(i => s"w$i").mkString(" ")}"
+    val static = Seq((100L, base),
+      (101L, s"the ${(1 to 24).map(i => s"s$i").mkString(" ")}")).toDF("doc_id", "text")
+    val evalDocs = Seq((900L, s"the eval doc holds $gram8 and padding words here"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (201L, Seq.fill(6)("der die das und").mkString(" ")), // !pass_lang
+      (202L, "the tiny doc with only ten words in it total"), // !pass_quality
+      (203L, base), // dup_exact (and trivially dup_near at J=1)
+      (204L, s"the ${(1 to 23).map(i => s"w$i").mkString(" ")} zz"), // dup_near
+      (205L, s"the $gram8 ${(1 to 12).map(i => s"y$i").mkString(" ")}"), // contaminated
+      (206L, s"the ${(1 to 24).map(i => s"z$i").mkString(" ")}")) // kept
+      .toDF("doc_id", "text")
+
+    // frozen snapshot state, prepared once
+    val staticFps = static.select(md5(col("text")).as("fp")).distinct().cache()
+    val (btable, index) = DocStream.nearDupIndex(static, threshold)
+    val evalGrams = Corpus.decontGrams(
+        evalDocs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= Corpus.DecontN))
+      .select("g").distinct().cache()
+
+    // one file per planted pair of docs -> a 3-micro-batch drain
+    val dir = java.nio.file.Files.createTempDirectory("docstream_curate").toString
+    Seq(Seq(201L, 204L), Seq(202L, 205L), Seq(203L, 206L)).foreach { ids =>
+      fresh.filter(col("doc_id").isin(ids: _*))
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("docstream_curate_out").toString
+    val q = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      .option("pathGlobFilter", "*.parquet").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DocStream.curateBatch(batch, staticFps, btable, index, threshold, evalGrams)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def key(a: Array[org.apache.spark.sql.Row]) = a.map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("pass_lang"),
+        r.getAs[Boolean]("pass_quality"), r.getAs[Boolean]("dup_exact"),
+        r.getAs[Boolean]("dup_near"), r.getAs[Boolean]("contaminated"),
+        r.getAs[Boolean]("kept")))).toMap
+    val streamed = key(spark.read.parquet(outDir).collect())
+    val oneShot = key(DocStream.curateBatch(
+      fresh, staticFps, btable, index, threshold, evalGrams).collect())
+    assert(streamed == oneShot, "batching changed the curation bitmap")
+    // german fails BOTH gates: no 'en' stopwords means lang != en AND
+    // stop_ratio = 0 < 0.01 (the quality rule is anglocentric by design —
+    // q20's committed thresholds)
+    assert(streamed(201L) == ((false, false, false, false, false, false)))
+    assert(streamed(202L) == ((true, false, false, false, false, false)))
+    assert(streamed(203L) == ((true, true, true, true, false, false)))
+    assert(streamed(204L) == ((true, true, false, true, false, false)))
+    assert(streamed(205L) == ((true, true, false, false, true, false)))
+    assert(streamed(206L) == ((true, true, false, false, false, true)))
+  }
+
   test("streamed semantic decon: per-micro-batch flags against the frozen eval set equal the batch sweep exactly") {
     val spark = TestSpark.spark
     graft.functions.VectorFunctions.register(spark)
