@@ -807,6 +807,59 @@ object Corpus {
        |  UNION ALL SELECT CAST(5 AS BIGINT), 'decontam', n4, n4 - n5, n5 FROM n)
        |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+  /** q155: DATASET CARD — the per-source statistics block a training-
+    * corpus release publishes (docs, volume, quality/language/dup rates):
+    * for each source, document and word/char volume, how many docs clear
+    * the q20 quality rule, how many classify 'en' under q21, how many
+    * distinct texts (the exact-dup rate's complement), and the min/max
+    * doc_id span. One pass: all predicates are the shared map-side
+    * helpers, so the whole card is a single partial+final groupBy(source)
+    * — at 100 TB this is a scan-bound aggregation with map-side combine,
+    * no second pass per statistic (`n_distinct_texts` adds the one
+    * distinct aggregation, rewritten by Catalyst into the standard
+    * two-phase expand — still nothing corpus²). */
+  def q155DatasetCard(s: SparkSession, d: String): DataFrame =
+    TextOps.withLangPred(TextOps.withTextStats(
+        Tables.spread(s, Tables.documents(s, d), "doc_id")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        count(when(col("quality") === "keep", 1)).cast("long").as("n_quality_keep"),
+        count(when(col("lang_pred") === "en", 1)).cast("long").as("n_lang_en"),
+        countDistinct(col("text")).cast("long").as("n_distinct_texts"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("source")
+
+  val q155Sql: String =
+    """SELECT source,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+      |       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |       CAST(COUNT(*) FILTER (
+      |         len(string_split(text, ' ')) >= 20
+      |         AND CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |               / length(text) < 0.05
+      |         AND CAST(len(list_filter(string_split(text, ' '),
+      |               w -> w IN ('the','a','and','of','in','to','is','on'))) AS DOUBLE)
+      |               / len(string_split(text, ' ')) >= 0.01) AS BIGINT) AS n_quality_keep,
+      |       CAST(COUNT(*) FILTER (
+      |         len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of')))
+      |           >= len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und')))
+      |         AND len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of')))
+      |           >= len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les','et')))
+      |         AND len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of')))
+      |           >= len(list_filter(string_split(text, ' '), w -> w IN ('el','los','las','y')))
+      |         AND len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of'))) > 0
+      |         ) AS BIGINT) AS n_lang_en,
+      |       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+      |       MIN(doc_id) AS min_doc_id,
+      |       MAX(doc_id) AS max_doc_id
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_corpus_clean", q34CorpusClean _, Some(q34Sql)),
     ("q35_sketch_stats", q35SketchStats _, Some(q35Sql)),
@@ -822,5 +875,6 @@ object Corpus {
     ("q89_group_zscore", q89GroupZscore _, Some(q89Sql)),
     ("q91_weighted_sample", q91WeightedSample _, Some(q91Sql)),
     ("q154_curation_funnel", q154CurationFunnel _, Some(q154Sql)),
+    ("q155_dataset_card", q155DatasetCard _, Some(q155Sql)),
   )
 }

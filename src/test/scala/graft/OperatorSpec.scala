@@ -4035,6 +4035,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.length == 6, "gate corpus must sustain all six merge rounds")
   }
 
+  test("q155 dataset card: per-source rows recompute from the raw docs; rates bounded by doc counts") {
+    val s = spark
+    import graft.ops.Corpus
+    val card = Corpus.q155DatasetCard(s, sf).collect()
+    assert(card.nonEmpty)
+    val docs = Tables.documents(s, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._1)
+    assert(card.map(_.getString(0)).toSet == bySrc.keySet)
+    card.foreach { r =>
+      val src = r.getString(0)
+      val rows = bySrc(src)
+      assert(r.getAs[Long]("n_docs") == rows.length)
+      assert(r.getAs[Long]("n_chars") == rows.map(_._3.length.toLong).sum)
+      assert(r.getAs[Long]("n_words") ==
+        rows.map(_._3.split(" ", -1).length.toLong).sum)
+      assert(r.getAs[Long]("n_distinct_texts") == rows.map(_._3).distinct.length)
+      assert(r.getAs[Long]("min_doc_id") == rows.map(_._2).min &&
+        r.getAs[Long]("max_doc_id") == rows.map(_._2).max)
+      // rates are doc-bounded
+      assert(r.getAs[Long]("n_quality_keep") <= rows.length &&
+        r.getAs[Long]("n_lang_en") <= rows.length)
+    }
+  }
+
   test("q153 mining served: the label-artifact round trip reproduces q149 row-for-row") {
     graft.functions.VectorFunctions.register(spark)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
