@@ -324,6 +324,81 @@ class PropertySpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(agg.deserialize(agg.serialize(x)), x))
   }
 
+  test("BPE merge fold: the generated expression equals the plain-Scala greedy re-pair on random token streams") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.expr
+    import graft.ops.TextOps
+    def reference(toks: Vector[String], l: String, r: String): Vector[String] =
+      toks.tail.foldLeft(Vector(toks.head)) { (acc, x) =>
+        if (acc.last == l && x == r) acc.init :+ (l + r) else acc :+ x
+      }
+    val rnd = new scala.util.Random(1234)
+    val syms = Vector("a", "b", "ab", "ba", "aa")
+    // 60 random (stream, pair) cases in ONE Spark job: adjacent repeats,
+    // self-pairs (l == r), merged-token symbols that must never re-match
+    val cases = Vector.fill(60) {
+      val toks = Vector.fill(1 + rnd.nextInt(12))(syms(rnd.nextInt(syms.length)))
+      val (l, r) = (syms(rnd.nextInt(syms.length)), syms(rnd.nextInt(syms.length)))
+      (toks, l, r)
+    }
+    cases.groupBy { case (_, l, r) => (l, r) }.foreach { case ((l, r), grp) =>
+      val got = grp.map(_._1).toDF("toks")
+        .select(expr(TextOps.bpeMergeExpr("toks", l, r)).as("m"))
+        .collect().map(_.getSeq[String](0).toVector)
+      got.zip(grp.map(_._1)).foreach { case (g, toks) =>
+        assert(g == reference(toks, l, r), s"toks=$toks merge=($l,$r)")
+      }
+    }
+    // structural invariants on one adversarial stream: merged mass is
+    // conserved (concatenation of tokens unchanged) and length shrinks by
+    // the number of merges
+    val adversarial = Vector("a", "a", "a", "a", "a", "b", "a", "a")
+    val out = reference(adversarial, "a", "a")
+    assert(out.mkString == adversarial.mkString)
+    assert(out == Vector("aa", "aa", "a", "b", "aa"))
+  }
+
+  test("graft_cos_hits equals the plain-Scala fold on random vectors, exact through Round HALF_UP") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(s)
+    val rnd = new scala.util.Random(77)
+    def vec(): Seq[Double] = Seq.fill(8)(rnd.nextGaussian())
+    val train = Vector.tabulate(40)(i => (i.toLong, vec()))
+    val ev = Vector.tabulate(7)(i => (1000L + i, vec()))
+    def nrm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // tau drawn FROM an achieved rounded sim — the >= boundary is exact,
+    // so a sim equal to tau must flag (the off-by-ulp failure mode)
+    val allSims = for ((_, t) <- train; (_, e) <- ev)
+      yield r6(t.zip(e).map { case (a, b) => a * b }.sum / (nrm(t) * nrm(e)))
+    Seq(allSims(rnd.nextInt(allSims.length)), 0.2, -0.1).foreach { tau =>
+      val evDf = ev.toDF("vec_id", "e")
+        .select(col("vec_id"), col("e"), expr("sqrt(graft_dot(e, e))").as("nrm"))
+        .agg(collect_list(struct(col("vec_id").as("eid"), col("e").as("ee"),
+          expr("nrm").as("en"))).as("ev"))
+      val got = train.toDF("vec_id", "e")
+        .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
+        .crossJoin(broadcast(evDf))
+        .select(col("vec_id"), expr(s"graft_cos_hits(e, nrm, ev, ${tau}D)").as("h"))
+        .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+      train.foreach { case (id, t) =>
+        val hits = ev.map { case (eid, e) =>
+          (eid, r6(t.zip(e).map { case (a, b) => a * b }.sum / (nrm(t) * nrm(e))))
+        }.filter(_._2 >= tau)
+        val h = got(id)
+        assert(h.getLong(2) == hits.length.toLong, s"n_over for $id tau=$tau")
+        if (hits.nonEmpty) {
+          assert(h.getLong(0) == hits.map(_._1).min, s"witness for $id")
+          assert(h.getDouble(1) == hits.map(_._2).max, s"max_sim for $id")
+        }
+      }
+    }
+  }
+
   test("minhash buffer round-trips through serialization") {
     val agg = graft.functions.MinHashAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(1L), 8)
