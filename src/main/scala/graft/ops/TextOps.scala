@@ -1326,7 +1326,8 @@ object TextOps {
   def q145SubwordVocab(s: SparkSession, d: String): DataFrame =
     subwordVocabCounts(
       Tables.spread(s, Tables.documents(s, d), "doc_id").select("doc_id", "text"),
-      genVocab(s)).orderBy("doc_id")
+      genVocab(s))
+      .select("doc_id", "n_words", "n_subwords").orderBy("doc_id")
 
   /** The q145 core under EXPLICIT (doc_id, text) and vocab tables — the
     * seam for the PlanSpec plan-size-vs-vocab-size probe and the planted
@@ -1350,17 +1351,25 @@ object TextOps {
       .groupBy("wd", "pos").agg(max(col("vlen")).as("mlen"))
       .groupBy("wd")
       .agg(map_from_entries(collect_list(struct(col("pos"), col("mlen")))).as("lm"))
+    // the fold also counts FALLBACK steps (positions where no vocab entry
+    // matched and a single char was consumed) — the OOV signal the
+    // streaming monitor reads; the gated entries project it away
     val wc = words.join(lenMap, Seq("wd"), "left")
       .select(col("wd"), expr(
-        "aggregate(sequence(1, greatest(length(wd), 1)), named_struct('pos', 1, 'cnt', 0L), " +
+        "aggregate(sequence(1, greatest(length(wd), 1)), " +
+          "named_struct('pos', 1, 'cnt', 0L, 'fb', 0L), " +
           "(acc, i) -> IF(acc.pos > length(wd), acc, named_struct(" +
           "'pos', acc.pos + CAST(coalesce(element_at(lm, acc.pos), 1) AS INT), " +
-          "'cnt', acc.cnt + 1L)), acc -> acc.cnt)").as("n_sub"))
+          "'cnt', acc.cnt + 1L, " +
+          "'fb', acc.fb + IF(element_at(lm, acc.pos) IS NULL, 1L, 0L))), " +
+          "acc -> named_struct('cnt', acc.cnt, 'fb', acc.fb))").as("c"))
+      .select(col("wd"), col("c.cnt").as("n_sub"), col("c.fb").as("n_fb"))
     docs.select(col("doc_id"), explode(col("w")).as("wd"))
       .join(wc, Seq("wd"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_words"),
-        sum(col("n_sub")).as("n_subwords"))
+        sum(col("n_sub")).as("n_subwords"),
+        sum(col("n_fb")).as("n_fallback"))
   }
 
   val q145Sql: String =
@@ -1553,7 +1562,8 @@ object TextOps {
     val lens = learned.map(_.length).distinct.sorted
     subwordVocabCounts(
       Tables.spread(s, Tables.documents(s, d), "doc_id").select("doc_id", "text"),
-      learned.toDF("v"), lens).orderBy("doc_id")
+      learned.toDF("v"), lens)
+      .select("doc_id", "n_words", "n_subwords").orderBy("doc_id")
   }
 
   lazy val q152Sql: String = {

@@ -184,6 +184,27 @@ object DocStream {
         "dup_near", "contaminated", "kept")
   }
 
+  /** Per-micro-batch TOKENIZER-DRIFT monitor — the third step of the
+    * subword lifecycle (q150 trains, q152/q145 apply, this WATCHES): under
+    * the frozen vocab, count how many greedy steps fell back to a single
+    * uncovered character. A rising fallback share means the corpus has
+    * drifted from the vocabulary's training distribution — the retrain
+    * signal, exactly the role codebook-drift (q109) plays for the vector
+    * index. One additive row per batch `(n_docs, n_words, n_subwords,
+    * n_fallback)` — plain BIGINT sums, so per-batch rows fold into any
+    * window's totals exactly (the gramSketch additivity convention) and
+    * the ratio is derived AT READ time, never stored. Cost ∝ batch
+    * (the q145 kernel: distinct words × bounded fold, broadcast vocab);
+    * stateless, streaming-legal under any trigger. */
+  def vocabOovBatch(batch: DataFrame, vocab: DataFrame,
+      candLens: Seq[Int]): DataFrame =
+    graft.ops.TextOps.subwordVocabCounts(
+        batch.select("doc_id", "text"), vocab, candLens)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_subwords")).cast("long").as("n_subwords"),
+        sum(col("n_fallback")).cast("long").as("n_fallback"))
+
   /** One 4 KiB HLL sketch row per source PER MICRO-BATCH — the continuous
     * cardinality profile of an ingest stream. Run inside `foreachBatch` and
     * append the rows to a sketch table: each batch costs one pass over THAT

@@ -843,6 +843,53 @@ class DocStreamSpec extends AnyFunSuite {
     assert(streamed(206L) == ((true, true, false, false, false, true)))
   }
 
+  test("streamed tokenizer-drift monitor: per-batch OOV rows are exactly additive and the fallback algebra is right") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // frozen vocab {ab, abc, xy}: hand-walked fallbacks —
+    //  'abcab'  -> [abc][ab]            0 fallbacks, 2 subwords
+    //  'zabz'   -> [z][ab][z]           2 fallbacks, 3 subwords
+    //  'qqq'    -> [q][q][q]            3 fallbacks, 3 subwords
+    //  'xyab'   -> [xy][ab]             0 fallbacks, 2 subwords
+    val vocab = Seq("ab", "abc", "xy").toDF("v")
+    val lens = Seq(2, 3)
+    val docs = Seq((1L, "abcab zabz"), (2L, "qqq xyab"))
+    val dir = java.nio.file.Files.createTempDirectory("docstream_oov").toString
+    docs.zipWithIndex.foreach { case ((id, text), i) =>
+      Seq((id, text)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("docstream_oov_out").toString
+    val q = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      .option("pathGlobFilter", "*.parquet").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DocStream.vocabOovBatch(batch, vocab, lens)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(outDir).collect()
+    assert(rows.length == 2, "expected one monitor row per micro-batch")
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    // streamed rows fold to the one-shot totals (additivity)
+    val oneShot = DocStream.vocabOovBatch(docs.toDF("doc_id", "text"), vocab, lens)
+      .head()
+    assert((tot("n_docs"), tot("n_words"), tot("n_subwords"), tot("n_fallback")) ==
+      ((oneShot.getLong(0), oneShot.getLong(1), oneShot.getLong(2), oneShot.getLong(3))))
+    // and the hand-walked algebra
+    assert(tot("n_docs") == 2 && tot("n_words") == 4)
+    assert(tot("n_subwords") == 2 + 3 + 3 + 2, s"subwords ${tot("n_subwords")}")
+    assert(tot("n_fallback") == 0 + 2 + 3 + 0, s"fallbacks ${tot("n_fallback")}")
+  }
+
   test("streamed semantic decon: per-micro-batch flags against the frozen eval set equal the batch sweep exactly") {
     val spark = TestSpark.spark
     graft.functions.VectorFunctions.register(spark)
