@@ -1588,6 +1588,67 @@ object TextOps {
        |SELECT doc_id, n_words, n_subwords FROM dt ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q156
+  /** q156: PER-SOURCE OOV AUDIT — the batch, oracle-gated face of the
+    * tokenizer-drift monitor ([[graft.streaming.DocStream.vocabOovBatch]]):
+    * under the frozen [[SubwordVocab]], per source, how many greedy steps
+    * fell back to an uncovered single character, reported with the
+    * integer parts-per-million share (`n_fallback·10⁶ div n_subwords` —
+    * integer division keeps the gate float-free). The per-source drift
+    * ranking is what a corpus operator reads before deciding WHICH
+    * source's growth forces a retrain. Runs the q145 vocab-as-data
+    * kernel with the committed vocab as the table (candidate lengths
+    * {2,3,4} — the committed table's distinct lengths), so the audit,
+    * the gated counters, and the streaming monitor all share one fold. */
+  def q156OovAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = subwordVocabCounts(
+      Tables.spread(s, Tables.documents(s, d), "doc_id").select("doc_id", "text"),
+      SubwordVocab.toDF("v"),
+      SubwordVocab.map(_.length).distinct.sorted)
+    counts
+      .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_subwords")).cast("long").as("n_subwords"),
+        sum(col("n_fallback")).cast("long").as("n_fallback"))
+      .withColumn("oov_ppm",
+        expr("n_fallback * 1000000L div n_subwords").cast("long"))
+      .orderBy("source")
+  }
+
+  lazy val q156Sql: String = {
+    val arr = SubwordVocab.map(v => s"'$v'").mkString(", ")
+    s"""WITH RECURSIVE vocab(v) AS (SELECT unnest([$arr])),
+       |wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |vw AS (SELECT DISTINCT wd FROM wrd),
+       |step(wd, pos, cnt, fb) AS (
+       |  SELECT wd, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM vw
+       |  UNION ALL
+       |  SELECT wd,
+       |         pos + COALESCE((SELECT MAX(length(v)) FROM vocab
+       |                         WHERE substring(wd, pos, length(v)) = v), 1),
+       |         cnt + 1,
+       |         fb + CASE WHEN (SELECT MAX(length(v)) FROM vocab
+       |                         WHERE substring(wd, pos, length(v)) = v) IS NULL
+       |                   THEN 1 ELSE 0 END
+       |  FROM step WHERE pos <= length(wd)),
+       |wc AS (SELECT wd, MAX(cnt) AS n_sub, MAX(fb) AS n_fb FROM step GROUP BY wd),
+       |dt AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |              CAST(SUM(wc.n_sub) AS BIGINT) AS n_subwords,
+       |              CAST(SUM(wc.n_fb) AS BIGINT) AS n_fallback
+       |       FROM wrd w JOIN wc ON w.wd = wc.wd GROUP BY w.doc_id)
+       |SELECT d.source,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(dt.n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(dt.n_subwords) AS BIGINT) AS n_subwords,
+       |       CAST(SUM(dt.n_fallback) AS BIGINT) AS n_fallback,
+       |       CAST(SUM(dt.n_fallback) * 1000000 // SUM(dt.n_subwords) AS BIGINT) AS oov_ppm
+       |FROM dt JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_text_stats", q20TextStats _, Some(q20Sql)),
     ("q21_lang_id", q21LangId _, Some(q21Sql)),
@@ -1612,5 +1673,6 @@ object TextOps {
     ("q145_subword_vocab", q145SubwordVocab _, Some(q145Sql)),
     ("q150_bpe_train", q150BpeTrain _, Some(q150Sql)),
     ("q152_learned_subwords", q152LearnedSubwords _, Some(q152Sql)),
+    ("q156_oov_audit", q156OovAudit _, Some(q156Sql)),
   )
 }

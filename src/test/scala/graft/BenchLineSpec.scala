@@ -20,8 +20,8 @@ class BenchLineSpec extends AnyFunSuite {
     // round 8 silently shrank the oracle gate 76→75 via a source-schema
     // surprise; an exact pin makes any accidental shrink (or growth that
     // forgot its oracle) a red test instead of a quiet judging artifact
-    assert(SparkEntry.queries.size == 155,
-      s"catalog is ${SparkEntry.queries.size}, expected 155 — if you added/" +
+    assert(SparkEntry.queries.size == 156,
+      s"catalog is ${SparkEntry.queries.size}, expected 156 — if you added/" +
         "removed a query on purpose, update this pin in the same commit")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
@@ -37,24 +37,35 @@ class BenchLineSpec extends AnyFunSuite {
       s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).distinct}")
     // 9.99 s per query is an order of magnitude above the slowest real
     // sf0.1 entry (~3.0 s) — a query past 10 s would itself be a failed
-    // round, so the budget doesn't reserve width for it
+    // round, so the budget doesn't reserve width for it. The budget is
+    // HARD at any catalog size (precision degrades 2→1→0 decimals only
+    // when the width demands it — the 156-query catalog crossed the
+    // all-worst-case 2-decimal bound)
     val results = names.map(_ -> 9.99)
     val line = Bench.finalLine(749.25, results,
       failed = Nil, flaky = names.take(2), sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1900, s"final bench line is ${line.length} chars")
     assert(!line.contains("\n") && line.startsWith("{") && line.endsWith("}"))
-    // 2-decimal per-query / 3-decimal total rendering, locale-proof (dot
-    // decimal separator, no E-notation), short keys in place
     assert(line.contains("\"value\":749.250"), line)
-    assert(line.contains("\"q01\":9.99,"), line)
     // full names may appear in the flaky/errors DIAGNOSTIC arrays but never
     // as a queries-map key
     assert(!line.contains("\"q01_scan_project\":"), line)
-    // headroom claim: the scheme must hold far past the current catalog —
-    // simulate 140 queries at worst-case width
-    val grown = (1 to 140).map(i => f"q$i%02d_some_longer_query_name" -> 9.99)
-    val big = Bench.finalLine(1598.4, grown, Nil, grown.take(2).map(_._1),
+    // 2-decimal rendering survives at realistic widths: the REAL closing
+    // bench (155 queries, mixed sub-second values) measured 1850 chars at
+    // 2 decimals — simulate that profile and pin the precision
+    val realistic = names.zipWithIndex.map { case (n, i) => n -> (0.17 + (i % 30) * 0.1) }
+    val real = Bench.finalLine(297.873, realistic, Nil, Nil, "/root/testdata/sf0.1")
+    assert(real.length <= 1900, s"realistic line is ${real.length} chars")
+    assert(real.contains("\"q01\":0.17,"), real)
+    // headroom claim: the cascade holds to 170 queries at worst-case
+    // width (precision drops instead of overflowing the tail window).
+    // SATURATION NOTE: past ~172 queries even 0-decimal short-key
+    // rendering exceeds the 1900 budget — at that point the scheme needs
+    // structural revision (e.g. an aggregate bucket for sub-threshold
+    // queries), not another precision notch; this assertion is the tripwire
+    val grown = (1 to 170).map(i => f"q$i%02d_some_longer_query_name" -> 9.99)
+    val big = Bench.finalLine(1698.3, grown, Nil, grown.take(2).map(_._1),
       "/root/testdata/sf0.1")
-    assert(big.length <= 1900, s"140-query line is ${big.length} chars")
+    assert(big.length <= 1900, s"170-query line is ${big.length} chars")
   }
 }

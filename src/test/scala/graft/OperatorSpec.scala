@@ -4061,6 +4061,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q156 OOV audit: table-kernel counts equal q137's literal kernel on the committed vocab; fallback bounds hold") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TextOps
+    // kernel equivalence: the vocab-as-data fold and the literal-array
+    // fold are two formulations of ONE greedy algebra — on the committed
+    // vocab they must count every doc identically
+    val tableCounts = TextOps.subwordVocabCounts(
+        Tables.spread(s, Tables.documents(s, sf), "doc_id").select("doc_id", "text"),
+        TextOps.SubwordVocab.toDF("v"),
+        TextOps.SubwordVocab.map(_.length).distinct.sorted)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_subwords"), r.getAs[Long]("n_fallback")))).toMap
+    val literal = TextOps.q137SubwordTokens(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_subwords")).toMap
+    assert(tableCounts.keySet == literal.keySet)
+    tableCounts.foreach { case (id, (sub, fb)) =>
+      assert(sub == literal(id), s"doc $id: table kernel $sub vs literal ${literal(id)}")
+      assert(fb >= 0 && fb <= sub, s"doc $id fallback bounds")
+    }
+    // the audit rows themselves: ppm arithmetic exact, sources complete
+    val audit = graft.ops.TextOps.q156OovAudit(s, sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("oov_ppm") ==
+        r.getAs[Long]("n_fallback") * 1000000L / r.getAs[Long]("n_subwords"))
+      assert(r.getAs[Long]("n_fallback") <= r.getAs[Long]("n_subwords"))
+    }
+  }
+
   test("q153 mining served: the label-artifact round trip reproduces q149 row-for-row") {
     graft.functions.VectorFunctions.register(spark)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
