@@ -191,6 +191,16 @@ object Bench {
     // catalog has grown past what the budget holds at that width (the
     // 156-query catalog crossed the all-worst-case 2-decimal bound; full
     // per-pass precision is always on the samples line above)
-    Iterator(2, 1, 0).map(render).find(_.length <= 1900).getOrElse(render(0))
+    Iterator(2, 1, 0).map(render).find(_.length <= 1900).getOrElse {
+      val last = render(0)
+      // past ~172 queries even 0-decimal rendering overflows the tail
+      // budget; warn LOUDLY on stderr (stdout is the parsed channel) so
+      // the overflow is a visible event, not a silent "parsed": null
+      System.err.println(s"WARNING: bench line is ${last.length} chars at " +
+        "0-decimal precision, over the 1900-char driver tail budget - the " +
+        "per-query map needs an aggregate-bucket scheme before the catalog " +
+        "grows further (BenchLineSpec trips at 170 queries)")
+      last
+    }
   }
 }

@@ -412,13 +412,20 @@ object MultimodalOps {
       "survivor_pairs" -> served.get("pairs").asInstanceOf[Long])
   }
 
+  /** GUARDED BY DEFAULT (the [[graft.ops.Dedup.jaccardPairs]] move
+    * mirrored): every phash catalog entry (q134/q143/q146 and the
+    * observed-metrics tap) pays one band group-count and refuses past
+    * [[graft.ops.Dedup.defaultPairBudget]] instead of shuffling the
+    * measured 3.06B-candidate 1M 4×16 mass; under budget the banded
+    * plan is unchanged. Deliberate budgets → [[bandPairsBudgeted]]. */
   private[graft] def phashPairs(docs: DataFrame,
       candTap: DataFrame => DataFrame = identity,
       nBands: Int = 4): DataFrame =
-    bandPairs(docs
+    bandPairsGuarded(docs
       .filter(length(col("text")) > 0)
       .withColumn("fp", expr(phashFpExprFor(nBands)))
-      .select(col("doc_id"), col("fp")), candTap)
+      .select(col("doc_id"), col("fp")),
+      graft.ops.Dedup.defaultPairBudget, candTap)
 
   /** The band→candidate→verify kernel over ANY (doc_id, fp: array<bigint>)
     * fingerprint frame — stub-decoded text fingerprints (q134/q143) or
@@ -444,7 +451,11 @@ object MultimodalOps {
     * is row-for-row [[bandPairs]]. The operator-side answer to the q134
     * banding ceiling: the lever exists (q143), and now the ceiling is
     * DETECTED per corpus instead of discovered as a stuck stage. */
-  def bandPairsBudgeted(fps: DataFrame, maxCandidatePairs: Long): DataFrame = {
+  def bandPairsBudgeted(fps: DataFrame, maxCandidatePairs: Long): DataFrame =
+    bandPairsGuarded(fps, maxCandidatePairs)
+
+  private def bandPairsGuarded(fps: DataFrame, maxCandidatePairs: Long,
+      candTap: DataFrame => DataFrame = identity): DataFrame = {
     require(maxCandidatePairs >= 1,
       s"maxCandidatePairs must be >= 1, got $maxCandidatePairs")
     val cached = fps.cache()
@@ -456,7 +467,7 @@ object MultimodalOps {
         "magnitude fewer candidates, weaker scattered-flip recall), route " +
         "through the embedding near-dup path (q27), or raise the budget " +
         s"if ~${mass / 1000000}M hamming verifications are intended.")
-    bandPairs(cached)
+    bandPairs(cached, candTap)
   }
 
   private[graft] def bandPairs(fps: DataFrame,
@@ -607,7 +618,7 @@ object MultimodalOps {
         }
       }(Encoders.product[(Long, Seq[Long])])
       .toDF("doc_id", "fp")
-    bandPairs(fps)
+    bandPairsGuarded(fps, graft.ops.Dedup.defaultPairBudget)
   }
 
   lazy val q146Sql: String = {

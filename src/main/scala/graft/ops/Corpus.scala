@@ -712,13 +712,19 @@ object Corpus {
     val lng = TextOps.withLangPred(tr).filter(col("lang_pred") === "en")
       .select("doc_id", "text").cache()
     val n1 = lng.count()
+    // each stage frame is released once the NEXT stage has materialized
+    // its own cache — one pass per stage, no storage accumulation across
+    // a catalog sweep (blocking = false: eviction needn't gate the stage)
+    tr.unpersist(blocking = false)
     val qual = TextOps.withTextStats(lng).filter(col("quality") === "keep")
       .select("doc_id", "text").cache()
     val n2 = qual.count()
+    lng.unpersist(blocking = false)
     val uniq = qual.join(
       qual.groupBy("text").agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
       Seq("doc_id"), "left_semi").cache()
     val n3 = uniq.count()
+    qual.unpersist(blocking = false)
     // budgeted, not plain jaccardPairs: the funnel is the one-shot whole-
     // corpus caller the q53-at-1M diagnosis warned about — on a
     // low-entropy corpus it must refuse in seconds with the measured
@@ -729,6 +735,7 @@ object Corpus {
       FunnelPairBudget).select(col("b_id").as("doc_id")).distinct()
     val sur = uniq.join(nearDups, Seq("doc_id"), "left_anti").cache()
     val n4 = sur.count()
+    uniq.unpersist(blocking = false)
     def grams(df: DataFrame): DataFrame = decontGrams(
       df.select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= DecontN))
@@ -737,6 +744,7 @@ object Corpus {
     val contam = grams(sur).join(broadcast(evalGrams), Seq("g"), "left_semi")
       .select("doc_id").distinct()
     val n5 = sur.join(broadcast(contam), Seq("doc_id"), "left_anti").count()
+    sur.unpersist(blocking = false)
     Seq(
       (1L, "lang_en", n0, n0 - n1, n1),
       (2L, "quality", n1, n1 - n2, n2),

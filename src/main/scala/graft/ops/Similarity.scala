@@ -3425,6 +3425,60 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc_fixed", "rn")
   }
 
+  // --------------------------------------------------------------- q158
+  /** q158: FLEET-FORM VERSIONED IVF MAINTENANCE, ORACLE-GATED — the
+    * vector mirror of q148's lexical lifecycle, closing the round-16 gap
+    * (the [[maybeMaintainIvfVersioned]] wrapper was spec-gated only):
+    * build the q74-family artifacts INTO a version dir, plant the q127
+    * delete set as tombstones, publish through the [[RootPointer]]
+    * protocol, then run the versioned maintenance window — resolve,
+    * CLONE into the next unpublished version, compact/split/merge the
+    * clone in place (tombstone tier 0 forces the compactor to ACT, so a
+    * publish always happens; the split tier stays live), publish, retire
+    * the old root after grace — and serve top-k from whatever
+    * [[RootPointer.resolve]] returns.
+    *
+    * Oracle: q127's EXACTLY — compaction must make the plain serve (no
+    * delete logic anywhere on the serve path) IDENTICAL to the old
+    * root's tombstoned serve at the SAME nprobe, so the gate catches
+    * resurrection (a compaction that copies segments but drops
+    * tombstones), any clone/publish corruption, and a resolve that lands
+    * on an incomplete root. The split tier is deliberately set AT 100% (a cell cannot strictly exceed it)
+    * (geometry-PRESERVING window): q127's oracle models nprobe-bounded
+    * probing over the original k-means cells, so only the
+    * routing-invariant policy (compaction) may act here — the
+    * geometry-changing policies have their own full-probe gates
+    * (q142/q144), and PolicySpec covers their composition. OperatorSpec
+    * adds the mid-swap reader claim: a frame planned against the
+    * PRE-maintenance resolve still serves identical rows AFTER
+    * maintenance publishes and retirement runs (published roots are
+    * immutable; grace keeps them). */
+  def q158IvfVersionedServed(s: SparkSession, d: String): DataFrame = {
+    val base = s"${knnGraphServePath(d)}/ivfver"
+    val (emb, subs, seedsPq) = pqParts(s, d)
+    val (cents, books, codeTable) = ivfPqIndex(emb, subs, seedsPq)
+    val v = RootPointer.nextVersion(s, base)
+    cents.write.mode("overwrite").parquet(s"$base/$v/cents")
+    books.write.mode("overwrite").parquet(s"$base/$v/books")
+    codeTable.write.mode("overwrite").parquet(s"$base/$v/codes")
+    // two tombstone batches (the q113 ingest shape) so the count exceeds
+    // the smallest legal compaction tier and the window deterministically ACTs
+    val dels = emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= AdcQueries)
+      .select("vec_id")
+    dels.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$base/$v/tombstones/t0")
+    dels.filter(col("vec_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$base/$v/tombstones/t1")
+    RootPointer.publish(s, base, v)
+    maybeMaintainIvfVersioned(s, base, emb.select("vec_id", "e"),
+      maxTombstones = 1, maxSharePpm = 1000000L)
+    RootPointer.retireOld(s, base, keep = 2)
+    val root = RootPointer.resolve(s, base)
+    ivfPqSearchFrom(s.read.parquet(s"$root/cents"),
+      s.read.parquet(s"$root/books"), s.read.parquet(s"$root/codes"),
+      emb.filter(col("vec_id") < AdcQueries).select("vec_id", "e"))
+  }
+
   /** The COMBINED maintenance pass a long-running index actually runs:
     * reclamation BEFORE rebalance — compaction first, so the split's and
     * merge's occupancy counts LIVE rows (uncompacted tombstones inflate a
@@ -4559,6 +4613,7 @@ object Similarity {
     // the same argument in reverse for the MERGE: full-probe serving from
     // the merged artifact degenerates to the flat ADC scan
     ("q144_merge_served", q144MergeServed _, Some(q73Sql)),
+    ("q158_ivf_versioned", q158IvfVersionedServed _, Some(q127Sql)),
     ("q149_hard_negatives", q149HardNegatives _, Some(q149Sql)),
     ("q151_semantic_decon", q151SemanticDecon _, Some(q151Sql)),
     // served ≡ self-contained for the mining family: gated against q149's

@@ -1436,6 +1436,23 @@ object TextOps {
       .toDF("rank", "lft", "rgt", "merged", "pair_count").orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- q157
+  /** q157: VOCAB-SCALE BPE TRAINING — [[bpeTrainLocal]]'s merge table
+    * gated under q150's unrolled SQL oracle (both engines must learn the
+    * SAME table from the corpus, so the incremental-maintenance trainer
+    * is pinned by the same cross-engine differential as the distributed
+    * loop — the q150 oracle pattern, shared verbatim). The entry is the
+    * production training path: one corpus-sized word-count job, then
+    * every merge round in driver memory over the Zipf-bounded frame —
+    * ms-class rounds instead of q150's job-class rounds (32k-merge
+    * production vocabularies stop being 32k sequential Spark jobs;
+    * per-round cost anchored in BASELINE "bpe-train-local"). */
+  def q157BpeTrainLocal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrainLocal(bpeWordFreqs(s, d), BpeMerges)
+      .toDF("rank", "lft", "rgt", "merged", "pair_count").orderBy("rank")
+  }
+
   /** The q150 training loop itself — (rank, lft, rgt, merged, pair_count)
     * per learned merge. Shared by the gated q150 entry and q152 (which
     * freezes the learned table and APPLIES it), so the two can never
@@ -1448,6 +1465,15 @@ object TextOps {
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
       .select(col("freq"), array_remove(split(col("word"), ""), "").as("toks"))
       .localCheckpoint()
+    // the bpeCtes separator contract: the DuckDB oracle joins token state
+    // on chr(30); a corpus word containing U+001E would silently corrupt
+    // the SQL fold, so fail loudly HERE (one tiny count over the
+    // checkpointed vocab-bounded frame) instead of as an oracle-hash diff
+    val nSep = w.filter(array_contains(col("toks"), "\u001E")).count()
+    require(nSep == 0,
+      s"$nSep corpus words contain U+001E, the BPE oracle's token-state " +
+        "separator (bpeCtes chr(30) contract); strip the record separator " +
+        "from the corpus before training")
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var k = 1
     var exhausted = false
@@ -1466,6 +1492,154 @@ object TextOps {
         merges += ((k.toLong, l, r, l + r, c))
         w = w.select(col("freq"), expr(bpeMergeExpr("toks", l, r)).as("toks"))
           .localCheckpoint()
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The collected (char-tokens, freq) word-frequency frame the scaled
+    * trainer iterates — ONE corpus-sized distributed pass (the q56
+    * term-count shape, map-side-combinable), then a driver collect of the
+    * result. The collect is Zipf-BOUNDED by construction: its row count is
+    * the corpus VOCABULARY, not the corpus — the same boundedness argument
+    * that makes q145's vocab a broadcast table (measured: 1M GenCorpus
+    * docs → ~40k distinct words, a few MB on the driver; real web corpora
+    * cap in the tens of millions, still driver-sized, and a df-floor
+    * filter composes here if a pathological corpus ever isn't). Includes
+    * the same U+001E separator require as [[bpeTrainMerges]]. */
+  private[graft] def bpeWordFreqs(s: SparkSession, d: String): Array[(Array[String], Long)] = {
+    val rows = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .collect()
+    require(!rows.exists(_.getString(0).contains('\u001E')),
+      "corpus words contain U+001E, the BPE oracle's token-state " +
+        "separator (bpeCtes chr(30) contract); strip the record separator " +
+        "from the corpus before training")
+    rows.map(r => (r.getString(0).toCharArray.map(_.toString), r.getLong(1)))
+  }
+
+  /** DRIVER-LOCAL BPE TRAINING at production vocab scale — the q145 move
+    * (vocab as DATA, not code) applied to the TRAINING half, answering the
+    * q150 design ceiling: the distributed loop costs one Spark job +
+    * driver argmax PER MERGE (32k production rounds = 32k sequential
+    * jobs), yet the frame it iterates is vocabulary-sized. So train where
+    * vocabulary-sized data lives: collect the (word, freq) frame once
+    * ([[bpeWordFreqs]] — the ONLY corpus-sized pass), then run the merge
+    * loop in-process with INCREMENTAL pair-count maintenance (the
+    * classic Sennrich trainer): a pair→count map, a pair→word-occurrence
+    * index, and a lazy-deletion priority queue make each round cost
+    * O(words containing the merged pair × their length), not O(corpus)
+    * and not O(vocabulary) — measured ms-class per round vs the job-class
+    * distributed round (BASELINE "bpe-train-local").
+    *
+    * The fold algebra is IDENTICAL to [[bpeMergeExpr]] (merge fires when
+    * the accumulator's last token is `l` and the next element is `r`,
+    * greedy left-to-right non-overlapping), the argmax tie-break IDENTICAL
+    * to the distributed orderBy (count desc, then lft, rgt in UTF-8 BYTE
+    * order — Spark compares strings as UTF-8 binary, so the driver
+    * comparator goes through getBytes, not String.compareTo, which
+    * diverges on supplementary planes): OperatorSpec pins (a) the shared
+    * 6-merge prefix ≡ [[bpeTrainMerges]], (b) a 200-merge differential
+    * against a naive recount-every-round reference (exercising exactly
+    * the incremental bookkeeping), and q157 gates the 6-merge prefix
+    * under q150's unrolled SQL oracle. */
+  private[graft] def bpeTrainLocal(words: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    import scala.collection.mutable
+    def utf8Cmp(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val toks = words.map(_._1.clone())
+    val freqs = words.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // max-heap on (count, then SMALLEST lft/rgt wins ties); stale entries
+    // are skipped at pop time by re-checking against the live count map
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val l = utf8Cmp(x._2, y._2)
+            if (l != 0) -l else -utf8Cmp(x._3, y._3)
+          }
+        }
+      })
+    def bump(p: (String, String), by: Long, idx: Int): Unit = {
+      val n = counts.getOrElse(p, 0L) + by
+      if (n <= 0L) counts.remove(p)
+      else {
+        counts(p) = n
+        pq.enqueue((n, p._1, p._2))
+      }
+      if (by > 0 && idx >= 0) occurs.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+    }
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i); var j = 0
+      while (j < t.length - 1) { bump((t(j), t(j + 1)), freqs(i), i); j += 1 }
+      i += 1
+    }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      // lazy-deletion pop: the heap holds every historical (count, pair)
+      // push; an entry is live iff it matches the pair's current count
+      var best: (Long, String, String) = null
+      while (best == null && pq.nonEmpty) {
+        val top = pq.dequeue()
+        if (counts.get((top._2, top._3)).contains(top._1)) best = top
+      }
+      if (best == null) exhausted = true
+      else {
+        val (c, l, r) = best
+        val m = l + r
+        merges += ((k.toLong, l, r, m, c))
+        // rewrite only the words that contain the merged pair; maintain
+        // the count map by per-word pair-multiset DELTA so untouched
+        // pairs generate no heap churn
+        val touched = occurs.getOrElse((l, r), mutable.BitSet.empty).toArray
+        occurs.remove((l, r))
+        val delta = mutable.HashMap.empty[(String, String), Long]
+        touched.foreach { idx =>
+          val old = toks(idx)
+          var hit = false
+          var j = 0
+          while (!hit && j < old.length - 1) {
+            hit = old(j) == l && old(j + 1) == r; j += 1
+          }
+          if (hit) { // occurs entries can be stale after earlier rewrites
+            val nw = mutable.ArrayBuffer.empty[String]
+            nw += old(0)
+            var x = 1
+            while (x < old.length) {
+              if (nw.last == l && old(x) == r) nw(nw.length - 1) = m
+              else nw += old(x)
+              x += 1
+            }
+            delta.clear()
+            var y = 0
+            while (y < old.length - 1) {
+              val p = (old(y), old(y + 1))
+              delta(p) = delta.getOrElse(p, 0L) - freqs(idx); y += 1
+            }
+            y = 0
+            while (y < nw.length - 1) {
+              val p = (nw(y), nw(y + 1))
+              delta(p) = delta.getOrElse(p, 0L) + freqs(idx); y += 1
+            }
+            toks(idx) = nw.toArray
+            delta.foreach { case (p, dl) =>
+              if (dl != 0L) bump(p, dl, if (dl > 0) idx else -1)
+            }
+          }
+        }
         k += 1
       }
     }
@@ -1498,6 +1672,13 @@ object TextOps {
     * pair counts p_k, argmax b_k, rewritten state w_k — the last rewrite
     * elided, no consumer reads it) — shared by q150's merge-table oracle
     * and q152's apply oracle. */
+  // SEPARATOR CONTRACT: the oracle encodes per-word token state as a
+  // chr(30)-joined string (DuckDB lacks list-typed recursive state), so a
+  // corpus word CONTAINING U+001E would corrupt the SQL fold while the
+  // Spark array fold handles it fine — a spurious cross-engine mismatch.
+  // bpeTrainMerges therefore REQUIREs the corpus U+001E-free up front: a
+  // future corpus that violates the contract fails loudly on the engine
+  // side with this explanation, never as a silent oracle-hash diff.
   private def bpeCtes: String = {
     val ctes = Seq.newBuilder[String]
     ctes += s"""w0 AS (
@@ -1558,9 +1739,25 @@ object TextOps {
     * table, Zipf-deduped per-word walk, one doc-keyed attach agg). */
   def q152LearnedSubwords(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val learned = bpeTrainMerges(s, d).map(_._4).distinct
+    // composes the SCALED trainer (bpeTrainLocal — merge-table-identical
+    // to the distributed loop, q157/OperatorSpec-pinned), so the gated
+    // lifecycle exercises the production training path end-to-end
+    val learned = bpeTrainLocal(bpeWordFreqs(s, d), BpeMerges).map(_._4).distinct
     val lens = learned.map(_.length).distinct.sorted
-    subwordVocabCounts(
+    if (learned.isEmpty)
+      // degenerate corpus (zero learnable merges — e.g. only single-char
+      // words): every greedy step falls back to one character, so
+      // n_subwords = Σ word lengths — EXACTLY what the SQL oracle's
+      // recursive walk degrades to with an empty vocab CTE (COALESCE→1
+      // per step), where subwordVocabCounts' candLens require would
+      // throw. OperatorSpec pins the engine-vs-oracle agreement here.
+      Tables.spread(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(length(col("wd"))).cast("long").as("n_subwords"))
+        .orderBy("doc_id")
+    else subwordVocabCounts(
       Tables.spread(s, Tables.documents(s, d), "doc_id").select("doc_id", "text"),
       learned.toDF("v"), lens)
       .select("doc_id", "n_words", "n_subwords").orderBy("doc_id")
@@ -1672,6 +1869,7 @@ object TextOps {
     ("q140_pack_subword", q140PackSubword _, Some(q140Sql)),
     ("q145_subword_vocab", q145SubwordVocab _, Some(q145Sql)),
     ("q150_bpe_train", q150BpeTrain _, Some(q150Sql)),
+    ("q157_bpe_train_local", q157BpeTrainLocal _, Some(q150Sql)),
     ("q152_learned_subwords", q152LearnedSubwords _, Some(q152Sql)),
     ("q156_oov_audit", q156OovAudit _, Some(q156Sql)),
   )

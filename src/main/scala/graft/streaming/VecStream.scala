@@ -69,7 +69,10 @@ object VecStream {
       freshVecs.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
         .filter(col("nrm") > 0),
-      ev, tau)
+      // mirror the fresh-side zero-norm filter on the eval frame: an
+      // unfiltered caller's zero-norm eval row would yield NaN sims that
+      // silently never flag, weakening the streamed-equals-batch claim
+      ev.filter(col("nrm") > 0), tau)
   }
 
   /** One RAW Gram/second-moment sketch row per micro-batch — the streaming

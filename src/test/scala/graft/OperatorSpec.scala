@@ -3190,6 +3190,172 @@ class OperatorSpec extends AnyFunSuite {
       s"probe mass $mass cannot be below the survivor count ${plain.size}")
   }
 
+  test("default-path budget: jaccardPairs and phashPairs refuse through the DEFAULT entry under a tightened budget") {
+    // the round-16 weak mark: the guard existed but only opt-in callers got
+    // it — the DEFAULT one-shot entries (q24/q42/q53/... via jaccardPairs,
+    // q134/q143/q146 via phashPairs) must now refuse too. The sysprop is the
+    // in-JVM face of SPARK_GRAFT_PAIR_BUDGET (sysprop wins by design so this
+    // spec can exercise the default path without forking).
+    assert(Dedup.defaultPairBudget == 256000000L,
+      "generous default tier: clears the 62M adversarial-100k mass, refuses the 3.43B 1M death mode")
+    sys.props("graft.pair.budget") = "1"
+    try {
+      val sh = Dedup.shingleDocs(Tables.spread(spark, Tables.documents(spark, sf), "doc_id"))
+      val ex = intercept[IllegalArgumentException] { Dedup.jaccardPairs(sh, 0.6) }
+      assert(ex.getMessage.contains("candidate mass"),
+        s"default jaccardPairs path must refuse past the default budget: ${ex.getMessage}")
+      val ex2 = intercept[IllegalArgumentException] {
+        graft.multimodal.MultimodalOps.phashPairs(
+          Tables.spread(spark, Tables.documents(spark, sf), "doc_id"))
+      }
+      assert(ex2.getMessage.contains("banded candidate mass"),
+        s"default phashPairs path must refuse past the default budget: ${ex2.getMessage}")
+    } finally sys.props -= "graft.pair.budget"
+  }
+
+  test("q152 degenerate corpus: zero learnable merges short-circuits to fallback-only counting, matching the oracle's degradation") {
+    val s = spark
+    import s.implicits._
+    // only single-char words: every token list has length 1, no pair CTE row
+    // exists, training learns NOTHING — the engine must degrade to
+    // n_subwords = word length (every greedy step a single-char fallback),
+    // exactly what the SQL oracle's COALESCE(...,1) walk yields over an
+    // empty vocab, instead of tripping subwordVocabCounts' candLens require
+    val dir = java.nio.file.Files.createTempDirectory("q152degen").toString
+    Seq((0L, "a b a"), (1L, "c c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextOps.q152LearnedSubwords(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 3L, 3L), (1L, 2L, 2L)),
+      s"fallback-only counting must yield n_subwords = word length: $out")
+  }
+
+  test("BPE separator contract: a corpus word containing U+001E fails loudly on the engine side, not as an oracle diff") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q150sep").toString
+    Seq((0L, "ab\u001Ecd ab\u001Ecd normal words here"), (1L, "more normal words"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = intercept[IllegalArgumentException] { graft.ops.TextOps.q150BpeTrain(s, dir).collect() }
+    assert(ex.getMessage.contains("U+001E") && ex.getMessage.contains("chr(30)"),
+      s"separator violation must name the contract: ${ex.getMessage}")
+  }
+
+  test("q158 mid-swap reader isolation: a pre-maintenance resolve serves identical rows through publish + retirement") {
+    import graft.ops.RootPointer
+    val s = spark
+    val (emb, subs, seedsPq) = Similarity.pqParts(s, sf)
+    val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfver").toString
+    val v1 = RootPointer.nextVersion(s, base)
+    cents.write.mode("overwrite").parquet(s"$base/$v1/cents")
+    books.write.mode("overwrite").parquet(s"$base/$v1/books")
+    codeTable.write.mode("overwrite").parquet(s"$base/$v1/codes")
+    val dels = emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= Similarity.AdcQueries)
+      .select("vec_id")
+    dels.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$base/$v1/tombstones/t0")
+    dels.filter(col("vec_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$base/$v1/tombstones/t1")
+    RootPointer.publish(s, base, v1)
+    // reader A resolves BEFORE the maintenance window and keeps serving
+    // from that root (tombstone-aware: the pre-compaction serve shape)
+    val rootA = RootPointer.resolve(s, base)
+    assert(rootA.endsWith(v1))
+    def serveTomb(root: String) = {
+      val live = s.read.parquet(s"$root/codes").join(
+        Similarity.tombstoneUnion(s, root).get, Seq("vec_id"), "left_anti")
+      Similarity.ivfPqSearchFrom(s.read.parquet(s"$root/cents"),
+        s.read.parquet(s"$root/books"), live,
+        emb.filter(col("vec_id") < Similarity.AdcQueries).select("vec_id", "e"))
+    }
+    val before = serveTomb(rootA).collect().map(_.toString).sorted.toSeq
+    // the maintenance window: clone -> compact the UNPUBLISHED clone ->
+    // publish -> retire old roots outside the grace window
+    val acted = Similarity.maybeMaintainIvfVersioned(s, base,
+      emb.select("vec_id", "e"), maxTombstones = 1, maxSharePpm = 1000000L)
+    assert(acted._1, "compaction must act on the planted tombstones")
+    RootPointer.retireOld(s, base, keep = 2)
+    // reader A's root is untouched: published roots are immutable and the
+    // grace window (keep = 2) retains it through one maintenance cycle
+    val after = serveTomb(rootA).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "pre-maintenance reader must be isolated from the swap")
+    // reader B resolves the NEW root; the compacted plain serve (no delete
+    // logic) equals reader A's tombstoned serve — the compaction invariant
+    val rootB = RootPointer.resolve(s, base)
+    assert(rootB != rootA, "maintenance must have published a new version")
+    // manifest-precise retirement deletes the APPLIED tombstone files
+    // (an empty dir may remain — a concurrent unapplied tombstone must
+    // survive, so no wildcard dir delete): the live union must be empty
+    assert(Similarity.tombstoneUnion(s, rootB).isEmpty,
+      "compaction must retire the applied tombstones from the new root")
+    val served = Similarity.ivfPqSearchFrom(s.read.parquet(s"$rootB/cents"),
+        s.read.parquet(s"$rootB/books"), s.read.parquet(s"$rootB/codes"),
+        emb.filter(col("vec_id") < Similarity.AdcQueries).select("vec_id", "e"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == before, "compacted plain serve must equal the tombstoned serve")
+  }
+
+  test("q157 scaled BPE trainer: merge table identical to the distributed loop on the shared corpus") {
+    val s = spark
+    val local = graft.ops.TextOps.bpeTrainLocal(graft.ops.TextOps.bpeWordFreqs(s, sf), 6)
+    val dist = graft.ops.TextOps.bpeTrainMerges(s, sf)
+    assert(local == dist && dist.nonEmpty,
+      s"driver-local trainer must learn the distributed loop's exact table:\n$local\nvs\n$dist")
+  }
+
+  test("scaled BPE trainer: 200-merge differential against a naive recount-every-round reference") {
+    // the incremental bookkeeping (pair->count map, occurrence index,
+    // lazy-deletion heap, per-word delta updates) is exactly what this
+    // exercises: the naive reference recounts the full pair multiset and
+    // rescans every word each round, sharing ONLY the fold + tie-break
+    def naive(words0: Array[(Array[String], Long)], n: Int): Seq[(Long, String, String, String, Long)] = {
+      var toks = words0.map(_._1)
+      val freqs = words0.map(_._2)
+      val out = Seq.newBuilder[(Long, String, String, String, Long)]
+      var k = 1
+      var done = false
+      while (k <= n && !done) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for (i <- toks.indices; j <- 0 until toks(i).length - 1)
+          counts((toks(i)(j), toks(i)(j + 1))) =
+            counts.getOrElse((toks(i)(j), toks(i)(j + 1)), 0L) + freqs(i)
+        if (counts.isEmpty) done = true
+        else {
+          val (l, r) = counts.keys.minBy { case (a, b) =>
+            (-counts((a, b)), a, b)
+          } // ASCII corpus: String order == UTF-8 byte order
+          val m = l + r
+          out += ((k.toLong, l, r, m, counts((l, r))))
+          toks = toks.map { old =>
+            val nw = scala.collection.mutable.ArrayBuffer(old(0))
+            for (x <- 1 until old.length)
+              if (nw.last == l && old(x) == r) nw(nw.length - 1) = m
+              else nw += old(x)
+            nw.toArray
+          }
+          k += 1
+        }
+      }
+      out.result()
+    }
+    // deterministic varied corpus: 3000 words over a 6-letter alphabet with
+    // Zipf-ish frequencies — enough pair structure for hundreds of merges
+    val words = (0 until 3000).map { i =>
+      val h = i * 2654435761L & 0x7FFFFFFFL
+      val len = 4 + (h % 9).toInt
+      val cs = Array.tabulate(len)(j =>
+        ('a' + ((h >> (j * 3)) % 6).toInt).toChar.toString)
+      (cs, (i % 17) + 1L)
+    }.toArray
+    val inc = graft.ops.TextOps.bpeTrainLocal(words.map(w => (w._1.clone(), w._2)), 200)
+    val ref = naive(words.map(w => (w._1.clone(), w._2)), 200)
+    assert(inc.size == ref.size && inc == ref,
+      s"incremental trainer diverged from the naive reference at merge " +
+        s"${inc.zip(ref).indexWhere(p => p._1 != p._2)} of ${ref.size}")
+  }
+
   test("q134 planted near-dups: a one-char mutation and an exact copy are recovered; hamming-0 for the copy") {
     val s = spark
     import s.implicits._
