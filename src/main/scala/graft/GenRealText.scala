@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Deterministic REALISTIC-text corpus generator — the round-16 gap (c)
+  * closer: GenCorpus's vocabulary contains no English function words, so
+  * the q154 curation funnel drops 100% at stage 1 there and the q20/q21
+  * rules were scale-untested. This generator produces text the curation
+  * rules actually DISCRIMINATE on, with every funnel stage non-vacuous by
+  * construction:
+  *
+  *  - ~72% English-like: Zipf-weighted function-word head (the/a/and/…,
+  *    the q20 stopword list) interleaved ~35% into a Zipf-weighted
+  *    content tail over a ~4,200-pseudo-word vocabulary (syllable
+  *    products — large enough that word-trigram document frequencies
+  *    vary, giving All-Pairs prefix filtering REAL selectivity, unlike
+  *    GenCorpus's deliberately low-entropy 49-word vocabulary);
+  *  - ~8% German/French-like (der/die/das/und, le/la/les/et heads) —
+  *    dropped at the funnel's language stage;
+  *  - ~5% quality junk (under 20 words, or punctuation-heavy, or
+  *    stopword-free) — dropped at the quality stage;
+  *  - ~8% byte-identical duplicate-cluster members — dropped at the
+  *    exact-dup stage (and the cross-eval copies feed decontamination:
+  *    a clone whose sibling landed in the doc_id % 11 holdout shares all
+  *    its 8-gram fingerprints);
+  *  - ~15% near-dup mutation band straddling the 0.6 trigram-Jaccard
+  *    threshold — partially dropped at the near-dup stage.
+  *
+  * Everything is seeded by doc_id (bit-identical across runs/machines);
+  * generation is distributed (spark.range → per-row seeded RNG), the
+  * GenCorpus convention. `graft.GenRealText [outDir] [nDocs]`
+  * (default /tmp/sfreal 100000). */
+object GenRealText {
+
+  /** English function words, Zipf-weighted — the q20/q21 stopword and
+    * lang-ID sets are subsets, so stop_ratio and en_n are non-trivial. */
+  private val FuncEn: Array[String] = Array(
+    "the", "of", "and", "a", "to", "in", "is", "it", "on", "for",
+    "with", "as", "was", "at", "by", "be", "this", "that", "from", "or")
+  private val FuncDe: Array[String] = Array(
+    "der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von")
+  private val FuncFr: Array[String] = Array(
+    "le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour")
+
+  /** ~4,200 pseudo-words: onset × vowel × coda syllable products, 1–3
+    * syllables, deterministic. Large vocabulary = varied trigram df =
+    * prefix selectivity for the All-Pairs family. */
+  private[graft] val Content: Array[String] = {
+    val on = Array("b", "d", "f", "g", "k", "l", "m", "n", "p", "r", "s", "t", "v", "w")
+    val vo = Array("a", "e", "i", "o", "u")
+    val syl = for (o <- on; v <- vo) yield o + v
+    val one = syl.take(30)
+    val two = for (a <- syl; b <- syl.take(42)) yield a + b
+    (one ++ two.take(2940) ++ two.drop(2940).take(1230).map(_ + "n")).distinct
+  }
+
+  /** Zipf sampler over an array: rank r drawn with P ∝ 1/(r + skew). */
+  private def zipfPick(arr: Array[String], rnd: scala.util.Random, skew: Double): String = {
+    // inverse-CDF on H(n) ≈ ln((n+skew)/skew): cheap, deterministic, heavy head
+    val u = rnd.nextDouble()
+    val n = arr.length
+    val idx = ((math.exp(u * math.log((n + skew) / skew)) - 1.0) * skew).toInt
+    arr(math.min(idx, n - 1))
+  }
+
+  private def sentenceWords(n: Int, func: Array[String], funcRate: Double,
+      rnd: scala.util.Random): Array[String] =
+    Array.fill(n) {
+      if (rnd.nextDouble() < funcRate) func(rnd.nextInt(func.length))
+      else zipfPick(Content, rnd, 12.0)
+    }
+
+  private def baseDoc(baseId: Long): Array[String] = {
+    val rnd = new scala.util.Random(baseId * 6133L + 29L)
+    sentenceWords(24 + rnd.nextInt(77), FuncEn, 0.35, rnd)
+  }
+
+  private def mutate(words: Array[String], rate: Double,
+      rnd: scala.util.Random): Array[String] =
+    words.flatMap { w =>
+      if (rnd.nextDouble() >= rate) Some(w)
+      else if (rnd.nextBoolean()) None
+      else Some(zipfPick(Content, rnd, 12.0))
+    }
+
+  def docText(docId: Long, nBase: Long): String = {
+    val rnd = new scala.util.Random(docId * 95479L + 41L)
+    val roll = rnd.nextDouble()
+    val words =
+      if (roll < 0.04) // German-like: lang stage drops
+        sentenceWords(24 + rnd.nextInt(60), FuncDe, 0.35, rnd)
+      else if (roll < 0.08) // French-like: lang stage drops
+        sentenceWords(24 + rnd.nextInt(60), FuncFr, 0.35, rnd)
+      else if (roll < 0.10) // too short: quality drops
+        sentenceWords(5 + rnd.nextInt(14), FuncEn, 0.35, rnd)
+      else if (roll < 0.13) // punctuation-heavy boilerplate: passes the
+        // language stage (function words present) but punct_ratio ≥ 0.05
+        // fails quality — the stage-2 drop population
+        Array.fill(30 + rnd.nextInt(30))(
+          if (rnd.nextDouble() < 0.35) FuncEn(rnd.nextInt(FuncEn.length))
+          else zipfPick(Content, rnd, 12.0) + "=;")
+      else if (roll < 0.21) // exact duplicate cluster member
+        baseDoc(docId % nBase)
+      else if (roll < 0.36) // near-dup band straddling J = 0.6
+        mutate(baseDoc(docId % nBase), 0.01 + rnd.nextDouble() * 0.10, rnd)
+      else // fresh unique English doc
+        sentenceWords(24 + rnd.nextInt(77), FuncEn, 0.35, rnd)
+    words.mkString(" ")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/sfreal")
+    val nDocs = if (args.length > 1) args(1).toLong else 100000L
+    val nBase = math.max(1L, nDocs / 10L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    spark.range(nDocs)
+      .map { id =>
+        val text = docText(id, nBase)
+        (id, text, "en", s"src${id % 20}", text.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    println(s"wrote $nDocs realistic docs ($nBase bases) to $out/documents.parquet")
+    spark.stop()
+  }
+}

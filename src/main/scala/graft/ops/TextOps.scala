@@ -1453,6 +1453,73 @@ object TextOps {
       .toDF("rank", "lft", "rgt", "merged", "pair_count").orderBy("rank")
   }
 
+  // -------------------------------------------- vocab serving + retrain
+  /** Publish a subword vocabulary as a versioned artifact under `base`
+    * through the [[RootPointer]] protocol — the vocab becomes DATA the
+    * serve side resolves (the q145 broadcast-table kernel reads exactly
+    * this parquet), so a tokenizer rollout is a pointer flip, never a
+    * code deploy, and a crashed publish can never be resolved. */
+  def publishVocab(s: SparkSession, base: String, vocab: Seq[String]): String = {
+    import s.implicits._
+    require(vocab.nonEmpty && vocab.forall(_.length >= 2),
+      "vocab entries must be multi-char (single chars are the kernel's fallback)")
+    RootPointer.cleanStaging(s, base)
+    val v = RootPointer.nextVersion(s, base)
+    vocab.toDF("v").coalesce(1).write.mode("overwrite").parquet(s"$base/$v/vocab")
+    RootPointer.publish(s, base, v)
+    v
+  }
+
+  /** Resolve the published vocabulary (root path, entries) — the serve
+    * side's per-batch read; a few KB. */
+  def resolveVocab(s: SparkSession, base: String): (String, Seq[String]) = {
+    val root = RootPointer.resolve(s, base)
+    (root, s.read.parquet(s"$root/vocab").collect().map(_.getString(0)).toSeq.sorted)
+  }
+
+  /** OOV-TRIGGERED TOKENIZER RETRAIN — the `maybeMaintainIvf` refusal/
+    * tier pattern applied to the vocabulary artifact, closing the drift
+    * loop q156 + the streaming monitor only OBSERVED: measure the
+    * batch's fallback share under the RESOLVED vocab (the q145 kernel's
+    * n_fallback, integer ppm); under the tier, do nothing (one counting
+    * pass, no writes). Past it, retrain via [[bpeTrainLocal]] over
+    * `batch`'s word-frequency frame (callers pass corpus ∪ fresh when
+    * the tokenizer's domain is the whole corpus — the trainer input is
+    * the caller's contract), publish the learned merge vocabulary as the
+    * next version, and retire roots beyond the grace window. Readers
+    * pick the new vocab up at their next resolve; in-flight batches
+    * keep their resolved root (immutable, grace-retained) — the q158
+    * reader-isolation argument verbatim. Returns true iff a retrain
+    * published. OperatorSpec gates: planted drift triggers EXACTLY one
+    * retrain (the second call measures under the new vocab and stays
+    * quiet); the published vocab ≡ a from-scratch train on the same
+    * frame; counts under the resolved vocab ≡ counts under that
+    * from-scratch vocab; the pre-drift root survives one grace cycle and
+    * retires after the next. */
+  def maybeRetrainVocab(s: SparkSession, base: String, batch: DataFrame,
+      maxOovPpm: Long, nMerges: Int, keep: Int = 2): Boolean = {
+    import s.implicits._
+    require(maxOovPpm >= 0, s"maxOovPpm must be >= 0, got $maxOovPpm")
+    val (_, vocab) = resolveVocab(s, base)
+    val row = subwordVocabCounts(batch.select("doc_id", "text"),
+        vocab.toDF("v"), vocab.map(_.length).distinct.sorted)
+      .agg(coalesce(sum(col("n_subwords")), lit(0L)).cast("long"),
+        coalesce(sum(col("n_fallback")), lit(0L)).cast("long")).head()
+    val (nSub, nFb) = (row.getLong(0), row.getLong(1))
+    val ppm = if (nSub == 0L) 0L else nFb * 1000000L / nSub
+    if (ppm <= maxOovPpm) false
+    else {
+      val learned = bpeTrainLocal(wordFreqsOf(batch), nMerges)
+        .map(_._4).distinct.sorted
+      require(learned.nonEmpty,
+        s"drift at $ppm ppm but the batch admits no learnable merges " +
+          "(single-char words?) — a retrain cannot reduce the fallback share")
+      publishVocab(s, base, learned)
+      RootPointer.retireOld(s, base, keep)
+      true
+    }
+  }
+
   /** The q150 training loop itself — (rank, lft, rgt, merged, pair_count)
     * per learned merge. Shared by the gated q150 entry and q152 (which
     * freezes the learned table and APPLIES it), so the two can never
@@ -1508,8 +1575,14 @@ object TextOps {
     * cap in the tens of millions, still driver-sized, and a df-floor
     * filter composes here if a pathological corpus ever isn't). Includes
     * the same U+001E separator require as [[bpeTrainMerges]]. */
-  private[graft] def bpeWordFreqs(s: SparkSession, d: String): Array[(Array[String], Long)] = {
-    val rows = Tables.spread(s, Tables.documents(s, d), "doc_id")
+  private[graft] def bpeWordFreqs(s: SparkSession, d: String): Array[(Array[String], Long)] =
+    wordFreqsOf(Tables.spread(s, Tables.documents(s, d), "doc_id"))
+
+  /** [[bpeWordFreqs]] over ANY (…, text) frame — the trainer input for
+    * retrains whose domain is not a catalog table (corpus ∪ fresh batch,
+    * a drifted stream window, …). */
+  private[graft] def wordFreqsOf(docs: DataFrame): Array[(Array[String], Long)] = {
+    val rows = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))

@@ -3356,6 +3356,40 @@ class OperatorSpec extends AnyFunSuite {
         s"${inc.zip(ref).indexWhere(p => p._1 != p._2)} of ${ref.size}")
   }
 
+  test("maybeRetrainVocab: planted drift triggers exactly one retrain; published vocab equals a from-scratch train; grace retirement") {
+    import graft.ops.{RootPointer, TextOps}
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_vocab").toString
+    // v1: the committed vocab — no z/q/x coverage, so the drifted batch
+    // below falls back on every character (ppm = 1e6)
+    val v1 = TextOps.publishVocab(s, base, TextOps.SubwordVocab)
+    val drifted = Seq((0L, "zzqq zzqq zxzx"), (1L, "zxzx zzqq zzqq zzqq"))
+      .toDF("doc_id", "text")
+    // 1st call: past the tier -> retrain + publish
+    assert(TextOps.maybeRetrainVocab(s, base, drifted, maxOovPpm = 100000L, nMerges = 10),
+      "planted drift must trigger a retrain")
+    // the published vocab IS a from-scratch train on the same frame
+    val (root2, vocab2) = TextOps.resolveVocab(s, base)
+    val scratch = TextOps.bpeTrainLocal(TextOps.wordFreqsOf(drifted), 10)
+      .map(_._4).distinct.sorted
+    assert(vocab2 == scratch, s"published $vocab2 != from-scratch $scratch")
+    assert(!root2.endsWith(v1))
+    // counts under the resolved vocab == counts under the from-scratch
+    // vocab, and the batch is now covered (2nd call stays quiet -> EXACTLY
+    // one retrain happened)
+    assert(!TextOps.maybeRetrainVocab(s, base, drifted, maxOovPpm = 100000L, nMerges = 10),
+      "the retrained vocab must cover the drifted batch")
+    assert(TextOps.resolveVocab(s, base)._1 == root2, "no second publish")
+    // grace: v1 survives the first cycle (keep = 2) and retires after the
+    // next drift publishes a third version
+    assert(new java.io.File(s"$base/$v1").exists, "pre-drift root retained through grace")
+    val drifted2 = Seq((0L, "vvbb vvbb vbvb"), (1L, "vbvb vvbb")).toDF("doc_id", "text")
+    assert(TextOps.maybeRetrainVocab(s, base, drifted2, maxOovPpm = 100000L, nMerges = 10))
+    assert(!new java.io.File(s"$base/$v1").exists, "oldest root must retire past grace")
+    assert(new java.io.File(root2).exists, "previous root stays inside the grace window")
+  }
+
   test("q134 planted near-dups: a one-char mutation and an exact copy are recovered; hamming-0 for the copy") {
     val s = spark
     import s.implicits._
