@@ -83,7 +83,19 @@ object GenRealText {
       else Some(zipfPick(Content, rnd, 12.0))
     }
 
-  def docText(docId: Long, nBase: Long): String = {
+  /** Base-36 rendering of a seeded long — the "rare tail" word source for
+    * the vocab-stress mode: each is globally unique with overwhelming
+    * probability, so `rareWordsPerDoc` > 0 grows the corpus VOCABULARY
+    * linearly in docs (the shape that stresses the trainer's collected
+    * word-frequency frame — URLs, ids, typos in a real crawl). */
+  private def rareWord(docId: Long, k: Int): String =
+    java.lang.Long.toString((docId * 40503L + k * 65537L + 11L) * 0x9E3779B97F4A7C15L
+      & 0x7FFFFFFFFFFFFFFFL, 36)
+
+  def docText(docId: Long, nBase: Long): String =
+    docText(docId, nBase, 0)
+
+  def docText(docId: Long, nBase: Long, rareWordsPerDoc: Int): String = {
     val rnd = new scala.util.Random(docId * 95479L + 41L)
     val roll = rnd.nextDouble()
     val words =
@@ -105,12 +117,18 @@ object GenRealText {
         mutate(baseDoc(docId % nBase), 0.01 + rnd.nextDouble() * 0.10, rnd)
       else // fresh unique English doc
         sentenceWords(24 + rnd.nextInt(77), FuncEn, 0.35, rnd)
-    words.mkString(" ")
+    val tail = Array.tabulate(rareWordsPerDoc)(k => rareWord(docId, k))
+    (words ++ tail).mkString(" ")
   }
 
+  /** `graft.GenRealText [outDir] [nDocs] [rareWordsPerDoc]` — the third
+    * arg (default 0) plants that many globally-unique words per doc,
+    * growing the vocabulary LINEARLY in docs: the corpus shape that
+    * stresses the local trainer's collected word-frequency frame. */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sfreal")
     val nDocs = if (args.length > 1) args(1).toLong else 100000L
+    val rare = if (args.length > 2) args(2).toInt else 0
     val nBase = math.max(1L, nDocs / 10L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -119,7 +137,7 @@ object GenRealText {
     import spark.implicits._
     spark.range(nDocs)
       .map { id =>
-        val text = docText(id, nBase)
+        val text = docText(id, nBase, rare)
         (id, text, "en", s"src${id % 20}", text.length.toLong)
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -1629,7 +1629,20 @@ object TextOps {
     val toks = words.map(_._1.clone())
     val freqs = words.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
-    val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // growable primitive int array — NOT a BitSet (a BitSet sizes to the
+    // LARGEST member: one sparse pair registered by word #3M allocates
+    // ~370 KB, and a multi-million-vocab corpus accumulates ~100k such
+    // pairs — measured as a GC death on the 3M-vocab stress corpus) and
+    // NOT an ArrayBuffer[Int] (boxes). Duplicate indices are fine: the
+    // touched scan re-checks membership and a second visit is a no-op.
+    final class IntVec {
+      var a = new Array[Int](4); var n = 0
+      def +=(x: Int): Unit = {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+        a(n) = x; n += 1
+      }
+    }
+    val occurs = mutable.HashMap.empty[(String, String), IntVec]
     // max-heap on (count, then SMALLEST lft/rgt wins ties); stale entries
     // are skipped at pop time by re-checking against the live count map
     val pq = mutable.PriorityQueue.empty[(Long, String, String)](
@@ -1643,21 +1656,26 @@ object TextOps {
           }
         }
       })
-    def bump(p: (String, String), by: Long, idx: Int): Unit = {
+    def bump(p: (String, String), by: Long): Unit = {
       val n = counts.getOrElse(p, 0L) + by
       if (n <= 0L) counts.remove(p)
       else {
         counts(p) = n
         pq.enqueue((n, p._1, p._2))
       }
-      if (by > 0 && idx >= 0) occurs.getOrElseUpdate(p, mutable.BitSet.empty) += idx
     }
     var i = 0
     while (i < toks.length) {
       val t = toks(i); var j = 0
-      while (j < t.length - 1) { bump((t(j), t(j + 1)), freqs(i), i); j += 1 }
+      while (j < t.length - 1) {
+        val p = (t(j), t(j + 1))
+        counts(p) = counts.getOrElse(p, 0L) + freqs(i)
+        occurs.getOrElseUpdate(p, new IntVec) += i
+        j += 1
+      }
       i += 1
     }
+    counts.foreach { case (p, n) => pq.enqueue((n, p._1, p._2)) }
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var k = 1
     var exhausted = false
@@ -1675,11 +1693,16 @@ object TextOps {
         val m = l + r
         merges += ((k.toLong, l, r, m, c))
         // rewrite only the words that contain the merged pair; maintain
-        // the count map by per-word pair-multiset DELTA so untouched
-        // pairs generate no heap churn
-        val touched = occurs.getOrElse((l, r), mutable.BitSet.empty).toArray
+        // the count map by pair-multiset DELTA accumulated across the
+        // WHOLE round — one heap push per net-changed pair per round,
+        // not per word (a heavy early merge on a multi-million-word
+        // vocabulary touches ~every word containing the pair; per-word
+        // pushes made such rounds heap-bound — measured on the 3M-vocab
+        // stress corpus)
+        val touched = occurs.get((l, r))
+          .map(v => java.util.Arrays.copyOf(v.a, v.n)).getOrElse(Array.empty[Int])
         occurs.remove((l, r))
-        val delta = mutable.HashMap.empty[(String, String), Long]
+        val roundDelta = mutable.HashMap.empty[(String, String), Long]
         touched.foreach { idx =>
           val old = toks(idx)
           var hit = false
@@ -1696,23 +1719,24 @@ object TextOps {
               else nw += old(x)
               x += 1
             }
-            delta.clear()
             var y = 0
             while (y < old.length - 1) {
               val p = (old(y), old(y + 1))
-              delta(p) = delta.getOrElse(p, 0L) - freqs(idx); y += 1
+              roundDelta(p) = roundDelta.getOrElse(p, 0L) - freqs(idx); y += 1
             }
             y = 0
             while (y < nw.length - 1) {
               val p = (nw(y), nw(y + 1))
-              delta(p) = delta.getOrElse(p, 0L) + freqs(idx); y += 1
+              roundDelta(p) = roundDelta.getOrElse(p, 0L) + freqs(idx)
+              // occurrence registration stays per word (set insert, no
+              // heap): the index must know every word that may hold p
+              occurs.getOrElseUpdate(p, new IntVec) += idx
+              y += 1
             }
             toks(idx) = nw.toArray
-            delta.foreach { case (p, dl) =>
-              if (dl != 0L) bump(p, dl, if (dl > 0) idx else -1)
-            }
           }
         }
+        roundDelta.foreach { case (p, dl) => if (dl != 0L) bump(p, dl) }
         k += 1
       }
     }
