@@ -68,6 +68,23 @@ object ProfileMaintain {
       .agg(count(lit(1)), max("count"), sum("count")).head()
     println(s"post-maintain: ${occ.getLong(0)} cells, max ${occ.getLong(1)}, " +
       s"mass ${occ.getLong(2)}")
+    // the FLEET form: the SAME policy pass through the versioned-root
+    // protocol — maintain_versioned − maintain_pass is the measured
+    // reader-isolation premium (clone the artifact into the unpublished
+    // next version + publish + pointer flip; object stores copy
+    // server-side, so the local-copy number is the premium's ceiling)
+    val base = s"$root/ver"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+    val v = graft.ops.RootPointer.nextVersion(spark, base)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/a"), fs,
+      new org.apache.hadoop.fs.Path(s"$base/$v"), false, hconf)
+    graft.ops.RootPointer.publish(spark, base, v)
+    time("maintain_versioned") {
+      Similarity.maybeMaintainIvfVersioned(spark, base, embSlim,
+        maxTombstones = 4, maxSharePpm = 60000, minSharePpm = 30000).toString
+    }
     spark.stop()
   }
 }

@@ -933,4 +933,49 @@ class DocStreamSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streamed decon flags diverged: ${streamed.size} vs ${batch.size}")
   }
+
+  test("streamed OOV-retrain loop: a drained drift stream triggers exactly one retrain, any batching") {
+    import graft.ops.TextOps
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the foreachBatch wiring of maybeRetrainVocab — the caller's contract
+    // from the policy doc: the trainer frame is corpus ∪ fresh (a
+    // batch-only retrain would FORGET the corpus and thrash on the next
+    // covered batch), so the sink appends each micro-batch to the corpus
+    // dir and measures/retrains over the union. The claim is
+    // batching-INVARIANT: however AvailableNow slices the three files,
+    // exactly one retrain fires (the first union containing the drifted
+    // batch), and the final published vocab covers the whole stream.
+    def mkDocs(rows: Seq[(Long, String)]) = rows.map { case (id, t) =>
+      (id, t, "en", s"src${id % 3}", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b0 = mkDocs(Seq((0L, "spark table spark table scan"), (1L, "table scan spark")))
+    val b1 = mkDocs(Seq((2L, "zzqq zxzx zzqq zzqq"), (3L, "zxzx zzqq")))
+    val b2 = mkDocs(Seq((4L, "spark scan table table")))
+    val streamDir = java.nio.file.Files.createTempDirectory("oov_stream").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("oov_corpus").toString
+    val base = java.nio.file.Files.createTempDirectory("oov_vocab").toString
+    // v1: trained on the pre-stream corpus shape (b0's vocabulary)
+    TextOps.publishVocab(spark, base,
+      TextOps.bpeTrainLocal(TextOps.wordFreqsOf(b0), 20).map(_._4).distinct.sorted)
+    Seq(b0, b1, b2).foreach(_.coalesce(1).write.mode("append").parquet(streamDir))
+    val retrains = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = DocStream.readDocs(spark, streamDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.coalesce(1).write.mode("append").parquet(corpusDir)
+        if (TextOps.maybeRetrainVocab(spark, base,
+            spark.read.parquet(corpusDir), maxOovPpm = 20000L, nMerges = 20))
+          retrains.incrementAndGet()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(retrains.get == 1,
+      s"a drained drift stream must retrain exactly once, got ${retrains.get}")
+    // the resolved vocab covers the full union: one more policy call is quiet
+    assert(!TextOps.maybeRetrainVocab(spark, base,
+      spark.read.parquet(corpusDir), maxOovPpm = 20000L, nMerges = 20),
+      "the published vocab must cover the whole drained stream")
+  }
 }
