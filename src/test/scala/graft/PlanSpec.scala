@@ -924,6 +924,39 @@ class PlanSpec extends AnyFunSuite {
       s"expected parquet scans rooted at lexindex segments' {tf,df,stats}; got $artifactScans")
   }
 
+  test("q158 versioned serve: every parquet scan roots under the RESOLVED version dir — no pre-publish path, no tombstone logic") {
+    import graft.ops.{RootPointer, Similarity}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Similarity.q158IvfVersionedServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val base = s"${Similarity.knnGraphServePath(sf)}/ivfver"
+    val resolved = RootPointer.resolve(spark, base)
+    val scans = ns.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+      .filter(_.contains("ivfver"))
+    assert(scans.nonEmpty, "expected artifact scans under the versioned base")
+    // the serve side may only read the version the pointer resolves: a
+    // scan under any OTHER version dir means the reader escaped the
+    // protocol (pre-publish path or a stale root past its grace window)
+    val escapees = scans.filterNot(
+      _.stripPrefix("file:").startsWith(resolved.stripPrefix("file:")))
+    assert(escapees.isEmpty,
+      s"serve scans escaped the resolved root $resolved: $escapees")
+    // compaction already applied the deletes physically: no anti-join on
+    // a tombstone scan may appear in the serve lineage
+    assert(!scans.exists(_.contains("tombstones")),
+      "compacted serve must not scan tombstones")
+  }
+
   test("q126 tombstone serve: corrections stay in the artifact — no re-tokenize; tombstone file scanned") {
     import graft.ops.Retrieval
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
