@@ -1477,6 +1477,43 @@ object TextOps {
     (root, s.read.parquet(s"$root/vocab").collect().map(_.getString(0)).toSeq.sorted)
   }
 
+  // ---------------------------------------------------------------- q159
+  /** q159: COUNTS SERVED FROM THE PUBLISHED VOCAB ARTIFACT — the serve
+    * half of the retrain loop, oracle-gated (the specs pin the policy;
+    * this pins the DATA PATH a serving fleet actually reads): train via
+    * [[bpeTrainLocal]], PUBLISH the vocabulary through the
+    * [[RootPointer]] protocol, then count the corpus under whatever
+    * [[resolveVocab]] returns — never under the in-memory table the
+    * trainer produced. The oracle is q152's (train→freeze→apply SQL):
+    * identical results REQUIRE that publish→resolve round-trips the
+    * vocabulary bit-exactly, so a lost/reordered/partially-visible
+    * artifact (the failure classes the pointer protocol exists for)
+    * breaks the hash. With [[maybeRetrainVocab]] writing the same
+    * artifact, a tokenizer rollout is: retrain publishes, this entry's
+    * read path picks it up at the next resolve. */
+  def q159VocabServed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = s"${Similarity.knnGraphServePath(d)}/vocabroot"
+    val learned = bpeTrainLocal(bpeWordFreqs(s, d), BpeMerges).map(_._4).distinct
+    if (learned.isEmpty)
+      // the q152 degenerate-corpus contract, artifact path included
+      Tables.spread(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(length(col("wd"))).cast("long").as("n_subwords"))
+        .orderBy("doc_id")
+    else {
+      publishVocab(s, base, learned.sorted)
+      RootPointer.retireOld(s, base, keep = 2)
+      val (_, vocab) = resolveVocab(s, base)
+      subwordVocabCounts(
+        Tables.spread(s, Tables.documents(s, d), "doc_id").select("doc_id", "text"),
+        vocab.toDF("v"), vocab.map(_.length).distinct.sorted)
+        .select("doc_id", "n_words", "n_subwords").orderBy("doc_id")
+    }
+  }
+
   /** OOV-TRIGGERED TOKENIZER RETRAIN — the `maybeMaintainIvf` refusal/
     * tier pattern applied to the vocabulary artifact, closing the drift
     * loop q156 + the streaming monitor only OBSERVED: measure the
@@ -1967,6 +2004,7 @@ object TextOps {
     ("q145_subword_vocab", q145SubwordVocab _, Some(q145Sql)),
     ("q150_bpe_train", q150BpeTrain _, Some(q150Sql)),
     ("q157_bpe_train_local", q157BpeTrainLocal _, Some(q150Sql)),
+    ("q159_vocab_served", q159VocabServed _, Some(q152Sql)),
     ("q152_learned_subwords", q152LearnedSubwords _, Some(q152Sql)),
     ("q156_oov_audit", q156OovAudit _, Some(q156Sql)),
   )
