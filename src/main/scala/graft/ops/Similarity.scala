@@ -881,37 +881,80 @@ object Similarity {
     * At 100 TB the shapes are q74's: one map-side indexing pass, broadcast
     * equi join on cell, the only hash exchange is the query_id top-k. */
   def q75IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val (cents, books, codes) = residualParts(s, d)
+    residualSearchFrom(cents, books, codes,
+      embWithNorm(s, d).select("vec_id", "e").filter(col("vec_id") < AdcQueries))
+  }
+
+  /** Coarse argmin carrying the winning centroid itself (struct min only
+    * reaches the ce field on a full (dist, cent_id) tie — impossible). */
+  private val coarseMinExpr: String =
+    "array_min(transform(cc, c -> struct(" +
+      "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
+      "c.cent_id AS cent_id, c.ce AS cce)))"
+
+  /** (vec_id, cell, e := x − c(cell)) under the GIVEN coarse centroids —
+    * one map-side pass; shared by the build, the append (frozen
+    * artifacts), and the probe side. */
+  private def residualFrame(cents: DataFrame, vecs: DataFrame): DataFrame = {
+    val cc = cents.agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    vecs.crossJoin(broadcast(cc))
+      .withColumn("_k", expr(coarseMinExpr))
+      .select(col("vec_id"), col("_k.cent_id").as("cell"),
+        expr("zip_with(e, _k.cce, (x, y) -> x - y)").as("e"))
+  }
+
+  /** Residual codes under the GIVEN codebooks (pqCodesExpr sees the
+    * residual `e`) — map-side, one broadcast row. */
+  private def residualEncode(books: DataFrame, resid: DataFrame): DataFrame = {
+    val cs = books.agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
+    resid.crossJoin(broadcast(cs))
+      .withColumn("codes", expr(pqCodesExpr))
+      .select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  /** The residual family's persistable artifact trio: coarse cents
+    * (cent_id, ce), residual codebooks (m, cent_id, ce), residual codes
+    * (vec_id, cell, codes) — q75's build split into q74's artifact shape
+    * so the residual index gets the same serving lifecycle. */
+  private[graft] def residualParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val emb = embWithNorm(s, d).select("vec_id", "e")
     val coarseSeed = emb.filter(col("vec_id") < IvfNList)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    val cc = fixedPointUpdate(assignCells(emb, coarseSeed), coarseSeed)
-      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
-    // coarse argmin carrying the winning centroid itself (struct min only
-    // reaches the ce field on a full (dist, cent_id) tie — impossible)
-    val coarseMin = "array_min(transform(cc, c -> struct(" +
-      "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
-      "c.cent_id AS cent_id, c.ce AS cce)))"
-    // residual frame: (vec_id, cell, e := x − c(cell)) — one map-side pass
-    val resid = emb.crossJoin(broadcast(cc))
-      .withColumn("_k", expr(coarseMin))
-      .select(col("vec_id"), col("_k.cent_id").as("cell"),
-        expr("zip_with(e, _k.cce, (x, y) -> x - y)").as("e"))
-    // PQ codebooks trained on residual sub-slices (pqTrain reused verbatim)
+    val cents = fixedPointUpdate(assignCells(emb, coarseSeed), coarseSeed)
+    val resid = residualFrame(cents, emb)
     val (rsubs, seeds) = subSplit(resid)
-    val cs = pqTrain(rsubs, seeds)
-      .agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
-    // index: residual codes per vector (pqCodesExpr sees the residual `e`)
-    val index = resid.crossJoin(broadcast(cs))
-      .withColumn("codes", expr(pqCodesExpr))
+    val books = pqTrain(rsubs, seeds)
+    (cents, books, residualEncode(books, resid))
+  }
+
+  /** Residual-encode a FRESH batch under PERSISTED artifacts — the
+    * residual family's [[ivfPqAppend]]: assignment against the frozen
+    * coarse centroids, residual against the winner, codes under the
+    * frozen books. Appends are EXACT for the residual variant (the
+    * centroids don't move), unlike split/merge — see the refusal rails. */
+  def residualAppend(cents: DataFrame, books: DataFrame, fresh: DataFrame): DataFrame =
+    residualEncode(books, residualFrame(cents, fresh))
+
+  /** q75's probe side over PERSISTED artifacts: per (query, probed cell)
+    * the query's RESIDUAL against that cell's centroid gets its own LUT
+    * (nprobe tiny LUTs per query, still map-side); candidates via the
+    * broadcast equi-join on cell; the only hash exchange is the per-query
+    * top-k. n_cand is a partial+final count broadcast-joined back AFTER
+    * the rank filter (a count(*) OVER would funnel every candidate row
+    * per query through one task and block WindowGroupLimit pruning). */
+  def residualSearchFrom(cents: DataFrame, books: DataFrame, codeTable: DataFrame,
+      queries: DataFrame, nprobe: Int = IvfNProbe, k: Int = AdcK): DataFrame = {
+    val cc = cents.agg(collect_list(struct(col("cent_id"), col("ce"))).as("cc"))
+    val cs = books.agg(collect_list(struct(col("m"), col("cent_id"), col("ce"))).as("cs"))
+    val index = codeTable
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
-    // probes: per (query, probed cell) the query's RESIDUAL against that
-    // cell's centroid, then the standard LUT over the residual
-    val probes = emb.filter(col("vec_id") < AdcQueries)
+    val probes = queries
       .crossJoin(broadcast(cc)).crossJoin(broadcast(cs))
       .withColumn("_p", explode(expr(
         "slice(array_sort(transform(cc, c -> struct(" +
           "graft_dot(e, e) - 2 * graft_dot(e, c.ce) + graft_dot(c.ce, c.ce) AS _d, " +
-          s"c.cent_id AS cent_id, c.ce AS cce))), 1, $IvfNProbe)")))
+          s"c.cent_id AS cent_id, c.ce AS cce))), 1, $nprobe)")))
       .withColumn("e", expr("zip_with(e, _p.cce, (x, y) -> x - y)"))
       .withColumn("lut", expr(pqLutExpr))
       .select(col("vec_id").as("query_id"), col("_p.cent_id").as("cell"), col("lut"))
@@ -919,17 +962,70 @@ object Similarity {
     val cand = index.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_fixed", expr(adcSumExpr))
-    // n_cand as a partial+final count broadcast-joined back AFTER the rank
-    // filter (same shape as ivfPqSearchFrom): a count(*) OVER (PARTITION BY
-    // query_id) would funnel every candidate row per query through one task
-    // and block the WindowGroupLimit pruning the rank<=k filter gets
     val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
     cand
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= AdcK)
+      .filter(col("rn") <= k)
       .join(broadcast(nCand), Seq("query_id"))
       .select("query_id", "neighbor_id", "adc_fixed", "n_cand", "rn")
       .orderBy("query_id", "rn")
+  }
+
+  /** Variant marker: a residual-encoded artifact root carries this empty
+    * file so the geometry-changing policies can refuse it (see
+    * [[markResidual]] / the requires in split/merge). */
+  private[graft] val ResidualMarker = "_VARIANT_RESIDUAL"
+
+  private[graft] def markResidual(s: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$ResidualMarker")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
+  }
+
+  private[graft] def isResidualRoot(s: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$ResidualMarker")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The refusal message split/merge raise on a residual-marked root. */
+  private def residualRefusal(action: String): String =
+    s"residual-encoded artifact: $action reroutes members across coarse " +
+      "centroids, and residual codes encode x - c(cell) — moving a member " +
+      "without re-encoding silently corrupts every ADC distance it serves. " +
+      "Re-encode-on-rebalance is not implemented; compaction and appends " +
+      "remain exact on this variant, or rebuild the index."
+
+  // --------------------------------------------------------------- q160
+  /** q160: THE RESIDUAL ARTIFACT SERVED WITH DELETES COMPACTED,
+    * ORACLE-GATED — the q127 lifecycle applied to the residual family:
+    * build the residual trio ([[residualParts]]), persist, mark the root
+    * as residual-encoded, plant the q127 delete set as two tombstone
+    * batches, COMPACT (routing- and code-INDEPENDENT — the only
+    * maintenance policy that is exact for residual codes, since it only
+    * drops rows), and serve from the compacted artifacts with NO delete
+    * logic on the serve path. Oracle: q75's chain minus the deleted ids
+    * (q160Sql) — identical results require the compaction to have
+    * dropped exactly the tombstoned rows and NOTHING else, and the
+    * persisted cents/books/codes to round-trip bit-exactly. The
+    * geometry-changing policies refuse this root by marker
+    * (OperatorSpec pins the refusal + the append differential). */
+  def q160ResidualServed(s: SparkSession, d: String): DataFrame = {
+    val root = s"${knnGraphServePath(d)}/ivfresid"
+    val (cents, books, codes) = residualParts(s, d)
+    cents.write.mode("overwrite").parquet(s"$root/cents")
+    books.write.mode("overwrite").parquet(s"$root/books")
+    codes.write.mode("overwrite").parquet(s"$root/codes")
+    markResidual(s, root)
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    val dels = emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= AdcQueries)
+      .select("vec_id")
+    dels.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/tombstones/t0")
+    dels.filter(col("vec_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$root/tombstones/t1")
+    maybeCompactIvf(s, root, maxTombstones = 1)
+    residualSearchFrom(s.read.parquet(s"$root/cents"),
+      s.read.parquet(s"$root/books"), s.read.parquet(s"$root/codes"),
+      emb.filter(col("vec_id") < AdcQueries))
   }
 
   /** q77: OPQ — PQ after a learned ORTHOGONAL transform (optimized product
@@ -2479,7 +2575,11 @@ object Similarity {
        |ORDER BY drop_id""".stripMargin
   }
 
-  lazy val q75Sql: String = {
+  /** The residual-IVF oracle CTE chain ending at `adc(query_id,
+    * neighbor_id, adc_fixed)` — shared by q75 (rank + n_cand) and q160
+    * (the artifact-served variant minus the tombstoned ids), the
+    * ivfPqAdcCtes convention applied to the residual family. */
+  private lazy val residualAdcCtes: String = {
     val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
     val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -2559,7 +2659,11 @@ object Similarity {
        |  JOIN cd ON cd.neighbor_id = kx.vec_id
        |  JOIN lut l ON l.cell = kx.cell AND l.m = cd.m AND l.cent_id = cd.code
        |  WHERE l.query_id <> kx.vec_id
-       |  GROUP BY l.query_id, kx.vec_id)
+       |  GROUP BY l.query_id, kx.vec_id)""".stripMargin
+  }
+
+  lazy val q75Sql: String =
+    s"""$residualAdcCtes
        |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
        |  SELECT query_id, neighbor_id, adc_fixed,
        |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
@@ -2567,7 +2671,17 @@ object Similarity {
        |                                 ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
        |  FROM adc)
        |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
-  }
+
+  lazy val q160Sql: String =
+    s"""$residualAdcCtes
+       |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
+       |  SELECT query_id, neighbor_id, adc_fixed,
+       |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |  FROM adc
+       |  WHERE NOT (neighbor_id % 7 = 3 AND neighbor_id >= $AdcQueries))
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
 
   /** The full IVF-PQ oracle CTE chain (PQ train → codes → LUTs → coarse
     * train → cell assignment → probe cells → ADC candidate distances),
@@ -2985,6 +3099,7 @@ object Similarity {
     * finer cells, smaller probed candidate sets. */
   def ivfCellSplitArtifact(s: SparkSession, root: String, outRoot: String,
       emb: DataFrame, splitCells: Int = SplitHotCells): Unit = {
+    require(!isResidualRoot(s, root), residualRefusal("splitting"))
     val occ = s.read.parquet(s"$root/codes").groupBy("cell")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -3134,6 +3249,9 @@ object Similarity {
     // until its rows actually leave the codes table.
     val sig = hotCells.map(c => s"$c:${occ.toMap.apply(c)}")
     if (ArtifactSwap.readManifest(fs, root, SplitRefusedMemo) == sig) return false
+    // variant rail AFTER the tier decision: a quiet residual root passes
+    // through for free; one that would actually split refuses loudly
+    require(!isResidualRoot(s, root), residualRefusal("splitting"))
     val subCounts = splitCore(s, root, scratch, emb, hotCells, occ, copyAux = false)
     // NO-PROGRESS GUARD, per split cell: a cell actually split iff BOTH
     // halves are non-empty (all-in-one-half means the 2-means was
@@ -3225,6 +3343,7 @@ object Similarity {
     * the probe budget was being wasted on near-empty lists). */
   def ivfCellMergeArtifact(s: SparkSession, root: String, outRoot: String,
       emb: DataFrame, mergeCells: Int = MergeColdCells): Seq[Long] = {
+    require(!isResidualRoot(s, root), residualRefusal("merging"))
     val occ = mergeOccupancy(s, root)
     val cold = occ.sortBy { case (c, n) => (n, c) }.take(mergeCells).map(_._1)
     mergeCore(s, root, outRoot, emb, cold, occ, copyAux = true)
@@ -3390,6 +3509,7 @@ object Similarity {
       .sortBy { case (c, n) => (n, c) }.take(mergeCells).map(_._1)
     if (cold.isEmpty) return false
     if (cold.size == occ.size) return false // all-cold: merge is the wrong lever
+    require(!isResidualRoot(s, root), residualRefusal("merging"))
     mergeCore(s, root, scratch, emb, cold, occ, copyAux = false)
     ArtifactSwap.commit(fs, scratch)
     finishMergeSwap(fs, root, scratch)
@@ -4574,6 +4694,7 @@ object Similarity {
     ("q73_adc_topk", q73AdcTopk _, Some(q73Sql)),
     ("q74_ivfpq_topk", q74IvfPqTopk _, Some(q74Sql)),
     ("q75_ivfpq_residual", q75IvfPqResidual _, Some(q75Sql)),
+    ("q160_residual_served", q160ResidualServed _, Some(q160Sql)),
     ("q77_opq_ivfpq", q77OpqIvfPq _, Some(q77Sql)),
     ("q78_sq8_ivf", q78Sq8Ivf _, Some(q78Sql)),
     ("q79_ann_recall", q79AnnRecall _, Some(q79Sql)),

@@ -3242,6 +3242,58 @@ class OperatorSpec extends AnyFunSuite {
       s"separator violation must name the contract: ${ex.getMessage}")
   }
 
+  test("residual artifacts: parquet round-trip serves bit-identically; append equals rebuild; split/merge refuse the marked root") {
+    val s = spark
+    val (cents, books, codeTable) = Similarity.residualParts(s, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_resid_idx").toString
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    books.write.mode("overwrite").parquet(s"$dir/books")
+    codeTable.write.mode("overwrite").parquet(s"$dir/codes")
+    Similarity.markResidual(s, dir)
+    val emb = Similarity.embWithNorm(s, sf).select("vec_id", "e")
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rn"))
+    // serving from PERSISTED artifacts must be bit-identical to the
+    // self-contained catalog query — doubles survive parquet exactly and
+    // the downstream ranking is integer (the q74 artifact argument)
+    val served = Similarity.residualSearchFrom(
+        s.read.parquet(s"$dir/cents"), s.read.parquet(s"$dir/books"),
+        s.read.parquet(s"$dir/codes"), queries).collect()
+      .map(r => key(r) -> (r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_fixed"), r.getAs[Long]("n_cand"))).toMap
+    val direct = Similarity.q75IvfPqResidual(s, sf).collect()
+      .map(r => key(r) -> (r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_fixed"), r.getAs[Long]("n_cand"))).toMap
+    assert(served == direct && served.nonEmpty,
+      "persisted residual artifacts diverged from the self-contained query")
+    // append ≡ rebuild: residual-encoding a fresh batch under the frozen
+    // artifacts must equal the full build's rows for the same ids —
+    // exactness holds for the residual variant because appends never move
+    // a centroid (the property split/merge precisely lack)
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell"), r.getAs[Seq[Long]]("codes").mkString(","))).toMap
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    val appended = codeRows(Similarity.residualAppend(
+      s.read.parquet(s"$dir/cents"), s.read.parquet(s"$dir/books"), fresh))
+    val rebuilt = codeRows(codeTable.filter(col("vec_id") % 5 === 0))
+    assert(appended == rebuilt && appended.nonEmpty,
+      "residual append diverged from the full rebuild")
+    // the geometry-changing policies must refuse the marked root LOUDLY:
+    // rerouting a member without re-encoding corrupts x - c(cell) codes
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfCellSplitArtifact(s, dir, s"$dir/split", emb)
+    }
+    assert(ex.getMessage.contains("re-encoding") || ex.getMessage.contains("re-encode"),
+      s"split refusal must explain the residual invalidation: ${ex.getMessage}")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.ivfCellMergeArtifact(s, dir, s"$dir/merge", emb)
+    }
+    assert(ex2.getMessage.contains("residual"),
+      s"merge refusal must name the variant: ${ex2.getMessage}")
+  }
+
   test("q158 mid-swap reader isolation: a pre-maintenance resolve serves identical rows through publish + retirement") {
     import graft.ops.RootPointer
     val s = spark
