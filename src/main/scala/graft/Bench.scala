@@ -170,10 +170,10 @@ object Bench {
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     val prefixCount = results.map(r => shortKey(r._1))
       .groupBy(identity).view.mapValues(_.size).toMap
-    def render(prec: Int): String = {
+    def render(fv: Double => String): String = {
       val qs = results.map { case (k, v) =>
         val sk = shortKey(k)
-        jstr(if (prefixCount(sk) > 1) k else sk) + ":" + f(v, prec)
+        jstr(if (prefixCount(sk) > 1) k else sk) + ":" + fv(v)
       }.mkString("{", ",", "}")
       // errors/flaky are informational extras on top of the driver
       // contract — emitted only when non-empty, so the healthy-run line
@@ -187,12 +187,22 @@ object Bench {
     }
     // the 1900-char tail budget is HARD (the driver keeps the last 2000
     // chars of stdout, minus the sbt footer); per-query precision is
-    // soft — render at 2 decimals and degrade to 1, then 0, only when the
-    // catalog has grown past what the budget holds at that width (the
-    // 156-query catalog crossed the all-worst-case 2-decimal bound; full
-    // per-pass precision is always on the samples line above)
-    Iterator(2, 1, 0).map(render).find(_.length <= 1900).getOrElse {
-      val last = render(0)
+    // soft — degrade only when the catalog has grown past what the budget
+    // holds. The cascade is RESOLUTION-AWARE (added when the 160-query
+    // catalog crossed the realistic 2-decimal bound): sub-second values
+    // carry the information (a 0.17 s query rounded to 0.2 distorts
+    // bench_compare ratios by 18%), multi-second values tolerate a coarser
+    // notch (3.07→3.1 is 1%), so the mixed modes drop the big values'
+    // precision FIRST. Full per-pass precision is always on the samples
+    // line above.
+    val modes: Seq[Double => String] = Seq(
+      v => f(v, 2),
+      v => if (v < 1) f(v, 2) else f(v, 1),
+      v => f(v, 1),
+      v => if (v < 1) f(v, 1) else f(v, 0),
+      v => f(v, 0))
+    modes.iterator.map(render).find(_.length <= 1900).getOrElse {
+      val last = render(v => f(v, 0))
       // past ~172 queries even 0-decimal rendering overflows the tail
       // budget; warn LOUDLY on stderr (stdout is the parsed channel) so
       // the overflow is a visible event, not a silent "parsed": null

@@ -50,9 +50,11 @@ class BenchLineSpec extends AnyFunSuite {
     // full names may appear in the flaky/errors DIAGNOSTIC arrays but never
     // as a queries-map key
     assert(!line.contains("\"q01_scan_project\":"), line)
-    // 2-decimal rendering survives at realistic widths: the REAL closing
-    // bench (155 queries, mixed sub-second values) measured 1850 chars at
-    // 2 decimals — simulate that profile and pin the precision
+    // resolution survives at realistic widths: the 160-query catalog
+    // crossed the uniform-2-decimal realistic bound, so the cascade's
+    // MIXED notch must keep sub-second values at 2 decimals (they carry
+    // the bench_compare signal) while multi-second values absorb the
+    // width cut at 1 decimal
     val realistic = names.zipWithIndex.map { case (n, i) => n -> (0.17 + (i % 30) * 0.1) }
     val real = Bench.finalLine(297.873, realistic, Nil, Nil, "/root/testdata/sf0.1")
     assert(real.length <= 1900, s"realistic line is ${real.length} chars")
