@@ -435,6 +435,42 @@ object Dedup {
        |HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Σ C(n,2) over the given bucket keys — the candidate-mass probe for
+    * the SYMMETRIC bucket self-join families (MinHash bands, SimHash
+    * bands), one group-count before any pair materializes (the
+    * jaccardPairs/phashPairs discipline extended so EVERY banded family
+    * refuses the blow-up mode instead of spilling into it). */
+  private def bucketCandidateMass(buckets: DataFrame, keys: Seq[String]): Long =
+    buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("m"))
+      .head().getLong(0)
+
+  /** Cache + probe + refuse past [[defaultPairBudget]]; returns the cached
+    * bucket frame for the candidate join. `lever` names the
+    * family-specific way out, quoted in the refusal. */
+  private def guardedBuckets(buckets: DataFrame, keys: Seq[String],
+      family: String, lever: String): DataFrame = {
+    val cached = buckets.cache()
+    val mass = bucketCandidateMass(cached, keys)
+    require(mass <= defaultPairBudget,
+      s"$family candidate mass $mass exceeds the budget $defaultPairBudget: " +
+        s"the bucket space has too little entropy for this corpus. $lever, " +
+        "collapse exact duplicates first (collapsedJaccardPairs / q42), or " +
+        "raise the budget (-Dgraft.pair.budget / SPARK_GRAFT_PAIR_BUDGET) " +
+        s"if ~${mass / 1000000}M verifications are intended.")
+    cached
+  }
+
+  /** The ASYMMETRIC probe×bucket bound for the multi-probe SRP join:
+    * Σ (probe-side n × bucket-side n) per key — an upper bound on the
+    * candidate join's row count, two group-counts + a tiny count join. */
+  private def probeCandidateMass(probes: DataFrame, buckets: DataFrame,
+      keys: Seq[String]): Long =
+    probes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("pn"))
+      .join(buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn")), keys)
+      .agg(coalesce(sum(expr("pn * bn")), lit(0L)).as("m"))
+      .head().getLong(0)
+
   // MinHash + LSH: 128 minhashes (xxhash64 domains), 32 bands × 4 rows,
   // band-bucket join for candidates, exact Jaccard verification. The verified
   // output equals the exact-Jaccard result (recall loss ≈ 5e−8 at J=0.8, and
@@ -456,10 +492,12 @@ object Dedup {
       explode(expr("transform(shingles, x -> xxhash64(x))")).as("shh"))
     val sigs = ex.groupBy("doc_id")
       .agg(expr(s"graft_minhash(shh, $NumHashes)").as("mhs"))
-    val buckets = sigs
+    val buckets = guardedBuckets(sigs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${NumBands - 1}), b -> xxhash64(slice(mhs, b * $RowsPerBand + 1, $RowsPerBand)))"))
-        .as(Seq("band_id", "sig")))
+        .as(Seq("band_id", "sig"))),
+      Seq("band_id", "sig"), "MinHash LSH",
+      "Raise rows-per-band (narrower bands collide less)")
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -512,8 +550,11 @@ object Dedup {
       struct(lit(k).as("band_id"),
         expr(s"(sim >> ${k * BandWidth}) & ${(1L << BandWidth) - 1}").as("bval"))
     }
-    val buckets = sims.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band_id"), col("bs.bval"))
+    val buckets = guardedBuckets(
+      sims.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band_id"), col("bs.bval")),
+      Seq("band_id", "bval"), "SimHash banding",
+      "Widen the bands (fewer, wider bands collide less — the q143 trade)")
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -592,11 +633,21 @@ object Dedup {
       .withColumn("bks", expr(s"$fn(e)"))
       .cache()
     val buckets = emb.select(col("vec_id"),
-      posexplode(col("bks")).as(Seq("tbl", "bkt")))
+      posexplode(col("bks")).as(Seq("tbl", "bkt"))).cache()
     // probe side: own bucket + the `bits` hamming-1 neighbors per table
     val probes = buckets.select(col("vec_id"), col("tbl"), explode(expr(
       s"transform(sequence(0, $bits), j -> CASE WHEN j = 0 THEN bkt ELSE int(bkt ^ shiftleft(1, j - 1)) END)"))
-      .as("bkt"))
+      .as("bkt")).cache()
+    // the asymmetric probe x bucket mass bound — the banded families'
+    // refusal discipline on the SRP multi-probe join (grow `bits` with
+    // log2(n) to hold per-bucket occupancy constant — the documented dial)
+    val mass = probeCandidateMass(probes, buckets, Seq("tbl", "bkt"))
+    require(mass <= defaultPairBudget,
+      s"SRP-LSH candidate mass $mass exceeds the budget $defaultPairBudget: " +
+        "per-bucket occupancy is too high for this corpus. Grow the bits " +
+        "dial with log2(n) (holds occupancy constant), or raise the budget " +
+        "(-Dgraft.pair.budget / SPARK_GRAFT_PAIR_BUDGET) if " +
+        s"~${mass / 1000000}M dot-product verifications are intended.")
     val candidates = probes.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -3210,6 +3210,14 @@ class OperatorSpec extends AnyFunSuite {
       }
       assert(ex2.getMessage.contains("banded candidate mass"),
         s"default phashPairs path must refuse past the default budget: ${ex2.getMessage}")
+      // every OTHER banded family refuses through its default path too —
+      // the discipline is uniform, not a dedup-family special case
+      val ex3 = intercept[IllegalArgumentException] { Dedup.q25DedupMinhash(spark, sf) }
+      assert(ex3.getMessage.contains("MinHash LSH candidate mass"), ex3.getMessage)
+      val ex4 = intercept[IllegalArgumentException] { Dedup.q26DedupSimhash(spark, sf) }
+      assert(ex4.getMessage.contains("SimHash banding candidate mass"), ex4.getMessage)
+      val ex5 = intercept[IllegalArgumentException] { Dedup.q27DedupEmbed(spark, sf) }
+      assert(ex5.getMessage.contains("SRP-LSH candidate mass"), ex5.getMessage)
     } finally sys.props -= "graft.pair.budget"
   }
 
