@@ -986,13 +986,145 @@ object Similarity {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** The refusal message split/merge raise on a residual-marked root. */
+  /** The refusal message the PLAIN split/merge raise on a residual-marked
+    * root — the re-encoding variants are the way through. */
   private def residualRefusal(action: String): String =
     s"residual-encoded artifact: $action reroutes members across coarse " +
       "centroids, and residual codes encode x - c(cell) — moving a member " +
       "without re-encoding silently corrupts every ADC distance it serves. " +
-      "Re-encode-on-rebalance is not implemented; compaction and appends " +
-      "remain exact on this variant, or rebuild the index."
+      "Use ivfCellSplitResidual / ivfCellMergeResidual (they re-encode the " +
+      "routed members under the frozen books); compaction and appends " +
+      "remain exact on this variant."
+
+  /** Residual of each routed row against its ROUTED centroid (routing is
+    * the caller's decision — NOT the argmin; a split/merge routes by the
+    * 2-means / nearest-survivor assignment). */
+  private def residualAgainstRouted(cents: DataFrame, routedRaw: DataFrame): DataFrame =
+    routedRaw.join(broadcast(cents.select(col("cent_id").as("cell"), col("ce"))),
+        Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(e, ce, (x, y) -> x - y)").as("e"))
+
+  /** ARTIFACT AUDIT for the residual variant — recompute every row's
+    * codes from (raw vector, routed centroid, frozen books) and count
+    * mismatching rows: 0 on a healthy artifact. THE invariant the
+    * variant rails protect ("codes = frozen-book encode of x − c(cell)
+    * for the cell the row is ROUTED to"); run after any rebalance or
+    * migration. OperatorSpec proves it is load-bearing both ways: the
+    * re-encoding split/merge audit to 0, and the PLAIN split applied to
+    * the same content audits > 0 (the corruption the refusal rail
+    * exists to prevent, made visible). */
+  def residualAuditMismatches(s: SparkSession, root: String, emb: DataFrame): Long = {
+    val cents = s.read.parquet(s"$root/cents")
+    val books = s.read.parquet(s"$root/books")
+    val codes = s.read.parquet(s"$root/codes")
+    val routedRaw = codes.select("vec_id", "cell")
+      .join(emb.select("vec_id", "e"), Seq("vec_id"))
+    val expect = residualEncode(books, residualAgainstRouted(cents, routedRaw))
+      .select(col("vec_id"), col("codes").as("expect_codes"))
+    codes.join(expect, Seq("vec_id"))
+      .filter(not(col("codes") === col("expect_codes"))).count()
+  }
+
+  /** RE-ENCODING CELL SPLIT for residual artifacts — the capability
+    * behind the variant rail: identical routing algebra to
+    * [[ivfCellSplitArtifact]] (same [[localTwoMeans]] kernel, hot-cell
+    * choice, cents-first write order, coverage requires), plus the step
+    * the plain split doesn't need — EVERY member of a split cell
+    * re-encodes its residual against its new routed centroid under the
+    * FROZEN books (sub-0 members too: the parent centroid moved).
+    * Untouched cells stay byte-identical; afterwards
+    * [[residualAuditMismatches]] is 0 by construction. */
+  def ivfCellSplitResidual(s: SparkSession, root: String, outRoot: String,
+      emb: DataFrame, splitCells: Int = SplitHotCells): Unit = {
+    require(outRoot != root,
+      "cell split is copy-on-write: outRoot must be a new artifact root")
+    require(isResidualRoot(s, root),
+      "plain artifact: use ivfCellSplitArtifact (codes are routing-independent there)")
+    import s.implicits._
+    val cents = s.read.parquet(s"$root/cents")
+    val books = s.read.parquet(s"$root/books")
+    val codes = s.read.parquet(s"$root/codes")
+    val occ = codes.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hotCells = occ.sortBy { case (c, n) => (-n, c) }.take(splitCells).map(_._1)
+    val maxId = cents.select("cent_id").collect().map(_.getLong(0)).max
+    val newIdOf = hotCells.zipWithIndex
+      .map { case (c, i) => c -> (maxId + 1 + i) }.toMap
+    val members = codes.filter(col("cell").isin(hotCells: _*))
+      .select("vec_id", "cell")
+      .join(emb.select("vec_id", "e"), Seq("vec_id"))
+      .select("cell", "vec_id", "e").cache()
+    val hotRows = occ.collect { case (c, n) if hotCells.contains(c) => n }.sum
+    val cov = members.agg(count(lit(1)).as("n"),
+      countDistinct(col("vec_id")).as("d")).head()
+    require(cov.getLong(0) == hotRows && cov.getLong(1) == hotRows,
+      s"emb must cover every hot-cell vec_id exactly once: joined ${cov.getLong(0)} " +
+        s"rows / ${cov.getLong(1)} distinct of $hotRows hot rows")
+    val (finalLocal, updCs) = localTwoMeans(members, hotCells)
+    val subCountRows = finalLocal.groupBy("cell", "sub").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val newIdExpr = hotCells.foldLeft(lit(-1L)) { (acc, c) =>
+      when(col("cell") === c, lit(newIdOf(c))).otherwise(acc) }
+    val moved = finalLocal.select(col("vec_id"),
+      when(col("sub") === 0, col("cell")).otherwise(newIdExpr).as("cell"))
+    val updRows: Seq[(Long, Seq[Double])] = hotCells.flatMap { c =>
+      updCs(c).collect { case (sub, ce) if subCountRows.getOrElse((c, sub), 0L) > 0 =>
+        (if (sub == 0L) c else newIdOf(c), ce) } }
+    val centsOut = cents.filter(!col("cent_id").isin(hotCells: _*))
+      .unionByName(updRows.toDF("cent_id", "ce"))
+    val reenc = residualEncode(books, residualAgainstRouted(centsOut,
+      moved.join(members.select("vec_id", "e"), Seq("vec_id"))))
+    val codesOut = codes.filter(!col("cell").isin(hotCells: _*))
+      .unionByName(reenc.select(codes.columns.map(col): _*))
+    centsOut.write.mode("overwrite").parquet(s"$outRoot/cents") // FIRST (contract)
+    codesOut.write.mode("overwrite").parquet(s"$outRoot/codes")
+    books.write.mode("overwrite").parquet(s"$outRoot/books")
+    tombstoneUnion(s, root).foreach(
+      _.write.mode("overwrite").parquet(s"$outRoot/tombstones/t0"))
+    markResidual(s, outRoot)
+    members.unpersist(false)
+  }
+
+  /** RE-ENCODING CELL MERGE for residual artifacts — survivors'
+    * centroids are untouched, so ONLY the moved members re-encode
+    * (against their nearest surviving centroid, the same per-member
+    * [[assignCells]] routing the plain merge uses). */
+  def ivfCellMergeResidual(s: SparkSession, root: String, outRoot: String,
+      emb: DataFrame, mergeCells: Int = MergeColdCells): Seq[Long] = {
+    require(outRoot != root,
+      "cell merge is copy-on-write: outRoot must be a new artifact root")
+    require(isResidualRoot(s, root),
+      "plain artifact: use ivfCellMergeArtifact (codes are routing-independent there)")
+    val cents = s.read.parquet(s"$root/cents")
+    val books = s.read.parquet(s"$root/books")
+    val codes = s.read.parquet(s"$root/codes")
+    val occ = codes.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val centIds = cents.select("cent_id").collect().map(_.getLong(0))
+    val occMap = occ.toMap
+    val coldCells = centIds.map(c => (c, occMap.getOrElse(c, 0L)))
+      .sortBy { case (c, n) => (n, c) }.take(mergeCells).map(_._1).toSeq
+    val survivorIds = centIds.filterNot(coldCells.contains)
+    require(survivorIds.nonEmpty,
+      "cell merge needs >= 1 surviving cell: refusing to fold the whole index")
+    val survivors = cents.filter(!col("cent_id").isin(coldCells: _*))
+    val members = codes.filter(col("cell").isin(coldCells: _*))
+      .select("vec_id").join(emb.select("vec_id", "e"), Seq("vec_id")).cache()
+    val moved = assignCells(members, survivors).select("vec_id", "cell")
+    val reenc = residualEncode(books, residualAgainstRouted(survivors,
+      moved.join(members.select("vec_id", "e"), Seq("vec_id"))))
+    val codesOut = codes.filter(!col("cell").isin(coldCells: _*))
+      .unionByName(reenc.select(codes.columns.map(col): _*))
+    codesOut.write.mode("overwrite").parquet(s"$outRoot/codes") // FIRST (contract)
+    survivors.write.mode("overwrite").parquet(s"$outRoot/cents")
+    books.write.mode("overwrite").parquet(s"$outRoot/books")
+    tombstoneUnion(s, root).foreach(
+      _.write.mode("overwrite").parquet(s"$outRoot/tombstones/t0"))
+    markResidual(s, outRoot)
+    members.unpersist(false)
+    coldCells
+  }
 
   // --------------------------------------------------------------- q160
   /** q160: THE RESIDUAL ARTIFACT SERVED WITH DELETES COMPACTED,

@@ -3302,6 +3302,62 @@ class OperatorSpec extends AnyFunSuite {
       s"merge refusal must name the variant: ${ex2.getMessage}")
   }
 
+  test("residual rebalance: re-encoding split/merge audit clean; the PLAIN split on the same content audits corrupt") {
+    val s = spark
+    val (cents, books, codeTable) = Similarity.residualParts(s, sf)
+    val emb = Similarity.embWithNorm(s, sf).select("vec_id", "e")
+    val dir = java.nio.file.Files.createTempDirectory("graft_resid_reb").toString
+    def write(sub: String, mark: Boolean): String = {
+      val r = s"$dir/$sub"
+      cents.write.mode("overwrite").parquet(s"$r/cents")
+      books.write.mode("overwrite").parquet(s"$r/books")
+      codeTable.write.mode("overwrite").parquet(s"$r/codes")
+      if (mark) Similarity.markResidual(s, r)
+      r
+    }
+    def nlist(r: String) = s.read.parquet(s"$r/cents").count()
+    def mass(r: String) = s.read.parquet(s"$r/codes").count()
+    val root = write("a", mark = true)
+    assert(Similarity.residualAuditMismatches(s, root, emb) == 0L,
+      "fresh residual build must satisfy the artifact invariant")
+    // re-encoding split: invariant holds on every row afterwards, nlist
+    // grows, mass conserved, untouched cells byte-identical
+    Similarity.ivfCellSplitResidual(s, root, s"$dir/split", emb)
+    assert(Similarity.residualAuditMismatches(s, s"$dir/split", emb) == 0L,
+      "re-encoding split must leave codes = encode(x - c(routed cell))")
+    assert(nlist(s"$dir/split") > nlist(root) && mass(s"$dir/split") == mass(root))
+    val hot = s.read.parquet(s"$root/codes").groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).limit(2)
+      .collect().map(_.getLong(0)).toSet
+    val beforeCold = s.read.parquet(s"$root/codes")
+      .filter(!col("cell").isin(hot.toSeq: _*))
+      .collect().map(_.toString).sorted.toSeq
+    val afterCold = s.read.parquet(s"$dir/split/codes")
+      .filter(!col("cell").isin(hot.toSeq: _*) &&
+        col("cell") <= s.read.parquet(s"$root/cents")
+          .agg(max(col("cent_id"))).head().getLong(0))
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterCold == beforeCold, "untouched cells must stay byte-identical")
+    // the PLAIN split applied to the SAME content (marker absent) breaks
+    // the invariant — the corruption the refusal rail exists to prevent,
+    // made visible: routed-without-re-encode rows audit as mismatches
+    val plainRoot = write("p", mark = false)
+    Similarity.ivfCellSplitArtifact(s, plainRoot, s"$dir/psplit", emb)
+    assert(Similarity.residualAuditMismatches(s, s"$dir/psplit", emb) > 0L,
+      "the plain split must corrupt residual codes — otherwise the rail is theater")
+    // re-encoding merge on the split output: nlist shrinks, mass
+    // conserved, invariant still clean, and the serve path still works
+    val merged = Similarity.ivfCellMergeResidual(s, s"$dir/split", s"$dir/merge", emb)
+    assert(merged.nonEmpty && nlist(s"$dir/merge") < nlist(s"$dir/split"))
+    assert(mass(s"$dir/merge") == mass(root))
+    assert(Similarity.residualAuditMismatches(s, s"$dir/merge", emb) == 0L,
+      "re-encoding merge must leave the invariant intact")
+    val served = Similarity.residualSearchFrom(
+      s.read.parquet(s"$dir/merge/cents"), s.read.parquet(s"$dir/merge/books"),
+      s.read.parquet(s"$dir/merge/codes"), emb.filter(col("vec_id") < 10))
+    assert(served.count() > 0, "post-rebalance residual serve must return rows")
+  }
+
   test("q158 mid-swap reader isolation: a pre-maintenance resolve serves identical rows through publish + retirement") {
     import graft.ops.RootPointer
     val s = spark
