@@ -85,6 +85,28 @@ object ProfileMaintain {
       Similarity.maybeMaintainIvfVersioned(spark, base, embSlim,
         maxTombstones = 4, maxSharePpm = 60000, minSharePpm = 30000).toString
     }
+    // residual variant: the plain rows above are routing-only rewrites;
+    // these RE-ENCODE the routed members (split: both halves of each hot
+    // cell; merge: moved members) — the premium is what re-encoding costs
+    // on top of routing, and the audit row prices the full-artifact
+    // invariant check a migration would run
+    val rroot = s"$root/r"
+    time("build_residual") {
+      val (rc, rb, rcodes) = Similarity.residualParts(spark, d)
+      rc.write.parquet(s"$rroot/cents")
+      rb.write.parquet(s"$rroot/books")
+      rcodes.write.parquet(s"$rroot/codes")
+      Similarity.markResidual(spark, rroot)
+    }
+    time("split_residual") {
+      Similarity.ivfCellSplitResidual(spark, rroot, s"$root/rsplit", embSlim)
+    }
+    time("merge_residual") {
+      Similarity.ivfCellMergeResidual(spark, rroot, s"$root/rmerge", embSlim).size.toLong
+    }
+    time("audit_residual") {
+      Similarity.residualAuditMismatches(spark, rroot, embSlim)
+    }
     spark.stop()
   }
 }
