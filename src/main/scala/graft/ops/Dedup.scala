@@ -423,6 +423,60 @@ object Dedup {
 
   val q24Sql: String = jaccardOracle
 
+  // ---------------------------------------------------------------- q161
+  /** q161: N-GRAM CONTAINMENT PAIRS — the ASYMMETRIC near-dup the Jaccard
+    * family misses: C(A,B) = |A∩B| / |A| ≥ t says "A is (mostly)
+    * CONTAINED in B" regardless of how much bigger B is — the quote /
+    * boilerplate / excerpt detector (a doc quoting a paragraph of a much
+    * longer doc has tiny Jaccard but containment ≈ 1). All-Pairs prefix
+    * filtering survives the asymmetry one-sidedly (Bayardo et al.'s
+    * containment case): if C(A,B) ≥ t then at most |A| − ⌈t·|A|⌉ of A's
+    * tokens are outside B, so A shares a token with B inside A's
+    * (|A| − ⌈t·|A|⌉ + 1)-PREFIX under the df total order — the PROBE side
+    * keeps the Jaccard prefix (same slice expression), but the INDEX side
+    * must carry FULL token lists (B is unbounded), so this family floods
+    * faster than Jaccard on boilerplate-heavy corpora and carries the
+    * asymmetric probe×index mass guard. Verification is exact
+    * (array_intersect / |A|); output is DIRECTED (a_id contained in
+    * b_id), both directions of a mutual near-dup pair appearing. */
+  def q161ContainmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentPairs(shingled(s, d), 0.8)
+
+  private[graft] def containmentPairs(shingledDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    val (docs, prefix) = rankedDocsAndPrefix(shingledDocs, threshold)
+    val fullIndex = docs.select(col("doc_id"), explode(col("hs")).as("shh"))
+    val mass = probeCandidateMass(prefix, fullIndex, Seq("shh"))
+    require(mass <= defaultPairBudget,
+      s"containment candidate mass $mass exceeds the budget $defaultPairBudget: " +
+        "the full-token index side floods on boilerplate-heavy corpora. " +
+        "Collapse exact duplicates first (collapsedJaccardPairs / q42), raise " +
+        "the threshold (shorter probe prefixes), or raise the budget " +
+        "(-Dgraft.pair.budget / SPARK_GRAFT_PAIR_BUDGET) if " +
+        s"~${mass / 1000000}M verifications are intended.")
+    val candidates = prefix.as("a").join(fullIndex.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val da = docs.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("nsh").as("na"))
+    val db = docs.select(col("doc_id").as("b_id"), col("hs").as("hb"))
+    candidates.join(da, "a_id").join(db, "b_id")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q161Sql: String =
+    s"""WITH $jaccardCte
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(COUNT(*) AS DOUBLE) / a.nsh AS containment
+       |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.nsh
+       |HAVING CAST(COUNT(*) AS DOUBLE) / a.nsh >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
   // q70 oracle: the SAME full-corpus pair query, restricted to pairs with a
   // fresh member — the incremental path must equal exactly this set
   val q70Sql: String =
@@ -1324,6 +1378,7 @@ object Dedup {
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_dedup_exact", q23DedupExact _, Some(q23Sql)),
     ("q24_dedup_ngram", q24DedupNgram _, Some(q24Sql)),
+    ("q161_containment", q161ContainmentPairs _, Some(q161Sql)),
     ("q25_dedup_minhash", q25DedupMinhash _, Some(q25Sql)),
     ("q26_dedup_simhash", q26DedupSimhash _, Some(q26Sql)),
     ("q27_dedup_embed", q27DedupEmbed _, Some(q27Sql)),

@@ -3413,6 +3413,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(served == before, "compacted plain serve must equal the tombstoned serve")
   }
 
+  test("q161 containment: a planted excerpt is caught DIRECTED with tiny Jaccard; the containing doc is not flagged") {
+    val s = spark
+    import s.implicits._
+    // doc 1 = a verbatim excerpt of doc 0 (first 8 of 40 words): its
+    // trigram set is a subset of doc 0's (containment 1.0 one way) while
+    // Jaccard is ~6/38 — the asymmetric case the Jaccard family misses
+    val big = (0 until 40).map(i => s"w${i}x").mkString(" ")
+    val excerpt = (0 until 8).map(i => s"w${i}x").mkString(" ")
+    val other = (100 until 130).map(i => s"w${i}x").mkString(" ")
+    val docs = Seq((0L, big), (1L, excerpt), (2L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(Dedup.shingleDocs(docs), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 0L, 1.0)),
+      s"expected exactly the directed excerpt pair (1 contained in 0): ${pairs.toSeq}")
+    // the same corpus under the Jaccard entry finds NOTHING at 0.6 —
+    // containment is new signal, not a rescaled Jaccard
+    val jac = Dedup.jaccardPairs(Dedup.shingleDocs(docs), 0.6).collect()
+    assert(jac.isEmpty, s"Jaccard must miss the excerpt pair: ${jac.toSeq}")
+  }
+
   test("q157 scaled BPE trainer: merge table identical to the distributed loop on the shared corpus") {
     val s = spark
     val local = graft.ops.TextOps.bpeTrainLocal(graft.ops.TextOps.bpeWordFreqs(s, sf), 6)
