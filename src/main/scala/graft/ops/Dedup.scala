@@ -477,6 +477,39 @@ object Dedup {
        |HAVING CAST(COUNT(*) AS DOUBLE) / a.nsh >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Ingest-time containment: "is this FRESH doc an excerpt of anything
+    * already in the corpus" — the [[incrementalJaccardPairs]] move applied
+    * to the containment family. Only fresh docs' PREFIXES probe (the
+    * contained side is the side the prefix theorem bounds), the index is
+    * existing ∪ fresh full tokens, so per-batch cost is
+    * O(fresh prefixes × collision counts), never a corpus re-pair. Output:
+    * the directed (a_id ∈ fresh, containment(a in b) ≥ t) pairs — equal by
+    * construction to [[containmentPairs]](all) filtered to fresh a_id
+    * (the OperatorSpec differential). */
+  private[graft] def incrementalContainment(shingledAll: DataFrame,
+      freshIds: DataFrame, threshold: Double): DataFrame = {
+    val (docs, prefix) = rankedDocsAndPrefix(shingledAll, threshold)
+    val freshPrefix = prefix.join(freshIds, Seq("doc_id"), "left_semi")
+    val fullIndex = docs.select(col("doc_id"), explode(col("hs")).as("shh"))
+    val mass = probeCandidateMass(freshPrefix, fullIndex, Seq("shh"))
+    require(mass <= defaultPairBudget,
+      s"incremental containment candidate mass $mass exceeds the budget " +
+        s"$defaultPairBudget - collapse exact duplicates first, raise the " +
+        "threshold, or raise the budget (-Dgraft.pair.budget).")
+    val candidates = freshPrefix.as("a").join(fullIndex.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val da = docs.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("nsh").as("na"))
+    val db = docs.select(col("doc_id").as("b_id"), col("hs").as("hb"))
+    candidates.join(da, "a_id").join(db, "b_id")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   // q70 oracle: the SAME full-corpus pair query, restricted to pairs with a
   // fresh member — the incremental path must equal exactly this set
   val q70Sql: String =

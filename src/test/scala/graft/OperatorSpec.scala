@@ -3433,6 +3433,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(jac.isEmpty, s"Jaccard must miss the excerpt pair: ${jac.toSeq}")
   }
 
+  test("incremental containment equals the full run filtered to fresh probes") {
+    val s = spark
+    val all = Tables.documents(s, sf).select("doc_id", "text")
+    val freshIds = all.select("doc_id").filter(col("doc_id") % 5 === 0)
+    val inc = Dedup.incrementalContainment(Dedup.shingleDocs(all), freshIds, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.containmentPairs(Dedup.shingleDocs(all), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 % 5 == 0).toSet
+    assert(inc == full && inc.nonEmpty,
+      s"incremental containment diverged: ${inc.size} vs ${full.size}")
+  }
+
   test("q157 scaled BPE trainer: merge table identical to the distributed loop on the shared corpus") {
     val s = spark
     val local = graft.ops.TextOps.bpeTrainLocal(graft.ops.TextOps.bpeWordFreqs(s, sf), 6)
