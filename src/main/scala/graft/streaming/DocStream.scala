@@ -136,6 +136,46 @@ object DocStream {
       .select(col("doc_id").as("fresh_id"), col("ex_id"), col("jaccard"))
       .dropDuplicates("fresh_id", "ex_id")
 
+  /** Static-side artifacts for the streamed CONTAINMENT gate: the rank
+    * table plus the FULL-token inverted index — the asymmetric mirror of
+    * [[nearDupIndex]] (the contained side is the probe, so only the fresh
+    * stream carries prefixes; the index must hold every static token
+    * because the containing doc can be arbitrarily larger). */
+  def containmentIndex(staticDocs: DataFrame)
+      : (Broadcast[(Array[Long], Array[Long])], DataFrame) = {
+    val hashed = Dedup.hashShingles(staticDocs)
+    val btable = Dedup.dfRankTable(hashed)
+    val index = Dedup.rankDocs(hashed, btable)
+      .select(col("doc_id").as("ex_id"), col("hs").as("ex_hs"),
+        explode(col("hs")).as("shh"))
+      .cache()
+    (btable, index)
+  }
+
+  /** fresh document stream → (fresh_id, ex_id, containment) for every
+    * fresh doc ≥ t CONTAINED in a static doc — excerpt/quote detection at
+    * ingest, the asymmetric gate [[nearDupAgainst]] misses (a quoted
+    * paragraph of a long doc has tiny Jaccard). Exact and complete with
+    * NO order assumption: if ≥ ⌈t·n⌉ of the fresh doc's n tokens are in a
+    * static doc, any (n − ⌈t·n⌉ + 1)-subset of its tokens intersects that
+    * doc (pigeonhole), and the index carries ALL static tokens — so the
+    * prefix probe finds every qualifying pair regardless of rank drift
+    * between snapshot and stream. Pure per-row vs frozen state ⇒
+    * streamed ≡ batch under any batching (DocStreamSpec differential). */
+  def containmentAgainst(freshDocs: DataFrame,
+      btable: Broadcast[(Array[Long], Array[Long])],
+      index: DataFrame, threshold: Double): DataFrame =
+    Dedup.rankDocs(Dedup.hashShingles(freshDocs), btable)
+      .select(col("doc_id"), col("hs"), col("nsh"),
+        explode(Dedup.prefixSliceExpr(threshold)).as("shh"))
+      .join(index, Seq("shh"))
+      .filter(col("doc_id") =!= col("ex_id"))
+      .withColumn("inter", size(array_intersect(col("hs"), col("ex_hs"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("nsh"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id").as("fresh_id"), col("ex_id"), col("containment"))
+      .dropDuplicates("fresh_id", "ex_id")
+
   /** Per-micro-batch CURATION — q154's funnel rules at ingest time, against
     * a FROZEN accepted-corpus snapshot: each arriving doc gets the full
     * rule bitmap `(pass_lang, pass_quality, dup_exact, dup_near,

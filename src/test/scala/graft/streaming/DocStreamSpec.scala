@@ -934,6 +934,48 @@ class DocStreamSpec extends AnyFunSuite {
       s"streamed decon flags diverged: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streamed containment gate catches a planted excerpt, equals the batch incremental path on fresh-vs-static") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val static = all.filter(col("doc_id") % 5 =!= 0)
+    val fresh = all.filter(col("doc_id") % 5 === 0)
+    // planted excerpts: the first 10 words of two long static docs — tiny
+    // Jaccard against their sources, containment ≈ 1 (what this gate is FOR)
+    val excerpts = static.filter(size(split(col("text"), " ")) >= 30)
+      .orderBy("doc_id").limit(2).collect().map { r =>
+        (r.getLong(0) + 4000000L, r.getString(1).split(" ").take(10).mkString(" "))
+      }
+    assert(excerpts.length == 2, "vacuous: not enough long static docs")
+    val batch = fresh.unionByName(excerpts.toSeq.toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("docstream_cont").toString
+    batch
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val (btable, index) = DocStream.containmentIndex(static)
+    val q = DocStream.containmentAgainst(DocStream.readDocs(spark, dir), btable, index, 0.8)
+      .writeStream.format("memory").queryName("stream_containment")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_containment").collect()
+      .map(r => (r.getAs[Long]("fresh_id"), r.getAs[Long]("ex_id"),
+        r.getAs[Double]("containment"))).toSet
+    excerpts.foreach { case (eid, _) =>
+      assert(got.exists(p => p._1 == eid && p._2 == eid - 4000000L),
+        s"planted excerpt $eid not caught against its source")
+    }
+    // differential vs the batch incremental path over static ∪ batch,
+    // restricted to fresh-vs-STATIC (the only pairs the stream probes)
+    def isFresh(id: Long) = id % 5 == 0 || id >= 4000000L
+    val expected = graft.ops.Dedup.incrementalContainment(
+        graft.ops.Dedup.shingleDocs(static.unionByName(batch)),
+        batch.select("doc_id"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (_, b, _) => !isFresh(b) }.toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+  }
+
   test("streamed OOV-retrain loop: a drained drift stream triggers exactly one retrain, any batching") {
     import graft.ops.TextOps
     val spark = TestSpark.spark
