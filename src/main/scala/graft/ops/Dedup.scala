@@ -724,11 +724,22 @@ object Dedup {
     // probe side: own bucket + the `bits` hamming-1 neighbors per table
     val probes = buckets.select(col("vec_id"), col("tbl"), explode(expr(
       s"transform(sequence(0, $bits), j -> CASE WHEN j = 0 THEN bkt ELSE int(bkt ^ shiftleft(1, j - 1)) END)"))
-      .as("bkt")).cache()
+      .as("bkt"))
     // the asymmetric probe x bucket mass bound — the banded families'
     // refusal discipline on the SRP multi-probe join (grow `bits` with
-    // log2(n) to hold per-bucket occupancy constant — the documented dial)
-    val mass = probeCandidateMass(probes, buckets, Seq("tbl", "bkt"))
+    // log2(n) to hold per-bucket occupancy constant — the documented
+    // dial). Computed from the BUCKET COUNTS ALONE: the probes hitting a
+    // bucket are exactly its own members plus its `bits` hamming-1
+    // neighbors' members, so mass = Σ bn(b)·(bn(b) + Σ_j bn(b ^ 2^j))
+    // over a ≤ tables·2^bits count frame — no pass over the 11×-exploded
+    // probe frame (counting that frame cost more than some corpora's
+    // whole candidate join: q27 went 1.26 → 2.90 s on the first guard)
+    val bn = buckets.groupBy("tbl", "bkt").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val mass = bn.iterator.map { case ((t, b), n) =>
+      n * (0 to bits).map(j =>
+        if (j == 0) n else bn.getOrElse((t, b ^ (1 << (j - 1))), 0L)).sum
+    }.sum
     require(mass <= defaultPairBudget,
       s"SRP-LSH candidate mass $mass exceeds the budget $defaultPairBudget: " +
         "per-bucket occupancy is too high for this corpus. Grow the bits " +
