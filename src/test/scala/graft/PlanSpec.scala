@@ -957,6 +957,37 @@ class PlanSpec extends AnyFunSuite {
       "compacted serve must not scan tombstones")
   }
 
+  test("q160 residual serve: scans only the compacted artifacts — no train lineage, no tombstone scan, no raw-corpus read") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Similarity.q160ResidualServed(spark, sf)
+    df.collect()
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec => m +: nodes(m.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val scans = ns.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    // the serve side reads the three compacted artifacts plus the
+    // embeddings table (the QUERY side — eval vectors are input, not
+    // index); it must NOT re-read tombstones (compaction applied them)
+    // and must NOT carry the residual-training lineage (books/cents come
+    // from parquet, not from pqTrain)
+    val art = scans.filter(_.contains("ivfresid"))
+    assert(Seq("cents", "books", "codes").forall(t => art.exists(_.endsWith(s"/$t"))),
+      s"expected scans of the persisted residual trio; got $art")
+    assert(!scans.exists(_.contains("tombstones")),
+      "compacted residual serve must not scan tombstones")
+    val full = ns.map(_.toString).mkString("\n")
+    assert(!full.contains("graft_pq_near") || !full.contains("documents"),
+      "serve lineage must not re-train/re-encode from the corpus")
+  }
+
   test("q126 tombstone serve: corrections stay in the artifact — no re-tokenize; tombstone file scanned") {
     import graft.ops.Retrieval
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
