@@ -477,6 +477,45 @@ object Dedup {
        |HAVING CAST(COUNT(*) AS DOUBLE) / a.nsh >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  /** q162: EXCERPT-CLEAN — q161's detector turned into the curation
+    * ACTION (the q24→q34 composition pattern): drop every doc ≥ 0.8
+    * contained in a STRICTLY LARGER doc (equal shingle-set sizes
+    * tie-break on id, keeping the smaller — so exact-dup clusters keep
+    * exactly one member, the q23 convention), keep the rest. The
+    * containing doc always survives its own excerpts (containment is
+    * size-ordered, so the rule is acyclic — no cascade question: a kept
+    * container may itself be dropped only for a still-larger container,
+    * and its excerpts were dropped regardless). Output: the kept docs
+    * with their shingle counts. */
+  def q162ExcerptClean(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val sizes = sh.select(col("doc_id"), col("nsh"))
+    val drops = containmentPairs(sh, 0.8)
+      .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb")), "b_id")
+      .filter(col("nb") > col("na") ||
+        (col("nb") === col("na") && col("b_id") < col("a_id")))
+      .select(col("a_id").as("doc_id")).distinct()
+    sizes.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("nsh"))
+      .orderBy("doc_id")
+  }
+
+  val q162Sql: String =
+    s"""WITH $jaccardCte,
+       |cont AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, b.nsh AS nb
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+       |  HAVING CAST(COUNT(*) AS DOUBLE) / a.nsh >= 0.8),
+       |drops AS (
+       |  SELECT DISTINCT a_id FROM cont
+       |  WHERE nb > na OR (nb = na AND b_id < a_id))
+       |SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh FROM docs
+       |WHERE doc_id NOT IN (SELECT a_id FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
   /** Ingest-time containment: "is this FRESH doc an excerpt of anything
     * already in the corpus" — the [[incrementalJaccardPairs]] move applied
     * to the containment family. Only fresh docs' PREFIXES probe (the
@@ -1423,6 +1462,7 @@ object Dedup {
     ("q23_dedup_exact", q23DedupExact _, Some(q23Sql)),
     ("q24_dedup_ngram", q24DedupNgram _, Some(q24Sql)),
     ("q161_containment", q161ContainmentPairs _, Some(q161Sql)),
+    ("q162_excerpt_clean", q162ExcerptClean _, Some(q162Sql)),
     ("q25_dedup_minhash", q25DedupMinhash _, Some(q25Sql)),
     ("q26_dedup_simhash", q26DedupSimhash _, Some(q26Sql)),
     ("q27_dedup_embed", q27DedupEmbed _, Some(q27Sql)),
