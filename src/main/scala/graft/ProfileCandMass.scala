@@ -21,12 +21,15 @@ object ProfileCandMass {
       Tables.spread(spark, Tables.documents(spark, d), "doc_id"))
     val t0 = System.nanoTime()
     try {
+      // the gate is in-plan now: the refusal fires at action time, still
+      // before any candidate pair shuffles — drive it with a noop write
       graft.ops.Dedup.jaccardPairsBudgeted(sh, 0.6, maxCandidatePairs = 1)
+        .write.format("noop").mode("overwrite").save()
       println("UNEXPECTED: under budget at 1")
     } catch {
-      case e: IllegalArgumentException =>
+      case e: Throwable if graft.ops.Dedup.budgetRefusal(e).isDefined =>
         println(f"refused in ${(System.nanoTime() - t0) / 1e9}%.2f s: " +
-          e.getMessage.take(200))
+          graft.ops.Dedup.budgetRefusal(e).get.take(200))
     }
     spark.stop()
   }

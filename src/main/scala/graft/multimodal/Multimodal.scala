@@ -458,22 +458,47 @@ object MultimodalOps {
       candTap: DataFrame => DataFrame = identity): DataFrame = {
     require(maxCandidatePairs >= 1,
       s"maxCandidatePairs must be >= 1, got $maxCandidatePairs")
+    // collision counts: ONE in-plan group-count subtree (never probed
+    // eagerly — the round-17 q146 premium's fix) yields the Σ C(n,2)
+    // mass bound gating the self-join via [[graft.ops.Dedup.budgetGate]].
+    // The fingerprint frame is cached: the pipeline has four lazy
+    // consumers (count, gate, two self-join sides) and AQE's broadcast
+    // decisions defeat exchange reuse between them; released by the
+    // catalog sweep's per-entry clearCache
     val cached = fps.cache()
-    val mass = bandCandidateMass(cached)
-    require(mass <= maxCandidatePairs,
-      s"banded candidate mass $mass exceeds the budget $maxCandidatePairs: " +
-        "the band layout has too little entropy for this corpus. Switch to " +
+    val cnt = cached.select(posexplode(col("fp")).as(Seq("b", "bv")))
+      .groupBy("b", "bv").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val gate = graft.ops.Dedup.budgetGate(
+      cnt.agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("m")),
+      maxCandidatePairs, "banded",
+      "the band layout has too little entropy for this corpus. Switch to " +
         "the wide-band layout (q143: 2 bands x 32 bits - orders of " +
         "magnitude fewer candidates, weaker scattered-flip recall), route " +
         "through the embedding near-dup path (q27), or raise the budget " +
-        s"if ~${mass / 1000000}M hamming verifications are intended.")
-    bandPairs(cached, candTap)
+        "if this many hamming verifications are intended.")
+    // one-sided gate (the measured champion shape from the q25 variant
+    // sweep): the ungated build side races the gate job on the cache
+    // fill; the gated stream side still blocks every pair row on the
+    // mass check
+    val bands = cached.select(col("doc_id"), col("fp"),
+      posexplode(col("fp")).as(Seq("b", "bv")))
+    bandPairsCore(graft.ops.Dedup.gatedBy(bands, gate), bands, candTap)
+      .orderBy("a_id", "b_id")
   }
 
+  /** The UNGUARDED kernel from a fingerprint frame — the public paths all
+    * go through [[bandPairsGuarded]], which runs this same core over
+    * gated, collision-prefiltered bands. */
   private[graft] def bandPairs(fps: DataFrame,
       candTap: DataFrame => DataFrame = identity): DataFrame = {
     val bands = fps.select(col("doc_id"), col("fp"),
       posexplode(col("fp")).as(Seq("b", "bv")))
+    bandPairsCore(bands, bands, candTap).orderBy("a_id", "b_id")
+  }
+
+  private def bandPairsCore(bandsA: DataFrame, bandsB: DataFrame,
+      candTap: DataFrame => DataFrame = identity): DataFrame = {
     // VERIFY BEFORE DEDUP: the hamming check runs MAP-SIDE in the join
     // stage, so the ≥ 1-shared-band candidate fan-out (band skew can make
     // it 100×+ the survivor count — measured 31M candidates → 118k
@@ -482,7 +507,7 @@ object MultimodalOps {
     // first would shuffle every candidate row with both fingerprint
     // arrays attached — the ordering, not the banding, was the measured
     // bottleneck.
-    candTap(bands.as("x").join(bands.as("y"),
+    candTap(bandsA.as("x").join(bandsB.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
@@ -493,7 +518,6 @@ object MultimodalOps {
       .filter(col("hamming") <= PhashMaxHam)
       .dropDuplicates(Seq("a_id", "b_id"))
       .select("a_id", "b_id", "hamming")
-      .orderBy("a_id", "b_id")
   }
 
   /** The banding oracle under an EXPLICIT band layout — DuckDB recomputes

@@ -105,17 +105,55 @@ object Dedup {
   private[graft] def jaccardPairs(shingledDocs: DataFrame, threshold: Double): DataFrame =
     jaccardPairsBudgeted(shingledDocs, threshold, defaultPairBudget)
 
-  /** CANDIDATE-MASS PROBE over a prefix index: Σ C(n,2) of the per-bucket
-    * counts — an UPPER BOUND on the candidate self-join's row count (the
-    * join adds the length-ratio filter on top), computed by ONE tiny agg
-    * BEFORE any pair ever materializes. THE number that predicts the
-    * blowup the round-16 1M diagnosis hit: the one-shot cluster build
-    * died on >79 GB of candidate-shuffle spill, and this probe would have
-    * priced that run for the cost of a group-count. */
-  private def prefixCandidateMass(prefix: DataFrame): Long =
-    prefix.groupBy("shh").agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("m"))
-      .head().getLong(0)
+  /** COLLISION COUNTS over a prefix/bucket key frame: the per-key counts
+    * with n ≥ 2 — the only keys that can ever emit a pair. One group-count
+    * subtree yields BOTH the candidate-mass upper bound (Σ C(n,2) — THE
+    * number that predicts the blowup the round-16 1M diagnosis hit:
+    * >79 GB of candidate-shuffle spill) AND the semi-join prefilter that
+    * repays it: singleton keys (the vast majority on a real corpus) never
+    * enter the pair join's shuffle at all. NOT cached and NOT probed
+    * eagerly — both consumers live in ONE plan and share the group-count's
+    * exchange (ReuseExchange), which is what removed the round-17
+    * guard-probe premium (the eager `.head()` probe cost one extra job +
+    * cache fill per entry: q25 0.78→1.80 s, q26 0.53→1.20 s). */
+  private def collisionCounts(keyed: DataFrame, keys: Seq[String]): DataFrame =
+    keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+
+  /** IN-PLAN BUDGET GATE: a one-row (ok: boolean) frame that RAISES with
+    * the measured mass once the budget is exceeded — the refusal is part
+    * of the query itself instead of an eager pre-job. Attached to the
+    * pair join's INPUT via [[gatedBy]] (a one-row broadcast cross join,
+    * the adjudicated scalar-attach convention), so the join's map stage
+    * cannot start until the mass is known: past the budget the action
+    * dies in the gate's group-count time, and NO candidate pair ever
+    * shuffles — the same refusal-before-blowup contract as the round-17
+    * eager probe, at zero extra jobs under budget. */
+  private[graft] def budgetGate(massFrame: DataFrame, budget: Long,
+      family: String, lever: String): DataFrame =
+    massFrame.select(coalesce(
+      assert_true(col("m") <= lit(budget),
+        concat(lit(s"$family candidate mass "), col("m"),
+          lit(s" exceeds the budget $budget: " + lever))),
+      lit(true)).as("ok"))
+
+  /** Σ C(n,2) mass frame of a [[collisionCounts]] frame (one row, col m). */
+  private def pairMassOf(cnt: DataFrame): DataFrame =
+    cnt.agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("m"))
+
+  /** Attach a [[budgetGate]] to a frame: rows flow only after the gate's
+    * one broadcast row evaluated (i.e. after the mass check passed). */
+  private[graft] def gatedBy(df: DataFrame, gate: DataFrame): DataFrame =
+    df.crossJoin(broadcast(gate)).filter(col("ok")).drop("ok")
+
+  /** True iff the throwable (or any cause) is a budget-gate refusal —
+    * the catch-side of [[budgetGate]]: the raise surfaces at ACTION time
+    * wrapped in Spark's job-failure exceptions, so catch sites match on
+    * the message, not the type. */
+  def budgetRefusal(e: Throwable): Option[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .find(_.contains("exceeds the budget"))
 
   /** One-shot All-Pairs with a SPILL-BUDGET REFUSAL — the guard the q53
     * 1M diagnosis prescribed (BASELINE.md round-16 addendum): on a
@@ -128,22 +166,28 @@ object Dedup {
     * maybeSplitIvf refusal discipline applied to the dedup family):
     * collapse exact dups first (q42), go incremental (q129 — never
     * regenerates existing×existing), or raise the budget knowingly.
-    * The probe costs one group-count over the prefix index the run was
-    * about to join anyway. */
+    * The guard is IN-PLAN (round-17 verdict's top demand — the eager
+    * probe job cost ~2× on small entries): the collision group-count
+    * gates the self-join via [[budgetGate]] at zero extra jobs, and its
+    * n ≥ 2 keys prefilter the join — singleton prefix tokens, most of
+    * the index, never shuffle into it. Refusal now surfaces at ACTION
+    * time (catch with [[budgetRefusal]]), still before any candidate
+    * pair materializes. */
   def jaccardPairsBudgeted(shingledDocs: DataFrame, threshold: Double,
       maxCandidatePairs: Long): DataFrame = {
     require(maxCandidatePairs >= 1,
       s"maxCandidatePairs must be >= 1, got $maxCandidatePairs")
     val (docs, prefix) = rankedDocsAndPrefix(shingledDocs, threshold)
-    val mass = prefixCandidateMass(prefix)
-    require(mass <= maxCandidatePairs,
-      s"All-Pairs candidate mass $mass exceeds the budget $maxCandidatePairs: " +
-        "the prefix filter has too little selectivity on this corpus " +
+    val cnt = collisionCounts(prefix, Seq("shh"))
+    val gate = budgetGate(pairMassOf(cnt), maxCandidatePairs, "All-Pairs",
+      "the prefix filter has too little selectivity on this corpus " +
         "(low-entropy vocabulary or extreme duplication). Collapse exact " +
         "duplicates first (collapsedJaccardPairs / q42), fold batches " +
-        "incrementally (incrementalFrom / q129), or raise the budget if " +
-        s"~${mass / 1000000}M candidate verifications are intended.")
-    val candidates = prefix.as("a").join(prefix.as("b"),
+        "incrementally (incrementalFrom / q129), or raise the budget " +
+        "(-Dgraft.pair.budget / SPARK_GRAFT_PAIR_BUDGET) if this many " +
+        "candidate verifications are intended.")
+    val pfx = gatedBy(prefix, gate).join(cnt.select("shh"), Seq("shh"), "left_semi")
+    val candidates = pfx.as("a").join(pfx.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.nsh"), col("b.nsh")).cast("double") >=
             greatest(col("a.nsh"), col("b.nsh")) * threshold)
@@ -446,15 +490,19 @@ object Dedup {
       threshold: Double): DataFrame = {
     val (docs, prefix) = rankedDocsAndPrefix(shingledDocs, threshold)
     val fullIndex = docs.select(col("doc_id"), explode(col("hs")).as("shh"))
-    val mass = probeCandidateMass(prefix, fullIndex, Seq("shh"))
-    require(mass <= defaultPairBudget,
-      s"containment candidate mass $mass exceeds the budget $defaultPairBudget: " +
-        "the full-token index side floods on boilerplate-heavy corpora. " +
+    val kj = probeCollisionCounts(prefix, fullIndex, Seq("shh"))
+    val gate = budgetGate(probeMassOf(kj), defaultPairBudget, "containment",
+      "the full-token index side floods on boilerplate-heavy corpora. " +
         "Collapse exact duplicates first (collapsedJaccardPairs / q42), raise " +
         "the threshold (shorter probe prefixes), or raise the budget " +
-        "(-Dgraft.pair.budget / SPARK_GRAFT_PAIR_BUDGET) if " +
-        s"~${mass / 1000000}M verifications are intended.")
-    val candidates = prefix.as("a").join(fullIndex.as("b"),
+        "(-Dgraft.pair.budget / SPARK_GRAFT_PAIR_BUDGET) if this many " +
+        "verifications are intended.")
+    // index-side prefilter only: every probe-prefix key trivially appears in
+    // the index (the probe doc's own tokens), so the probe-side semi-join
+    // would filter nothing — the win is dropping index tokens no prefix ever
+    // probes (the boilerplate suffix mass)
+    val idx = gatedBy(fullIndex, gate).join(kj.select("shh"), Seq("shh"), "left_semi")
+    val candidates = prefix.as("a").join(idx.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
@@ -530,12 +578,16 @@ object Dedup {
     val (docs, prefix) = rankedDocsAndPrefix(shingledAll, threshold)
     val freshPrefix = prefix.join(freshIds, Seq("doc_id"), "left_semi")
     val fullIndex = docs.select(col("doc_id"), explode(col("hs")).as("shh"))
-    val mass = probeCandidateMass(freshPrefix, fullIndex, Seq("shh"))
-    require(mass <= defaultPairBudget,
-      s"incremental containment candidate mass $mass exceeds the budget " +
-        s"$defaultPairBudget - collapse exact duplicates first, raise the " +
-        "threshold, or raise the budget (-Dgraft.pair.budget).")
-    val candidates = freshPrefix.as("a").join(fullIndex.as("b"),
+    val kj = probeCollisionCounts(freshPrefix, fullIndex, Seq("shh"))
+    val gate = budgetGate(probeMassOf(kj), defaultPairBudget,
+      "incremental containment",
+      "collapse exact duplicates first, raise the threshold, or raise " +
+        "the budget (-Dgraft.pair.budget).")
+    // here the key-set prefilter bites on BOTH axes: only keys some FRESH
+    // prefix probes survive, so the corpus-sized index shrinks to the
+    // fresh batch's token neighborhood before the candidate join
+    val idx = gatedBy(fullIndex, gate).join(kj.select("shh"), Seq("shh"), "left_semi")
+    val candidates = freshPrefix.as("a").join(idx.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
@@ -561,41 +613,57 @@ object Dedup {
        |HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** Σ C(n,2) over the given bucket keys — the candidate-mass probe for
-    * the SYMMETRIC bucket self-join families (MinHash bands, SimHash
-    * bands), one group-count before any pair materializes (the
-    * jaccardPairs/phashPairs discipline extended so EVERY banded family
-    * refuses the blow-up mode instead of spilling into it). */
-  private def bucketCandidateMass(buckets: DataFrame, keys: Seq[String]): Long =
-    buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("m"))
-      .head().getLong(0)
-
-  /** Cache + probe + refuse past [[defaultPairBudget]]; returns the cached
-    * bucket frame for the candidate join. `lever` names the
+  /** In-plan gate for the SYMMETRIC bucket self-join families (MinHash
+    * bands, SimHash bands): one collision group-count subtree yields the
+    * Σ C(n,2) candidate-mass bound, and the [[budgetGate]] refuses past
+    * [[defaultPairBudget]] before any pair shuffles — every banded family
+    * refuses the blow-up mode instead of spilling into it. ZERO eager
+    * jobs (the round-17 premium's fix: the eager probe cost one extra job
+    * + cache fill per entry on sub-second queries). `lever` names the
     * family-specific way out, quoted in the refusal. */
-  private def guardedBuckets(buckets: DataFrame, keys: Seq[String],
+  private def guardedBandCandidates(buckets: DataFrame, keys: Seq[String],
       family: String, lever: String): DataFrame = {
+    // cache the bucket frame: the expensive pipeline (shingle + signature
+    // agg + band explode) has four lazy consumers (count, gate, two join
+    // sides) and AQE's broadcast decisions defeat exchange reuse between
+    // them (measured: fully-uncached q25 is 4.3× the unguarded run; a
+    // sigs-level cache 1.9×; this shape 1.5×)
     val cached = buckets.cache()
-    val mass = bucketCandidateMass(cached, keys)
-    require(mass <= defaultPairBudget,
-      s"$family candidate mass $mass exceeds the budget $defaultPairBudget: " +
-        s"the bucket space has too little entropy for this corpus. $lever, " +
+    val cnt = collisionCounts(cached, keys)
+    val gate = budgetGate(pairMassOf(cnt), defaultPairBudget, family,
+      s"the bucket space has too little entropy for this corpus. $lever, " +
         "collapse exact duplicates first (collapsedJaccardPairs / q42), or " +
         "raise the budget (-Dgraft.pair.budget / SPARK_GRAFT_PAIR_BUDGET) " +
-        s"if ~${mass / 1000000}M verifications are intended.")
-    cached
+        "if this many verifications are intended.")
+    // one-sided gate: the ungated build side races the gate job on the
+    // cache fill (parallelism that symmetric gating loses — measured 1.56
+    // vs 2.13 median ratio over the unguarded shape), while the gated
+    // stream side still blocks every pair row on the mass check
+    val colliding = gatedBy(cached, gate)
+    colliding.as("a").join(cached.as("b"),
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
   }
 
-  /** The ASYMMETRIC probe×bucket bound for the multi-probe SRP join:
-    * Σ (probe-side n × bucket-side n) per key — an upper bound on the
-    * candidate join's row count, two group-counts + a tiny count join. */
-  private def probeCandidateMass(probes: DataFrame, buckets: DataFrame,
-      keys: Seq[String]): Long =
+  /** The ASYMMETRIC probe×index count frame (containment and friends):
+    * per-key (probe count, index count) for keys present on BOTH sides —
+    * two group-counts + a tiny count join, all in-plan (the exchanges are
+    * shared with the prefilter consumers via ReuseExchange, never probed
+    * eagerly). Σ pn·bn over it upper-bounds the candidate join's row
+    * count, and its key set prefilters the flooding (full-token index)
+    * side: index tokens that appear in no probe prefix — the boilerplate
+    * majority on a real corpus — never enter the candidate join at all,
+    * repaying the guard. */
+  private def probeCollisionCounts(probes: DataFrame, buckets: DataFrame,
+      keys: Seq[String]): DataFrame =
     probes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("pn"))
       .join(buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn")), keys)
-      .agg(coalesce(sum(expr("pn * bn")), lit(0L)).as("m"))
-      .head().getLong(0)
+
+  /** Σ pn·bn mass frame (one row, col m) of a [[probeCollisionCounts]]. */
+  private def probeMassOf(kj: DataFrame): DataFrame =
+    kj.agg(coalesce(sum(expr("pn * bn")), lit(0L)).as("m"))
 
   // MinHash + LSH: 128 minhashes (xxhash64 domains), 32 bands × 4 rows,
   // band-bucket join for candidates, exact Jaccard verification. The verified
@@ -610,30 +678,29 @@ object Dedup {
 
   def q25DedupMinhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.MinHashAgg.register(s)
-    val docs = shingled(s, d).cache()
-    // hash each shingle string once, inside the array (long explode — see
-    // simhashes note); the custom TypedImperativeAggregate derives all 128
-    // minhash domains from the fixed-width long in one pass
-    val ex = docs.select(col("doc_id"),
-      explode(expr("transform(shingles, x -> xxhash64(x))")).as("shh"))
+    // hash each shingle string once, into the CACHED arrays: the signature
+    // agg explodes the longs (string explode made GenerateExec copy each
+    // string per row — see simhashes note) and verification intersects the
+    // SAME long arrays (the q24 convention; the string-array intersect was
+    // ~2× the verify cost, and the xxhash64-collision caveat is identical)
+    val docs = shingled(s, d)
+      .select(col("doc_id"),
+        expr("transform(shingles, x -> xxhash64(x))").as("hs"), col("nsh"))
+      .cache()
+    val ex = docs.select(col("doc_id"), explode(col("hs")).as("shh"))
     val sigs = ex.groupBy("doc_id")
       .agg(expr(s"graft_minhash(shh, $NumHashes)").as("mhs"))
-    val buckets = guardedBuckets(sigs
+    val candidates = guardedBandCandidates(sigs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${NumBands - 1}), b -> xxhash64(slice(mhs, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_id", "sig"))),
       Seq("band_id", "sig"), "MinHash LSH",
       "Raise rows-per-band (narrower bands collide less)")
-    val candidates = buckets.as("a").join(buckets.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
     // exact verification of the candidate pairs only
-    val da = docs.select(col("doc_id").as("a_id"), col("shingles").as("sa"), col("nsh").as("na"))
-    val db = docs.select(col("doc_id").as("b_id"), col("shingles").as("sb"), col("nsh").as("nb"))
+    val da = docs.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("nsh").as("na"))
+    val db = docs.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("nsh").as("nb"))
     candidates.join(da, "a_id").join(db, "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.6)
@@ -676,16 +743,11 @@ object Dedup {
       struct(lit(k).as("band_id"),
         expr(s"(sim >> ${k * BandWidth}) & ${(1L << BandWidth) - 1}").as("bval"))
     }
-    val buckets = guardedBuckets(
+    val candidates = guardedBandCandidates(
       sims.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band_id"), col("bs.bval")),
       Seq("band_id", "bval"), "SimHash banding",
       "Widen the bands (fewer, wider bands collide less — the q143 trade)")
-    val candidates = buckets.as("a").join(buckets.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
     val sa = sims.select(col("doc_id").as("a_id"), col("sim").as("sim_a"))
     val sb = sims.select(col("doc_id").as("b_id"), col("sim").as("sim_b"))
     candidates.join(sa, "a_id").join(sb, "b_id")
@@ -790,6 +852,11 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
+      // materialize once, release the bucket cache (the guard-cache
+      // discipline — nothing bucket-sized lingers across a catalog sweep);
+      // emb stays cached: the verify join below still reads it
+      .localCheckpoint(eager = true)
+    buckets.unpersist(blocking = false)
     val va = emb.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
     val vb = emb.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
     candidates.join(va, "a_id").join(vb, "b_id")

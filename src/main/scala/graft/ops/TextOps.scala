@@ -1628,8 +1628,17 @@ object TextOps {
       "corpus words contain U+001E, the BPE oracle's token-state " +
         "separator (bpeCtes chr(30) contract); strip the record separator " +
         "from the corpus before training")
-    rows.map(r => (r.getString(0).toCharArray.map(_.toString), r.getLong(1)))
+    // split by CODE POINT, not UTF-16 code unit: the distributed trainer's
+    // split(word, '') and the DuckDB oracle both split code-point-wise, so
+    // a toCharArray split would hand the local trainer surrogate HALVES of
+    // supplementary-plane chars as base tokens and it could learn a
+    // different merge table than the loop it is pinned identical to
+    // (round-17 advice; the non-ASCII differential in OperatorSpec pins it)
+    rows.map(r => (splitCodePoints(r.getString(0)), r.getLong(1)))
   }
+
+  private[graft] def splitCodePoints(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
   /** DRIVER-LOCAL BPE TRAINING at production vocab scale — the q145 move
     * (vocab as DATA, not code) applied to the TRAINING half, answering the
@@ -1659,6 +1668,13 @@ object TextOps {
   private[graft] def bpeTrainLocal(words: Array[(Array[String], Long)],
       nMerges: Int): Seq[(Long, String, String, String, Long)] = {
     import scala.collection.mutable
+    // UTF-8 byte order = the distributed orderBy's UTF8String binary order.
+    // Lone-surrogate caveat (round-17 advice): getBytes maps an ill-formed
+    // lone surrogate to '?' — which is EXACTLY what Spark's
+    // UTF8String.fromString does on the distributed side, so the mirror is
+    // faithful there too; well-formed supplementary-plane tokens encode
+    // (and therefore compare) identically on both paths, pinned by the
+    // non-ASCII differential in OperatorSpec.
     def utf8Cmp(a: String, b: String): Int =
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),

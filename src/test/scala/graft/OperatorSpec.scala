@@ -3142,6 +3142,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(big.head.getLong(2) == 2L, s"banana under the 26^3 vocab: ${big.head}")
   }
 
+  /** Run an action and return the budget-gate refusal message — the gate
+    * is IN-PLAN (round-18: zero eager probe jobs), so the raise surfaces
+    * at ACTION time wrapped in Spark's job-failure exceptions; the q27
+    * analytic guard still refuses eagerly with an
+    * IllegalArgumentException. One catch handles both. */
+  private def interceptBudget(body: => Unit): String = {
+    val e = intercept[Throwable] { body }
+    Dedup.budgetRefusal(e).getOrElse(
+      fail(s"expected a budget refusal, got: $e"))
+  }
+
   test("budgeted All-Pairs: under budget identical to the unguarded run; over budget refuses loudly with the measured mass") {
     val s = spark
     val sh = Dedup.shingleDocs(Tables.spread(s, Tables.documents(s, sf), "doc_id"))
@@ -3152,16 +3163,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(free == plain && plain.nonEmpty,
       "budgeted run must be the unguarded run when under budget")
     // over budget: the refusal carries the measured candidate mass and the
-    // prescriptions — it must fire BEFORE any pair shuffle could spill
-    val ex = intercept[IllegalArgumentException] {
-      Dedup.jaccardPairsBudgeted(sh, 0.6, maxCandidatePairs = 1)
+    // prescriptions — it fires at action time, BEFORE any pair shuffle
+    // could spill (the gate blocks the candidate join's input stage)
+    val msg = interceptBudget {
+      Dedup.jaccardPairsBudgeted(sh, 0.6, maxCandidatePairs = 1).collect()
     }
-    assert(ex.getMessage.contains("candidate mass") &&
-      ex.getMessage.contains("incrementally"),
-      s"refusal must report mass + prescriptions: ${ex.getMessage}")
+    assert(msg.contains("candidate mass") && msg.contains("incrementally"),
+      s"refusal must report mass + prescriptions: $msg")
     // the reported mass is an upper bound on the true candidate join:
     // parse it back and compare against the materialized candidate count
-    val mass = "candidate mass (\\d+)".r.findFirstMatchIn(ex.getMessage).get.group(1).toLong
+    val mass = "candidate mass (\\d+)".r.findFirstMatchIn(msg).get.group(1).toLong
     assert(mass >= plain.size,
       s"probe mass $mass cannot be below the verified pair count ${plain.size}")
   }
@@ -3178,14 +3189,11 @@ class OperatorSpec extends AnyFunSuite {
       Tables.spread(spark, Tables.documents(spark, sf), "doc_id"))
       .collect().map(_.toString).toSeq
     assert(free == plain, "budgeted banding must be the unguarded run when under budget")
-    val ex = intercept[IllegalArgumentException] {
-      MultimodalOps.bandPairsBudgeted(fps, 1)
-    }
-    assert(ex.getMessage.contains("banded candidate mass") &&
-      ex.getMessage.contains("q143"),
-      s"refusal must report mass + the lever: ${ex.getMessage}")
+    val msg = interceptBudget { MultimodalOps.bandPairsBudgeted(fps, 1).collect() }
+    assert(msg.contains("banded candidate mass") && msg.contains("q143"),
+      s"refusal must report mass + the lever: $msg")
     val mass = "banded candidate mass (\\d+)".r
-      .findFirstMatchIn(ex.getMessage).get.group(1).toLong
+      .findFirstMatchIn(msg).get.group(1).toLong
     assert(mass >= plain.size,
       s"probe mass $mass cannot be below the survivor count ${plain.size}")
   }
@@ -3201,23 +3209,23 @@ class OperatorSpec extends AnyFunSuite {
     sys.props("graft.pair.budget") = "1"
     try {
       val sh = Dedup.shingleDocs(Tables.spread(spark, Tables.documents(spark, sf), "doc_id"))
-      val ex = intercept[IllegalArgumentException] { Dedup.jaccardPairs(sh, 0.6) }
-      assert(ex.getMessage.contains("candidate mass"),
-        s"default jaccardPairs path must refuse past the default budget: ${ex.getMessage}")
-      val ex2 = intercept[IllegalArgumentException] {
+      val m1 = interceptBudget { Dedup.jaccardPairs(sh, 0.6).collect() }
+      assert(m1.contains("candidate mass"),
+        s"default jaccardPairs path must refuse past the default budget: $m1")
+      val m2 = interceptBudget {
         graft.multimodal.MultimodalOps.phashPairs(
-          Tables.spread(spark, Tables.documents(spark, sf), "doc_id"))
+          Tables.spread(spark, Tables.documents(spark, sf), "doc_id")).collect()
       }
-      assert(ex2.getMessage.contains("banded candidate mass"),
-        s"default phashPairs path must refuse past the default budget: ${ex2.getMessage}")
+      assert(m2.contains("banded candidate mass"),
+        s"default phashPairs path must refuse past the default budget: $m2")
       // every OTHER banded family refuses through its default path too —
       // the discipline is uniform, not a dedup-family special case
-      val ex3 = intercept[IllegalArgumentException] { Dedup.q25DedupMinhash(spark, sf) }
-      assert(ex3.getMessage.contains("MinHash LSH candidate mass"), ex3.getMessage)
-      val ex4 = intercept[IllegalArgumentException] { Dedup.q26DedupSimhash(spark, sf) }
-      assert(ex4.getMessage.contains("SimHash banding candidate mass"), ex4.getMessage)
-      val ex5 = intercept[IllegalArgumentException] { Dedup.q27DedupEmbed(spark, sf) }
-      assert(ex5.getMessage.contains("SRP-LSH candidate mass"), ex5.getMessage)
+      val m3 = interceptBudget { Dedup.q25DedupMinhash(spark, sf).collect() }
+      assert(m3.contains("MinHash LSH candidate mass"), m3)
+      val m4 = interceptBudget { Dedup.q26DedupSimhash(spark, sf).collect() }
+      assert(m4.contains("SimHash banding candidate mass"), m4)
+      val m5 = interceptBudget { Dedup.q27DedupEmbed(spark, sf).collect() }
+      assert(m5.contains("SRP-LSH candidate mass"), m5)
     } finally sys.props -= "graft.pair.budget"
   }
 
@@ -3452,6 +3460,46 @@ class OperatorSpec extends AnyFunSuite {
     val dist = graft.ops.TextOps.bpeTrainMerges(s, sf)
     assert(local == dist && dist.nonEmpty,
       s"driver-local trainer must learn the distributed loop's exact table:\n$local\nvs\n$dist")
+  }
+
+  test("scaled BPE trainer: non-ASCII differential — supplementary-plane text trains identically local and distributed") {
+    // round-17 advice: the local trainer split words with toCharArray
+    // (UTF-16 code units), while the distributed split(word, '') and the
+    // DuckDB oracle split by CODE POINT — a supplementary-plane char (🎵,
+    // 𝄞: two code units, one code point) would hand the local trainer
+    // surrogate halves as base tokens and the learned tables could
+    // diverge. Pin the fix with a corpus whose best merges CROSS non-BMP
+    // chars: accented + CJK + astral-plane music/emoji glyphs.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nonascii").toString
+    val texts = Seq(
+      "𝄞a𝄞a 𝄞a𝄞a café café café",
+      "🎵漢字 🎵漢字 🎵漢字 𝄞a",
+      "naïve naïve 漢字漢 café 🎵漢字")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the split itself: local code-point tokens == the distributed
+    // split(word, '') tokens, surrogate pairs never halved
+    val distToks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .select(col("word"), array_remove(split(col("word"), ""), "").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    distToks.foreach { case (w, toks) =>
+      val local = graft.ops.TextOps.splitCodePoints(w).toList
+      assert(local == toks, s"split diverged on '$w': $local vs $toks")
+      assert(toks.forall(t => !Character.isSurrogate(t.charAt(0)) || t.length == 2),
+        s"surrogate half leaked into tokens of '$w': $toks")
+    }
+    // the trainers: full merge-table identity on the non-ASCII corpus
+    val local = graft.ops.TextOps.bpeTrainLocal(
+      graft.ops.TextOps.bpeWordFreqs(s, dir), 6)
+    val dist = graft.ops.TextOps.bpeTrainMerges(s, dir).take(6)
+    assert(local == dist && dist.nonEmpty,
+      s"non-ASCII merge tables diverged:\n$local\nvs\n$dist")
+    assert(dist.exists(m => m._4.codePointCount(0, m._4.length) < m._4.length),
+      s"test corpus failed to learn any supplementary-plane merge: $dist")
   }
 
   test("scaled BPE trainer: 200-merge differential against a naive recount-every-round reference") {

@@ -52,8 +52,10 @@ def quantile(xs, q):
 def main():
     if len(sys.argv) < 3:
         sys.exit(__doc__)
-    band = float(sys.argv[4]) if len(sys.argv) > 4 else 1.30
-    floor = float(sys.argv[5]) if len(sys.argv) > 5 else 0.5  # sec
+    # positional: OLD NEW [band] [floor] (r17 advice: these were read from
+    # argv[4]/argv[5], silently ignoring a band passed as the 3rd arg)
+    band = float(sys.argv[3]) if len(sys.argv) > 3 else 1.30
+    floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5  # sec
     old, new = load(sys.argv[1]), load(sys.argv[2])
     qo, qn = old["queries"], new["queries"]
     shared = sorted(set(qo) & set(qn))
@@ -75,8 +77,9 @@ def main():
           f"q3={quantile(rs, .75):.2f} p90={quantile(rs, .90):.2f}")
 
     print("canary panel (q05 = cache-resident, blind to bandwidth drift; "
-          "q04/q28 = scan/vector class):")
-    for c in ("q05", "q04", "q28"):
+          "q04/q28 = scan/vector class; q24 = one-shot dedup — guard-family "
+          "cost moves flag as CODE here, not host):")
+    for c in ("q05", "q04", "q28", "q24"):
         if c in ratios:
             print(f"  {c}: {qo[c]:.2f}s -> {qn[c]:.2f}s ({ratios[c]:.2f}x)")
         else:

@@ -30,8 +30,24 @@ done
 # outside the process (check `uptime` vs in-container CPU).
 GCLOG=""
 [ -n "$SPARK_GRAFT_GCLOG" ] && GCLOG="-Xlog:gc*:file=/tmp/bench_gc.log:time,uptime"
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" exec java $ADD_OPENS $GCLOG \
+OUT=$(mktemp)
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" java $ADD_OPENS $GCLOG \
   -Xmx16g -Xms16g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Bench
+  graft.Bench | tee "$OUT"
+# Automatic cross-round adjudication (round-17 verdict #5): compare this
+# run against the newest committed BENCH_r*.json with bench_compare.py and
+# leave the read in BENCH_compare_latest.txt (commit it with the round).
+# Stderr only — stdout stays the one bench JSON line the driver captures.
+PREV=$(ls -1 /root/repo/BENCH_r*.json 2>/dev/null | grep -v builder | sort -V | tail -1)
+LINE=$(grep -m1 '"queries"' "$OUT" || true)
+if [ -n "$PREV" ] && [ -n "$LINE" ]; then
+  printf '%s\n' "$LINE" > /tmp/bench_new.json
+  {
+    echo "bench_compare: $PREV -> this run ($(date -u +%FT%TZ), sf=$SF)"
+    python3 /root/repo/tools/bench_compare.py "$PREV" /tmp/bench_new.json || true
+  } > /root/repo/BENCH_compare_latest.txt 2>&1
+  cat /root/repo/BENCH_compare_latest.txt >&2
+fi
+rm -f "$OUT"
