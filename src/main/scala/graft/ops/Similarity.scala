@@ -1014,10 +1014,17 @@ object Similarity {
     * re-encoding split/merge audit to 0, and the PLAIN split applied to
     * the same content audits > 0 (the corruption the refusal rail
     * exists to prevent, made visible). */
-  def residualAuditMismatches(s: SparkSession, root: String, emb: DataFrame): Long = {
-    val cents = s.read.parquet(s"$root/cents")
-    val books = s.read.parquet(s"$root/books")
-    val codes = s.read.parquet(s"$root/codes")
+  def residualAuditMismatches(s: SparkSession, root: String, emb: DataFrame): Long =
+    residualAuditMismatchesAt(s, s"$root/cents", s"$root/books", s"$root/codes", emb)
+
+  /** The audit with each artifact path explicit — the policy route audits
+    * its SCRATCH (cents/codes staged, books still at the live root)
+    * BEFORE committing the swap, so a re-encode bug can never publish. */
+  private[graft] def residualAuditMismatchesAt(s: SparkSession, centsPath: String,
+      booksPath: String, codesPath: String, emb: DataFrame): Long = {
+    val cents = s.read.parquet(centsPath)
+    val books = s.read.parquet(booksPath)
+    val codes = s.read.parquet(codesPath)
     val routedRaw = codes.select("vec_id", "cell")
       .join(emb.select("vec_id", "e"), Seq("vec_id"))
     val expect = residualEncode(books, residualAgainstRouted(cents, routedRaw))
@@ -1037,17 +1044,30 @@ object Similarity {
     * [[residualAuditMismatches]] is 0 by construction. */
   def ivfCellSplitResidual(s: SparkSession, root: String, outRoot: String,
       emb: DataFrame, splitCells: Int = SplitHotCells): Unit = {
-    require(outRoot != root,
-      "cell split is copy-on-write: outRoot must be a new artifact root")
     require(isResidualRoot(s, root),
       "plain artifact: use ivfCellSplitArtifact (codes are routing-independent there)")
+    val occ = s.read.parquet(s"$root/codes").groupBy("cell")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hotCells = occ.sortBy { case (c, n) => (-n, c) }.take(splitCells).map(_._1)
+    splitResidualCore(s, root, outRoot, emb, hotCells, occ, copyAux = true)
+    ()
+  }
+
+  /** The residual split body, parameterized for the policy path (the
+    * [[splitCore]] convention): identical routing algebra, plus the
+    * re-encode of every member of a split cell against its new routed
+    * centroid under the FROZEN books. Returns per-hot-cell (kept, moved)
+    * counts for the policy's no-progress guard. */
+  private def splitResidualCore(s: SparkSession, root: String, outRoot: String,
+      emb: DataFrame, hotCells: Seq[Long], occ: Seq[(Long, Long)],
+      copyAux: Boolean): Map[Long, (Long, Long)] = {
+    require(outRoot != root,
+      "cell split is copy-on-write: outRoot must be a new artifact root")
     import s.implicits._
     val cents = s.read.parquet(s"$root/cents")
     val books = s.read.parquet(s"$root/books")
     val codes = s.read.parquet(s"$root/codes")
-    val occ = codes.groupBy("cell").agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val hotCells = occ.sortBy { case (c, n) => (-n, c) }.take(splitCells).map(_._1)
     val maxId = cents.select("cent_id").collect().map(_.getLong(0)).max
     val newIdOf = hotCells.zipWithIndex
       .map { case (c, i) => c -> (maxId + 1 + i) }.toMap
@@ -1079,11 +1099,17 @@ object Similarity {
       .unionByName(reenc.select(codes.columns.map(col): _*))
     centsOut.write.mode("overwrite").parquet(s"$outRoot/cents") // FIRST (contract)
     codesOut.write.mode("overwrite").parquet(s"$outRoot/codes")
-    books.write.mode("overwrite").parquet(s"$outRoot/books")
-    tombstoneUnion(s, root).foreach(
-      _.write.mode("overwrite").parquet(s"$outRoot/tombstones/t0"))
-    markResidual(s, outRoot)
+    if (copyAux) {
+      books.write.mode("overwrite").parquet(s"$outRoot/books")
+      tombstoneUnion(s, root).foreach(
+        _.write.mode("overwrite").parquet(s"$outRoot/tombstones/t0"))
+      markResidual(s, outRoot)
+    }
+    val out = hotCells.map { c =>
+      c -> ((subCountRows.getOrElse((c, 0L), 0L), subCountRows.getOrElse((c, 1L), 0L)))
+    }.toMap
     members.unpersist(false)
+    out
   }
 
   /** RE-ENCODING CELL MERGE for residual artifacts — survivors'
@@ -1092,25 +1118,44 @@ object Similarity {
     * [[assignCells]] routing the plain merge uses). */
   def ivfCellMergeResidual(s: SparkSession, root: String, outRoot: String,
       emb: DataFrame, mergeCells: Int = MergeColdCells): Seq[Long] = {
-    require(outRoot != root,
-      "cell merge is copy-on-write: outRoot must be a new artifact root")
     require(isResidualRoot(s, root),
       "plain artifact: use ivfCellMergeArtifact (codes are routing-independent there)")
+    val occ = mergeOccupancy(s, root)
+    val coldCells = occ.sortBy { case (c, n) => (n, c) }.take(mergeCells).map(_._1)
+    mergeResidualCore(s, root, outRoot, emb, coldCells, occ, copyAux = true)
+    coldCells
+  }
+
+  /** The residual merge body, parameterized for the policy path (the
+    * [[mergeCore]] convention): survivors' centroids are untouched, so
+    * ONLY the moved members re-encode (against their nearest surviving
+    * centroid) under the FROZEN books. Same codes-before-cents write
+    * order as the plain merge — the [[finishMergeSwap]] contract. */
+  private def mergeResidualCore(s: SparkSession, root: String, outRoot: String,
+      emb: DataFrame, coldCells: Seq[Long], occ: Seq[(Long, Long)],
+      copyAux: Boolean): Unit = {
+    require(outRoot != root,
+      "cell merge is copy-on-write: outRoot must be a new artifact root")
+    if (coldCells.isEmpty) return
+    val occMap = occ.toMap
+    require(coldCells.forall(occMap.contains),
+      s"unknown cells: ${coldCells.filterNot(occMap.contains)}")
+    val survivorIds = occ.map(_._1).filterNot(coldCells.contains)
+    require(survivorIds.nonEmpty,
+      "cell merge needs >= 1 surviving cell: refusing to fold the whole index")
     val cents = s.read.parquet(s"$root/cents")
     val books = s.read.parquet(s"$root/books")
     val codes = s.read.parquet(s"$root/codes")
-    val occ = codes.groupBy("cell").agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val centIds = cents.select("cent_id").collect().map(_.getLong(0))
-    val occMap = occ.toMap
-    val coldCells = centIds.map(c => (c, occMap.getOrElse(c, 0L)))
-      .sortBy { case (c, n) => (n, c) }.take(mergeCells).map(_._1).toSeq
-    val survivorIds = centIds.filterNot(coldCells.contains)
-    require(survivorIds.nonEmpty,
-      "cell merge needs >= 1 surviving cell: refusing to fold the whole index")
     val survivors = cents.filter(!col("cent_id").isin(coldCells: _*))
     val members = codes.filter(col("cell").isin(coldCells: _*))
       .select("vec_id").join(emb.select("vec_id", "e"), Seq("vec_id")).cache()
+    // the mergeCore coverage check, same offsetting-errors argument
+    val coldRows = occ.collect { case (c, n) if coldCells.contains(c) => n }.sum
+    val cov = members.agg(count(lit(1)).as("n"),
+      countDistinct(col("vec_id")).as("d")).head()
+    require(cov.getLong(0) == coldRows && cov.getLong(1) == coldRows,
+      s"emb must cover every cold-cell vec_id exactly once: joined ${cov.getLong(0)} " +
+        s"rows / ${cov.getLong(1)} distinct of $coldRows cold rows")
     val moved = assignCells(members, survivors).select("vec_id", "cell")
     val reenc = residualEncode(books, residualAgainstRouted(survivors,
       moved.join(members.select("vec_id", "e"), Seq("vec_id"))))
@@ -1118,12 +1163,13 @@ object Similarity {
       .unionByName(reenc.select(codes.columns.map(col): _*))
     codesOut.write.mode("overwrite").parquet(s"$outRoot/codes") // FIRST (contract)
     survivors.write.mode("overwrite").parquet(s"$outRoot/cents")
-    books.write.mode("overwrite").parquet(s"$outRoot/books")
-    tombstoneUnion(s, root).foreach(
-      _.write.mode("overwrite").parquet(s"$outRoot/tombstones/t0"))
-    markResidual(s, outRoot)
+    if (copyAux) {
+      books.write.mode("overwrite").parquet(s"$outRoot/books")
+      tombstoneUnion(s, root).foreach(
+        _.write.mode("overwrite").parquet(s"$outRoot/tombstones/t0"))
+      markResidual(s, outRoot)
+    }
     members.unpersist(false)
-    coldCells
   }
 
   // --------------------------------------------------------------- q160
@@ -1155,6 +1201,52 @@ object Similarity {
     dels.filter(col("vec_id") % 2 =!= 0)
       .write.mode("overwrite").parquet(s"$root/tombstones/t1")
     maybeCompactIvf(s, root, maxTombstones = 1)
+    residualSearchFrom(s.read.parquet(s"$root/cents"),
+      s.read.parquet(s"$root/books"), s.read.parquet(s"$root/codes"),
+      emb.filter(col("vec_id") < AdcQueries))
+  }
+
+  // --------------------------------------------------------------- q163
+  /** q163: RESIDUAL REBALANCE THROUGH THE VERSIONED POLICY, ORACLE-GATED —
+    * the residual mirror of q158 that closes the round-17 gap (the
+    * `maybe*` policies used to REFUSE a `_VARIANT_RESIDUAL` root, so a
+    * residual deployment had no policy-driven rebalance): build the
+    * residual trio into a version dir, mark the variant, publish, then run
+    * the versioned maintenance window with the MERGE tier armed
+    * (minSharePpm = 1000000 ⇒ the [[MergeColdCells]] coldest cells fold,
+    * deterministically) — the policy now ROUTES to the re-encoding merge
+    * core ([[mergeResidualCore]]: moved members re-encode against their
+    * nearest surviving centroid under the FROZEN books), AUDITS the staged
+    * artifact against the residual invariant before the swap commits,
+    * publishes through [[RootPointer]], and retires the old root after
+    * grace. Serve is [[residualSearchFrom]] at production nprobe from
+    * whatever resolve returns.
+    *
+    * Oracle: the q75 chain EXTENDED with the merge modeled relationally —
+    * the merge path (unlike the split's driver-iterative 2-means) is
+    * fully SQL-expressible: occupancy over the full cell universe, the
+    * two (count, id)-smallest cells fold, their members reassign by
+    * nearest-survivor argmin, re-encode under the frozen codebooks, and
+    * the probe side ranks over the SURVIVING centroids. Any drift in the
+    * routing, the re-encode arithmetic, the policy's cold-cell choice, or
+    * the versioned publish/resolve round trip breaks the hash. */
+  def q163ResidualRebalanceServed(s: SparkSession, d: String): DataFrame = {
+    val base = s"${knnGraphServePath(d)}/ivfresver"
+    val (cents, books, codes) = residualParts(s, d)
+    val v = RootPointer.nextVersion(s, base)
+    cents.write.mode("overwrite").parquet(s"$base/$v/cents")
+    books.write.mode("overwrite").parquet(s"$base/$v/books")
+    codes.write.mode("overwrite").parquet(s"$base/$v/codes")
+    markResidual(s, s"$base/$v")
+    RootPointer.publish(s, base, v)
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    // split tier at 100% (cannot fire — geometry change there is not
+    // SQL-expressible, its gates are the audit + OperatorSpec); merge tier
+    // at 100% ⇒ always folds the MergeColdCells coldest cells
+    maybeMaintainIvfVersioned(s, base, emb,
+      maxTombstones = 1, maxSharePpm = 1000000L, minSharePpm = 1000000L)
+    RootPointer.retireOld(s, base, keep = 2)
+    val root = RootPointer.resolve(s, base)
     residualSearchFrom(s.read.parquet(s"$root/cents"),
       s.read.parquet(s"$root/books"), s.read.parquet(s"$root/codes"),
       emb.filter(col("vec_id") < AdcQueries))
@@ -2815,6 +2907,92 @@ object Similarity {
        |  WHERE NOT (neighbor_id % 7 = 3 AND neighbor_id >= $AdcQueries))
        |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
 
+  /** q163's oracle: the residual chain with the COLD-CELL MERGE modeled
+    * relationally (the merge, unlike the split's 2-means, has no driver-
+    * iterative step): occupancy over the full cell universe → the
+    * [[MergeColdCells]] (count, id)-smallest cells under the 100% share
+    * tier fold → their members reassign by nearest-survivor argmin and
+    * re-encode under the FROZEN codebooks → the probe side ranks over the
+    * SURVIVING centroids. Unreferenced CTEs of the shared prefix (the
+    * pre-merge probe/adc) are never evaluated by DuckDB. */
+  lazy val q163Sql: String = {
+    val dist = "list_inner_product(x.se, x.se) - 2 * list_inner_product(x.se, c.ce) + list_inner_product(c.ce, c.ce)"
+    val kdist = "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, c.ce) + list_inner_product(c.ce, c.ce)"
+    s"""$residualAdcCtes,
+       |occ AS (
+       |  SELECT c.cent_id, COUNT(k.vec_id) AS n
+       |  FROM kcents c LEFT JOIN kassign k ON k.cell = c.cent_id
+       |  GROUP BY c.cent_id),
+       |tot AS (SELECT SUM(n) AS t FROM occ),
+       |cold AS (
+       |  SELECT cent_id FROM occ, tot
+       |  WHERE (n * 1000000) // t < 1000000
+       |  ORDER BY n, cent_id LIMIT $MergeColdCells),
+       |scents AS (
+       |  SELECT cent_id, ce FROM kcents
+       |  WHERE cent_id NOT IN (SELECT cent_id FROM cold)),
+       |moved AS (
+       |  SELECT vec_id, cell, re FROM (
+       |    SELECT x.vec_id, c.cent_id AS cell,
+       |           list_transform(range(0, len(x.e)),
+       |             i -> x.e[CAST(i + 1 AS INTEGER)] - c.ce[CAST(i + 1 AS INTEGER)]) AS re,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN scents c
+       |    WHERE x.vec_id IN (
+       |      SELECT vec_id FROM kassign WHERE cell IN (SELECT cent_id FROM cold)))
+       |  WHERE rn = 1),
+       |mrsub AS (
+       |  SELECT vec_id, CAST(m AS INTEGER) AS m,
+       |         list_slice(re, CAST(m * $PqSub + 1 AS INTEGER), CAST(m * $PqSub + $PqSub AS INTEGER)) AS se
+       |  FROM moved, (SELECT unnest(range(0, $PqM)) AS m)),
+       |mcdm AS (
+       |  SELECT vec_id AS neighbor_id, m, cent_id AS code FROM (
+       |    SELECT x.vec_id, x.m, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+       |                              ORDER BY $dist, c.cent_id) AS rn
+       |    FROM mrsub x JOIN pcents c USING (m))
+       |  WHERE rn = 1),
+       |mcd AS (
+       |  SELECT cd.neighbor_id, cd.m, cd.code FROM cd
+       |  JOIN kassign k ON cd.neighbor_id = k.vec_id
+       |  WHERE k.cell NOT IN (SELECT cent_id FROM cold)
+       |  UNION ALL SELECT neighbor_id, m, code FROM mcdm),
+       |massign AS (
+       |  SELECT vec_id, cell FROM kassign
+       |  WHERE cell NOT IN (SELECT cent_id FROM cold)
+       |  UNION ALL SELECT vec_id, cell FROM moved),
+       |mkq AS (
+       |  SELECT query_id, cell, qre FROM (
+       |    SELECT x.vec_id AS query_id, c.cent_id AS cell,
+       |           list_transform(range(0, len(x.e)),
+       |             i -> x.e[CAST(i + 1 AS INTEGER)] - c.ce[CAST(i + 1 AS INTEGER)]) AS qre,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY $kdist, c.cent_id) AS rn
+       |    FROM e x CROSS JOIN scents c WHERE x.vec_id < $AdcQueries)
+       |  WHERE rn <= $IvfNProbe),
+       |mqsub AS (
+       |  SELECT query_id, cell, CAST(m AS INTEGER) AS m,
+       |         list_slice(qre, CAST(m * $PqSub + 1 AS INTEGER), CAST(m * $PqSub + $PqSub AS INTEGER)) AS se
+       |  FROM mkq, (SELECT unnest(range(0, $PqM)) AS m)),
+       |mlut AS (
+       |  SELECT x.query_id, x.cell, c.m, c.cent_id,
+       |         CAST(floor(($dist) * $CentFixedScale) AS BIGINT) AS term
+       |  FROM (SELECT query_id, cell, m, se FROM mqsub) x JOIN pcents c USING (m)),
+       |madc AS (
+       |  SELECT l.query_id, kx.vec_id AS neighbor_id, CAST(SUM(l.term) AS BIGINT) AS adc_fixed
+       |  FROM massign kx
+       |  JOIN mcd ON mcd.neighbor_id = kx.vec_id
+       |  JOIN mlut l ON l.cell = kx.cell AND l.m = mcd.m AND l.cent_id = mcd.code
+       |  WHERE l.query_id <> kx.vec_id
+       |  GROUP BY l.query_id, kx.vec_id)
+       |SELECT query_id, neighbor_id, adc_fixed, n_cand, rn FROM (
+       |  SELECT query_id, neighbor_id, adc_fixed,
+       |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_cand,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_fixed, neighbor_id) AS BIGINT) AS rn
+       |  FROM madc)
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
+  }
+
   /** The full IVF-PQ oracle CTE chain (PQ train → codes → LUTs → coarse
     * train → cell assignment → probe cells → ADC candidate distances),
     * ending with `adc(query_id, neighbor_id, adc_fixed)` — shared verbatim
@@ -3381,10 +3559,15 @@ object Similarity {
     // until its rows actually leave the codes table.
     val sig = hotCells.map(c => s"$c:${occ.toMap.apply(c)}")
     if (ArtifactSwap.readManifest(fs, root, SplitRefusedMemo) == sig) return false
-    // variant rail AFTER the tier decision: a quiet residual root passes
-    // through for free; one that would actually split refuses loudly
-    require(!isResidualRoot(s, root), residualRefusal("splitting"))
-    val subCounts = splitCore(s, root, scratch, emb, hotCells, occ, copyAux = false)
+    // variant dispatch AFTER the tier decision (round-17 verdict #2: the
+    // policy used to refuse a residual root here — correct-by-refusal but
+    // a residual deployment had no policy-driven rebalance): a residual
+    // root routes to the re-encoding split core, and the scratch is
+    // AUDITED against the residual invariant before the swap can commit
+    val residual = isResidualRoot(s, root)
+    val subCounts =
+      if (residual) splitResidualCore(s, root, scratch, emb, hotCells, occ, copyAux = false)
+      else splitCore(s, root, scratch, emb, hotCells, occ, copyAux = false)
     // NO-PROGRESS GUARD, per split cell: a cell actually split iff BOTH
     // halves are non-empty (all-in-one-half means the 2-means was
     // degenerate for that cell — e.g. identical vectors, coinciding
@@ -3396,6 +3579,20 @@ object Similarity {
       fs.delete(scratchPath, true)
       ArtifactSwap.writeManifest(fs, root, SplitRefusedMemo, sig)
       return false // irreducible hot set: the tier is the wrong lever here
+    }
+    if (residual) {
+      // pre-commit audit: every staged code row must equal the frozen-book
+      // encode of its vector's residual against its ROUTED (staged)
+      // centroid — a re-encode bug dies HERE, never as a published root
+      val bad = residualAuditMismatchesAt(s, s"$scratch/cents",
+        s"$root/books", s"$scratch/codes", emb)
+      if (bad != 0L) {
+        fs.delete(scratchPath, true)
+        throw new IllegalStateException(
+          s"residual split scratch failed the invariant audit: $bad rows' " +
+            "codes are not the frozen-book encode of x - c(routed cell); " +
+            "scratch discarded, live artifact untouched")
+      }
     }
     ArtifactSwap.commit(fs, scratch)
     finishSplitSwap(fs, root, scratch)
@@ -3641,8 +3838,20 @@ object Similarity {
       .sortBy { case (c, n) => (n, c) }.take(mergeCells).map(_._1)
     if (cold.isEmpty) return false
     if (cold.size == occ.size) return false // all-cold: merge is the wrong lever
-    require(!isResidualRoot(s, root), residualRefusal("merging"))
-    mergeCore(s, root, scratch, emb, cold, occ, copyAux = false)
+    // variant dispatch (round-17 verdict #2): a residual root routes to
+    // the re-encoding merge core, audited before the swap commits
+    if (isResidualRoot(s, root)) {
+      mergeResidualCore(s, root, scratch, emb, cold, occ, copyAux = false)
+      val bad = residualAuditMismatchesAt(s, s"$scratch/cents",
+        s"$root/books", s"$scratch/codes", emb)
+      if (bad != 0L) {
+        fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+        throw new IllegalStateException(
+          s"residual merge scratch failed the invariant audit: $bad rows' " +
+            "codes are not the frozen-book encode of x - c(routed cell); " +
+            "scratch discarded, live artifact untouched")
+      }
+    } else mergeCore(s, root, scratch, emb, cold, occ, copyAux = false)
     ArtifactSwap.commit(fs, scratch)
     finishMergeSwap(fs, root, scratch)
     true
@@ -4827,6 +5036,7 @@ object Similarity {
     ("q74_ivfpq_topk", q74IvfPqTopk _, Some(q74Sql)),
     ("q75_ivfpq_residual", q75IvfPqResidual _, Some(q75Sql)),
     ("q160_residual_served", q160ResidualServed _, Some(q160Sql)),
+    ("q163_residual_rebalance", q163ResidualRebalanceServed _, Some(q163Sql)),
     ("q77_opq_ivfpq", q77OpqIvfPq _, Some(q77Sql)),
     ("q78_sq8_ivf", q78Sq8Ivf _, Some(q78Sql)),
     ("q79_ann_recall", q79AnnRecall _, Some(q79Sql)),

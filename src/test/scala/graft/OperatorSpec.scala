@@ -3421,6 +3421,59 @@ class OperatorSpec extends AnyFunSuite {
     assert(served == before, "compacted plain serve must equal the tombstoned serve")
   }
 
+  test("q163 residual policy route: maybe* rebalance ACTS on a residual root, audits clean, mid-swap reader isolated") {
+    import graft.ops.RootPointer
+    val s = spark
+    val (cents, books, codes) = Similarity.residualParts(s, sf)
+    val emb = Similarity.embWithNorm(s, sf).select("vec_id", "e")
+    // (a) the IN-PLACE policy routes: a residual-marked root SPLITS and
+    // MERGES through maybeSplitIvf/maybeMergeIvf (the round-17 refusal is
+    // replaced by the re-encoding route), and the artifact satisfies the
+    // residual invariant afterwards
+    val dir = java.nio.file.Files.createTempDirectory("graft_respol").toString
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    books.write.mode("overwrite").parquet(s"$dir/books")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    Similarity.markResidual(s, dir)
+    assert(Similarity.maybeSplitIvf(s, dir, emb, maxSharePpm = 1),
+      "the split policy must ACT on a residual root (re-encoding route)")
+    assert(Similarity.residualAuditMismatches(s, dir, emb) == 0L,
+      "post-split residual artifact must satisfy the invariant")
+    assert(Similarity.maybeMergeIvf(s, dir, emb, minSharePpm = 1000000L),
+      "the merge policy must ACT on a residual root (re-encoding route)")
+    assert(Similarity.residualAuditMismatches(s, dir, emb) == 0L,
+      "post-merge residual artifact must satisfy the invariant")
+    // (b) the VERSIONED window (q163's shape): reader isolation across the
+    // publish, marker carried by the clone, invariant on the new root
+    val base = java.nio.file.Files.createTempDirectory("graft_resver").toString
+    val v1 = RootPointer.nextVersion(s, base)
+    cents.write.mode("overwrite").parquet(s"$base/$v1/cents")
+    books.write.mode("overwrite").parquet(s"$base/$v1/books")
+    codes.write.mode("overwrite").parquet(s"$base/$v1/codes")
+    Similarity.markResidual(s, s"$base/$v1")
+    RootPointer.publish(s, base, v1)
+    val rootA = RootPointer.resolve(s, base)
+    def serve(root: String) = Similarity.residualSearchFrom(
+        s.read.parquet(s"$root/cents"), s.read.parquet(s"$root/books"),
+        s.read.parquet(s"$root/codes"),
+        emb.filter(col("vec_id") < Similarity.AdcQueries))
+      .collect().map(_.toString).sorted.toSeq
+    val before = serve(rootA)
+    val acted = Similarity.maybeMaintainIvfVersioned(s, base, emb,
+      maxTombstones = 1, maxSharePpm = 1000000L, minSharePpm = 1000000L)
+    assert(acted._3, "the armed merge tier must act through the versioned window")
+    RootPointer.retireOld(s, base, keep = 2)
+    assert(serve(rootA) == before,
+      "pre-maintenance reader must be isolated from the residual rebalance")
+    val rootB = RootPointer.resolve(s, base)
+    assert(rootB != rootA, "maintenance must have published a new version")
+    assert(Similarity.isResidualRoot(s, rootB),
+      "the clone must carry the _VARIANT_RESIDUAL marker")
+    assert(Similarity.residualAuditMismatches(s, rootB, emb) == 0L,
+      "the published rebalanced root must satisfy the residual invariant")
+    assert(serve(rootB).nonEmpty, "rebalanced serve must return rows")
+  }
+
   test("q161 containment: a planted excerpt is caught DIRECTED with tiny Jaccard; the containing doc is not flagged") {
     val s = spark
     import s.implicits._
