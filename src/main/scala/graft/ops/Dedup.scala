@@ -275,17 +275,23 @@ object Dedup {
     * "est df ≥ 1000": a token must be heavy enough to matter at THAT corpus
     * size before its order matters, which is the right asymptotic. */
   private[graft] def dfRankTable(hashed: DataFrame)
-      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])] = {
-    val spark = hashed.sparkSession
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])] =
+    hashed.sparkSession.sparkContext.broadcast(
+      graft.functions.RankSort.buildTable(dfRankPairs(hashed)))
+
+  /** The raw (token hash, estimated df) pairs behind [[dfRankTable]] —
+    * the persistable form ([[containmentArtifactBuild]] writes exactly
+    * these beside the segments, so a later ingest ranks with the SAME
+    * order the corpus was indexed under). */
+  private[graft] def dfRankPairs(hashed: DataFrame): Array[(Long, Long)] = {
     val sampleMod = 4
-    val heavy = hashed
+    hashed
       .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
       .select(explode(col("hs0")).as("shh"))
       .groupBy("shh").agg((count(lit(1)) * sampleMod).as("df"))
       .filter(col("df") >= 4)
       .orderBy(desc("df"), col("shh")).limit(1 << 20)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
-    spark.sparkContext.broadcast(graft.functions.RankSort.buildTable(heavy))
   }
 
   /** Exact verification of candidate (a_id, b_id) pairs against the full
@@ -600,6 +606,119 @@ object Dedup {
       .select("a_id", "b_id", "containment")
       .orderBy("a_id", "b_id")
   }
+
+  // ---------------------------------------------------------------- q164
+  /** CONTAINMENT-INDEX ARTIFACT — the steady-state excerpt gate's
+    * persisted form (round-17 verdict #4: the full-token index was
+    * rebuilt per call; the lexical family's segment pattern applied to
+    * the containment family): the sampled-df rank pairs persist ONCE
+    * beside IMMUTABLE ranked-doc segments (`seg0` at build, one new
+    * segment per ingest batch via [[containmentAppend]] — a pure
+    * O(fresh) write, never a base rewrite), and
+    * [[containmentServeFresh]] probes only FRESH prefixes against the
+    * union of segments' full-token index. Fresh batches rank with the
+    * PERSISTED table — any consistent total order preserves prefix
+    * containment (the incrementalFrom argument), so exactness is
+    * untouched even for tokens the build never saw (they rank rare, in
+    * hash order, on BOTH the probe and its own appended segment). */
+  def containmentArtifactBuild(s: SparkSession, path: String, docs: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val hashed = hashShingles(docs)
+    val pairs = dfRankPairs(hashed)
+    import s.implicits._
+    pairs.toSeq.toDF("shh", "df").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/rank")
+    val btable = s.sparkContext.broadcast(graft.functions.RankSort.buildTable(pairs))
+    rankDocs(hashed, btable).select("doc_id", "hs", "nsh")
+      .write.mode("overwrite").parquet(s"$path/seg0")
+  }
+
+  private[graft] def containmentRankTable(s: SparkSession, path: String)
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])] =
+    s.sparkContext.broadcast(graft.functions.RankSort.buildTable(
+      s.read.parquet(s"$path/rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))))
+
+  /** Fold a fresh batch into the containment artifact: rank under the
+    * persisted table, write one immutable segment — O(fresh). */
+  def containmentAppend(s: SparkSession, path: String, freshDocs: DataFrame,
+      seg: String): Unit =
+    rankDocs(hashShingles(freshDocs), containmentRankTable(s, path))
+      .select("doc_id", "hs", "nsh")
+      .write.mode("overwrite").parquet(s"$path/$seg")
+
+  /** Segment list — the [[graft.ops.Retrieval.lexSegments]] convention:
+    * a driver-side metadata listing of `seg*` dirs only, so an in-flight
+    * append's `_temporary` staging is never read as data. */
+  private def containmentSegments(s: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg"))
+      .map(_.getPath.toString).sorted.toSeq
+    require(segs.nonEmpty, s"no containment-index segments under $path")
+    segs
+  }
+
+  /** "Is any FRESH doc an excerpt of anything in the artifact (fresh
+    * batch included, once appended)?" — the [[incrementalContainment]]
+    * semantics served from the persisted segments: directed (a_id ∈
+    * fresh, containment(a in b) ≥ t) pairs, same in-plan asymmetric mass
+    * gate, zero corpus re-indexing (the segments ARE the index). */
+  def containmentServeFresh(s: SparkSession, path: String, freshDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    val btable = containmentRankTable(s, path)
+    val segDocs = containmentSegments(s, path).map(s.read.parquet(_))
+      .reduce(_ unionByName _)
+    val freshPrefix = rankDocs(hashShingles(freshDocs), btable)
+      .select(col("doc_id"), col("nsh"), explode(prefixSliceExpr(threshold)).as("shh"))
+    val fullIndex = segDocs.select(col("doc_id"), explode(col("hs")).as("shh"))
+    val kj = probeCollisionCounts(freshPrefix, fullIndex, Seq("shh"))
+    val gate = budgetGate(probeMassOf(kj), defaultPairBudget,
+      "containment serve",
+      "collapse exact duplicates first, raise the threshold, or raise " +
+        "the budget (-Dgraft.pair.budget).")
+    val idx = gatedBy(fullIndex, gate).join(kj.select("shh"), Seq("shh"), "left_semi")
+    val candidates = freshPrefix.as("a").join(idx.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val da = segDocs.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+      col("nsh").as("na"))
+    val db = segDocs.select(col("doc_id").as("b_id"), col("hs").as("hb"))
+    candidates.join(da, "a_id").join(db, "b_id")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q164: the containment gate SERVED FROM THE ARTIFACT, oracle-gated —
+    * build the segment artifact over the existing corpus, fold the fresh
+    * batch (doc_id % 5 == 0, the q70 convention) as one O(fresh) append,
+    * then serve the ingest question from the segments alone. Oracle:
+    * q161's directed-pair query restricted to fresh a_id — identical
+    * results require the persisted rank order, the segment round-trip,
+    * and the one-sided probe to lose nothing and add nothing. */
+  def q164ContainmentServed(s: SparkSession, d: String): DataFrame = {
+    val root = s"${Similarity.knnGraphServePath(d)}/contain"
+    val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
+    containmentArtifactBuild(s, root, docs.filter(col("doc_id") % 5 =!= 0))
+    containmentAppend(s, root, docs.filter(col("doc_id") % 5 === 0), "seg1")
+    containmentServeFresh(s, root, docs.filter(col("doc_id") % 5 === 0), 0.8)
+  }
+
+  val q164Sql: String =
+    s"""WITH $jaccardCte
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(COUNT(*) AS DOUBLE) / a.nsh AS containment
+       |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |WHERE a.doc_id % 5 = 0
+       |GROUP BY a.doc_id, b.doc_id, a.nsh
+       |HAVING CAST(COUNT(*) AS DOUBLE) / a.nsh >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
 
   // q70 oracle: the SAME full-corpus pair query, restricted to pairs with a
   // fresh member — the incremental path must equal exactly this set
@@ -1530,6 +1649,7 @@ object Dedup {
     ("q24_dedup_ngram", q24DedupNgram _, Some(q24Sql)),
     ("q161_containment", q161ContainmentPairs _, Some(q161Sql)),
     ("q162_excerpt_clean", q162ExcerptClean _, Some(q162Sql)),
+    ("q164_containment_served", q164ContainmentServed _, Some(q164Sql)),
     ("q25_dedup_minhash", q25DedupMinhash _, Some(q25Sql)),
     ("q26_dedup_simhash", q26DedupSimhash _, Some(q26Sql)),
     ("q27_dedup_embed", q27DedupEmbed _, Some(q27Sql)),

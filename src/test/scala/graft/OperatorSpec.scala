@@ -3507,6 +3507,25 @@ class OperatorSpec extends AnyFunSuite {
       s"incremental containment diverged: ${inc.size} vs ${full.size}")
   }
 
+  test("q164 containment artifact: segment-served fresh probe equals the self-contained incremental run through a parquet round trip") {
+    val s = spark
+    val all = Tables.documents(s, sf).select("doc_id", "text")
+    val fresh = all.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    Dedup.containmentArtifactBuild(s, s"$dir/c", all.filter(col("doc_id") % 5 =!= 0))
+    Dedup.containmentAppend(s, s"$dir/c", fresh, "seg1")
+    val served = Dedup.containmentServeFresh(s, s"$dir/c", fresh, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the self-contained incremental path ranks with a DIFFERENT df table
+    // (estimated over existing ∪ fresh vs the artifact's existing-only) —
+    // set equality is exactly the "any consistent order" claim
+    val inc = Dedup.incrementalContainment(Dedup.shingleDocs(all),
+        all.select("doc_id").filter(col("doc_id") % 5 === 0), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == inc && served.nonEmpty,
+      s"artifact-served containment diverged: ${served.size} vs ${inc.size}")
+  }
+
   test("q157 scaled BPE trainer: merge table identical to the distributed loop on the shared corpus") {
     val s = spark
     val local = graft.ops.TextOps.bpeTrainLocal(graft.ops.TextOps.bpeWordFreqs(s, sf), 6)
