@@ -24,7 +24,15 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *    a clone whose sibling landed in the doc_id % 11 holdout shares all
   *    its 8-gram fingerprints);
   *  - ~15% near-dup mutation band straddling the 0.6 trigram-Jaccard
-  *    threshold — partially dropped at the near-dup stage.
+  *    threshold — partially dropped at the near-dup stage;
+  *  - ~6% EXCERPTS: short contiguous slices (≤ base/4 words) of a base
+  *    doc — containment ≈ 1, Jaccard ≪ 0.6, so only the q162 rule (the
+  *    funnel's excerpt stage, the streamed dup_excerpt gate) drops them.
+  *
+  * NOTE (round-18): the excerpt band is carved from the former
+  * fresh-unique tail, so per-band counts (and the q53/funnel anchors)
+  * shift vs the round-17 corpus — regenerate /tmp/sfreal{,1m} before
+  * comparing against earlier BASELINE rows.
   *
   * Everything is seeded by doc_id (bit-identical across runs/machines);
   * generation is distributed (spark.range → per-row seeded RNG), the
@@ -115,7 +123,22 @@ object GenRealText {
         baseDoc(docId % nBase)
       else if (roll < 0.36) // near-dup band straddling J = 0.6
         mutate(baseDoc(docId % nBase), 0.01 + rnd.nextDouble() * 0.10, rnd)
-      else // fresh unique English doc
+      else if (roll < 0.42) { // EXCERPT of a base doc (round-18): a 20–23
+        // word contiguous slice of a ≥ 60-word base — long enough to PASS
+        // the quality stage (q20 keeps ≥ 20 words), containment ≈ 1
+        // against the base, Jaccard ≤ ~21/58 ≪ 0.6 — so ONLY the q162
+        // containment rule catches it: the funnel's excerpt stage and the
+        // streamed dup_excerpt gate are non-vacuous by construction
+        var bid = docId % nBase
+        var b = baseDoc(bid)
+        var tries = 0
+        while (b.length < 60 && tries < 8) { // ~52% of bases are ≥ 60 words
+          bid = (bid + 1) % nBase; b = baseDoc(bid); tries += 1
+        }
+        val len = math.min(20 + rnd.nextInt(4), b.length)
+        val start = rnd.nextInt(math.max(1, b.length - len + 1))
+        b.slice(start, start + len)
+      } else // fresh unique English doc
         sentenceWords(24 + rnd.nextInt(77), FuncEn, 0.35, rnd)
     val tail = Array.tabulate(rareWordsPerDoc)(k => rareWord(docId, k))
     (words ++ tail).mkString(" ")

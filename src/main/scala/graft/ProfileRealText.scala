@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *   - q20_stats        text-quality stats over the corpus (map-side
   *                      regex/array work — should scale linearly)
   *   - q21_langid       language-ID over the corpus (same shape)
-  *   - funnel           q154's five-stage curation funnel, printing the
+  *   - funnel           q154's six-stage curation funnel (incl. the round-18 excerpt stage), printing the
   *                      per-stage rows — every stage must be NON-VACUOUS
   *                      here (GenCorpus had no stopwords, so stage 1
   *                      dropped 100% there and no funnel anchor existed)

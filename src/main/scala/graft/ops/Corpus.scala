@@ -696,12 +696,14 @@ object Corpus {
   /** q154: CURATION FUNNEL — the attrition audit of the full cleaning
     * pipeline (q34's stages + q54's rule, stage for stage): what a 100 TB
     * curation run actually reports is not just the kept set but WHERE the
-    * corpus went — per rule, in pipeline order, cumulatively. Five
+    * corpus went — per rule, in pipeline order, cumulatively. Six
     * stages over the q54 train slice: language (q21's `lang_pred='en'`),
     * quality (q20's keep rule), exact dedup (q34's min-doc_id-per-text),
     * near-dup (q24's prefix-filtered Jaccard ≥ 0.6 among survivors, drop
-    * the higher id — q34's stage verbatim), decontamination (q54's
-    * 8-gram broadcast rule vs the eval slice). Output: one row per stage
+    * the higher id — q34's stage verbatim), excerpt clean (q162's
+    * directed-containment rule — the asymmetric population the Jaccard
+    * stage provably misses), decontamination (q54's 8-gram broadcast
+    * rule vs the eval slice). Output: one row per stage
     * `(stage, rule, n_in, n_dropped, n_out)` with exact chaining
     * (`n_out(k) = n_in(k+1)`, spec'd) — the audit q34 (kept set) and q68
     * (clean export) don't surface.
@@ -755,21 +757,30 @@ object Corpus {
     val sur = uniq.join(nearDups, Seq("doc_id"), "left_anti").cache()
     val n4 = sur.count()
     uniq.unpersist(blocking = false)
+    // stage 5 — EXCERPT CLEAN (q162's rule composed in, round-17 verdict
+    // #6): the asymmetric population the Jaccard stage provably misses
+    // (a quote of a much larger doc has tiny Jaccard, containment ≈ 1);
+    // drop survivors ≥ 0.8 contained in a strictly larger survivor
+    val exc = sur.join(Dedup.excerptDrops(Dedup.shingleDocs(sur), 0.8),
+      Seq("doc_id"), "left_anti").cache()
+    val n5 = exc.count()
+    sur.unpersist(blocking = false)
     def grams(df: DataFrame): DataFrame = decontGrams(
       df.select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= DecontN))
     val evalGrams = grams(base.filter(col("doc_id") % 11 === 0))
       .select("g").distinct()
-    val contam = decontJoin(grams(sur), evalGrams)
+    val contam = decontJoin(grams(exc), evalGrams)
       .select("doc_id").distinct()
-    val n5 = sur.join(broadcast(contam), Seq("doc_id"), "left_anti").count()
-    sur.unpersist(blocking = false)
+    val n6 = exc.join(broadcast(contam), Seq("doc_id"), "left_anti").count()
+    exc.unpersist(blocking = false)
     Seq(
       (1L, "lang_en", n0, n0 - n1, n1),
       (2L, "quality", n1, n1 - n2, n2),
       (3L, "exact_dup", n2, n2 - n3, n3),
       (4L, "near_dup", n3, n3 - n4, n4),
-      (5L, "decontam", n4, n4 - n5, n5))
+      (5L, "excerpt", n4, n4 - n5, n5),
+      (6L, "decontam", n5, n5 - n6, n6))
       .toDF("stage", "rule", "n_in", "n_dropped", "n_out")
       .orderBy("stage")
   }
@@ -808,6 +819,21 @@ object Corpus {
        |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
        |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6),
        |l4 AS (SELECT doc_id, text FROM l3 WHERE doc_id NOT IN (SELECT b_id FROM dups)),
+       |sh5 AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM l4)
+       |  WHERE len(w) >= 3),
+       |ex5 AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh, unnest(shingles) AS sh FROM sh5),
+       |cont5 AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, b.nsh AS nb
+       |  FROM ex5 a JOIN ex5 b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+       |  HAVING CAST(COUNT(*) AS DOUBLE) / a.nsh >= 0.8),
+       |drops5 AS (
+       |  SELECT DISTINCT a_id FROM cont5
+       |  WHERE nb > na OR (nb = na AND b_id < a_id)),
+       |l4x AS (SELECT doc_id, text FROM l4 WHERE doc_id NOT IN (SELECT a_id FROM drops5)),
        |evg AS (
        |  SELECT DISTINCT md5(array_to_string(
        |           w[CAST(i AS INTEGER):CAST(i + ${DecontN - 1} AS INTEGER)], ' ')) AS g
@@ -819,19 +845,21 @@ object Corpus {
        |    SELECT doc_id, md5(array_to_string(
        |             w[CAST(i AS INTEGER):CAST(i + ${DecontN - 1} AS INTEGER)], ' ')) AS g
        |    FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${DecontN - 1} + 1)) AS i
-       |          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM l4)
+       |          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM l4x)
        |          WHERE len(w) >= $DecontN))
        |  WHERE g IN (SELECT g FROM evg)),
-       |l5 AS (SELECT doc_id FROM l4 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |l6 AS (SELECT doc_id FROM l4x WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
        |n AS (SELECT (SELECT COUNT(*) FROM tr) AS n0, (SELECT COUNT(*) FROM l1) AS n1,
        |             (SELECT COUNT(*) FROM l2) AS n2, (SELECT COUNT(*) FROM l3) AS n3,
-       |             (SELECT COUNT(*) FROM l4) AS n4, (SELECT COUNT(*) FROM l5) AS n5)
+       |             (SELECT COUNT(*) FROM l4) AS n4, (SELECT COUNT(*) FROM l4x) AS n5,
+       |             (SELECT COUNT(*) FROM l6) AS n6)
        |SELECT stage, rule, n_in, n_dropped, n_out FROM (
        |  SELECT CAST(1 AS BIGINT) AS stage, 'lang_en' AS rule, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM n
        |  UNION ALL SELECT CAST(2 AS BIGINT), 'quality', n1, n1 - n2, n2 FROM n
        |  UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dup', n2, n2 - n3, n3 FROM n
        |  UNION ALL SELECT CAST(4 AS BIGINT), 'near_dup', n3, n3 - n4, n4 FROM n
-       |  UNION ALL SELECT CAST(5 AS BIGINT), 'decontam', n4, n4 - n5, n5 FROM n)
+       |  UNION ALL SELECT CAST(5 AS BIGINT), 'excerpt', n4, n4 - n5, n5 FROM n
+       |  UNION ALL SELECT CAST(6 AS BIGINT), 'decontam', n5, n5 - n6, n6 FROM n)
        |ORDER BY stage""".stripMargin
 
   // ---------------------------------------------------------------- q155

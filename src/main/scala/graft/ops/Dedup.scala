@@ -544,16 +544,25 @@ object Dedup {
     * with their shingle counts. */
   def q162ExcerptClean(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
+    sh.select(col("doc_id"), col("nsh"))
+      .join(excerptDrops(sh, 0.8), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("nsh"))
+      .orderBy("doc_id")
+  }
+
+  /** The q162 drop rule over ANY shingled frame — the composable form the
+    * curation funnel's excerpt stage runs (round-17 verdict #6): doc_ids
+    * ≥ `threshold` contained in a STRICTLY LARGER doc of the same frame
+    * (equal shingle-set sizes tie-break on id, keeping the smaller — the
+    * q23 convention, acyclic by size ordering). */
+  private[graft] def excerptDrops(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.select(col("doc_id"), col("nsh"))
-    val drops = containmentPairs(sh, 0.8)
+    containmentPairs(sh, threshold)
       .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb")), "b_id")
       .filter(col("nb") > col("na") ||
         (col("nb") === col("na") && col("b_id") < col("a_id")))
       .select(col("a_id").as("doc_id")).distinct()
-    sizes.join(drops, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("nsh"))
-      .orderBy("doc_id")
   }
 
   val q162Sql: String =

@@ -176,6 +176,28 @@ object DocStream {
       .select(col("doc_id").as("fresh_id"), col("ex_id"), col("containment"))
       .dropDuplicates("fresh_id", "ex_id")
 
+  /** [[containmentAgainst]] under the q162 SIZE RULE at ingest: a fresh
+    * doc flags as an excerpt only when its container is at least its own
+    * shingle size (the static corpus is the earlier side, so equal-size
+    * exact twins flag too — the stream analogue of q162's keep-the-
+    * smaller-id tie-break). The funnel's excerpt stage (q154 stage 5)
+    * and this gate share the q162 detector, so batch and stream can
+    * never drift on what counts as an excerpt. */
+  def excerptAgainst(freshDocs: DataFrame,
+      btable: Broadcast[(Array[Long], Array[Long])],
+      index: DataFrame, threshold: Double): DataFrame =
+    Dedup.rankDocs(Dedup.hashShingles(freshDocs), btable)
+      .select(col("doc_id"), col("hs"), col("nsh"),
+        explode(Dedup.prefixSliceExpr(threshold)).as("shh"))
+      .join(index, Seq("shh"))
+      .filter(col("doc_id") =!= col("ex_id"))
+      .filter(size(col("ex_hs")).cast("long") >= col("nsh"))
+      .withColumn("inter", size(array_intersect(col("hs"), col("ex_hs"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("nsh"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id").as("fresh_id"), col("ex_id"), col("containment"))
+      .dropDuplicates("fresh_id", "ex_id")
+
   /** Per-micro-batch CURATION — q154's funnel rules at ingest time, against
     * a FROZEN accepted-corpus snapshot: each arriving doc gets the full
     * rule bitmap `(pass_lang, pass_quality, dup_exact, dup_near,
@@ -195,7 +217,8 @@ object DocStream {
     * anti-pattern. */
   def curateBatch(batch: DataFrame, staticFps: DataFrame,
       btable: Broadcast[(Array[Long], Array[Long])], index: DataFrame,
-      threshold: Double, evalGrams: DataFrame): DataFrame = {
+      threshold: Double, evalGrams: DataFrame,
+      containIndex: Option[DataFrame] = None): DataFrame = {
     import graft.ops.{Corpus, TextOps}
     val scored = TextOps.withTextStats(TextOps.withLangPred(
         batch.select("doc_id", "text")))
@@ -208,20 +231,33 @@ object DocStream {
     val near = nearDupAgainst(batch, btable, index, threshold)
       .select(col("fresh_id").as("doc_id")).distinct()
       .withColumn("dup_near", lit(true))
+    // the OPTIONAL excerpt gate (q154 stage 5's stream face): present only
+    // when the caller prepared the FULL-token containment index — the
+    // near-dup prefix index cannot serve it (the containing side is
+    // unbounded, so its index must carry every static token)
+    val excerpt = containIndex.map { ci =>
+      excerptAgainst(batch, btable, ci, 0.8)
+        .select(col("fresh_id").as("doc_id")).distinct()
+        .withColumn("dup_excerpt", lit(true))
+    }
     val contam = Corpus.decontGrams(
         batch.select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= Corpus.DecontN))
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .select("doc_id").distinct().withColumn("contaminated", lit(true))
-    scored
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
+    excerpt.foldLeft(scored
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left"))((acc, e) =>
+        acc.join(e, Seq("doc_id"), "left"))
       .join(contam, Seq("doc_id"), "left")
-      .na.fill(false, Seq("dup_exact", "dup_near", "contaminated"))
+      .withColumn("dup_excerpt",
+        if (containIndex.isDefined) col("dup_excerpt") else lit(false))
+      .na.fill(false, Seq("dup_exact", "dup_near", "dup_excerpt", "contaminated"))
       .withColumn("kept", col("pass_lang") && col("pass_quality") &&
-        !col("dup_exact") && !col("dup_near") && !col("contaminated"))
+        !col("dup_exact") && !col("dup_near") && !col("dup_excerpt") &&
+        !col("contaminated"))
       .select("doc_id", "pass_lang", "pass_quality", "dup_exact",
-        "dup_near", "contaminated", "kept")
+        "dup_near", "dup_excerpt", "contaminated", "kept")
   }
 
   /** Per-micro-batch TOKENIZER-DRIFT monitor — the third step of the

@@ -4626,18 +4626,24 @@ class OperatorSpec extends AnyFunSuite {
       (4L, s"the ${(1 to 23).map(i => s"w$i").mkString(" ")} zz"), // near-dup of 2 -> near_dup
       (5L, s"the $gram8 ${(1 to 12).map(i => s"y$i").mkString(" ")}") // shares the 8-gram -> decontam
         ,
-      (6L, "the tiny doc with only ten words in it total")) // < 20 words -> quality
+      (6L, "the tiny doc with only ten words in it total"), // < 20 words -> quality
+      // stage-5 pair: 7 is a 21-word contiguous excerpt of the 61-word 8 —
+      // passes quality, Jaccard 19/59 ≈ 0.32 (near-dup misses it),
+      // containment 1.0 in a strictly larger survivor -> excerpt drop
+      (7L, s"the ${(1 to 20).map(i => s"v$i").mkString(" ")}"),
+      (8L, s"the ${(1 to 60).map(i => s"v$i").mkString(" ")}"))
     val dir = java.nio.file.Files.createTempDirectory("funnel_syn").toString
     docs.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val planted = Corpus.q154CurationFunnel(s, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(planted.toSeq == Seq(
-      (1L, "lang_en", 6L, 1L, 5L),
-      (2L, "quality", 5L, 1L, 4L),
-      (3L, "exact_dup", 4L, 1L, 3L),
-      (4L, "near_dup", 3L, 1L, 2L),
-      (5L, "decontam", 2L, 1L, 1L)), planted.mkString("\n"))
+      (1L, "lang_en", 8L, 1L, 7L),
+      (2L, "quality", 7L, 1L, 6L),
+      (3L, "exact_dup", 6L, 1L, 5L),
+      (4L, "near_dup", 5L, 1L, 4L),
+      (5L, "excerpt", 4L, 1L, 3L),
+      (6L, "decontam", 3L, 1L, 2L)), planted.mkString("\n"))
     // real corpus: exact chaining + a populated tail
     val real = Corpus.q154CurationFunnel(s, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))

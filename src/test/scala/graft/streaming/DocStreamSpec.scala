@@ -776,8 +776,10 @@ class DocStreamSpec extends AnyFunSuite {
     import graft.ops.Corpus
     val gram8 = (1 to 8).map(i => s"g$i").mkString(" ")
     val base = s"the ${(1 to 24).map(i => s"w$i").mkString(" ")}"
+    val longBase = s"the ${(1 to 60).map(i => s"v$i").mkString(" ")}"
     val static = Seq((100L, base),
-      (101L, s"the ${(1 to 24).map(i => s"s$i").mkString(" ")}")).toDF("doc_id", "text")
+      (101L, s"the ${(1 to 24).map(i => s"s$i").mkString(" ")}"),
+      (102L, longBase)).toDF("doc_id", "text")
     val evalDocs = Seq((900L, s"the eval doc holds $gram8 and padding words here"))
       .toDF("doc_id", "text")
     val fresh = Seq(
@@ -786,12 +788,17 @@ class DocStreamSpec extends AnyFunSuite {
       (203L, base), // dup_exact (and trivially dup_near at J=1)
       (204L, s"the ${(1 to 23).map(i => s"w$i").mkString(" ")} zz"), // dup_near
       (205L, s"the $gram8 ${(1 to 12).map(i => s"y$i").mkString(" ")}"), // contaminated
-      (206L, s"the ${(1 to 24).map(i => s"z$i").mkString(" ")}")) // kept
+      (206L, s"the ${(1 to 24).map(i => s"z$i").mkString(" ")}"), // kept
+      // dup_excerpt: a 21-word contiguous slice of the 61-word static doc —
+      // passes quality (≥ 20 words), Jaccard ≪ 0.6 (near-dup misses it),
+      // containment = 1.0 against a strictly larger container
+      (207L, longBase.split(" ").slice(0, 21).mkString(" ")))
       .toDF("doc_id", "text")
 
     // frozen snapshot state, prepared once
     val staticFps = static.select(md5(col("text")).as("fp")).distinct().cache()
     val (btable, index) = DocStream.nearDupIndex(static, threshold)
+    val (_, containIdx) = DocStream.containmentIndex(static)
     val evalGrams = Corpus.decontGrams(
         evalDocs.select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= Corpus.DecontN))
@@ -799,7 +806,7 @@ class DocStreamSpec extends AnyFunSuite {
 
     // one file per planted pair of docs -> a 3-micro-batch drain
     val dir = java.nio.file.Files.createTempDirectory("docstream_curate").toString
-    Seq(Seq(201L, 204L), Seq(202L, 205L), Seq(203L, 206L)).foreach { ids =>
+    Seq(Seq(201L, 204L), Seq(202L, 205L, 207L), Seq(203L, 206L)).foreach { ids =>
       fresh.filter(col("doc_id").isin(ids: _*))
         .withColumn("lang", lit("en")).withColumn("source", lit("t"))
         .withColumn("n_chars", length(col("text")).cast("long"))
@@ -816,7 +823,8 @@ class DocStreamSpec extends AnyFunSuite {
       .parquet(dir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        DocStream.curateBatch(batch, staticFps, btable, index, threshold, evalGrams)
+        DocStream.curateBatch(batch, staticFps, btable, index, threshold,
+            evalGrams, containIndex = Some(containIdx))
           .coalesce(1).write.mode("append").parquet(outDir)
         ()
       }
@@ -826,21 +834,27 @@ class DocStreamSpec extends AnyFunSuite {
     def key(a: Array[org.apache.spark.sql.Row]) = a.map(r =>
       r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("pass_lang"),
         r.getAs[Boolean]("pass_quality"), r.getAs[Boolean]("dup_exact"),
-        r.getAs[Boolean]("dup_near"), r.getAs[Boolean]("contaminated"),
-        r.getAs[Boolean]("kept")))).toMap
+        r.getAs[Boolean]("dup_near"), r.getAs[Boolean]("dup_excerpt"),
+        r.getAs[Boolean]("contaminated"), r.getAs[Boolean]("kept")))).toMap
     val streamed = key(spark.read.parquet(outDir).collect())
     val oneShot = key(DocStream.curateBatch(
-      fresh, staticFps, btable, index, threshold, evalGrams).collect())
+      fresh, staticFps, btable, index, threshold, evalGrams,
+      containIndex = Some(containIdx)).collect())
     assert(streamed == oneShot, "batching changed the curation bitmap")
     // german fails BOTH gates: no 'en' stopwords means lang != en AND
     // stop_ratio = 0 < 0.01 (the quality rule is anglocentric by design —
     // q20's committed thresholds)
-    assert(streamed(201L) == ((false, false, false, false, false, false)))
-    assert(streamed(202L) == ((true, false, false, false, false, false)))
-    assert(streamed(203L) == ((true, true, true, true, false, false)))
-    assert(streamed(204L) == ((true, true, false, true, false, false)))
-    assert(streamed(205L) == ((true, true, false, false, true, false)))
-    assert(streamed(206L) == ((true, true, false, false, false, true)))
+    assert(streamed(201L) == ((false, false, false, false, false, false, false)))
+    assert(streamed(202L) == ((true, false, false, false, false, false, false)))
+    // 203/204 carry dup_excerpt too: equal-size containment (203 IS the
+    // base; 204's 21/23 shingles sit in it) — the ingest size rule flags
+    // a same-size twin deliberately (the static side is the earlier doc)
+    assert(streamed(203L) == ((true, true, true, true, true, false, false)))
+    assert(streamed(204L) == ((true, true, false, true, true, false, false)))
+    assert(streamed(205L) == ((true, true, false, false, false, true, false)))
+    assert(streamed(206L) == ((true, true, false, false, false, false, true)))
+    // the planted excerpt: ONLY the containment gate catches it
+    assert(streamed(207L) == ((true, true, false, false, true, false, false)))
   }
 
   test("streamed tokenizer-drift monitor: per-batch OOV rows are exactly additive and the fallback algebra is right") {
