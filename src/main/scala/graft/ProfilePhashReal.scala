@@ -83,39 +83,49 @@ object ProfilePhashReal {
     for (mode <- Seq("q146", "diverse")) {
       println(s"--- pattern=$mode ---")
       val t0 = System.nanoTime()
-      val fps = spark.range(n).select(col("id").as("doc_id"))
+      // decode + raw 64-bit fingerprint ONCE; both band layouts repack it
+      // map-side (round-18, verdict #7: the 2×32 lever measured on
+      // REAL-codec fingerprints, both geometries)
+      val raw = spark.range(n).select(col("id").as("doc_id"))
         .repartition(64, col("doc_id"))
         .mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
             val png = if (mode == "q146") Multimodal.synthPng(id) else synthDiverse(id)
-            val f = Multimodal.aHash64(png)
-            (id, Seq.tabulate(4)(b => (f >> (b * 16)) & 0xFFFFL))
+            (id, Multimodal.aHash64(png))
           }
-        }(Encoders.product[(Long, Seq[Long])])
-        .toDF("doc_id", "fp").cache()
-      val cnt = fps.count()
+        }(Encoders.product[(Long, Long)])
+        .toDF("doc_id", "f").cache()
+      val cnt = raw.count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"decode_fp    $secs%8.2f s  ${cnt / secs}%.0f images/s ($cnt images)")
-      val t1 = System.nanoTime()
-      val mass = MultimodalOps.bandCandidateMass(fps)
-      println(f"band_mass    ${(System.nanoTime() - t1) / 1e9}%8.2f s  mass=$mass")
-      if (mass <= graft.ops.Dedup.defaultPairBudget) {
-        val t2 = System.nanoTime()
-        val pairs = MultimodalOps.bandPairsBudgeted(fps,
-          graft.ops.Dedup.defaultPairBudget).cache()
-        val survivors = pairs.count()
-        println(f"banded_pairs ${(System.nanoTime() - t2) / 1e9}%8.2f s  survivors=$survivors")
-        val planted = pairs.filter(col("a_id") % 4 === 0 && col("b_id") === col("a_id") + 1)
-          .count()
-        val inverted = pairs.filter(col("a_id") % 4 === 0 && col("b_id") === col("a_id") + 3)
-          .count()
-        println(s"recall       $planted/${n / 4} planted re-render pairs through banding; " +
-          s"inverted hits=$inverted")
-        pairs.unpersist(blocking = true)
-      } else println(s"REFUSED: mass $mass over the default budget " +
-        s"${graft.ops.Dedup.defaultPairBudget} — the guard working")
-      fps.unpersist(blocking = true)
+      for (nBands <- Seq(4, 2)) {
+        val bw = 64 / nBands
+        val fps = raw.select(col("doc_id"), expr(
+          s"transform(sequence(0, ${nBands - 1}), " +
+            s"b -> shiftrightunsigned(f, b * $bw) & ${(1L << bw) - 1}L)").as("fp"))
+        val t1 = System.nanoTime()
+        val mass = MultimodalOps.bandCandidateMass(fps)
+        println(f"band_mass    ${(System.nanoTime() - t1) / 1e9}%8.2f s  " +
+          f"layout=${nBands}x$bw mass=$mass")
+        if (mass <= graft.ops.Dedup.defaultPairBudget) {
+          val t2 = System.nanoTime()
+          val pairs = MultimodalOps.bandPairsBudgeted(fps,
+            graft.ops.Dedup.defaultPairBudget).cache()
+          val survivors = pairs.count()
+          println(f"banded_pairs ${(System.nanoTime() - t2) / 1e9}%8.2f s  " +
+            f"layout=${nBands}x$bw survivors=$survivors")
+          val planted = pairs.filter(col("a_id") % 4 === 0 && col("b_id") === col("a_id") + 1)
+            .count()
+          val inverted = pairs.filter(col("a_id") % 4 === 0 && col("b_id") === col("a_id") + 3)
+            .count()
+          println(s"recall       layout=${nBands}x$bw $planted/${n / 4} planted " +
+            s"re-render pairs through banding; inverted hits=$inverted")
+          pairs.unpersist(blocking = true)
+        } else println(s"REFUSED layout=${nBands}x$bw: mass $mass over the default " +
+          s"budget ${graft.ops.Dedup.defaultPairBudget} — the guard working")
+      }
+      raw.unpersist(blocking = true)
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

@@ -28,6 +28,34 @@ object ProfileVocabStress {
     val trainS = (System.nanoTime() - t1) / 1e9
     println(f"train        $trainS%8.2f s  merges=${m.size} " +
       f"per_round=${trainS * 1000 / math.max(1, m.size)}%.2fms")
+    // round-18 (verdict #3): the END-TO-END production-vocab leg — publish
+    // the learned table through RootPointer, serve counts via the q145
+    // kernel from the RESOLVED artifact, and compare wall + optimized-plan
+    // size against the 18,252-entry synthetic vocab on the SAME corpus —
+    // the claim "plan size and per-token cost are vocab-size-independent"
+    // pinned at production scale instead of extrapolated from 18k.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val learned = m.map(_._4).distinct
+    val base = java.nio.file.Files.createTempDirectory("graft_vocab_stress").toString
+    graft.ops.TextOps.publishVocab(spark, base, learned.sorted)
+    val (_, vocab) = graft.ops.TextOps.resolveVocab(spark, base)
+    val docs = Tables.spread(spark, Tables.documents(spark, d), "doc_id")
+      .select("doc_id", "text")
+    def serve(tag: String, v: Seq[String]): Unit = {
+      val counts = graft.ops.TextOps.subwordVocabCounts(docs,
+        v.toDF("v"), v.map(_.length).distinct.sorted)
+      val planChars = counts.queryExecution.optimizedPlan.toString.length
+      val t = System.nanoTime()
+      val agg = counts.agg(sum("n_words"), sum("n_subwords")).head()
+      println(f"$tag%-12s ${(System.nanoTime() - t) / 1e9}%8.2f s  " +
+        f"entries=${v.size} plan_chars=$planChars " +
+        f"words=${agg.getLong(0)} subwords=${agg.getLong(1)}")
+    }
+    serve("serve_32k", vocab)
+    // the r17 plan-size pin's vocabulary (18,252 entries), same corpus
+    serve("serve_18k",
+      graft.ops.TextOps.genVocab(spark, 26).collect().map(_.getString(0)).toSeq)
     spark.stop()
   }
 }

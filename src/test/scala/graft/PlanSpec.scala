@@ -1347,6 +1347,21 @@ class PlanSpec extends AnyFunSuite {
     val ps = opt(8); val pb = opt(26)
     assert(math.abs(ps.length - pb.length) <= 100,
       s"plan size grew with the vocab: ${ps.length} vs ${pb.length} chars")
+    // production tier (round-18): past the 32k entries a real BPE
+    // deployment ships, the plan may differ from a 1k table of the SAME
+    // source shape only in the range bound — one distinct 4-char entry
+    // per id, so only the generator's literal changes with the count
+    def vocabN(n: Long) = spark.range(n).selectExpr(
+      "char(97 + id % 26) || char(97 + (id DIV 26) % 26) || " +
+        "char(97 + (id DIV 676) % 26) || char(97 + (id DIV 17576) % 26) AS v")
+    def optN(n: Long): String =
+      TextOps.subwordVocabCounts(
+          Tables.spread(spark, Tables.documents(spark, sf), "doc_id")
+            .select("doc_id", "text"), vocabN(n), Seq(2, 3, 4))
+        .queryExecution.optimizedPlan.toString
+    val p1k = optN(1000); val p37k = optN(37000)
+    assert(math.abs(p37k.length - p1k.length) <= 100,
+      s"plan size grew at the 32k tier: ${p37k.length} vs ${p1k.length} chars")
     val ep = plan(TextOps.subwordVocabCounts(docs, TextOps.genVocab(spark)))
     assert(ep.contains("BroadcastExchange") || ep.contains("BroadcastHashJoin"),
       "the vocab table must reach the candidate join as a broadcast")
