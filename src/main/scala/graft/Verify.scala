@@ -23,6 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-entry caches (guard-gate bucket frames etc.) so the
+      // 160+-entry sweep never accumulates executor storage — the Bench
+      // convention, applied to the correctness sweep (round-17 advice)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
