@@ -19,6 +19,7 @@ object GenEmbeddings {
     val n = if (args.length > 1) args(1).toLong else 100000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

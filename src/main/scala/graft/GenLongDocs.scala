@@ -60,6 +60,7 @@ object GenLongDocs {
     val maxTok = if (args.length > 3) args(3).toInt else 100000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

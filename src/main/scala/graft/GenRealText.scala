@@ -155,6 +155,7 @@ object GenRealText {
     val nBase = math.max(1L, nDocs / 10L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

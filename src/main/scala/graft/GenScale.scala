@@ -23,6 +23,7 @@ object GenScale {
     val factor = if (args.length > 2) args(2).toInt else 10
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -30,6 +30,7 @@ object Profile24 {
     val d = args.headOption.getOrElse("/tmp/sfbig")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

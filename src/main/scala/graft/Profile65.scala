@@ -22,6 +22,7 @@ object Profile65 {
     val bits = if (args.length > 2) args(2).toInt else (1 << 27)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.BloomAgg.register(spark)

@@ -19,6 +19,7 @@ object Profile94 {
     val art = if (args.length > 1) args(1) else "/tmp/knn_graph_artifact"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

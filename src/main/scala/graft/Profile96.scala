@@ -22,6 +22,7 @@ object Profile96 {
     val dup = if (args.length > 1) args(1).toInt else 2
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.HllAgg.register(spark)

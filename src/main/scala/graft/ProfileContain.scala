@@ -26,11 +26,15 @@ object ProfileContain {
     val freshMod = if (args.length > 1) args(1).toInt else 100
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.ops.Dedup
     def timed[T](tag: String)(body: => T): T = {
+      // row isolation: drop the previous row's in-query caches first (the
+      // Bench convention) so storage pressure never bleeds across rows
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val out = body
       println(f"$tag%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")

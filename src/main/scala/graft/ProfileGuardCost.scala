@@ -86,6 +86,7 @@ object ProfileGuardCost {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -117,20 +118,20 @@ object ProfileGuardCost {
     // interleaved A/B: host drift on this box swamps sequential blocks, so
     // every iteration runs both variants back-to-back and the PAIRED ratio
     // is the reported premium
+    // interleave the shipped guarded entry against the unguarded r16 shape
+    // and the fully-lazy negative result; paired ratios only
     once(unguardedMinhash(spark, d)); once(graft.ops.Dedup.q25DedupMinhash(spark, d))
     once(lazyGated(spark, d)) // warm
     val ratios = (1 to runs).map { i =>
       val u = once(unguardedMinhash(spark, d))
-      sys.props -= "graft.gate.sym"
       val g = once(graft.ops.Dedup.q25DedupMinhash(spark, d))
-      sys.props("graft.gate.sym") = "1"
-      val g2 = once(graft.ops.Dedup.q25DedupMinhash(spark, d))
-      println(f"pair $i: unguarded $u%.2f s one-sided $g%.2f s (${g / u}%.2f) symmetric $g2%.2f s (${g2 / u}%.2f)")
-      if (i == runs) { println("  symmetric jobs:"); jobLog.forEach(l => println(l)) }
-      (g / u, g2 / u)
+      val l = once(lazyGated(spark, d))
+      println(f"pair $i: unguarded $u%.2f s guarded $g%.2f s (${g / u}%.2f) lazy-uncached $l%.2f s (${l / u}%.2f)")
+      if (i == runs) { println("  guarded jobs:"); jobLog.forEach(x => println(x)) }
+      (g / u, l / u)
     }
-    val gs = ratios.map(_._1).sorted; val g2s = ratios.map(_._2).sorted
-    println(f"median one-sided: ${gs(gs.size / 2)}%.2f  symmetric: ${g2s(g2s.size / 2)}%.2f")
+    val gs = ratios.map(_._1).sorted; val ls = ratios.map(_._2).sorted
+    println(f"median guarded: ${gs(gs.size / 2)}%.2f  lazy-uncached: ${ls(ls.size / 2)}%.2f")
     spark.stop()
   }
 }

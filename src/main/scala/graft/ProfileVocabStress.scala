@@ -16,6 +16,7 @@ object ProfileVocabStress {
     val nMerges = if (args.length > 1) args(1).toInt else 5000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()

@@ -726,26 +726,41 @@ object Corpus {
 
   def q154CurationFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    var tDbg = System.nanoTime()
+    def stageLog(tag: String): Unit = {
+      if (sys.props.contains("graft.funnel.debug")) {
+        println(f"    [funnel] $tag ${(System.nanoTime() - tDbg) / 1e9}%.2f s")
+      }
+      tDbg = System.nanoTime()
+    }
     val base = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select("doc_id", "text")
-    val tr = base.filter(col("doc_id") % 11 =!= 0).cache()
+    // each stage materializes via an EAGER localCheckpoint, not cache():
+    // a cache KEEPS the stage's logical lineage, and six stages of nested
+    // InMemoryRelations (each embedding its predecessors' plans, several
+    // referenced 2-3x by the dedup joins) make the plan DAG print as an
+    // exponentially-expanded tree — measured as ~60 s of DRIVER CPU in
+    // generateTreeString per late-stage action (the SQL-execution-start
+    // event stringifies the plan even with the UI off). The checkpoint
+    // truncates lineage to a leaf per stage; blocks are ContextCleaner-
+    // managed, and stage frames are (doc_id, text) — MBs. On a cluster,
+    // swap for reliable checkpoint() (the clusterPairs convention).
+    val tr = base.filter(col("doc_id") % 11 =!= 0).localCheckpoint()
     val n0 = tr.count()
+    stageLog("n0")
     val lng = TextOps.withLangPred(tr).filter(col("lang_pred") === "en")
-      .select("doc_id", "text").cache()
+      .select("doc_id", "text").localCheckpoint()
     val n1 = lng.count()
-    // each stage frame is released once the NEXT stage has materialized
-    // its own cache — one pass per stage, no storage accumulation across
-    // a catalog sweep (blocking = false: eviction needn't gate the stage)
-    tr.unpersist(blocking = false)
+    stageLog("n1_lang")
     val qual = TextOps.withTextStats(lng).filter(col("quality") === "keep")
-      .select("doc_id", "text").cache()
+      .select("doc_id", "text").localCheckpoint()
     val n2 = qual.count()
-    lng.unpersist(blocking = false)
+    stageLog("n2_quality")
     val uniq = qual.join(
       qual.groupBy("text").agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi").cache()
+      Seq("doc_id"), "left_semi").localCheckpoint()
     val n3 = uniq.count()
-    qual.unpersist(blocking = false)
+    stageLog("n3_exact")
     // budgeted, not plain jaccardPairs: the funnel is the one-shot whole-
     // corpus caller the q53-at-1M diagnosis warned about — on a
     // low-entropy corpus it must refuse in seconds with the measured
@@ -754,17 +769,17 @@ object Corpus {
     // pathological 1M GenCorpus run refuses at 3.4B)
     val nearDups = Dedup.jaccardPairsBudgeted(Dedup.shingleDocs(uniq), 0.6,
       FunnelPairBudget).select(col("b_id").as("doc_id")).distinct()
-    val sur = uniq.join(nearDups, Seq("doc_id"), "left_anti").cache()
+    val sur = uniq.join(nearDups, Seq("doc_id"), "left_anti").localCheckpoint()
     val n4 = sur.count()
-    uniq.unpersist(blocking = false)
+    stageLog("n4_neardup")
     // stage 5 — EXCERPT CLEAN (q162's rule composed in, round-17 verdict
     // #6): the asymmetric population the Jaccard stage provably misses
     // (a quote of a much larger doc has tiny Jaccard, containment ≈ 1);
     // drop survivors ≥ 0.8 contained in a strictly larger survivor
     val exc = sur.join(Dedup.excerptDrops(Dedup.shingleDocs(sur), 0.8),
-      Seq("doc_id"), "left_anti").cache()
+      Seq("doc_id"), "left_anti").localCheckpoint()
     val n5 = exc.count()
-    sur.unpersist(blocking = false)
+    stageLog("n5_excerpt")
     def grams(df: DataFrame): DataFrame = decontGrams(
       df.select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= DecontN))
@@ -773,7 +788,7 @@ object Corpus {
     val contam = decontJoin(grams(exc), evalGrams)
       .select("doc_id").distinct()
     val n6 = exc.join(broadcast(contam), Seq("doc_id"), "left_anti").count()
-    exc.unpersist(blocking = false)
+    stageLog("n6_decontam")
     Seq(
       (1L, "lang_en", n0, n0 - n1, n1),
       (2L, "quality", n1, n1 - n2, n2),
