@@ -186,8 +186,12 @@ object Dedup {
         "incrementally (incrementalFrom / q129), or raise the budget " +
         "(-Dgraft.pair.budget / SPARK_GRAFT_PAIR_BUDGET) if this many " +
         "candidate verifications are intended.")
-    val pfx = gatedBy(prefix, gate).join(cnt.select("shh"), Seq("shh"), "left_semi")
-    val candidates = pfx.as("a").join(pfx.as("b"),
+    // one-sided gate, no semi prefilter — the champion shape from the
+    // round-18 variant sweep (the semi chain serializes an extra shuffle
+    // of the prefix index in front of the join; measured as the q24
+    // family's 1.4-1.6x code-attributable premium in the first r18 bench)
+    val gated = gatedBy(prefix, gate)
+    val candidates = gated.as("a").join(prefix.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.nsh"), col("b.nsh")).cast("double") >=
             greatest(col("a.nsh"), col("b.nsh")) * threshold)
