@@ -464,8 +464,9 @@ object MultimodalOps {
     // The fingerprint frame is cached: the pipeline has four lazy
     // consumers (count, gate, two self-join sides) and AQE's broadcast
     // decisions defeat exchange reuse between them; released by the
-    // catalog sweep's per-entry clearCache
-    val cached = fps.cache()
+    // catalog sweep's per-entry clearCache, or by CacheBin.release()
+    // for long-lived library sessions (the tracked-cache contract)
+    val cached = graft.ops.CacheBin.note(fps.cache())
     val cnt = cached.select(posexplode(col("fp")).as(Seq("b", "bv")))
       .groupBy("b", "bv").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)

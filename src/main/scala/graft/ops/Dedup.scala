@@ -133,9 +133,14 @@ object Dedup {
       family: String, lever: String): DataFrame =
     massFrame.select(coalesce(
       assert_true(col("m") <= lit(budget),
-        concat(lit(s"$family candidate mass "), col("m"),
+        concat(lit(s"$BudgetSentinel $family candidate mass "), col("m"),
           lit(s" exceeds the budget $budget: " + lever))),
       lit(true)).as("ok"))
+
+  /** Fixed marker embedded in every [[budgetGate]] raise so the catch side
+    * cannot misclassify an unrelated exception (or a caller-supplied lever
+    * string) that happens to contain prose like "exceeds the budget". */
+  private[graft] val BudgetSentinel = "[graft.pair.budget]"
 
   /** Σ C(n,2) mass frame of a [[collisionCounts]] frame (one row, col m). */
   private def pairMassOf(cnt: DataFrame): DataFrame =
@@ -153,7 +158,7 @@ object Dedup {
   def budgetRefusal(e: Throwable): Option[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse(""))
-      .find(_.contains("exceeds the budget"))
+      .find(_.contains(BudgetSentinel))
 
   /** One-shot All-Pairs with a SPILL-BUDGET REFUSAL — the guard the q53
     * 1M diagnosis prescribed (BASELINE.md round-16 addendum): on a
@@ -227,8 +232,9 @@ object Dedup {
     // of the corpus.
     val hashed = shingledDocs.select(col("doc_id"),
       expr("transform(shingles, x -> xxhash64(x))").as("hs0")).cache()
+    CacheBin.note(hashed)
     val btable = dfRankTable(hashed)
-    val docs = rankDocs(hashed, btable).cache()
+    val docs = CacheBin.note(rankDocs(hashed, btable).cache())
     val prefix = docs.select(col("doc_id"), col("nsh"),
       explode(prefixSliceExpr(threshold)).as("shh"))
     (docs, prefix)
@@ -429,6 +435,7 @@ object Dedup {
       .groupBy("text")
       .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("members"))
       .cache()
+    CacheBin.note(grp)
     // re-spread the representatives: AQE coalesces the text-groupBy output
     // to one partition at small sizes, which would serialize the whole
     // shingle→df-sort→prefix chain into a single task (measured 3.2 s → 1.1 s
@@ -686,13 +693,24 @@ object Dedup {
     * batch included, once appended)?" — the [[incrementalContainment]]
     * semantics served from the persisted segments: directed (a_id ∈
     * fresh, containment(a in b) ≥ t) pairs, same in-plan asymmetric mass
-    * gate, zero corpus re-indexing (the segments ARE the index). */
+    * gate, zero corpus re-indexing (the segments ARE the index). The
+    * a-side tokens come from the fresh frame itself, so the call is
+    * well-defined whether or not the batch was appended first — without
+    * the append the answer is fresh-vs-existing only (fresh-vs-fresh
+    * pairs need the b-side, i.e. the append). */
   def containmentServeFresh(s: SparkSession, path: String, freshDocs: DataFrame,
       threshold: Double): DataFrame = {
     val btable = containmentRankTable(s, path)
     val segDocs = containmentSegments(s, path).map(s.read.parquet(_))
       .reduce(_ unionByName _)
-    val freshPrefix = rankDocs(hashShingles(freshDocs), btable)
+    // the a-side arrays (ha, na) come from the FRESH frame itself, not an
+    // inner join back into the segment union — serving a batch that was
+    // never appended then still answers "fresh vs artifact" instead of
+    // silently dropping every fresh doc (the r18 ADVICE footgun); append
+    // first only if fresh-vs-fresh pairs should be included (b-side stays
+    // the segments by design)
+    val freshRanked = rankDocs(hashShingles(freshDocs), btable)
+    val freshPrefix = freshRanked
       .select(col("doc_id"), col("nsh"), explode(prefixSliceExpr(threshold)).as("shh"))
     val fullIndex = segDocs.select(col("doc_id"), explode(col("hs")).as("shh"))
     val kj = probeCollisionCounts(freshPrefix, fullIndex, Seq("shh"))
@@ -705,7 +723,7 @@ object Dedup {
         col("a.shh") === col("b.shh") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val da = segDocs.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+    val da = freshRanked.select(col("doc_id").as("a_id"), col("hs").as("ha"),
       col("nsh").as("na"))
     val db = segDocs.select(col("doc_id").as("b_id"), col("hs").as("hb"))
     candidates.join(da, "a_id").join(db, "b_id")
@@ -767,8 +785,10 @@ object Dedup {
     // agg + band explode) has four lazy consumers (count, gate, two join
     // sides) and AQE's broadcast decisions defeat exchange reuse between
     // them (measured: fully-uncached q25 is 4.3× the unguarded run; a
-    // sigs-level cache 1.9×; this shape 1.5×)
-    val cached = buckets.cache()
+    // sigs-level cache 1.9×; this shape 1.5×). Tracked in CacheBin —
+    // long-lived library callers release after their action (the sweeps
+    // use per-entry clearCache instead)
+    val cached = CacheBin.note(buckets.cache())
     val cnt = collisionCounts(cached, keys)
     val gate = budgetGate(pairMassOf(cnt), defaultPairBudget, family,
       s"the bucket space has too little entropy for this corpus. $lever, " +
@@ -827,6 +847,7 @@ object Dedup {
       .select(col("doc_id"),
         expr("transform(shingles, x -> xxhash64(x))").as("hs"), col("nsh"))
       .cache()
+    CacheBin.note(docs)
     val ex = docs.select(col("doc_id"), explode(col("hs")).as("shh"))
     val sigs = ex.groupBy("doc_id")
       .agg(expr(s"graft_minhash(shh, $NumHashes)").as("mhs"))
@@ -878,7 +899,7 @@ object Dedup {
   }
 
   def q26DedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sims = simhashes(s, d).cache()
+    val sims = CacheBin.note(simhashes(s, d).cache())
     val bandCols = (0 until SimBands).map { k =>
       struct(lit(k).as("band_id"),
         expr(s"(sim >> ${k * BandWidth}) & ${(1L << BandWidth) - 1}").as("bval"))
@@ -960,8 +981,9 @@ object Dedup {
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
       .withColumn("bks", expr(s"$fn(e)"))
       .cache()
-    val buckets = emb.select(col("vec_id"),
-      posexplode(col("bks")).as(Seq("tbl", "bkt"))).cache()
+    CacheBin.note(emb)
+    val buckets = CacheBin.note(emb.select(col("vec_id"),
+      posexplode(col("bks")).as(Seq("tbl", "bkt"))).cache())
     // probe side: own bucket + the `bits` hamming-1 neighbors per table
     val probes = buckets.select(col("vec_id"), col("tbl"), explode(expr(
       s"transform(sequence(0, $bits), j -> CASE WHEN j = 0 THEN bkt ELSE int(bkt ^ shiftleft(1, j - 1)) END)"))

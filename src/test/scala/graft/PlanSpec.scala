@@ -1291,13 +1291,19 @@ class PlanSpec extends AnyFunSuite {
   /** One-row gate attaches (the in-plan candidate-mass budget — a
     * broadcast nested loop whose build side is ONE row, the adjudicated
     * scalar-attach convention) are allowed; what must never appear is a
-    * corpus-sized nested loop. Proxy: a BNLJ is tolerated only when the
-    * plan carries the gate's raise (assert_true prints as its desugared
-    * `raise_error(USER_RAISED_EXCEPTION, ...)` condition). */
-  private def gateOnly(p: String): Boolean =
+    * corpus-sized nested loop. Proxy: at most ONE BNLJ instance (counted
+    * by its numbered details header — the tree line would double-count),
+    * and that one must carry the gate's raise (assert_true prints as its
+    * desugared `raise_error(USER_RAISED_EXCEPTION, ...)` condition).
+    * Plan-wide co-occurrence alone would be vacuous now that every
+    * guarded query always carries the gate — a second, corpus-sized BNLJ
+    * sneaking in beside it must still fail. */
+  private def gateOnly(p: String): Boolean = {
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
     !p.contains("CartesianProduct") &&
-      (!p.contains("BroadcastNestedLoopJoin") ||
-        p.contains("raise_error(USER_RAISED_EXCEPTION"))
+      (bnlj == 0 ||
+        (bnlj == 1 && p.contains("raise_error(USER_RAISED_EXCEPTION")))
+  }
 
   test("q134 phash: banded candidates come from an equi join; hamming verify sits under the dedup") {
     import graft.multimodal.MultimodalOps

@@ -2,7 +2,9 @@
 # Dev harness: run graft.Bench directly against compiled classes.
 # Usage: tools/run_bench.sh [sfDir] [cpus]
 # Prints the one-line bench JSON on stdout (Spark logs go to stderr).
-set -e
+# pipefail: Bench runs through `| tee`, so without it a crashed JVM exits 0
+# (the pipeline status is tee's) and callers can't detect the failure.
+set -eo pipefail
 SF=${1:-/root/testdata/sf0.1}
 CPUS=${2:-32}
 ADD_OPENS=""
