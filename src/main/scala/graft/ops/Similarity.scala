@@ -1252,6 +1252,100 @@ object Similarity {
       emb.filter(col("vec_id") < AdcQueries))
   }
 
+  // --------------------------------------------------------------- q165
+  /** q165: RESIDUAL SPLIT THROUGH THE VERSIONED POLICY, ORACLE-GATED —
+    * the split-tier mirror of q163, closing the round-18 gap (q163 arms
+    * only the merge tier; the split route fired only in specs, never
+    * through a published, served root): build the residual trio into a
+    * version dir, mark the variant, publish, arm the SPLIT tier at 1 ppm
+    * (every cell is over-tier, so the [[SplitHotCells]] hottest cells
+    * split deterministically through [[splitResidualCore]] — moved AND
+    * kept members re-encode against their new routed centroids under the
+    * FROZEN books), audit the staged scratch against the residual
+    * invariant before the swap commits, publish through [[RootPointer]],
+    * retire after grace, and serve from whatever resolve returns.
+    *
+    * The split's driver-local 2-means is NOT SQL-expressible, so the
+    * serve closes the q142 way instead of modeling the geometry: FULL
+    * PROBE plus EXACT REFINE over every candidate. Under full probe the
+    * candidate set is the whole codes table (routing changes where rows
+    * live, never whether they are probed), and the exact re-rank is the
+    * brute-force L2 top-k — DuckDB-expressible with no 2-means anywhere.
+    * The hash therefore gates the artifact's ROW ALGEBRA end-to-end
+    * (a dropped, duplicated, or unreachable row after the rewrite, a
+    * corrupted publish/resolve, a wrong id) while the re-encode
+    * arithmetic — which full-probe refine deliberately ranks past — is
+    * gated by the pre-swap audit inside [[maybeSplitIvf]] (a staged
+    * re-encode bug throws, never publishes) plus the OperatorSpec
+    * served ≡ direct-core differential at production nprobe. */
+  def q165ResidualSplitServed(s: SparkSession, d: String): DataFrame = {
+    val base = s"${knnGraphServePath(d)}/ivfressplit"
+    val (cents, books, codes) = residualParts(s, d)
+    val v = RootPointer.nextVersion(s, base)
+    cents.write.mode("overwrite").parquet(s"$base/$v/cents")
+    books.write.mode("overwrite").parquet(s"$base/$v/books")
+    codes.write.mode("overwrite").parquet(s"$base/$v/codes")
+    markResidual(s, s"$base/$v")
+    RootPointer.publish(s, base, v)
+    val emb = embWithNorm(s, d).select("vec_id", "e")
+    val (_, split, _) = maybeMaintainIvfVersioned(s, base, emb,
+      maxTombstones = 1, maxSharePpm = 1L, minSharePpm = 0L)
+    require(split, "the 1-ppm split tier must act on the residual root")
+    RootPointer.retireOld(s, base, keep = 2)
+    val root = RootPointer.resolve(s, base)
+    residualRefineFullProbe(s, root, emb,
+      emb.filter(col("vec_id") < AdcQueries))
+  }
+
+  /** Full-probe + exact-refine serve from a persisted residual root: the
+    * ADC shortlist at nprobe = cell count and r = corpus count (every
+    * row a candidate, whatever the rebalanced routing), re-ranked by the
+    * q86 fixed-point exact distance. The shortlist still computes real
+    * ADC rows — cents/books/codes all participate in the plan — but the
+    * returned ranking depends only on which rows the artifact can reach,
+    * which is exactly what a geometry-blind oracle can pin. */
+  private def residualRefineFullProbe(s: SparkSession, root: String,
+      corpus: DataFrame, queries: DataFrame, k: Int = AdcK): DataFrame = {
+    val cents = s.read.parquet(s"$root/cents")
+    val codes = s.read.parquet(s"$root/codes")
+    val nlist = cents.count().toInt
+    val r = codes.count().toInt
+    val shortlist = residualSearchFrom(cents,
+        s.read.parquet(s"$root/books"), codes, queries, nprobe = nlist, k = r)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"), col("e").as("eq"))
+    val corp = corpus.select(col("vec_id").as("neighbor_id"), col("e").as("en"))
+    val w = Window.partitionBy("query_id").orderBy(col("exact_fixed"), col("neighbor_id"))
+    corp.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("exact_fixed", expr(
+        s"CAST(floor((graft_dot(eq, eq) - 2 * graft_dot(eq, en) + graft_dot(en, en)) * $CentFixedScale) AS BIGINT)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "exact_fixed", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  /** Oracle for q165: brute-force fixed-point L2 top-k — the full-probe
+    * refine's closed form (no split geometry anywhere; see the q165
+    * scaladoc for what this deliberately does and does not gate). */
+  lazy val q165Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ex AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |         CAST(floor((list_inner_product(q.e, q.e)
+       |                     - 2 * list_inner_product(q.e, n.e)
+       |                     + list_inner_product(n.e, n.e)) * $CentFixedScale) AS BIGINT) AS exact_fixed
+       |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $AdcQueries)
+       |SELECT query_id, neighbor_id, exact_fixed, rn FROM (
+       |  SELECT query_id, neighbor_id, exact_fixed,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY exact_fixed, neighbor_id) AS BIGINT) AS rn
+       |  FROM ex)
+       |WHERE rn <= $AdcK ORDER BY query_id, rn""".stripMargin
+
   /** q77: OPQ — PQ after a learned ORTHOGONAL transform (optimized product
     * quantization), instantiated with a deterministic fixed-point
     * HOUSEHOLDER rotation so it is oracle-gatable. Full OPQ alternates an
@@ -5037,6 +5131,11 @@ object Similarity {
     ("q75_ivfpq_residual", q75IvfPqResidual _, Some(q75Sql)),
     ("q160_residual_served", q160ResidualServed _, Some(q160Sql)),
     ("q163_residual_rebalance", q163ResidualRebalanceServed _, Some(q163Sql)),
+    // split tier through the versioned policy; full-probe + exact refine
+    // closes under the brute-force oracle (geometry-blind by design — the
+    // re-encode is gated by the pre-swap audit + the OperatorSpec
+    // served ≡ direct-core differential)
+    ("q165_residual_split", q165ResidualSplitServed _, Some(q165Sql)),
     ("q77_opq_ivfpq", q77OpqIvfPq _, Some(q77Sql)),
     ("q78_sq8_ivf", q78Sq8Ivf _, Some(q78Sql)),
     ("q79_ann_recall", q79AnnRecall _, Some(q79Sql)),

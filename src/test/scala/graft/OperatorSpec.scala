@@ -3474,6 +3474,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(serve(rootB).nonEmpty, "rebalanced serve must return rows")
   }
 
+  test("q165 residual split: versioned-policy serve equals the direct core row-for-row; mid-swap reader isolated") {
+    import graft.ops.RootPointer
+    val s = spark
+    val (cents, books, codes) = Similarity.residualParts(s, sf)
+    val emb = Similarity.embWithNorm(s, sf).select("vec_id", "e")
+    val queries = emb.filter(col("vec_id") < Similarity.AdcQueries)
+    def serve(root: String) = Similarity.residualSearchFrom(
+        s.read.parquet(s"$root/cents"), s.read.parquet(s"$root/books"),
+        s.read.parquet(s"$root/codes"), queries)
+      .collect().map(_.toString).sorted.toSeq
+    // (a) direct core: the same trio in a plain root, split in place
+    val dir = java.nio.file.Files.createTempDirectory("graft_ressplit_d").toString
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    books.write.mode("overwrite").parquet(s"$dir/books")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    Similarity.markResidual(s, dir)
+    assert(Similarity.maybeSplitIvf(s, dir, emb, maxSharePpm = 1),
+      "the 1-ppm split tier must act on the residual root")
+    val direct = serve(dir)
+    // (b) the versioned window (q165's shape): publish, arm the split
+    // tier, pre-swap audit inside, publish the clone, reader isolation
+    val base = java.nio.file.Files.createTempDirectory("graft_ressplit_v").toString
+    val v1 = RootPointer.nextVersion(s, base)
+    cents.write.mode("overwrite").parquet(s"$base/$v1/cents")
+    books.write.mode("overwrite").parquet(s"$base/$v1/books")
+    codes.write.mode("overwrite").parquet(s"$base/$v1/codes")
+    Similarity.markResidual(s, s"$base/$v1")
+    RootPointer.publish(s, base, v1)
+    val rootA = RootPointer.resolve(s, base)
+    val before = serve(rootA)
+    val acted = Similarity.maybeMaintainIvfVersioned(s, base, emb,
+      maxTombstones = 1, maxSharePpm = 1L, minSharePpm = 0L)
+    assert(acted._2, "the armed split tier must act through the versioned window")
+    RootPointer.retireOld(s, base, keep = 2)
+    assert(serve(rootA) == before,
+      "pre-maintenance reader must be isolated from the residual split")
+    val rootB = RootPointer.resolve(s, base)
+    assert(rootB != rootA, "maintenance must have published a new version")
+    assert(Similarity.isResidualRoot(s, rootB),
+      "the clone must carry the _VARIANT_RESIDUAL marker")
+    assert(Similarity.residualAuditMismatches(s, rootB, emb) == 0L,
+      "the published split root must satisfy the residual invariant")
+    // the differential the catalog's geometry-blind oracle can't pin:
+    // policy-routed serve ≡ direct-core serve at PRODUCTION nprobe
+    val served = serve(rootB)
+    assert(served == direct && served != before,
+      s"versioned split serve must equal the direct core (and differ from " +
+        s"the unsplit serve): served=${served.size} direct=${direct.size}")
+  }
+
   test("q161 containment: a planted excerpt is caught DIRECTED with tiny Jaccard; the containing doc is not flagged") {
     val s = spark
     import s.implicits._
