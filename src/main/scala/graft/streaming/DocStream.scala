@@ -152,6 +152,24 @@ object DocStream {
     (btable, index)
   }
 
+  /** [[containmentIndex]] REHYDRATED from the q164 segment artifact: a
+    * stream RESTART reads the persisted rank table plus the segment
+    * union instead of re-hashing the whole static corpus (the round-18
+    * gap — the artifact exists precisely to amortize that build). The
+    * persisted rank order replaces the fresh one; any consistent total
+    * order preserves prefix containment (the containmentServeFresh
+    * argument), so the gate's pairs are IDENTICAL either way
+    * (DocStreamSpec differential: artifact-fed ≡ staticDocs-fed). */
+  def containmentIndexFromArtifact(s: SparkSession, path: String)
+      : (Broadcast[(Array[Long], Array[Long])], DataFrame) = {
+    val btable = Dedup.containmentRankTable(s, path)
+    val index = Dedup.containmentSegmentDocs(s, path)
+      .select(col("doc_id").as("ex_id"), col("hs").as("ex_hs"),
+        explode(col("hs")).as("shh"))
+      .cache()
+    (btable, index)
+  }
+
   /** fresh document stream → (fresh_id, ex_id, containment) for every
     * fresh doc ≥ t CONTAINED in a static doc — excerpt/quote detection at
     * ingest, the asymmetric gate [[nearDupAgainst]] misses (a quoted

@@ -3576,6 +3576,60 @@ class OperatorSpec extends AnyFunSuite {
       s"artifact-served containment diverged: ${served.size} vs ${inc.size}")
   }
 
+  test("containment compaction: serve identical across the size-tiered swap; crash windows recover") {
+    val s = spark
+    val all = Tables.documents(s, sf).select("doc_id", "text")
+    val fresh = all.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_contcomp").toString
+    val root = s"$dir/c"
+    Dedup.containmentArtifactBuild(s, root, all.filter(col("doc_id") % 5 =!= 0))
+    // three daily-append-style batches → 4 segments
+    Seq(1, 2, 3).foreach(i =>
+      Dedup.containmentAppend(s, root,
+        fresh.filter(col("doc_id") % 3 === (i - 1)), s"seg$i"))
+    assert(Dedup.containmentSegmentCount(s, root) == 4)
+    val before = Dedup.containmentServeFresh(s, root, fresh, 0.8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before.nonEmpty, "vacuous: no served pairs before compaction")
+    // under the tier: metadata-only no-op
+    assert(!Dedup.maybeCompactContainment(s, root, maxSegments = 4))
+    // over the tier: the swap runs; rows are byte-identical, so serve is too
+    assert(Dedup.maybeCompactContainment(s, root, maxSegments = 1))
+    assert(Dedup.containmentSegmentCount(s, root) == 1,
+      "compaction must merge all segments into one")
+    val after = Dedup.containmentServeFresh(s, root, fresh, 0.8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "serve must be identical across the swap")
+    // crash window 1: an UNCOMMITTED scratch (no marker) is discarded and
+    // the live segments are untouched
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/__compacting/seg0"))
+    assert(!Dedup.recoverCompactContainment(s, root))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/__compacting")))
+    assert(Dedup.containmentServeFresh(s, root, fresh, 0.8)
+      .collect().map(_.toString).sorted.toSeq == before)
+    // crash window 2: a COMMITTED scratch finishes idempotently — stage a
+    // real compaction's scratch by hand in a fresh two-segment artifact,
+    // "crash" before the finish, and recover
+    val root2 = s"$dir/c2"
+    Dedup.containmentArtifactBuild(s, root2, all.filter(col("doc_id") % 5 =!= 0))
+    Dedup.containmentAppend(s, root2, fresh, "seg1")
+    val before2 = Dedup.containmentServeFresh(s, root2, fresh, 0.8)
+      .collect().map(_.toString).sorted.toSeq
+    val retire = Seq(s"$root2/seg0", s"$root2/seg1")
+    s.read.parquet(retire: _*).select("doc_id", "hs", "nsh")
+      .write.mode("overwrite").parquet(s"$root2/__compacting/seg0")
+    graft.ops.ArtifactSwap.writeManifest(fs, s"$root2/__compacting",
+      graft.ops.ArtifactSwap.SegManifest, retire)
+    graft.ops.ArtifactSwap.commit(fs, s"$root2/__compacting")
+    assert(Dedup.recoverCompactContainment(s, root2),
+      "a committed scratch must finish on recovery")
+    assert(Dedup.containmentSegmentCount(s, root2) == 1)
+    assert(Dedup.containmentServeFresh(s, root2, fresh, 0.8)
+      .collect().map(_.toString).sorted.toSeq == before2)
+  }
+
   test("q157 scaled BPE trainer: merge table identical to the distributed loop on the shared corpus") {
     val s = spark
     val local = graft.ops.TextOps.bpeTrainLocal(graft.ops.TextOps.bpeWordFreqs(s, sf), 6)

@@ -990,6 +990,32 @@ class DocStreamSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.size}, expected ${expected.size}")
   }
 
+  test("containment gate rehydrated from the q164 artifact equals the staticDocs-built gate") {
+    // the stream-restart seam (round-18 verdict gap (d)): feeding the gate
+    // from the persisted segment artifact must change NOTHING — the
+    // persisted rank order differs from a fresh build's, and "any
+    // consistent total order preserves prefix containment" is exactly the
+    // claim this differential pins
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val static = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    val root = java.nio.file.Files.createTempDirectory("docstream_art").toString
+    graft.ops.Dedup.containmentArtifactBuild(spark, s"$root/c", static)
+    val (bt1, idx1) = DocStream.containmentIndex(static)
+    val (bt2, idx2) = DocStream.containmentIndexFromArtifact(spark, s"$root/c")
+    def pairs(bt: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])],
+        idx: org.apache.spark.sql.DataFrame) =
+      DocStream.excerptAgainst(batch, bt, idx, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromStatic = pairs(bt1, idx1)
+    val fromArtifact = pairs(bt2, idx2)
+    assert(fromArtifact == fromStatic && fromStatic.nonEmpty,
+      s"artifact-fed gate diverged: ${fromArtifact.size} vs ${fromStatic.size}")
+    idx1.unpersist(blocking = false); idx2.unpersist(blocking = false)
+  }
+
   test("streamed OOV-retrain loop: a drained drift stream triggers exactly one retrain, any batching") {
     import graft.ops.TextOps
     val spark = TestSpark.spark
