@@ -735,7 +735,10 @@ object Corpus {
     }
     val base = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select("doc_id", "text")
-    // each stage materializes via an EAGER localCheckpoint, not cache():
+    // each stage materializes via an EAGER stage barrier
+    // (Materialize.stage: localCheckpoint by default, RELIABLE checkpoint
+    // when spark.graft.checkpointDir is set — the cluster form), not
+    // cache():
     // a cache KEEPS the stage's logical lineage, and six stages of nested
     // InMemoryRelations (each embedding its predecessors' plans, several
     // referenced 2-3x by the dedup joins) make the plan DAG print as an
@@ -744,21 +747,24 @@ object Corpus {
     // event stringifies the plan even with the UI off). The checkpoint
     // truncates lineage to a leaf per stage; blocks are ContextCleaner-
     // managed, and stage frames are (doc_id, text) — MBs. On a cluster,
-    // swap for reliable checkpoint() (the clusterPairs convention).
-    val tr = base.filter(col("doc_id") % 11 =!= 0).localCheckpoint()
+    // set spark.graft.checkpointDir and every barrier survives executor
+    // loss (Materialize's scaladoc carries the trade).
+    val tr = Materialize.stage(base.filter(col("doc_id") % 11 =!= 0))
     val n0 = tr.count()
     stageLog("n0")
-    val lng = TextOps.withLangPred(tr).filter(col("lang_pred") === "en")
-      .select("doc_id", "text").localCheckpoint()
+    val lng = Materialize.stage(
+      TextOps.withLangPred(tr).filter(col("lang_pred") === "en")
+        .select("doc_id", "text"))
     val n1 = lng.count()
     stageLog("n1_lang")
-    val qual = TextOps.withTextStats(lng).filter(col("quality") === "keep")
-      .select("doc_id", "text").localCheckpoint()
+    val qual = Materialize.stage(
+      TextOps.withTextStats(lng).filter(col("quality") === "keep")
+        .select("doc_id", "text"))
     val n2 = qual.count()
     stageLog("n2_quality")
-    val uniq = qual.join(
+    val uniq = Materialize.stage(qual.join(
       qual.groupBy("text").agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi").localCheckpoint()
+      Seq("doc_id"), "left_semi"))
     val n3 = uniq.count()
     stageLog("n3_exact")
     // budgeted, not plain jaccardPairs: the funnel is the one-shot whole-
@@ -769,15 +775,16 @@ object Corpus {
     // pathological 1M GenCorpus run refuses at 3.4B)
     val nearDups = Dedup.jaccardPairsBudgeted(Dedup.shingleDocs(uniq), 0.6,
       FunnelPairBudget).select(col("b_id").as("doc_id")).distinct()
-    val sur = uniq.join(nearDups, Seq("doc_id"), "left_anti").localCheckpoint()
+    val sur = Materialize.stage(uniq.join(nearDups, Seq("doc_id"), "left_anti"))
     val n4 = sur.count()
     stageLog("n4_neardup")
     // stage 5 — EXCERPT CLEAN (q162's rule composed in, round-17 verdict
     // #6): the asymmetric population the Jaccard stage provably misses
     // (a quote of a much larger doc has tiny Jaccard, containment ≈ 1);
     // drop survivors ≥ 0.8 contained in a strictly larger survivor
-    val exc = sur.join(Dedup.excerptDrops(Dedup.shingleDocs(sur), 0.8),
-      Seq("doc_id"), "left_anti").localCheckpoint()
+    val exc = Materialize.stage(sur.join(
+      Dedup.excerptDrops(Dedup.shingleDocs(sur), 0.8),
+      Seq("doc_id"), "left_anti"))
     val n5 = exc.count()
     stageLog("n5_excerpt")
     def grams(df: DataFrame): DataFrame = decontGrams(

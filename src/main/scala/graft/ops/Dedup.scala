@@ -1154,8 +1154,9 @@ object Dedup {
     * pathological high-diameter graph that exhausts the round cap falls
     * back to [[starCluster]] (O(log² n) rounds regardless of diameter)
     * instead of failing or returning a half-propagated labeling.
-    * On a cluster, swap localCheckpoint for reliable checkpoint() to
-    * survive executor loss. */
+    * Round barriers go through [[Materialize.round]]: localCheckpoint by
+    * default, RELIABLE checkpoint when spark.graft.checkpointDir is set —
+    * the cluster form that survives executor loss. */
   private[graft] def clusterPairs(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val prdd = pairs.select(col("a_id"), col("b_id")).rdd
@@ -1167,9 +1168,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // initialization IS the first propagation round: with label(n) = n, the
     // closed-neighborhood min is just min(dst) per src over self-looped edges
-    var labels = edges.reduceByKey(math.min)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.localCheckpoint()
+    var labels = Materialize.round(spark, edges.reduceByKey(math.min)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
       r.mapPartitions { it =>
         Iterator.single(it.foldLeft(BigInt(0))((acc, t) => acc + t._2))
@@ -1187,11 +1187,10 @@ object Dedup {
     // with the old cap of 50 the capped phase burned ~3× the cost of the
     // entire star fallback before invoking it.
     while (!converged && rounds < 12) {
-      val prop = byDst.join(labels)
+      val prop = Materialize.round(spark, byDst.join(labels)
         .map { case (_, (src, lbl)) => (src, lbl) }
         .reduceByKey(math.min)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      prop.localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val curSum = labelSum(prop)
       converged = curSum == prevSum
       prevSum = curSum
@@ -1225,7 +1224,8 @@ object Dedup {
     * fixpoint in O(log² n) rounds independent of component diameter, which
     * is exactly the regime where the min-label loop's O(diameter) blows
     * past its cap. Lineage is truncated per round (persist +
-    * localCheckpoint, previous round unpersisted) like the main kernel.
+    * Materialize.round — reliable when configured, local otherwise —
+    * previous round unpersisted) like the main kernel.
     * Fixpoint test is exact set equality via two-sided subtract — two extra
     * shuffles per round, acceptable on the rare fallback path. */
   private[graft] def starCluster(
@@ -1252,14 +1252,14 @@ object Dedup {
           if (v != m) Seq((v, m), (u, m)) else Seq((u, m))
         }.distinct()
     }
-    var edges = pairs.map { case (a, b) => if (a >= b) (a, b) else (b, a) }
-      .distinct().persist(lvl)
-    edges.localCheckpoint()
+    val sess = org.apache.spark.sql.SparkSession.active
+    var edges = Materialize.round(sess,
+      pairs.map { case (a, b) => if (a >= b) (a, b) else (b, a) }
+        .distinct().persist(lvl))
     var stable = false
     var rounds = 0
     while (!stable) {
-      val next = smallStar(largeStar(edges)).persist(lvl)
-      next.localCheckpoint()
+      val next = Materialize.round(sess, smallStar(largeStar(edges)).persist(lvl))
       // a FULL action must land before the parent is unpersisted: a local
       // checkpoint's blocks ARE its storage, and partial materialization
       // (e.g. isEmpty's early exit) would leave holes that resurface as
@@ -1275,10 +1275,10 @@ object Dedup {
     }
     // fixpoint = star forest: every edge is (member, root). Roots label
     // themselves; reduceByKey dedups the root self-labels.
-    val labels = edges.flatMap { case (v, r) => Seq((v, r), (r, r)) }
-      .reduceByKey(math.min)
-      .persist(lvl)
-    labels.localCheckpoint()
+    val labels = Materialize.round(sess,
+      edges.flatMap { case (v, r) => Seq((v, r), (r, r)) }
+        .reduceByKey(math.min)
+        .persist(lvl))
     labels.count()
     edges.unpersist(blocking = false)
     labels
