@@ -1337,8 +1337,17 @@ object TextOps {
     require(candLens.nonEmpty && candLens.forall(_ >= 2),
       s"candidate lengths must be >= 2 (single chars are the fallback): $candLens")
     val minLen = candLens.min
+    // full-length candidates only: a truncated tail that happens to match
+    // a shorter vocab entry v is REDUNDANT — length(v) is itself a
+    // candidate length (candLens = the vocab's distinct lengths), so the
+    // exact-length candidate at the same position produces the same
+    // string. Filtering inside the array (before the explode) keeps the
+    // generate fan-out at min(#lengths, remaining chars) per position —
+    // the long-length candidates a big vocab adds never explode at all
+    // for the word tail where they cannot fit
     val candArr = candLens.sorted
-      .map(l => s"substring(wd, pos, $l)").mkString("array(", ", ", ")")
+      .map(l => s"IF(pos + $l - 1 <= length(wd), substring(wd, pos, $l), NULL)")
+      .mkString("filter(array(", ", ", "), x -> x IS NOT NULL)")
     val vt = vocab.select(col("v"), length(col("v")).as("vlen"))
     val docs = docsIn
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -1346,7 +1355,6 @@ object TextOps {
     val lenMap = words.filter(length(col("wd")) >= minLen)
       .select(col("wd"), explode(expr("sequence(1, length(wd))")).as("pos"))
       .select(col("wd"), col("pos"), explode(expr(candArr)).as("cand"))
-      .filter(length(col("cand")) >= minLen) // truncated tails can't match
       .join(broadcast(vt), col("cand") === col("v"))
       .groupBy("wd", "pos").agg(max(col("vlen")).as("mlen"))
       .groupBy("wd")
@@ -1403,6 +1411,17 @@ object TextOps {
     * chain stays readable. Production vocabularies run this loop 32k
     * times; the per-round cost model is what the entry gates. */
   private val BpeMerges = 6
+
+  /** Cap on LEARNABLE token length, in code points — standard BPE
+    * practice (e.g. SentencePiece's max_sentencepiece_length-class knob):
+    * pairs whose merged token would exceed it are excluded from every
+    * round's argmax, in BOTH trainers and the SQL oracle. Two reasons:
+    * ultra-long tokens are memorized strings, not subwords; and the q145
+    * serve kernel's candidate fan-out is one substring per DISTINCT entry
+    * length per position, so unbounded lengths let a big vocab inflate
+    * serve cost (the round-18 32k anchor: ~20 lengths → 1.57× the 18k
+    * serve). The cap bounds the fan-out at train time. */
+  private[graft] val BpeMaxTokenLen = 16
 
   /** q150: BPE MERGE-TABLE TRAINING — the learning half of the subword
     * family (q137/q145 APPLY a frozen vocab; this entry produces one):
@@ -1588,6 +1607,9 @@ object TextOps {
             "(t, i) -> named_struct('lft', t, 'rgt', element_at(toks, i + 2)))")).as("p"))
         .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
         .agg(sum("freq").as("cnt"))
+        // the learnable-length cap (BpeMaxTokenLen): Spark length() counts
+        // code points, matching the oracle's DuckDB length()
+        .filter(length(concat(col("lft"), col("rgt"))) <= BpeMaxTokenLen)
         .orderBy(col("cnt").desc, col("lft").asc, col("rgt").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
@@ -1738,7 +1760,14 @@ object TextOps {
       var best: (Long, String, String) = null
       while (best == null && pq.nonEmpty) {
         val top = pq.dequeue()
-        if (counts.get((top._2, top._3)).contains(top._1)) best = top
+        // live AND under the learnable-length cap (code points — the
+        // distributed filter's mirror); an over-cap pair can never become
+        // legal again, so dropping its heap entry here is a permanent,
+        // correct skip
+        if (counts.get((top._2, top._3)).contains(top._1) &&
+            top._2.codePointCount(0, top._2.length) +
+              top._3.codePointCount(0, top._3.length) <= BpeMaxTokenLen)
+          best = top
       }
       if (best == null) exhausted = true
       else {
@@ -1845,7 +1874,8 @@ object TextOps {
          |        FROM (SELECT freq, string_split(state, chr(30)) AS toks FROM w${k - 1}))
          |  GROUP BY 1, 2)""".stripMargin
       ctes += s"""b$k AS (
-         |  SELECT lft, rgt, cnt FROM p$k ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1)""".stripMargin
+         |  SELECT lft, rgt, cnt FROM p$k WHERE length(lft || rgt) <= $BpeMaxTokenLen
+         |  ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1)""".stripMargin
       if (k < BpeMerges) ctes += s"""w$k AS (
          |  SELECT word, freq,
          |         list_reduce(string_split(w.state, chr(30)),

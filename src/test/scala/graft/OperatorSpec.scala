@@ -3709,6 +3709,30 @@ class OperatorSpec extends AnyFunSuite {
       s"test corpus failed to learn any supplementary-plane merge: $dist")
   }
 
+  test("BPE learnable-length cap: both trainers skip an over-cap merge identically and keep training") {
+    // a corpus whose DOMINANT pair chain would fuse one 18-code-point
+    // word (aaaa…) past BpeMaxTokenLen = 16, while a weaker b-chain stays
+    // legal: both trainers must take the a-chain up to 16, then refuse
+    // 16+2 (and every longer recombination) and fall through to the
+    // b-pairs instead of learning a memorized-string token
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpecap").toString
+    val texts = Seq.tabulate(8)(i => (i.toLong, ("a" * 18) + " " + ("b" * 4)))
+    texts.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val local = graft.ops.TextOps.bpeTrainLocal(
+      graft.ops.TextOps.bpeWordFreqs(s, dir), 6)
+    val dist = graft.ops.TextOps.bpeTrainMerges(s, dir)
+    assert(local == dist.take(local.size) && local.nonEmpty,
+      s"capped merge tables diverged:\n$local\nvs\n$dist")
+    val maxLearned = local.map(m => m._4.codePointCount(0, m._4.length)).max
+    assert(maxLearned <= graft.ops.TextOps.BpeMaxTokenLen,
+      s"an over-cap token was learned: $local")
+    assert(local.exists(_._4.startsWith("b")),
+      s"training stopped at the cap instead of falling through to legal pairs: $local")
+  }
+
   test("scaled BPE trainer: 200-merge differential against a naive recount-every-round reference") {
     // the incremental bookkeeping (pair->count map, occurrence index,
     // lazy-deletion heap, per-word delta updates) is exactly what this
