@@ -671,6 +671,74 @@ object MultimodalOps {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Widen a 4×16 fingerprint frame to the 2×32 packing IN-PLAN — the
+    * layouts share their 64 bits ([[phashFpExprFor]]: wide band b = narrow
+    * bands 2b, 2b+1 concatenated), so the lever never recomputes a
+    * fingerprint: w0 = n0 | n1≪16, w1 = n2 | n3≪16. */
+  private val widenFpExpr =
+    "transform(sequence(0, 1), i -> element_at(fp, 2 * i + 1) + " +
+      "shiftleft(element_at(fp, 2 * i + 2), 16))"
+
+  /** PER-CORPUS BAND-LAYOUT POLICY (`maybe*` pattern) — mechanizes the
+    * choice the round-18 ProfilePhashReal rows made by hand: the 2×32
+    * layout cuts candidate mass by orders of magnitude on realistic
+    * geometry (11.8×, recall intact) but costs half the recall on
+    * adversarial gradient re-renders (scattered flips leave no wide band
+    * untouched). Probe order:
+    *  1. both layouts' in-plan mass bounds (one group-count each — the
+    *     [[bandCandidateMass]] number, no pair ever materializes);
+    *  2. if the guaranteed-recall 4×16 mass is already ≤ `affordableMass`
+    *     (or the wide layout wins no mass), keep 4×16 — the lever's
+    *     recall trade buys nothing worth probing;
+    *  3. otherwise MEASURE the wide layout's recall class on this corpus:
+    *     the verified (hamming ≤ [[PhashMaxHam]]) pairs of a
+    *     deterministic 1-in-`sampleMod` doc sample under 4×16 banding are
+    *     the reference set (sampling cuts the probe's pair mass
+    *     ~sampleMod²); the fraction that still shares a 2×32 band IS the
+    *     wide layout's banding recall on those pairs. ≥ `recallFloorPpm`
+    *     → 2×32 (cheapest layout clearing the floor); below → 4×16.
+    * The decision and its evidence are RECORDED in the artifact
+    * (`phash_layout` manifest beside the fingerprints), so a serving
+    * pipeline can audit why its corpus runs the layout it does.
+    * Returns the chosen band count (4 or 2). */
+  def maybePhashLayout(s: SparkSession, fps: DataFrame, artifactPath: String,
+      affordableMass: Long = 10000000L, recallFloorPpm: Long = 900000L,
+      sampleMod: Int = 10): Int = {
+    val cached = graft.ops.CacheBin.note(fps.cache())
+    val wide = cached.select(col("doc_id"), expr(widenFpExpr).as("fp"))
+    val mass4 = bandCandidateMass(cached)
+    val mass2 = bandCandidateMass(wide)
+    val (chosen, recallPpm) =
+      if (mass4 <= affordableMass || mass2 >= mass4) (4, -1L)
+      else {
+        val sample = cached.filter(col("doc_id") % sampleMod === 0)
+        val ref = bandPairsGuarded(sample, graft.ops.Dedup.defaultPairBudget)
+          .select("a_id", "b_id")
+        val wa = wide.select(col("doc_id").as("a_id"), col("fp").as("wa"))
+        val wb = wide.select(col("doc_id").as("b_id"), col("fp").as("wb"))
+        val row = ref.join(wa, "a_id").join(wb, "b_id")
+          .agg(count(lit(1)).as("n"), coalesce(sum(expr(
+            "IF(exists(zip_with(wa, wb, (x, y) -> x = y), b -> b), 1L, 0L)")),
+            lit(0L)).as("kept"))
+          .head()
+        val (n, kept) = (row.getLong(0), row.getLong(1))
+        // no verified pairs on the sample = no recall evidence: hold the
+        // guaranteed-recall floor rather than trade blind
+        if (n == 0L) (4, -1L)
+        else {
+          val ppm = kept * 1000000L / n
+          (if (ppm >= recallFloorPpm) 2 else 4, ppm)
+        }
+      }
+    val fs = new org.apache.hadoop.fs.Path(artifactPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(artifactPath))
+    graft.ops.ArtifactSwap.writeManifest(fs, artifactPath, "phash_layout",
+      Seq(s"layout=${chosen}x${64 / chosen}", s"mass_4x16=$mass4",
+        s"mass_2x32=$mass2", s"sampled_wide_recall_ppm=$recallPpm"))
+    chosen
+  }
+
   import org.apache.spark.sql.DataFrame
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_multimodal_meta", q30MultimodalMeta _, Some(q30Sql)),
