@@ -24,11 +24,23 @@ object ProfileVocabStress {
     val tCollect = (System.nanoTime() - t0) / 1e9
     val chars = wf.map(_._1.length.toLong).sum
     println(f"collect      $tCollect%8.2f s  vocab=${wf.length} chars=$chars")
-    val t1 = System.nanoTime()
-    val m = graft.ops.TextOps.bpeTrainLocal(wf, nMerges)
-    val trainS = (System.nanoTime() - t1) / 1e9
-    println(f"train        $trainS%8.2f s  merges=${m.size} " +
-      f"per_round=${trainS * 1000 / math.max(1, m.size)}%.2fms")
+    // a persisted vocab root (arg 3) skips the ~6-min retrain when only
+    // the SERVE side is being iterated — training is deterministic, so
+    // reuse is exact; pass a fresh dir to force a train
+    val vocabBase = if (args.length > 2) args(2)
+      else java.nio.file.Files.createTempDirectory("graft_vocab_stress").toString
+    val havePublished =
+      try { graft.ops.TextOps.resolveVocab(spark, vocabBase)._2.nonEmpty }
+      catch { case _: Throwable => false }
+    if (!havePublished) {
+      val t1 = System.nanoTime()
+      val m = graft.ops.TextOps.bpeTrainLocal(wf, nMerges)
+      val trainS = (System.nanoTime() - t1) / 1e9
+      println(f"train        $trainS%8.2f s  merges=${m.size} " +
+        f"per_round=${trainS * 1000 / math.max(1, m.size)}%.2fms")
+      graft.ops.TextOps.publishVocab(spark, vocabBase,
+        m.map(_._4).distinct.sorted)
+    } else println(s"train        (reusing published vocab at $vocabBase)")
     // round-18 (verdict #3): the END-TO-END production-vocab leg — publish
     // the learned table through RootPointer, serve counts via the q145
     // kernel from the RESOLVED artifact, and compare wall + optimized-plan
@@ -37,10 +49,9 @@ object ProfileVocabStress {
     // pinned at production scale instead of extrapolated from 18k.
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val learned = m.map(_._4).distinct
-    val base = java.nio.file.Files.createTempDirectory("graft_vocab_stress").toString
-    graft.ops.TextOps.publishVocab(spark, base, learned.sorted)
-    val (_, vocab) = graft.ops.TextOps.resolveVocab(spark, base)
+    val (_, vocab) = graft.ops.TextOps.resolveVocab(spark, vocabBase)
+    val hist = vocab.groupBy(_.length).view.mapValues(_.size).toSeq.sorted
+    println(s"vocab lengths: ${hist.map { case (l, n) => s"$l:$n" }.mkString(" ")}")
     val docs = Tables.spread(spark, Tables.documents(spark, d), "doc_id")
       .select("doc_id", "text")
     def serve(tag: String, v: Seq[String]): Unit = {

@@ -1336,18 +1336,68 @@ object TextOps {
       vocab: DataFrame, candLens: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(candLens.nonEmpty && candLens.forall(_ >= 2),
       s"candidate lengths must be >= 2 (single chars are the fallback): $candLens")
+    val s = docsIn.sparkSession
+    // NATIVE KERNEL (round 19): the relational middle (candidate explode →
+    // broadcast join → per-position max → HOF fold) costs one exploded row
+    // per (char, vocab length), so a learned table spanning 4 lengths paid
+    // 1.9× the 2-length synthetic serve at the 32k/1M anchor — the
+    // premium IS the fan-out. graft_subword_count walks each distinct word
+    // once against per-executor hash sets (longest probe first, identical
+    // greedy semantics — OperatorSpec pins native ≡ relational, and the
+    // relational form below stays as the cross-check), so the per-char
+    // cost is #lengths hash probes with no candidate row, no join, and no
+    // (wd, pos) shuffle. The vocab COLLECTS once per call — driver-bounded
+    // by the same Zipf argument as the trainer's word frame (≤ 256k
+    // entries, MBs) — and ships as ONE Broadcast: never a plan literal
+    // (plan size stays byte-flat in entry count, the q145 claim), never a
+    // per-task closure payload.
+    val entries = vocab.select(col("v")).collect().map(_.getString(0)).toSeq
+    val table = s.sparkContext.broadcast(
+      graft.functions.SubwordCount.buildTable(entries, candLens))
+    val docs = docsIn.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val words = docs.select(explode(col("w")).as("wd")).distinct()
+    val wc = words
+      .select(col("wd"),
+        graft.functions.SubwordCount.countOf(col("wd"), table).as("c"))
+      .select(col("wd"), expr("element_at(c, 1)").as("n_sub"),
+        expr("element_at(c, 2)").as("n_fb"))
+    docs.select(col("doc_id"), explode(col("w")).as("wd"))
+      .join(wc, Seq("wd"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(col("n_fb")).as("n_fallback"))
+  }
+
+  /** The RELATIONAL formulation of the same greedy algebra — the round-18
+    * serve shape, kept as the differential reference for the native
+    * kernel (two independent formulations that must agree word-for-word)
+    * and as the fallback a pure-SQL deployment would run. */
+  private[graft] def subwordVocabCountsRelational(docsIn: DataFrame,
+      vocab: DataFrame, candLens: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(candLens.nonEmpty && candLens.forall(_ >= 2),
+      s"candidate lengths must be >= 2 (single chars are the fallback): $candLens")
     val minLen = candLens.min
     // full-length candidates only: a truncated tail that happens to match
     // a shorter vocab entry v is REDUNDANT — length(v) is itself a
     // candidate length (candLens = the vocab's distinct lengths), so the
     // exact-length candidate at the same position produces the same
-    // string. Filtering inside the array (before the explode) keeps the
-    // generate fan-out at min(#lengths, remaining chars) per position —
-    // the long-length candidates a big vocab adds never explode at all
-    // for the word tail where they cannot fit
-    val candArr = candLens.sorted
-      .map(l => s"IF(pos + $l - 1 <= length(wd), substring(wd, pos, $l), NULL)")
-      .mkString("filter(array(", ", ", "), x -> x IS NOT NULL)")
+    // string. The trim is a SLICE of the ascending-length candidate array
+    // by a static CASE over the known length list (how many lengths fit
+    // in the chars remaining at this position) — deliberately NOT a
+    // filter() lambda: higher-order functions are interpreted, and
+    // wrapping the candidate build in one de-codegens the hottest
+    // expression in the serve (a filter()-based first cut measured WORSE
+    // than no trim at the 32k/1M anchor — BASELINE round-19 row). The
+    // generate fan-out drops from #lengths to
+    // min(#lengths, remaining) per position — the long-length candidates
+    // a big vocab adds never explode where they cannot fit
+    val lensAsc = candLens.sorted
+    val nFit = lensAsc.reverse.map(l =>
+        s"WHEN length(wd) - pos + 1 >= $l THEN ${lensAsc.count(_ <= l)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val candArr = lensAsc.map(l => s"substring(wd, pos, $l)")
+      .mkString("slice(array(", ", ", s"), 1, $nFit)")
     val vt = vocab.select(col("v"), length(col("v")).as("vlen"))
     val docs = docsIn
       .select(col("doc_id"), split(col("text"), " ").as("w"))

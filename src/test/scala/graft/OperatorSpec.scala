@@ -3142,6 +3142,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(big.head.getLong(2) == 2L, s"banana under the 26^3 vocab: ${big.head}")
   }
 
+  test("native subword kernel equals the relational formulation word-for-word, non-ASCII and learned-vocab included") {
+    // two independent formulations of the greedy longest-match algebra:
+    // graft_subword_count (per-executor hash-set walk, the serve default
+    // since round 19) vs the relational candidate-explode kernel (the
+    // round-18 shape, kept as the cross-check) — they must agree on every
+    // (n_words, n_subwords, n_fallback) row, including supplementary-plane
+    // text (code-point positions) and a trained vocabulary
+    val s = spark
+    import s.implicits._
+    import graft.ops.TextOps
+    def both(docs: org.apache.spark.sql.DataFrame,
+        vocab: org.apache.spark.sql.DataFrame, lens: Seq[Int]): Unit = {
+      val native = TextOps.subwordVocabCounts(docs, vocab, lens)
+        .collect().map(_.toString).sorted.toSeq
+      val rel = TextOps.subwordVocabCountsRelational(docs, vocab, lens)
+        .collect().map(_.toString).sorted.toSeq
+      assert(native == rel && native.nonEmpty,
+        s"kernels diverged: ${native.size} vs ${rel.size} rows")
+    }
+    val corpus = Tables.documents(s, sf).select("doc_id", "text")
+    both(corpus, TextOps.genVocab(s), Seq(2, 3))
+    // learned vocab on its own corpus (the q152 composition)
+    val learned = graft.ops.TextOps.bpeTrainLocal(
+      graft.ops.TextOps.bpeWordFreqs(s, sf), 6).map(_._4).distinct
+    if (learned.nonEmpty)
+      both(corpus, learned.toDF("v"),
+        learned.map(t => t.codePointCount(0, t.length)).distinct.sorted)
+    // astral-plane text: positions count code points on both paths
+    val astral = Seq((0L, "𝄞a𝄞a café 🎵漢字 q"), (1L, "")).toDF("doc_id", "text")
+    val avocab = Seq("𝄞a", "ca", "fé", "🎵漢", "a𝄞a").toDF("v")
+    both(astral, avocab, Seq(2, 3))
+  }
+
   /** Run an action and return the budget-gate refusal message — the gate
     * is IN-PLAN (round-18: zero eager probe jobs), so the raise surfaces
     * at ACTION time wrapped in Spark's job-failure exceptions; the q27

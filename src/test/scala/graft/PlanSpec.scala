@@ -1368,10 +1368,19 @@ class PlanSpec extends AnyFunSuite {
     val p1k = optN(1000); val p37k = optN(37000)
     assert(math.abs(p37k.length - p1k.length) <= 100,
       s"plan size grew at the 32k tier: ${p37k.length} vs ${p1k.length} chars")
+    // round-19: the serve kernel is the native graft_subword_count walk —
+    // the vocab rides as ONE broadcast reference object inside the
+    // expression (the RankSort convention), so no vocab entry may appear
+    // in the plan text and no per-candidate join exists at all
     val ep = plan(TextOps.subwordVocabCounts(docs, TextOps.genVocab(spark)))
-    assert(ep.contains("BroadcastExchange") || ep.contains("BroadcastHashJoin"),
-      "the vocab table must reach the candidate join as a broadcast")
-    assert(ep.contains("Range"), "the vocab must be generated, not inlined")
+    assert(ep.contains("graft_subword_count"),
+      "the serve must run the native longest-match kernel")
+    assert(!ep.contains("aaa") && !ep.contains("zzz"),
+      "vocab entries leaked into the plan as literals")
+    // the attach join (counts back onto docs) is the one join allowed;
+    // the per-candidate vocab join is gone with the explode
+    assert(!ep.contains("Generate explode(slice"),
+      "the candidate explode survived the native kernel")
   }
 
   test("q138 end-to-end RAG serve: no tokenize / no cluster kernel; lex, ivf, and label artifacts all scanned") {
