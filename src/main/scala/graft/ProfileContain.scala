@@ -65,6 +65,28 @@ object ProfileContain {
         fresh.select("doc_id"), 0.8).count()
       println(s"  incremental pairs=$n")
     }
+    // round-19 (verdict #3a): serve cost vs SEGMENT COUNT, and what the
+    // size-tiered compactor buys back — the same fresh batch re-appended
+    // as 10 daily-style segment slices, served, then compacted to one
+    // segment and served again (rows byte-identical, so the delta is
+    // purely the per-segment listing + union + explode overhead)
+    timed("append_10seg") {
+      (0 until 10).foreach(i => Dedup.containmentAppend(spark, root,
+        fresh.filter(expr(s"(doc_id div $freshMod) % 10") === i), s"seg2_$i"))
+    }
+    val probe = fresh
+    timed("serve_12seg") {
+      val n = Dedup.containmentServeFresh(spark, root, probe, 0.8).count()
+      println(s"  segs=${Dedup.containmentSegmentCount(spark, root)} pairs=$n")
+    }
+    timed("compact") {
+      val acted = Dedup.maybeCompactContainment(spark, root, maxSegments = 1)
+      println(s"  acted=$acted segs=${Dedup.containmentSegmentCount(spark, root)}")
+    }
+    timed("serve_1seg") {
+      val n = Dedup.containmentServeFresh(spark, root, probe, 0.8).count()
+      println(s"  segs=${Dedup.containmentSegmentCount(spark, root)} pairs=$n")
+    }
     spark.stop()
   }
 }

@@ -78,8 +78,11 @@ def main():
 
     print("canary panel (q05 = cache-resident, blind to bandwidth drift; "
           "q04/q28 = scan/vector class; q24 = one-shot dedup — guard-family "
-          "cost moves flag as CODE here, not host):")
-    for c in ("q05", "q04", "q28", "q24"):
+          "cost moves flag as CODE here, not host; q106 = artifact-write "
+          "class — the round-19 paired A/B showed this class carries a "
+          "strong first-JVM/position sensitivity, so read its moves "
+          "against this canary before flagging CODE):")
+    for c in ("q05", "q04", "q28", "q24", "q106"):
         if c in ratios:
             print(f"  {c}: {qo[c]:.2f}s -> {qn[c]:.2f}s ({ratios[c]:.2f}x)")
         else:

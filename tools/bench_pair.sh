@@ -16,7 +16,12 @@ BASE=$1; shift
 SF=${SF:-/root/testdata/sf0.1}
 REPS=${REPS:-3}
 RUNS=${RUNS:-3}
-HEADCP="/root/repo/target/scala-2.13/classes"
+HEADCP=${HEADCP:-/root/repo/target/scala-2.13/classes}
+# ORDER=BA runs the baseline arm first in each pair — flip it to cancel
+# position bias (the first JVM of a session reads the parquet cold, and a
+# fixed A-first order attributes that penalty to one arm; run AB then BA
+# and read both medians)
+ORDER=${ORDER:-AB}
 ADD_OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
          java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
@@ -36,8 +41,13 @@ one() { # one BenchOne JVM: $1=classes $2=query -> min steady-state seconds
 for q in "$@"; do
   ratios=""
   for r in $(seq 1 "$REPS"); do
-    a=$(one "$HEADCP" "$q")   # HEAD arm
-    b=$(one "$BASE" "$q")     # baseline arm, back-to-back with its pair
+    if [ "$ORDER" = "BA" ]; then
+      b=$(one "$BASE" "$q")   # baseline arm first
+      a=$(one "$HEADCP" "$q") # HEAD arm, back-to-back with its pair
+    else
+      a=$(one "$HEADCP" "$q") # HEAD arm
+      b=$(one "$BASE" "$q")   # baseline arm, back-to-back with its pair
+    fi
     ratio=$(python3 -c "print(f'{$a/$b:.3f}')")
     echo "$q pair $r: head=${a}s base=${b}s paired_ratio=$ratio"
     ratios="$ratios $ratio"
