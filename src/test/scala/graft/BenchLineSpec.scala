@@ -20,8 +20,8 @@ class BenchLineSpec extends AnyFunSuite {
     // round 8 silently shrank the oracle gate 76→75 via a source-schema
     // surprise; an exact pin makes any accidental shrink (or growth that
     // forgot its oracle) a red test instead of a quiet judging artifact
-    assert(SparkEntry.queries.size == 164,
-      s"catalog is ${SparkEntry.queries.size}, expected 164 — if you added/" +
+    assert(SparkEntry.queries.size == 165,
+      s"catalog is ${SparkEntry.queries.size}, expected 165 — if you added/" +
         "removed a query on purpose, update this pin in the same commit")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
