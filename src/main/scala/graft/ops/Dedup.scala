@@ -1089,7 +1089,8 @@ object Dedup {
         if (j == 0) n else bn.getOrElse((t, b ^ (1 << (j - 1))), 0L)).sum
     }.sum
     require(mass <= defaultPairBudget,
-      s"SRP-LSH candidate mass $mass exceeds the budget $defaultPairBudget: " +
+      s"$BudgetSentinel SRP-LSH candidate mass $mass exceeds the budget " +
+        s"$defaultPairBudget: " +
         "per-bucket occupancy is too high for this corpus. Grow the bits " +
         "dial with log2(n) (holds occupancy constant), or raise the budget " +
         "(-Dgraft.pair.budget / SPARK_GRAFT_PAIR_BUDGET) if " +
