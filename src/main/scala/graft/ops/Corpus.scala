@@ -749,18 +749,35 @@ object Corpus {
     // managed, and stage frames are (doc_id, text) — MBs. On a cluster,
     // set spark.graft.checkpointDir and every barrier survives executor
     // loss (Materialize's scaladoc carries the trade).
-    val tr = Materialize.stage(base.filter(col("doc_id") % 11 =!= 0))
-    val n0 = tr.count()
+    // Stages 0–2 FUSED into one pass + one barrier (r19, guide §1.2):
+    // lang_pred and quality are both pure per-row expressions, so the old
+    // shape — a train-slice barrier + count, a full lang pass + barrier +
+    // count, a full quality pass + barrier + count (6 jobs, the quality
+    // regexes re-tokenizing the survivors) — collapses to ONE annotated
+    // barrier and ONE count aggregate. `is_keep` evaluates the quality
+    // predicate CONDITIONALLY on en rows only (`when(is_en, …)`), so the
+    // fused pass does exactly the per-row work the staged passes did — the
+    // expensive n_tokens/punct regexes never run on a doc the lang stage
+    // would have dropped. Counts are IDENTICAL by construction: both
+    // predicates are per-row, so filter-then-compute ≡ compute-then-filter.
+    val ann = Materialize.stage(
+      TextOps.withLangPred(base.filter(col("doc_id") % 11 =!= 0))
+        .withColumn("is_en", col("lang_pred") === "en")
+        .withColumn("is_keep",
+          when(col("is_en"), TextOps.qualityKeep(col("text")))
+            .otherwise(lit(false)))
+        .select("doc_id", "text", "is_en", "is_keep"))
+    val cnts = ann.agg(
+      count(lit(1)).as("c0"),
+      count(when(col("is_en"), 1)).as("c1"),
+      count(when(col("is_en") && col("is_keep"), 1)).as("c2")).head()
+    val n0 = cnts.getLong(0)
     stageLog("n0")
-    val lng = Materialize.stage(
-      TextOps.withLangPred(tr).filter(col("lang_pred") === "en")
-        .select("doc_id", "text"))
-    val n1 = lng.count()
+    val n1 = cnts.getLong(1)
     stageLog("n1_lang")
-    val qual = Materialize.stage(
-      TextOps.withTextStats(lng).filter(col("quality") === "keep")
-        .select("doc_id", "text"))
-    val n2 = qual.count()
+    val qual = ann.filter(col("is_en") && col("is_keep"))
+      .select("doc_id", "text")
+    val n2 = cnts.getLong(2)
     stageLog("n2_quality")
     val uniq = Materialize.stage(qual.join(
       qual.groupBy("text").agg(min(col("doc_id")).as("doc_id")).select("doc_id"),

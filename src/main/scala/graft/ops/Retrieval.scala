@@ -221,10 +221,22 @@ object Retrieval {
     * earlier still-lazy served frames keep reading their segments).
     * `dl` rides on the tf rows so serving needs no doc-length side table. */
   def lexIndexSegment(docs: DataFrame, path: String, seg: String): Unit = {
-    val (tf, df, stats) = TextOps.lexIndexOf(docs)
+    // ONE tokenize+count pass instead of three (r19 guide §1.2): the three
+    // files previously each re-ran the scan → spread → split → termCounts
+    // lineage (tf directly, df through tf's plan, stats through docs').
+    // tf is cached (CacheBin contract) and written first; df folds from
+    // the cached tf; stats is rebuilt from the distinct (doc_id, dl)
+    // carried on the tf rows — the compactor's exact rebuild identity
+    // (every doc yields ≥ 1 posting row under `split`, dl is per-doc
+    // constant), so all three files are value-identical to lexIndexOf's.
+    val tf = CacheBin.note(TextOps.termCounts(docs).cache())
     tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
-    df.write.mode("overwrite").parquet(s"$path/$seg/df")
-    stats.write.mode("overwrite").parquet(s"$path/$seg/stats")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/$seg/df")
+    tf.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/$seg/stats")
   }
 
   /** Fold freshly-arrived documents into a persisted lexical-index
@@ -540,8 +552,10 @@ object Retrieval {
     val path = s"${Similarity.knnGraphServePath(d)}/lexappend"
     val docs = TextOps.tokenizedDocs(s, d)
     val cut = Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
-    lexIndexSegment(docs.filter(col("doc_id") <= cut), path, "seg0")
-    lexIndexAppend(s, path, docs.filter(col("doc_id") > cut), "seg1")
+    // disjoint doc ranges into disjoint seg dirs — overlapped (guide §2.6)
+    Par.jobs(
+      () => lexIndexSegment(docs.filter(col("doc_id") <= cut), path, "seg0"),
+      () => lexIndexAppend(s, path, docs.filter(col("doc_id") > cut), "seg1"))
     val (tf, df, stats) = lexIndexServe(s, path)
     TextOps.bm25RankedFrom(tf, df, stats, TextOps.queryTerms(s, d))
       .orderBy("query_id", "rnk")
@@ -646,6 +660,16 @@ object Retrieval {
       // exponential-copy detector).
       sel = sel.unionByName(pick).coalesce(1).localCheckpoint()
     }
+    // release the recursion's caches HERE, not at harness clearCache: the
+    // final eager localCheckpoint made `sel` a plan-independent leaf, so
+    // nothing downstream reads cand/pairsim — and in q147 their lineage
+    // scans MUTABLE artifact paths, so a registered-but-superseded entry
+    // is a landmine for any later same-session rebuild of the artifact
+    // (CacheManager matches the new plan by path, then lazily recomputes
+    // from the STALE captured file listing → FAILED_READ_FILE; reproduced
+    // r19 when the entry runs twice without clearCache)
+    cand.unpersist(blocking = false)
+    pairsim.unpersist(blocking = false)
     sel.select("query_id", "sel_rnk", "doc_id", "mmr")
   }
 
@@ -898,8 +922,10 @@ object Retrieval {
     val path = s"${Similarity.knnGraphServePath(d)}/lexpos"
     val docs = TextOps.tokenizedDocs(s, d)
     val cut = Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
-    lexIndexSegmentPos(docs.filter(col("doc_id") <= cut), path, "seg0")
-    lexIndexSegmentPos(docs.filter(col("doc_id") > cut), path, "seg1")
+    // disjoint doc ranges into disjoint seg dirs — overlapped (guide §2.6)
+    Par.jobs(
+      () => lexIndexSegmentPos(docs.filter(col("doc_id") <= cut), path, "seg0"),
+      () => lexIndexSegmentPos(docs.filter(col("doc_id") > cut), path, "seg1"))
     phraseRankFrom(lexIndexServePos(s, path), phraseTermsOf(docs))
   }
 
@@ -1490,9 +1516,14 @@ object Retrieval {
     val path = s"${Similarity.knnGraphServePath(d)}/servedfull"
     val clPath = s"${Similarity.knnGraphServePath(d)}/servedfull_clusters"
     val docs = TextOps.tokenizedDocs(s, d)
-    lexIndexSegment(docs, path, "seg0")
-    lexTombstone(tombstoneIds(docs), path, "t0")
-    Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(clPath)
+    // lexical family and cluster-label artifact are independent builds
+    // over disjoint paths — overlapped (guide §2.6, Par scaladoc)
+    Par.jobs(
+      () => {
+        lexIndexSegment(docs, path, "seg0")
+        lexTombstone(tombstoneIds(docs), path, "t0")
+      },
+      () => Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(clPath))
     val (tf, df, stats) = lexIndexServeDel(s, path)
     collapseRankFrom(
       TextOps.bm25ScoredFrom(tf, df, stats, TextOps.queryTermsOf(docs)),
@@ -1540,17 +1571,28 @@ object Retrieval {
   def q138RagServed(s: SparkSession, d: String): DataFrame = {
     val root = s"${Similarity.knnGraphServePath(d)}/ragserve"
     val docs = TextOps.tokenizedDocs(s, d)
-    lexIndexSegment(docs, s"$root/lex", "seg0")
-    lexTombstone(docs.filter(col("doc_id") % 7 === 3 &&
-      col("doc_id") >= Similarity.AdcQueries).select("doc_id"), s"$root/lex", "t0")
     val (emb, subs, seedsPq) = Similarity.pqParts(s, d)
     val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
-    cents.write.mode("overwrite").parquet(s"$root/ivf/cents")
-    books.write.mode("overwrite").parquet(s"$root/ivf/books")
-    codeTable.write.mode("overwrite").parquet(s"$root/ivf/codes")
-    emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= Similarity.AdcQueries)
-      .select("vec_id").write.mode("overwrite").parquet(s"$root/ivf/tombstones/t0")
-    Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(s"$root/clusters")
+    // the three artifact FAMILIES are independent builds over disjoint
+    // output paths — overlap them (guide §2.6, Par scaladoc): the lexical
+    // segment, the IVF-PQ trio (+ its tombstones), and the q53 cluster
+    // labeling (an iterative many-small-job kernel that previously held
+    // every core hostage to its own barriers while the corpus-pass builds
+    // waited behind it). Order WITHIN each family is preserved.
+    Par.jobs(
+      () => {
+        lexIndexSegment(docs, s"$root/lex", "seg0")
+        lexTombstone(docs.filter(col("doc_id") % 7 === 3 &&
+          col("doc_id") >= Similarity.AdcQueries).select("doc_id"), s"$root/lex", "t0")
+      },
+      () => {
+        cents.write.mode("overwrite").parquet(s"$root/ivf/cents")
+        books.write.mode("overwrite").parquet(s"$root/ivf/books")
+        codeTable.write.mode("overwrite").parquet(s"$root/ivf/codes")
+        emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= Similarity.AdcQueries)
+          .select("vec_id").write.mode("overwrite").parquet(s"$root/ivf/tombstones/t0")
+      },
+      () => Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(s"$root/clusters"))
     val (tf, df, stats) = lexIndexServeDel(s, s"$root/lex")
     val lex = TextOps.bm25RankedFrom(tf, df, stats, TextOps.queryTermsOf(docs))
       .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
@@ -1624,19 +1666,27 @@ object Retrieval {
     graft.functions.VectorFunctions.register(s)
     val root = s"${Similarity.knnGraphServePath(d)}/ragfull"
     val docs = TextOps.tokenizedDocs(s, d)
-    lexIndexSegmentPos(docs, s"$root/lex", "seg0")
-    lexTombstone(docs.filter(col("doc_id") % 7 === 3 &&
-      col("doc_id") >= Similarity.AdcQueries).select("doc_id"), s"$root/lex", "t0")
     val (emb, subs, seedsPq) = Similarity.pqParts(s, d)
     val (cents, books, codeTable) = Similarity.ivfPqIndex(emb, subs, seedsPq)
-    cents.write.mode("overwrite").parquet(s"$root/ivf/cents")
-    books.write.mode("overwrite").parquet(s"$root/ivf/books")
-    codeTable.write.mode("overwrite").parquet(s"$root/ivf/codes")
-    emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= Similarity.AdcQueries)
-      .select("vec_id").write.mode("overwrite").parquet(s"$root/ivf/tombstones/t0")
-    Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(s"$root/clusters")
-    Similarity.embWithNorm(s, d).select("vec_id", "e", "nrm")
-      .write.mode("overwrite").parquet(s"$root/vecs")
+    // four independent artifact families over disjoint paths — overlapped
+    // (guide §2.6, Par scaladoc; the q138 shape plus the raw-vector
+    // artifact). Order WITHIN each family is preserved.
+    Par.jobs(
+      () => {
+        lexIndexSegmentPos(docs, s"$root/lex", "seg0")
+        lexTombstone(docs.filter(col("doc_id") % 7 === 3 &&
+          col("doc_id") >= Similarity.AdcQueries).select("doc_id"), s"$root/lex", "t0")
+      },
+      () => {
+        cents.write.mode("overwrite").parquet(s"$root/ivf/cents")
+        books.write.mode("overwrite").parquet(s"$root/ivf/books")
+        codeTable.write.mode("overwrite").parquet(s"$root/ivf/codes")
+        emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= Similarity.AdcQueries)
+          .select("vec_id").write.mode("overwrite").parquet(s"$root/ivf/tombstones/t0")
+      },
+      () => Dedup.q53DedupClusters(s, d).write.mode("overwrite").parquet(s"$root/clusters"),
+      () => Similarity.embWithNorm(s, d).select("vec_id", "e", "nrm")
+        .write.mode("overwrite").parquet(s"$root/vecs"))
     val fused = q147Fused(s, d)
     val sel = mmrSelect(
       fused.select(col("query_id"), col("doc_id"),
@@ -1672,8 +1722,11 @@ object Retrieval {
     val docs = TextOps.tokenizedDocs(s, d)
     val cut = Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
     val v = RootPointer.nextVersion(s, base)
-    lexIndexSegment(docs.filter(col("doc_id") <= cut), s"$base/$v", "seg0")
-    lexIndexAppend(s, s"$base/$v", docs.filter(col("doc_id") > cut), "seg1")
+    // the two segments cover DISJOINT doc ranges into disjoint seg dirs of
+    // an unpublished version — independent builds, overlapped (guide §2.6)
+    Par.jobs(
+      () => lexIndexSegment(docs.filter(col("doc_id") <= cut), s"$base/$v", "seg0"),
+      () => lexIndexAppend(s, s"$base/$v", docs.filter(col("doc_id") > cut), "seg1"))
     RootPointer.publish(s, base, v)
     maybeCompactLexVersioned(s, base, maxSegments = 1)
     RootPointer.retireOld(s, base, keep = 2)

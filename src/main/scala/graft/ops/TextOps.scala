@@ -40,6 +40,22 @@ object TextOps {
           .otherwise("drop"))
   }
 
+  /** The q20 keep rule as ONE boolean Column over a text column — for
+    * callers that need the predicate WITHOUT materializing every stat
+    * column (the funnel evaluates it conditionally on lang survivors via
+    * `when`, so the regexes never run on dropped docs). Subexpression-for-
+    * subexpression the same arithmetic as [[withTextStats]]'s `quality`
+    * (n_words ≥ 20 ∧ punct_ratio < 0.05 ∧ stop_ratio ≥ 0.01, identical
+    * casts); OperatorSpec pins the equivalence row-for-row. */
+  private[graft] def qualityKeep(text: Column): Column = {
+    val words = split(text, " ")
+    val nWords = size(words).cast("long")
+    val punctRatio = length(regexp_replace(text, "[a-z0-9 ]", "")).cast("long")
+      .cast("double") / length(text).cast("long")
+    val stopRatio = countIn(words, stopwords).cast("double") / nWords
+    nWords >= 20 && punctRatio < 0.05 && stopRatio >= 0.01
+  }
+
   // spread first: the source is one parquet file = one input split, and the
   // token regexes dominate — without the repartition the whole query runs in
   // a single task (measured 3.3 s → 0.9 s at sf0.1 on 32 cores)

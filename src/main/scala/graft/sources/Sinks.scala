@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SaveMode, SparkSession}
 
 /** Source/sink surface (SURVEY §2.1 S7–S9, S11): CSV sink, CSV→parquet
   * converter, single-file parquet sink, partitioned parquet sink, and a
@@ -36,7 +36,16 @@ object Sinks {
     * path through the gcs-connector). This environment is zero-egress with
     * no object-store connector installed, so only `file://` is exercised. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+    // REBALANCE by the partition columns before the partitioned write
+    // (guide §6 small-files): without it every upstream task writes a
+    // file into every partition dir it touches (32 tasks × 10 sources ≈
+    // 320 tiny files at sf0.1, re-read twice by q93's merge + gate), and
+    // at 100 TB the same shape is the classic small-files explosion. The
+    // AQE rebalance clusters rows by partition value AND splits oversized
+    // partitions (unlike a plain repartition(col), which would bottleneck
+    // a hot partition on one task) — sensible file sizes at any scale.
+    df.hint("rebalance", cols.map(functions.col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
   /** Schema-evolving read over parquet batches written at different times
     * with different (compatible) schemas — the long-lived-dataset reality at
@@ -315,7 +324,10 @@ object Sinks {
     * first — at 100 TB the difference between rewriting one year and
     * rewriting a decade. */
   def overwritePartitions(df: DataFrame, path: String, cols: String*): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    // same REBALANCE as [[writePartitioned]] (guide §6) — the catchup
+    // batch otherwise fans out into per-task files per touched partition
+    df.hint("rebalance", cols.map(functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(cols: _*).parquet(path)
 

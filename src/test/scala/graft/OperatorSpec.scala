@@ -1254,6 +1254,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(m("kept_rows") < m("ingest_rows"), "the filter must be non-vacuous")
   }
 
+  test("qualityKeep column ≡ withTextStats quality, row for row") {
+    // the funnel's fused stage evaluates the q20 keep rule through
+    // TextOps.qualityKeep (conditionally, on lang survivors only); this
+    // pins the predicate against the oracle-gated withTextStats rule on
+    // every real doc PLUS the boundary shapes (empty text, exactly-20
+    // words, all-punct) so the two formulations can never drift
+    import graft.ops.TextOps
+    val edge = Seq("", "a", ("the " * 19).trim, ("the " * 20).trim,
+      "!!!! ???? ....", ("x " * 50).trim, (("the x " * 25) + "!!").trim)
+      .zipWithIndex.map { case (t, i) => (1000000L + i, t) }
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(spark.createDataFrame(edge).toDF("doc_id", "text"))
+    val mismatches = TextOps.withTextStats(docs)
+      .withColumn("alt", TextOps.qualityKeep(col("text")))
+      .filter((col("quality") === "keep") =!= coalesce(col("alt"), lit(false)))
+      .count()
+    assert(mismatches == 0L, s"$mismatches rows disagree with withTextStats")
+  }
+
   test("decont clean is exactly the train docs q54 did not flag") {
     import graft.ops.Corpus
     val flagged = Corpus.q54Decontaminate(spark, sf).collect()

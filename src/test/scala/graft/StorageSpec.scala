@@ -19,20 +19,28 @@ class StorageSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     CacheBin.release()
     val sc = spark.sparkContext
+    // BASELINE-RELATIVE, not absolute-empty: earlier suites in the shared
+    // session leave eval-sized localCheckpoint RDDs registered (e.g. the
+    // MMR recursion's final selection leaf — its blocks ARE the returned
+    // data, released by the ContextCleaner after GC, not by clearCache),
+    // so the assertion pins that THIS entry's caches come and go, keyed
+    // by RDD id against the pre-call snapshot
+    val baseline = sc.getPersistentRDDs.keySet
 
     val r1 = Dedup.q25DedupMinhash(spark, sf).count()
-    val afterFirst = sc.getPersistentRDDs.size
-    assert(afterFirst > 0, "vacuous: the guarded entry created no tracked cache")
+    val afterFirst = sc.getPersistentRDDs.keySet -- baseline
+    assert(afterFirst.nonEmpty, "vacuous: the guarded entry created no tracked cache")
 
     val released = CacheBin.release()
     assert(released > 0, "the guarded entry's caches were not tracked in CacheBin")
-    assert(sc.getPersistentRDDs.isEmpty,
-      s"release left ${sc.getPersistentRDDs.size} persistent RDDs registered")
+    val leftover = sc.getPersistentRDDs.keySet -- baseline
+    assert(leftover.isEmpty,
+      s"release left ${leftover.size} of this entry's persistent RDDs registered")
 
     val r2 = Dedup.q25DedupMinhash(spark, sf).count()
-    val afterSecond = sc.getPersistentRDDs.size
-    assert(afterSecond <= afterFirst,
-      s"storage grew across calls despite the release: $afterFirst -> $afterSecond")
+    val afterSecond = sc.getPersistentRDDs.keySet -- baseline
+    assert(afterSecond.size <= afterFirst.size,
+      s"storage grew across calls despite the release: ${afterFirst.size} -> ${afterSecond.size}")
     assert(r1 === r2, "release changed results — it must only affect storage")
     CacheBin.release()
   }
