@@ -641,7 +641,16 @@ object Dedup {
     * containment (the incrementalFrom argument), so exactness is
     * untouched even for tokens the build never saw (they rank rare, in
     * hash order, on BOTH the probe and its own appended segment). */
-  def containmentArtifactBuild(s: SparkSession, path: String, docs: DataFrame): Unit = {
+  /** Returns the broadcast rank table it just built and persisted, so a
+    * same-session caller chaining build → append → serve (q164) ranks with
+    * it directly instead of re-collecting `$path/rank` once per step (two
+    * driver collects + broadcasts per entry — r19 verdict #2; at 100 TB
+    * the 1M-row bound itself is the driver-memory pressure point). The
+    * parquet table IS these pairs verbatim, so table-from-build ≡
+    * table-from-parquet; fresh processes still rehydrate via
+    * [[containmentRankTable]]. */
+  def containmentArtifactBuild(s: SparkSession, path: String, docs: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])] = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     // CACHE the hashed arrays before anything explodes them — the
@@ -660,6 +669,7 @@ object Dedup {
     rankDocs(hashed, btable).select("doc_id", "hs", "nsh")
       .write.mode("overwrite").parquet(s"$path/seg0")
     hashed.unpersist(blocking = false)
+    btable
   }
 
   private[graft] def containmentRankTable(s: SparkSession, path: String)
@@ -672,7 +682,15 @@ object Dedup {
     * persisted table, write one immutable segment — O(fresh). */
   def containmentAppend(s: SparkSession, path: String, freshDocs: DataFrame,
       seg: String): Unit =
-    rankDocs(hashShingles(freshDocs), containmentRankTable(s, path))
+    containmentAppendWith(path, freshDocs, seg, containmentRankTable(s, path))
+
+  /** [[containmentAppend]] under an ALREADY-LOADED rank table — the
+    * one-collect seam for callers that hold it (the build that just
+    * returned it, or a stream that rehydrated once per process). */
+  private[graft] def containmentAppendWith(path: String, freshDocs: DataFrame,
+      seg: String,
+      btable: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])]): Unit =
+    rankDocs(hashShingles(freshDocs), btable)
       .select("doc_id", "hs", "nsh")
       .write.mode("overwrite").parquet(s"$path/$seg")
 
@@ -785,8 +803,16 @@ object Dedup {
     * the append the answer is fresh-vs-existing only (fresh-vs-fresh
     * pairs need the b-side, i.e. the append). */
   def containmentServeFresh(s: SparkSession, path: String, freshDocs: DataFrame,
-      threshold: Double): DataFrame = {
-    val btable = containmentRankTable(s, path)
+      threshold: Double): DataFrame =
+    containmentServeFreshWith(s, path, freshDocs, threshold,
+      containmentRankTable(s, path))
+
+  /** [[containmentServeFresh]] under an ALREADY-LOADED rank table — same
+    * seam as [[containmentAppendWith]]. */
+  private[graft] def containmentServeFreshWith(s: SparkSession, path: String,
+      freshDocs: DataFrame, threshold: Double,
+      btable: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])])
+      : DataFrame = {
     val segDocs = containmentSegmentDocs(s, path)
     // the a-side arrays (ha, na) come from the FRESH frame itself, not an
     // inner join back into the segment union — serving a batch that was
@@ -829,9 +855,16 @@ object Dedup {
   def q164ContainmentServed(s: SparkSession, d: String): DataFrame = {
     val root = s"${Similarity.knnGraphServePath(d)}/contain"
     val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
-    containmentArtifactBuild(s, root, docs.filter(col("doc_id") % 5 =!= 0))
-    containmentAppend(s, root, docs.filter(col("doc_id") % 5 === 0), "seg1")
-    containmentServeFresh(s, root, docs.filter(col("doc_id") % 5 === 0), 0.8)
+    // ONE rank table for the whole lifecycle (r19 verdict #2): the build
+    // just computed and persisted it — append and serve rank under the
+    // returned broadcast instead of each re-collecting `$root/rank`
+    // (2 collects + 2 broadcasts per entry, a driver pressure point at
+    // scale). Table-from-build ≡ table-from-parquet (exact (long, long)
+    // round-trip); the parquet rehydration path keeps its own gates
+    // (OperatorSpec's round-trip differential, DocStream's stream gate).
+    val btable = containmentArtifactBuild(s, root, docs.filter(col("doc_id") % 5 =!= 0))
+    containmentAppendWith(root, docs.filter(col("doc_id") % 5 === 0), "seg1", btable)
+    containmentServeFreshWith(s, root, docs.filter(col("doc_id") % 5 === 0), 0.8, btable)
   }
 
   val q164Sql: String =

@@ -224,12 +224,17 @@ object Retrieval {
     // ONE tokenize+count pass instead of three (r19 guide §1.2): the three
     // files previously each re-ran the scan → spread → split → termCounts
     // lineage (tf directly, df through tf's plan, stats through docs').
-    // tf is cached (CacheBin contract) and written first; df folds from
-    // the cached tf; stats is rebuilt from the distinct (doc_id, dl)
-    // carried on the tf rows — the compactor's exact rebuild identity
-    // (every doc yields ≥ 1 posting row under `split`, dl is per-doc
-    // constant), so all three files are value-identical to lexIndexOf's.
-    val tf = CacheBin.note(TextOps.termCounts(docs).cache())
+    // tf is cached and written first; df folds from the cached tf; stats
+    // is rebuilt from the distinct (doc_id, dl) carried on the tf rows —
+    // the compactor's exact rebuild identity (every doc yields ≥ 1 posting
+    // row, dl is per-doc constant), so all three files are value-identical
+    // to lexIndexOf's. The null-w coalesce makes that invariant total: a
+    // null token array (null text upstream) explodes to ZERO tf rows and
+    // would silently undercount n_docs/tot_dl relative to a docs-side
+    // count; array('') is exactly what `split` yields for empty text, so
+    // null and empty text index identically (r19 ADVICE).
+    val tf = TextOps.termCounts(
+      docs.withColumn("w", coalesce(col("w"), array(lit(""))))).cache()
     tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
     tf.groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/$seg/df")
@@ -237,6 +242,12 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       .write.mode("overwrite").parquet(s"$path/$seg/stats")
+    // scoped release, NOT CacheBin (r19 ADVICE): all three consumers are
+    // eager inside this function, so the cache has no consumer that
+    // outlives it — registering it leaked one cached frame per streaming
+    // micro-batch through DocStream.lexAppendBatch (no release on that
+    // path), growing executor storage without bound on a long ingest.
+    tf.unpersist(blocking = false)
   }
 
   /** Fold freshly-arrived documents into a persisted lexical-index
@@ -610,13 +621,13 @@ object Retrieval {
     * interface, the [[rrfFuse]] substitution convention. Caller registers
     * the native vector functions. */
   private[graft] def mmrSelect(cand0: DataFrame, vecs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the candidate and pairwise-sim tables are ≤ nq·k² rows — cache them
-    // as ONE partition (repartition, not coalesce: coalesce(1) would
-    // collapse the corpus-scan stage upstream into a single task) so the
-    // per-round jobs over them don't pay 32-task scheduling per stage
-    val cand = cand0.repartition(1).cache()
-    val ce = cand.select("query_id", "doc_id")
+    val s = cand0.sparkSession
+    import s.implicits._
+    // rel and the pairwise sims are computed DISTRIBUTED, exactly as the
+    // gated entries always did (the corpus appears only in these audited
+    // leaves: the candidate arm and the one vector-fetch equi-join; sim is
+    // the round-6 cosine from the native dot kernel)
+    val ce = cand0.select("query_id", "doc_id")
       .join(vecs, col("doc_id") === col("vec_id"))
       .select(col("query_id"), col("doc_id"), col("e"), col("nrm"))
     val a = ce.select(col("query_id"), col("doc_id").as("d1"), col("e").as("e1"), col("nrm").as("n1"))
@@ -624,53 +635,52 @@ object Retrieval {
     val pairsim = a.join(b, col("query_id") === col("qb") && col("d1") =!= col("d2"))
       .select(col("query_id"), col("d1"), col("d2"),
         round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 6).as("sim"))
-      .repartition(1)
-      .cache()
-    val wRel = Window.partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
-    var sel = cand.withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
-      .select(col("query_id"), col("doc_id"), lit(1L).as("sel_rnk"),
-        expr("CAST(floor(rel * 500000.0D) AS BIGINT)").as("mmr"))
-    val wScore = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    for (i <- 2 to MmrSelK) {
-      val ms = pairsim
-        .join(sel.select(col("query_id"), col("doc_id").as("d2")), Seq("query_id", "d2"))
-        .groupBy("query_id", "d1").agg(max(col("sim")).as("maxsim"))
-        .withColumnRenamed("d1", "doc_id")
-      val pick = cand
-        .join(sel.select("query_id", "doc_id"), Seq("query_id", "doc_id"), "left_anti")
-        .join(ms, Seq("query_id", "doc_id"))
-        .withColumn("score", expr("CAST(floor((rel - maxsim) * 500000.0D) AS BIGINT)"))
-        .withColumn("rn", row_number().over(wScore)).filter(col("rn") === 1)
-        .select(col("query_id"), col("doc_id"), lit(i.toLong).as("sel_rnk"),
-          col("score").as("mmr"))
-      // per-round LINEAGE barrier (the q94 rounds convention, hardened):
-      // `pick` references `sel` twice (maxsim join + left_anti), so an
-      // unbarred recursion doubles the plan every round — ~2^(MmrSelK-1)
-      // copies of the round-1 subtree by the end (the round-13 defect:
-      // slowest query in the catalog for 50 eval-sized rows). A plain
-      // .cache() is NOT enough here: caching dedups EXECUTION but the
-      // logical plan keeps the full doubled lineage, so analyzer/optimizer
-      // time still grows 2^round (measured: cache alone left q114 at
-      // ~7 s; the checkpoint cuts it to arm cost + ~0.1 s/round).
-      // localCheckpoint(eager) materializes the ≤ nq·MmrSelK-row frame
-      // and REPLACES its logical plan, so every round plans against a
-      // leaf. Eval-sized data only — the corpus never enters the
-      // recursion — so executor-local blocks are the right durability
-      // trade (PlanSpec pins the final plan's window count as the
-      // exponential-copy detector).
-      sel = sel.unionByName(pick).coalesce(1).localCheckpoint()
+    // the greedy SELECTION runs on the driver over the collected decision
+    // tables (r20, guide §1.2/§5): candidates are ≤ nq·k rows and sims
+    // ≤ nq·k² — EVAL-sized constants of the entry, never corpus-sized, at
+    // any corpus scale (the q63 cut-point / localTwoMeans metadata-on-the-
+    // driver convention). The previous shape distributed the recursion as
+    // MmrSelK−1 chained join+window rounds with a localCheckpoint barrier
+    // per round — 4 extra driver-synchronous jobs plus two managed caches
+    // per call, all to re-derive argmaxes over ≤ 4,500 rows (measured:
+    // ~3.6 s of q147's wall, ~60% of q114's). The barriers also carried a
+    // cache-lifecycle hazard over mutable artifact paths (the r19 mmr bug)
+    // that a collect cannot have. Arithmetic is IDENTICAL IEEE ops on the
+    // SAME collected values — floor((rel − maxsim)·500000) to BIGINT,
+    // argmax by (score DESC, doc_id) — so selections are bit-equal to the
+    // chained-rounds form (OperatorSpec's independent greedy differential
+    // pins it).
+    val candRows = cand0.select("query_id", "doc_id", "rel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simRows = pairsim.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    candRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      var selected = Vector.empty[Long]
+      for (i <- 1 to MmrSelK) {
+        // round 1: argmax (rel DESC, doc ASC), mmr = floor(rel·500000);
+        // later rounds: only candidates with a sim row to ≥ 1 selected doc
+        // participate (the chained form's inner maxsim join), score =
+        // floor((rel − max sim)·500000), argmax (score DESC, doc ASC)
+        val scored: Seq[(Long, Long)] =
+          if (i == 1) rel.toSeq.map { case (d, rv) =>
+            d -> math.floor(rv * 500000.0).toLong }
+          else (rel.keySet -- selected).toSeq.flatMap { d =>
+            val sims = selected.flatMap(sd => simRows.get((q, d, sd)))
+            if (sims.isEmpty) None
+            else Some(d -> math.floor((rel(d) - sims.max) * 500000.0).toLong)
+          }
+        if (scored.nonEmpty) {
+          val (doc, score) = scored.minBy { case (d, sc) => (-sc, d) }
+          selected :+= doc
+          out += ((q, i.toLong, doc, score))
+        }
+      }
     }
-    // release the recursion's caches HERE, not at harness clearCache: the
-    // final eager localCheckpoint made `sel` a plan-independent leaf, so
-    // nothing downstream reads cand/pairsim — and in q147 their lineage
-    // scans MUTABLE artifact paths, so a registered-but-superseded entry
-    // is a landmine for any later same-session rebuild of the artifact
-    // (CacheManager matches the new plan by path, then lazily recomputes
-    // from the STALE captured file listing → FAILED_READ_FILE; reproduced
-    // r19 when the entry runs twice without clearCache)
-    cand.unpersist(blocking = false)
-    pairsim.unpersist(blocking = false)
-    sel.select("query_id", "sel_rnk", "doc_id", "mmr")
+    // eval-sized literal result (LocalRelation — the q150/funnel audit-
+    // frame convention); callers order/join it themselves
+    out.toSeq.toDF("query_id", "sel_rnk", "doc_id", "mmr")
   }
 
   /** The MMR recursion as CTE text over ANY `cand(query_id, doc_id, rel)`

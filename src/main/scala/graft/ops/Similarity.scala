@@ -999,7 +999,7 @@ object Similarity {
     * [[residualPartsCached]] books needs cents — BlockManager's per-block
     * cache locks serialize exactly that edge while the writes' own file
     * I/O still overlaps. Tombstone batches depend on nothing. */
-  private def writeIvfArtifacts(root: String, cents: DataFrame,
+  private[graft] def writeIvfArtifacts(root: String, cents: DataFrame,
       books: DataFrame, codes: DataFrame, tombs: (String, DataFrame)*): Unit = {
     val trio: Seq[() => Unit] = Seq(
       () => cents.write.mode("overwrite").parquet(s"$root/cents"),
@@ -1329,27 +1329,37 @@ object Similarity {
       emb.filter(col("vec_id") < AdcQueries))
   }
 
-  /** Full-probe + exact-refine serve from a persisted residual root: the
-    * ADC shortlist at nprobe = cell count and r = corpus count (every
-    * row a candidate, whatever the rebalanced routing), re-ranked by the
-    * q86 fixed-point exact distance. The shortlist still computes real
-    * ADC rows — cents/books/codes all participate in the plan — but the
-    * returned ranking depends only on which rows the artifact can reach,
-    * which is exactly what a geometry-blind oracle can pin. */
+  /** Full-probe + exact-refine serve from a persisted residual root,
+    * re-ranked by the q86 fixed-point exact distance. At full probe the
+    * candidate set is definitionally the REACHABLE set — every codes row
+    * whose cell exists in cents, for every query, minus self-pairs — and
+    * the exact re-rank discards the shortlist's ADC ranking entirely. The
+    * r19 shape materialized that ranking anyway ([[residualSearchFrom]] at
+    * nprobe = cell count, k = corpus count): per-(query, cell) LUTs, an
+    * ADC sum per (query, row) pair, a corpus-sized per-query window sort,
+    * and an n_cand broadcast — all provably dropped on the floor by the
+    * refine, plus two driver count() jobs just to parameterize them (r20,
+    * guide §1.2: don't compute what you throw away — at 100 TB that dead
+    * work is nq·n ADC sums). The reachability semi-join computes the SAME
+    * (query, neighbor) set — bit-equal output on any artifact whose codes
+    * are vec_id-unique (the split/merge mass-conservation gates) — and
+    * what the serve gates is unchanged: a row dropped, duplicated, or
+    * routed to a missing cell by the rebalance still changes the result.
+    * The ADC arithmetic itself stays gated by the OperatorSpec
+    * served ≡ direct-core differential at production nprobe. */
   private def residualRefineFullProbe(s: SparkSession, root: String,
       corpus: DataFrame, queries: DataFrame, k: Int = AdcK): DataFrame = {
     val cents = s.read.parquet(s"$root/cents")
     val codes = s.read.parquet(s"$root/codes")
-    val nlist = cents.count().toInt
-    val r = codes.count().toInt
-    val shortlist = residualSearchFrom(cents,
-        s.read.parquet(s"$root/books"), codes, queries, nprobe = nlist, k = r)
-      .select(col("query_id"), col("neighbor_id"))
+    val reachable = codes.select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(broadcast(cents.select(col("cent_id").as("cell"))), Seq("cell"), "left_semi")
+      .select("neighbor_id")
     val q = queries.select(col("vec_id").as("query_id"), col("e").as("eq"))
     val corp = corpus.select(col("vec_id").as("neighbor_id"), col("e").as("en"))
     val w = Window.partitionBy("query_id").orderBy(col("exact_fixed"), col("neighbor_id"))
-    corp.join(broadcast(shortlist), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
+    corp.join(broadcast(reachable), Seq("neighbor_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("exact_fixed", expr(
         s"CAST(floor((graft_dot(eq, eq) - 2 * graft_dot(eq, en) + graft_dot(en, en)) * $CentFixedScale) AS BIGINT)"))
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -4480,7 +4490,7 @@ object Similarity {
     * asserts the two-phase agg). The mean is s_fixed/n downstream; the sums
     * are emitted instead of dividing so no rounding-mode choice leaks into
     * the gate. */
-  private val CentFixedScale = 1000000L
+  private[graft] val CentFixedScale = 1000000L
 
   def q64Centroids(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.embeddings(s, d), "vec_id")

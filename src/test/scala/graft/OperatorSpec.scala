@@ -8,7 +8,7 @@ import graft.multimodal.Multimodal
 /** Per-operator invariants on sf0.001 (the DuckDB oracle harness is the
   * authoritative value-level check; these specs guard semantics that the
   * oracle can't see, e.g. LSH ≡ exact equivalence). */
-class OperatorSpec extends AnyFunSuite {
+class OperatorSpec extends AnyFunSuite with CacheHygiene {
   private val sf = "/root/testdata/sf0.001"
   private def spark = TestSpark.spark
 

@@ -9,7 +9,7 @@ import graft.ops.{AsOf, Dedup, Relational}
   * String-matching explain output is blunt but version-stable enough for
   * the properties checked here.
   */
-class PlanSpec extends AnyFunSuite {
+class PlanSpec extends AnyFunSuite with CacheHygiene {
   private val sf = "/root/testdata/sf0.001"
   private def spark = TestSpark.spark
 
@@ -1139,18 +1139,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected a scan over lexpos/$g; got $segs"))
   }
 
-  test("q114 mmr: per-round cache barrier — final plan holds ≤ MmrSelK window nodes (exponential-copy detector)") {
+  test("q114 mmr: final plan holds ≤ MmrSelK window nodes (exponential-copy detector)") {
     import graft.ops.Retrieval
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.window.WindowExec
     // round-13 defect: `sel` was rebuilt referencing itself twice per round
     // with no barrier, so the final plan carried ~2^(MmrSelK-1) copies of
-    // the round-1 window subtree (9.96 s for 50 eval-sized rows). The
-    // per-round localCheckpoint replaces each round's lineage with a leaf,
-    // so the FINAL plan must contain at most one live round's worth of
-    // windows (with full truncation: zero — the selection already
-    // materialized) and a bounded node count overall.
+    // the round-1 window subtree (9.96 s for 50 eval-sized rows). Since r20
+    // the selection is a driver-side greedy over the collected eval-sized
+    // decision tables (its result a LocalRelation leaf), so the final plan
+    // must stay window-free and tiny; this detector also catches any future
+    // re-distribution of the recursion without barriers.
     val df = Retrieval.q114MmrDiversified(spark, sf)
     df.collect()
     def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
@@ -1166,6 +1166,66 @@ class PlanSpec extends AnyFunSuite {
     assert(ns.size <= 60,
       s"q114 final plan has ${ns.size} nodes — exponential lineage is back " +
         "(the barred plan is a checkpoint scan + final sort, ~10 nodes)")
+  }
+
+  test("q94 pagerank rounds: each round reads the previous round's cached frame, and the kNN edge kernel runs once, never per round") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the r19 verdict asked for committed storage/plan evidence that the
+    // iterative graph rounds (q94/q101/q103/q84's shared shape) REUSE each
+    // round's materialized frame instead of re-deriving prior rounds from
+    // lineage. Walking the executed final plan THROUGH the cached plans
+    // proves both claims at once: the final round must read the previous
+    // ranks from an InMemoryTableScan (a recomputing recursion would
+    // inline round r−1's join/agg lineage instead), and the kNN candidate
+    // kernel (graft_topk) must appear exactly once in the whole recursive
+    // walk — inside the edge cache — never once per round.
+    spark.catalog.clearCache()
+    val df = Similarity.q94PageRank(spark, sf)
+    df.collect()
+    // expand each DISTINCT cache's plan once (several rounds legitimately
+    // scan the SAME edge cache — expanding it per reference would count
+    // one kernel run many times)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case m: InMemoryTableScanExec =>
+        // key on the shared CachedRDDBuilder: relation instances are
+        // copied per referencing plan, but one cache = one builder
+        if (seen.add(m.relation.cacheBuilder)) m +: nodes(m.relation.cachedPlan)
+        else Seq(m)
+      case n => Seq(n)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val imts = ns.collect { case m: InMemoryTableScanExec => m }
+    assert(imts.exists(_.output.exists(_.name == "pr")),
+      "the final round does not read the previous round's cached rank frame " +
+        "— the recursion is recomputing lineage instead of reusing barriers")
+    assert(imts.exists(_.output.exists(_.name == "outdeg")),
+      "the edge list is not served from its cache")
+    // per-NODE one-line strings (node.toString prints the whole subtree —
+    // concatenating those would count every kernel node once per ancestor).
+    // One kernel run = one partial + one final aggregate node (+ AQE may
+    // re-print one); a per-round re-derivation would add a pair per round.
+    val kernelNodes = ns.count(_.simpleString(1000).contains("graft_topk"))
+    assert(kernelNodes <= 3,
+      s"$kernelNodes graft_topk nodes in the recursive plan walk — rounds " +
+        "are re-deriving the edge build instead of reading the cache")
+    // a walk WITHOUT cachedPlan expansion: every kernel node must live
+    // BEHIND a cache boundary, none in the live final plan
+    def liveNodes(pl: SparkPlan): Seq[SparkPlan] = pl.flatMap {
+      case q: QueryStageExec => liveNodes(q.plan)
+      case a: AdaptiveSparkPlanExec => liveNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    assert(!liveNodes(df.queryExecution.executedPlan)
+      .exists(_.simpleString(1000).contains("graft_topk")),
+      "the final plan runs the kNN edge kernel LIVE — the edge cache is not serving")
+    spark.catalog.clearCache()
   }
 
   test("q133 fully served retrieval: no tokenize kernel AND no cluster kernel — every arm reads its artifact") {
@@ -1460,9 +1520,10 @@ class PlanSpec extends AnyFunSuite {
     assert(fScans.exists(_.contains("ragfull/clusters")),
       "expected a scan over the cluster-label artifact")
     // WALK 2 — the entry's final plan: the snippet arm reads the PERSISTED
-    // positional postings, and the only RDD leaf is the eval-sized MMR
-    // checkpoint (schema carries sel_rnk — a cluster/kNN kernel leaf would
-    // carry other columns)
+    // positional postings, and the only RDD leaf permitted is the
+    // eval-sized MMR selection (schema carries sel_rnk — a cluster/kNN
+    // kernel leaf would carry other columns; since r20 the selection is a
+    // LocalRelation, so normally there is NO RDD leaf at all)
     val ns = nodes(df.queryExecution.executedPlan)
     val rddBad = ns.collect {
       case r: RDDScanExec if !r.output.map(_.name).contains("sel_rnk") => r: SparkPlan

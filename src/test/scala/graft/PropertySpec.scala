@@ -5,7 +5,7 @@ import graft.pipeline.RedskinsPipeline
 
 /** Exhaustive/randomized invariants for the pure pieces (plain loops — the
   * domains are small enough to sweep fully or with a seeded RNG). */
-class PropertySpec extends AnyFunSuite {
+class PropertySpec extends AnyFunSuite with CacheHygiene {
 
   test("election day is always the first Tuesday after the first Monday of November") {
     (1848 to 2096).foreach { y =>

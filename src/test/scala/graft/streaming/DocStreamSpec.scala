@@ -8,7 +8,7 @@ import graft.{Tables, TestSpark}
 /** Streaming ingest dedup ≡ brute force: draining a fresh-batch document
   * stream against the static-corpus index must find exactly the J ≥ t
   * fresh×existing pairs. */
-class DocStreamSpec extends AnyFunSuite {
+class DocStreamSpec extends AnyFunSuite with graft.CacheHygiene {
   private val sf = "/root/testdata/sf0.001"
   private val threshold = 0.6
 

@@ -6,7 +6,7 @@ import graft.{Tables, TestSpark}
 
 /** Streaming ≡ batch: the AvailableNow drain over the events directory must
   * produce exactly the batch aggregation's results. */
-class EventStreamSpec extends AnyFunSuite {
+class EventStreamSpec extends AnyFunSuite with graft.CacheHygiene {
   private val sf = "/root/testdata/sf0.001"
 
   test("windowed counts via AvailableNow match the batch equivalent") {
