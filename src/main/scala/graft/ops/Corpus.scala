@@ -784,22 +784,13 @@ object Corpus {
       Seq("doc_id"), "left_semi"))
     val n3 = uniq.count()
     stageLog("n3_exact")
-    // ONE shingling pass for stages 4 AND 5 (r20, guide §1.2): both stages
-    // previously re-ran the tokenize → trigram → distinct pipeline over
-    // nearly the same rows (sur ⊆ uniq). Shingling is per-row, so
-    // shingleDocs(sur) ≡ shingleDocs(uniq) restricted to sur's doc_ids —
-    // the left_semi below IS that restriction, against the CHECKPOINTED
-    // survivor ids (never the lazy nearDups frame, which would re-run the
-    // All-Pairs kernel inside stage 5's plan). Cached across the two
-    // consumers, released after the excerpt stage's barrier (an action).
-    val shUniq = Dedup.shingleDocs(uniq).cache()
     // budgeted, not plain jaccardPairs: the funnel is the one-shot whole-
     // corpus caller the q53-at-1M diagnosis warned about — on a
     // low-entropy corpus it must refuse in seconds with the measured
     // candidate mass, not die hours later on shuffle spill (the 200M
     // default clears every real-vocabulary corpus measured so far; the
     // pathological 1M GenCorpus run refuses at 3.4B)
-    val nearDups = Dedup.jaccardPairsBudgeted(shUniq, 0.6,
+    val nearDups = Dedup.jaccardPairsBudgeted(Dedup.shingleDocs(uniq), 0.6,
       FunnelPairBudget).select(col("b_id").as("doc_id")).distinct()
     val sur = Materialize.stage(uniq.join(nearDups, Seq("doc_id"), "left_anti"))
     val n4 = sur.count()
@@ -807,13 +798,18 @@ object Corpus {
     // stage 5 — EXCERPT CLEAN (q162's rule composed in, round-17 verdict
     // #6): the asymmetric population the Jaccard stage provably misses
     // (a quote of a much larger doc has tiny Jaccard, containment ≈ 1);
-    // drop survivors ≥ 0.8 contained in a strictly larger survivor
+    // drop survivors ≥ 0.8 contained in a strictly larger survivor.
+    // MEASURED AND KEPT AS-IS (r20): sharing ONE cached shingling pass
+    // across stages 4+5 (shingleDocs(uniq).cache(), stage 5 left-semi to
+    // the survivor ids) was value-identical but paired-A/B 1.13× SLOWER —
+    // caching the big shingle arrays and re-reading them through the
+    // All-Pairs kernel's own hashed cache costs more than re-shingling
+    // ~450 docs per stage at this scale. Reverted; the back stages' cost
+    // is the audited All-Pairs/containment kernels themselves.
     val exc = Materialize.stage(sur.join(
-      Dedup.excerptDrops(
-        shUniq.join(sur.select("doc_id"), Seq("doc_id"), "left_semi"), 0.8),
+      Dedup.excerptDrops(Dedup.shingleDocs(sur), 0.8),
       Seq("doc_id"), "left_anti"))
     val n5 = exc.count()
-    shUniq.unpersist(blocking = false)
     stageLog("n5_excerpt")
     def grams(df: DataFrame): DataFrame = decontGrams(
       df.select(col("doc_id"), split(col("text"), " ").as("w"))

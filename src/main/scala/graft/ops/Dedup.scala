@@ -819,8 +819,14 @@ object Dedup {
     // never appended then still answers "fresh vs artifact" instead of
     // silently dropping every fresh doc (the r18 ADVICE footgun); append
     // first only if fresh-vs-fresh pairs should be included (b-side stays
-    // the segments by design)
-    val freshRanked = rankDocs(hashShingles(freshDocs), btable)
+    // the segments by design).
+    // CACHED (r20, guide §1.2): the ranked fresh batch feeds BOTH the probe
+    // prefixes and the verify a-side of the one serve plan, and the
+    // tokenize → trigram → hash → rank chain is the expensive per-row work
+    // (measured at 100k docs / 20% fresh: the uncached serve re-ran it
+    // twice). Same CacheBin contract as rankedDocsAndPrefix's caches.
+    val freshRanked = CacheBin.note(
+      rankDocs(hashShingles(freshDocs), btable).cache())
     val freshPrefix = freshRanked
       .select(col("doc_id"), col("nsh"), explode(prefixSliceExpr(threshold)).as("shh"))
     val fullIndex = segDocs.select(col("doc_id"), explode(col("hs")).as("shh"))

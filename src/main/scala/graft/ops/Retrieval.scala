@@ -627,7 +627,13 @@ object Retrieval {
     // gated entries always did (the corpus appears only in these audited
     // leaves: the candidate arm and the one vector-fetch equi-join; sim is
     // the round-6 cosine from the native dot kernel)
-    val ce = cand0.select("query_id", "doc_id")
+    // SCOPED cache: the candidate arm (q147: the whole fused+collapsed
+    // serve) has two eager consumers inside this function — the candRows
+    // collect and the pairsim collect — and would otherwise compute twice.
+    // Both consumers complete before the unpersist below, so this cache has
+    // no lifecycle outside the call (unlike the old registered ones).
+    val cand = cand0.cache()
+    val ce = cand.select("query_id", "doc_id")
       .join(vecs, col("doc_id") === col("vec_id"))
       .select(col("query_id"), col("doc_id"), col("e"), col("nrm"))
     val a = ce.select(col("query_id"), col("doc_id").as("d1"), col("e").as("e1"), col("nrm").as("n1"))
@@ -650,10 +656,11 @@ object Retrieval {
     // argmax by (score DESC, doc_id) — so selections are bit-equal to the
     // chained-rounds form (OperatorSpec's independent greedy differential
     // pins it).
-    val candRows = cand0.select("query_id", "doc_id", "rel").collect()
+    val candRows = cand.select("query_id", "doc_id", "rel").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val simRows = pairsim.collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    cand.unpersist(blocking = false)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     candRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, cs) =>
       val rel = cs.map(c => c._2 -> c._3).toMap
